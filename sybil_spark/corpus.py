@@ -1,0 +1,552 @@
+"""Query corpus: every operator exposed as a (Spark, oracle-SQL) pair.
+
+This is the engine's correctness gate. Each entry in QUERIES is a
+callable (spark, sf_dir) -> DataFrame built from the package's public
+API; each entry in ORACLES is ANSI SQL that DuckDB runs over the same
+parquet to produce the *identical* result — same column names, same
+row count, bit-identical values (see Query.exact_mode for how float
+aggregation is made order-independent).
+
+The first ~16 queries are the reference's canonical 15-query corpus
+(reference: scripts/test_cache_results.py:30-46) mapped onto the
+`events` table (event_type ≈ host, value ≈ ping, time ≈ time);
+then filter/percentile/weight coverage, then TPC-H-style join
+queries (beyond reference parity — sybil has no joins, README.md:28),
+then the training-data-pipeline operators (dedup / similarity / text).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sybil_spark.query.builder import Query
+from sybil_spark.functions import text as T
+from sybil_spark.functions.vectors import cosine_to_const
+from sybil_spark.operators import dedup, similarity
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+NS = 1_000_000_000
+
+#: DuckDB view of events with the derived unix-seconds `time` column,
+#: mirroring _events() below.
+EV = "(select *, cast(floor(epoch(ts)) as bigint) as time from events)"
+
+_DEC = "decimal(38,6)"
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = textwrap.dedent(sql).strip()
+        return fn
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS); we read it as a long of
+    # nanoseconds (session.py sets nanosAsLong) and derive unix seconds.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("time", F.expr(f"ts div {NS}"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(sql_expr: str) -> str:
+    return f"cast(sum(cast({sql_expr} as {_DEC})) as double)"
+
+
+# ===========================================================================
+# 1. The reference's canonical corpus on `events`
+#    (reference scripts/test_cache_results.py:30-46)
+# ===========================================================================
+
+@_q("count", f"select count(*) as count from {EV}")
+def q_count(spark, sf):
+    return Query.table(_events(spark, sf)).limit(None).execute(spark)
+
+
+@_q("avg", f"""
+    select count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV}""")
+def q_avg(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .agg("value", "avg").limit(None).execute(spark))
+
+
+@_q("hist", f"""
+    select cast(floor((value - 0.0)/25.0)*25.0 + 0.0 as double) as bucket,
+           count(*) as count
+    from {EV} where value is not null group by 1""")
+def q_hist(spark, sf):
+    return Query.table(_events(spark, sf)).limit(None) \
+        .hist(spark, "value", bucket=25.0)
+
+
+@_q("time_avg", f"""
+    select time - time % 21600 as tbucket, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1""")
+def q_time_avg(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .time_col("time", 21600).agg("value", "avg")
+            .limit(None).execute(spark))
+
+
+@_q("group_count", f"select event_type, count(*) as count from {EV} group by 1")
+def q_group_count(spark, sf):
+    return (Query.table(_events(spark, sf)).group_by("event_type")
+            .limit(None).execute(spark))
+
+
+@_q("distinct", f"""
+    select count(*) as count, count(distinct user_id) as distinct
+    from {EV}""")
+def q_distinct(spark, sf):
+    return (Query.table(_events(spark, sf)).distinct_cols("user_id")
+            .limit(None).execute(spark))
+
+
+@_q("time_distinct", f"""
+    select time - time % 21600 as tbucket, count(*) as count,
+           count(distinct user_id) as distinct
+    from {EV} group by 1""")
+def q_time_distinct(spark, sf):
+    return (Query.table(_events(spark, sf)).time_col("time", 21600)
+            .distinct_cols("user_id").limit(None).execute(spark))
+
+
+@_q("group_avg", f"""
+    select event_type, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1""")
+def q_group_avg(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type").agg("value", "avg")
+            .limit(None).execute(spark))
+
+
+@_q("group_avg_limit", f"""
+    select user_id, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1
+    order by count desc, user_id asc limit 10""")
+def q_group_avg_limit(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("user_id").agg("value", "avg")
+            .sort("count").limit(10).execute(spark))
+
+
+@_q("group_hist", f"""
+    select event_type,
+           cast(floor((value - 0.0)/50.0)*50.0 + 0.0 as double) as bucket,
+           count(*) as count
+    from {EV} where value is not null group by 1, 2""")
+def q_group_hist(spark, sf):
+    return (Query.table(_events(spark, sf)).group_by("event_type")
+            .limit(None).hist(spark, "value", bucket=50.0))
+
+
+@_q("regex_avg", f"""
+    select event_type, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} where regexp_matches(event_type, 'click|view')
+    group by 1""")
+def q_regex_avg(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .str_filter("event_type", "re", "click|view")
+            .group_by("event_type").agg("value", "avg")
+            .limit(None).execute(spark))
+
+
+@_q("group2_count", f"""
+    select event_type, cast(props->>'$.k' as bigint) as k, count(*) as count
+    from {EV} group by 1, 2""")
+def q_group2_count(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long"))
+    return Query.table(ev).group_by("event_type", "k").limit(None).execute(spark)
+
+
+@_q("group2_avg", f"""
+    select event_type, user_id, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1, 2""")
+def q_group2_avg(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type", "user_id").agg("value", "avg")
+            .limit(None).execute(spark))
+
+
+@_q("time_group_avg_limit", f"""
+    select event_type, time - time % 21600 as tbucket, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1, 2
+    order by count desc, event_type asc, tbucket asc limit 10""")
+def q_time_group_avg_limit(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type").time_col("time", 21600)
+            .agg("value", "avg").sort("count").limit(10).execute(spark))
+
+
+@_q("filter_eq_avg", f"""
+    select user_id, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} where event_type = 'purchase' group by 1""")
+def q_filter_eq_avg(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .str_filter("event_type", "eq", "purchase")
+            .group_by("user_id").agg("value", "avg")
+            .limit(None).execute(spark))
+
+
+@_q("filter_gt_count", f"""
+    select event_type, count(*) as count from {EV}
+    where value > 100.0 group by 1""")
+def q_filter_gt_count(spark, sf):
+    return (Query.table(_events(spark, sf))
+            .int_filter("value", "gt", 100.0)
+            .group_by("event_type").limit(None).execute(spark))
+
+
+@_q("str_replace_group", f"""
+    select regexp_replace(event_type, '^(click|view)$', 'interaction')
+             as event_type,
+           count(*) as count
+    from {EV} group by 1""")
+def q_str_replace_group(spark, sf):
+    return (Query.table(_events(spark, sf))
+            .str_replace("event_type", "^(click|view)$", "interaction")
+            .group_by("event_type").limit(None).execute(spark))
+
+
+@_q("percentiles", f"""
+    select event_type, count(*) as count,
+           quantile_cont(value, 0.25) as p25_value,
+           quantile_cont(value, 0.50) as p50_value,
+           quantile_cont(value, 0.75) as p75_value
+    from {EV} group by 1""")
+def q_percentiles(spark, sf):
+    return (Query.table(_events(spark, sf)).group_by("event_type")
+            .agg("value", "percentile", percentiles=[0.25, 0.5, 0.75])
+            .limit(None).execute(spark))
+
+
+@_q("stddev", f"""
+    select event_type, count(*) as count,
+           sqrt(({_dsum('value*value')} -
+                 {_dsum('value')}*{_dsum('value')}/count(value))
+                / (count(value) - 1)) as stddev_value
+    from {EV} group by 1""")
+def q_stddev(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type").agg("value", "stddev")
+            .limit(None).execute(spark))
+
+
+@_q("sum_min_max", f"""
+    select event_type, count(*) as count,
+           {_dsum('value')} as sum_value,
+           min(value) as min_value, max(value) as max_value
+    from {EV} group by 1""")
+def q_sum_min_max(spark, sf):
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type")
+            .agg("value", "sum").agg("value", "min").agg("value", "max")
+            .limit(None).execute(spark))
+
+
+@_q("weighted_count", f"""
+    select l_returnflag,
+           {_dsum('coalesce(cast(l_quantity as double), 1.0)')} as count,
+           count(*) as samples,
+           {_dsum('l_extendedprice * coalesce(cast(l_quantity as double), 1.0)')}
+           / cast(sum(cast(case when l_extendedprice is not null
+                 then coalesce(cast(l_quantity as double), 1.0) end
+                 as {_DEC})) as double) as avg_l_extendedprice
+    from lineitem group by 1""")
+def q_weighted_count(spark, sf):
+    return (Query.table(_t(spark, sf, "lineitem")).exact_mode()
+            .weight_col("l_quantity").group_by("l_returnflag")
+            .agg("l_extendedprice", "avg")
+            .limit(None).execute(spark))
+
+
+# ===========================================================================
+# 2. Joins / TPC-H-style (beyond reference parity: sybil has no joins)
+# ===========================================================================
+
+@_q("tpch_q1", f"""
+    select l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} as sum_qty,
+           {_dsum('l_extendedprice')} as sum_base_price,
+           {_dsum('l_extendedprice * (1.0 - l_discount)')} as sum_disc_price,
+           {_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')}
+             as sum_charge,
+           {_dsum('l_quantity')}/count(l_quantity) as avg_qty,
+           {_dsum('l_extendedprice')}/count(l_extendedprice) as avg_price,
+           {_dsum('l_discount')}/count(l_discount) as avg_disc,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by 1, 2""")
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+    dsum = lambda c: F.sum(c.cast(_DEC)).cast("double")  # noqa: E731
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(disc * (F.lit(1.0) + F.col("l_tax"))).alias("sum_charge"),
+        (dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+        (dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")
+         ).alias("avg_price"),
+        (dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"))
+
+
+@_q("tpch_q3", f"""
+    select o.o_orderkey,
+           {_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} as revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') as o_orderdate
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING'
+      and o.o_orderdate < timestamp '1998-01-01 00:00:00'
+      and l.l_shipdate  > timestamp '1998-01-01 00:00:00'
+    group by o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    order by revenue desc, o_orderkey asc limit 10""")
+def q_tpch_q3(spark, sf):
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    # customer is the small side after the segment filter → broadcast;
+    # orders⋈lineitem co-shuffles on the orderkey.
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (j.groupBy(F.col("o_orderkey"),
+                      F.date_format("o_orderdate", "yyyy-MM-dd")
+                       .alias("o_orderdate"))
+             .agg(F.sum(rev.cast(_DEC)).cast("double").alias("revenue"))
+             .select("o_orderkey", "revenue", "o_orderdate")
+             .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10))
+
+
+@_q("join_geo", f"""
+    select r.r_name, count(*) as count,
+           {_dsum('c.c_acctbal')} as sum_acctbal
+    from customer c
+    join nation n on c.c_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    group by 1""")
+def q_join_geo(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name")
+             .agg(F.count(F.lit(1)).alias("count"),
+                  F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                   .alias("sum_acctbal")))
+
+
+@_q("orders_priority", """
+    select o_orderpriority, count(*) as count
+    from orders
+    where o_orderdate >= timestamp '1997-01-01 00:00:00'
+      and o_orderdate <  timestamp '1998-01-01 00:00:00'
+    group by 1""")
+def q_orders_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.where((F.col("o_orderdate")
+                     >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+                    & (F.col("o_orderdate")
+                       < F.to_timestamp(F.lit("1998-01-01 00:00:00"))))
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("count")))
+
+
+# ===========================================================================
+# 3. Training-data pipeline operators
+# ===========================================================================
+
+@_q("dedup_exact", """
+    select text, min(doc_id) as keeper, count(*) as dupes
+    from documents group by 1""")
+def q_dedup_exact(spark, sf):
+    return dedup.exact_groups(_t(spark, sf, "documents"), ["text"], "doc_id")
+
+
+@_q("dedup_keep_first", """
+    select * from documents
+    where doc_id in (select min(doc_id) from documents group by text)""")
+def q_dedup_keep_first(spark, sf):
+    return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
+
+
+@_q("ngram_jaccard", """
+    with toks as (select doc_id, string_split(text, ' ') t from documents),
+    s as (select doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t)-2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh from toks),
+    sizes as (select doc_id, count(*) n from s group by 1),
+    inter as (select a.doc_id ia, b.doc_id ib, count(*) c
+              from s a join s b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2)
+    select ia as id_a, ib as id_b,
+           cast(c as double)/(na.n + nb.n - c) as jaccard
+    from inter
+    join sizes na on na.doc_id = ia
+    join sizes nb on nb.doc_id = ib
+    where cast(c as double)/(na.n + nb.n - c) >= 0.1""")
+def q_ngram_jaccard(spark, sf):
+    return dedup.jaccard_pairs(_t(spark, sf, "documents"),
+                               "doc_id", "text", shingle_n=3, threshold=0.1)
+
+
+@_q("minhash_lsh")  # no oracle: hash-family specific; verified in tests
+def q_minhash_lsh(spark, sf):
+    cands = dedup.minhash_lsh_candidates(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=64, bands=16)
+    return dedup.jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                               candidates=cands)
+
+
+@_q("simhash_dup")  # no oracle: hash-family specific; verified in tests
+def q_simhash_dup(spark, sf):
+    c = dedup.simhash_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+    return (c.withColumn("hamming", dedup.hamming64(F.col("sig_a"),
+                                                    F.col("sig_b")))
+             .where(F.col("hamming") <= 8)
+             .select("id_a", "id_b", "hamming"))
+
+
+@_q("ann_topk", """
+    with q as (select embedding from embeddings where vec_id = 0)
+    select e.vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))) as cos
+    from embeddings e, q
+    order by cos desc, vec_id asc limit 10""")
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.brute_force_topk(emb, "embedding", qvec, k=10)
+
+
+@_q("ann_pairs_topk", """
+    with e as (select vec_id, CAST(embedding AS DOUBLE[]) emb from embeddings)
+    select a.vec_id as id_a, b.vec_id as id_b,
+           list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb))
+              * sqrt(list_dot_product(b.emb, b.emb))) as cos
+    from e a join e b on a.vec_id < b.vec_id
+    order by cos desc, id_a asc, id_b asc limit 20""")
+def q_ann_pairs_topk(spark, sf):
+    return similarity.pairwise_topk(_t(spark, sf, "embeddings"),
+                                    "embedding", "vec_id", k=20)
+
+
+@_q("lsh_topk")  # no oracle: approximate by construction; recall tested
+def q_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.lsh_topk(emb, "embedding", qvec, k=10, num_planes=4)
+
+
+@_q("text_stats", """
+    select lang, count(*) as count,
+           cast(sum(len(string_split(text, ' '))) as double)/count(*)
+             as avg_tokens,
+           sum(n_chars) as sum_chars
+    from documents group by 1""")
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("count"),
+                  (F.sum(T.token_count(F.col("text"))).cast("double")
+                   / F.count(F.lit(1))).alias("avg_tokens"),
+                  F.sum("n_chars").alias("sum_chars")))
+
+
+@_q("text_quality", f"""
+    with scored as (
+      select source,
+             (cast(least(len(string_split(text, ' ')), 100) as double)/100.0)
+             * (case when cast(len(list_filter(string_split(text, ' '),
+                        x -> x in ('the','a','of','and','in','to','is','it',
+                                   'that','for'))) as double)
+                        / len(string_split(text, ' ')) > 0.01
+                then 1.0 else 0.5 end) as score
+      from documents)
+    select source, count(*) as count,
+           {_dsum('score')}/count(score) as avg_quality
+    from scored group by 1""")
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    score = T.quality_score(F.col("text"))
+    return (d.select("source", score.alias("score"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("count"),
+                  (F.sum(F.col("score").cast(_DEC)).cast("double")
+                   / F.count("score")).alias("avg_quality")))
+
+
+@_q("lang_id", """
+    select lang,
+           case when cast(len(list_filter(string_split(text, ' '),
+                    x -> x in ('the','a','of','and','in','to','is','it',
+                               'that','for'))) as double)
+                    / len(string_split(text, ' ')) > 0.03
+                then 'en' else 'other' end as lang_pred,
+           count(*) as count
+    from documents group by 1, 2""")
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+             .agg(F.count(F.lit(1)).alias("count")))
+
+
+@_q("fingerprint", """
+    select substr(md5(text), 1, 2) as fp, count(*) as count
+    from documents group by 1""")
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy(T.fingerprint(F.col("text"), 2).alias("fp"))
+             .agg(F.count(F.lit(1)).alias("count")))
+
+
+@_q("set_filter", """
+    select lang, count(*) as count from documents
+    where list_contains(string_split(text, ' '), 'spark')
+    group by 1""")
+def q_set_filter(spark, sf):
+    d = _t(spark, sf, "documents").withColumn("words", F.split("text", " "))
+    return (Query.table(d).set_filter("words", "in", "spark")
+            .group_by("lang").limit(None).execute(spark))

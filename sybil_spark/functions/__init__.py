@@ -1,0 +1,3 @@
+from sybil_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

@@ -1,0 +1,87 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure `pyspark.sql.functions` compositions — no Python UDFs — so
+they vectorize inside codegen and scale linearly with executors.
+Tokenization is a plain single-space split by default (matching the
+synthetic corpus); pass `pattern` for regex (BPE-ish) splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny high-frequency English function-word list for the language-ID
+#: heuristic; deliberately small and deterministic.
+EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is", "it", "that", "for"]
+
+#: regex that approximates BPE pre-tokenization: words, numbers, or a
+#: single non-space symbol.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column, pattern: str | None = None) -> Column:
+    """Whitespace tokens by default; regex *matches* when a pattern is
+    given (BPE-ish pre-tokenization)."""
+    if pattern is None:
+        return F.split(col, " ")
+    return F.regexp_extract_all(col, F.lit(pattern), 0)
+
+
+def token_count(col: Column, pattern: str | None = None) -> Column:
+    return F.size(tokens(col, pattern))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*sw)))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    return stopword_count(col, stopwords) / token_count(col)
+
+
+def lang_id(col: Column, threshold: float = 0.03) -> Column:
+    """N-gram-free language-ID heuristic: English if the function-word
+    ratio clears `threshold`, else 'other'. A real model slots in as a
+    pandas_udf behind the same column contract."""
+    return F.when(stopword_ratio(col) > threshold, F.lit("en")) \
+            .otherwise(F.lit("other"))
+
+
+def avg_word_len(col: Column) -> Column:
+    """Mean token length = (chars - spaces) / tokens for single-space
+    text; exact integer arithmetic until the final divide."""
+    n_space = F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit("")))
+    return (F.length(col) - n_space).cast("double") / token_count(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Cheap document-quality heuristic in [0,1]: rewards mid-length
+    docs and a sane stopword ratio. Deterministic integer/double math
+    only, so it is oracle-checkable in plain SQL."""
+    tc = token_count(col)
+    length_score = F.least(tc, F.lit(100)).cast("double") / F.lit(100.0)
+    sw = stopword_ratio(col)
+    sw_score = F.when(sw > 0.01, F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_score * sw_score
+
+
+def fingerprint(col: Column, nibbles: int = 8) -> Column:
+    """Stable content fingerprint: leading hex of md5 (md5 is available
+    and bit-identical in every engine we oracle against)."""
+    return F.substring(F.md5(col), 1, nibbles)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; distinct set.
+    Documents shorter than n words yield a single whole-text shingle."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    joined = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.array_distinct(joined)

@@ -1,0 +1,46 @@
+"""Vector math over `array<float>` embedding columns.
+
+Everything here is built from JVM-side higher-order functions
+(`zip_with` / `aggregate`) so the hot path never crosses into Python:
+on a 100 TB corpus the dot products run inside whole-stage codegen,
+not a UDF. Elements are cast to double *before* accumulating and the
+fold is sequential left-to-right, which makes results deterministic
+and bit-identical to any other engine that sums doubles in index
+order (the DuckDB oracle's `list_dot_product` does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i, double precision, sequential fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(norm_sq(a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot/(|a||b|) — written as dot products only so it
+    mirrors `list_dot_product`-style oracle SQL bit-for-bit."""
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+
+
+def cosine_to_const(a: Column, q: list[float]) -> Column:
+    """Cosine against a fixed query vector; the query-side norm is
+    folded into one literal so only one array pass per row remains."""
+    import math
+    qn = math.sqrt(sum(float(v) * float(v) for v in q))
+    ql = F.lit([float(v) for v in q]).cast("array<double>")
+    return dot(a, ql) / (F.sqrt(norm_sq(a)) * F.lit(qn))

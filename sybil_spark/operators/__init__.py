@@ -1,0 +1,3 @@
+from sybil_spark.operators import dedup, similarity
+
+__all__ = ["dedup", "similarity"]

@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (the whole point of these designs):
+
+- Exact dedup is one hash-shuffle on the dedup key. At 100 TB we
+  group on `xxhash64(text)` (8 bytes) rather than the full text, so
+  the shuffle carries hashes + ids, not documents; the fully-correct
+  variant re-checks the text only within hash-collision groups.
+- MinHash/LSH is the classic banding scheme: candidate generation is
+  an equi-join on (band_id, band_hash) — a co-partitioned shuffle
+  whose fan-out is controlled by band width, never an O(n²) cross
+  join. Verification of candidates is a narrow self-join on ids.
+- SimHash gives a 64-bit signature; near-dup candidates come from
+  equality on rotated 16-bit bands (Hamming ≤ 3 ⇒ at least one of 4
+  bands equal — pigeonhole), again an equi-join.
+- All hashes are `xxhash64`, JVM-side and deterministic, so every
+  stage is reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sybil_spark.functions.text import shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct key: the keeper (min id) and the duplicate
+    count. Group key is the raw columns — fine up to huge scale because
+    parquet+Tungsten shuffle compresses; see `exact_keep_first` for the
+    hash-key variant that keeps long text out of the shuffle."""
+    return (df.groupBy(*key_cols)
+              .agg(F.min(id_col).alias("keeper"),
+                   F.count(F.lit(1)).alias("dupes")))
+
+
+def exact_keep_first(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Return the deduplicated rows (first id wins per key).
+
+    Shuffles only (hash, id): at 100 TB the wide document row stays
+    columnar at rest and is re-joined after the winner is chosen —
+    a semi-join that Catalyst can push as a DPP/bloom filter."""
+    h = F.xxhash64(*[F.col(c) for c in key_cols]).alias("__k")
+    winners = (df.select(h, F.col(id_col))
+                 .groupBy("__k").agg(F.min(id_col).alias(id_col)))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text_col: Column, num_hashes: int = 64,
+                      shingle_n: int = 3) -> Column:
+    """array<bigint> MinHash signature over word-shingles.
+
+    The hash family is xxhash64(shingle, i) for i in [0, num_hashes):
+    one JVM expression tree, no Python, no randomness at runtime."""
+    sh = shingles(text_col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
+
+    rows/band-bucket stay bounded because a bucket only collects docs
+    agreeing on `num_hashes/bands` consecutive minhashes; the
+    candidate join is an equi-join on (band, band_hash) so it
+    co-partitions — no cross join at any scale."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = (df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+                .select("id", F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda b: F.xxhash64(F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        ).cast("string"))))
+                    .alias("band", "band_hash")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.band_hash") == F.col("b.band_hash"),
+                       F.col("a.id") < F.col("b.id")])
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 3, threshold: float = 0.0,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without `candidates` this computes ALL pairs sharing ≥1 shingle via
+    an inverted-index self-join (posting-list join — the classic
+    all-pairs similarity strategy; skewed hot shingles are the risk at
+    scale, which is why production runs pass LSH `candidates` to
+    restrict the join). Output: id_a < id_b, jaccard ∈ (0,1]."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, [F.col("a.sh") == F.col("b.sh"),
+                        F.col("a.id") < F.col("b.id")])
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("inter").cast("double")
+                       / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+           .select("id_a", "id_b", "jaccard"))
+    return out.where(F.col("jaccard") >= threshold) if threshold else out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str,
+               bits: int = 64) -> DataFrame:
+    """(id, sig): 64-bit SimHash of each document's token multiset.
+
+    Per token t: h = xxhash64(t); bit b votes +1/-1 by (h>>b)&1; the
+    signature sets bit b iff the vote sum is positive. Shape: explode
+    tokens → one hash per row → single partial-aggregated groupBy with
+    64 JVM sum expressions (shiftright needs a literal shift, so the
+    bit loop unrolls in the plan, not per-row Python). One shuffle of
+    (id, 64 ints) regardless of document size."""
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("t"))
+             .select("id", F.xxhash64("t").alias("h")))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"v{b}")
+        for b in range(bits)]
+    voted = tok.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+             .otherwise(F.lit(0).cast("long")))
+    return voted.select("id", sig.alias("sig"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup candidates by SimHash banding: docs agreeing on any
+    16-bit band of their 64-bit signature (Hamming ≤ bands-1 is
+    guaranteed recalled; verify with `hamming64` afterwards)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = (simhash_df(df, id_col, text_col)
+                .select("id", "sig", F.posexplode(F.array(*[
+                    F.shiftright(F.col("sig"), b * width)
+                     .bitwiseAND(F.lit(mask))
+                    for b in range(bands)]))
+                    .alias("band", "band_val")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.band_val") == F.col("b.band_val"),
+                       F.col("a.id") < F.col("b.id")])
+             .select(F.col("a.id").alias("id_a"), F.col("a.sig").alias("sig_a"),
+                     F.col("b.id").alias("id_b"), F.col("b.sig").alias("sig_b"))
+             .distinct())
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of a XOR b via bit_count (JVM built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float, block_on: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    Plain variant is the O(n²/blocks) self-join — pass `block_on`
+    (e.g. an LSH bucket or a coarse-cluster id from
+    similarity.random_hyperplane_bucket) to restrict comparisons to
+    co-bucketed rows, which is the 100 TB path."""
+    from sybil_spark.functions.vectors import cosine
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_on:
+        cols.append(F.col(block_on).alias("blk"))
+    base = df.select(*cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = [F.col("a.id") < F.col("b.id")]
+    if block_on:
+        cond.append(F.col("a.blk") == F.col("b.blk"))
+    return (a.join(b, cond)
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"))
+             .where(F.col("cos") >= threshold))

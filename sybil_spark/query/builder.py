@@ -1,0 +1,382 @@
+"""Query builder — sybil's query surface compiled to one DataFrame plan.
+
+The reference engine's entire query language is a flag pipeline
+(reference: src/cmd/cmd_query.go:19-83):
+
+    scan → filter (AND) → group-by → {count | avg | hist | percentile
+    | count-distinct} [per time bucket] → sort → limit
+
+This builder replicates that surface (and the Go client-API builder at
+src/api/cmd_query.go:38-263, the only stable programmatic interface
+sybil has) but compiles to a *declarative* DataFrame plan so Catalyst
+performs column pruning, parquet predicate pushdown, partial/final hash
+aggregation and whole-stage codegen — all things the reference
+hand-rolls in its fused scan loop (src/lib/aggregate.go:56-282).
+
+Semantics preserved from the reference:
+
+- Filters are an AND conjunction (src/lib/aggregate.go:104-116); a
+  missing (null) value never matches a filter, which is exactly SQL
+  null comparison semantics, so plain Column predicates are correct.
+- `count` is weight-summed when a weight column is set, while
+  `samples` stays the raw row count (src/lib/aggregate.go:100-102,
+  202-203); weighted avg is sum(v*w)/sum(w)
+  (src/lib/hist_basic.go:111-118).
+- Time rollup buckets the time column with `t - t % bucket`
+  (src/lib/aggregate.go:174) and int filters on the time column are
+  floored to the bucket boundary first (src/lib/filter.go:86-95).
+- Default sort is weighted count descending (src/lib/aggregate.go:21),
+  default limit 100 (src/lib/config.go:166-167).
+- `-str-replace` regex rewrite applied before grouping
+  (src/lib/table_query.go:34-51).
+- The TOTAL row across all groups (src/lib/aggregate.go:414-459) is
+  available via `.total_row()` as a grand-total union.
+
+Deliberately NOT replicated: the lossy per-batch top-k prune
+(src/lib/aggregate.go:469-495) — Spark's TakeOrderedAndProject is
+exact within the same memory envelope, so `prune_sort` is an alias of
+`sort`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: sybil NUM_BUCKETS (reference: src/lib/hist.go:3)
+NUM_BUCKETS = 1000
+#: sybil default result limit (reference: src/lib/config.go:166-167)
+DEFAULT_LIMIT = 100
+
+_INT_OPS = {"gt", "lt", "eq", "neq", "ge", "le"}
+_STR_OPS = {"eq", "neq", "re", "nre"}
+_SET_OPS = {"in", "nin"}
+_AGG_OPS = {"count", "avg", "sum", "min", "max", "stddev", "hist",
+            "percentile", "distinct"}
+
+
+@dataclass
+class _Agg:
+    col: str
+    op: str
+    alias: str | None = None
+    params: dict = field(default_factory=dict)
+
+
+class Query:
+    """Fluent builder; every method returns self."""
+
+    def __init__(self, source: DataFrame | str):
+        self._source = source
+        self._filters: list[tuple[str, str, str, object]] = []
+        self._str_replaces: list[tuple[str, str, str]] = []
+        self._groups: list[str] = []
+        self._aggs: list[_Agg] = []
+        self._weight_col: str | None = None
+        self._time_col: str | None = None
+        self._time_bucket: int = 0
+        self._sort: tuple[str, bool] | None = None  # (col, ascending)
+        self._limit: int | None = DEFAULT_LIMIT
+        self._total_row = False
+        self._read_log_df: DataFrame | None = None
+        self._exact = False
+
+    # -- source -----------------------------------------------------------
+    @classmethod
+    def table(cls, source: DataFrame | str) -> "Query":
+        return cls(source)
+
+    def read_log(self, landing_df: DataFrame) -> "Query":
+        """Union the un-digested ingest log into the scan
+        (reference `-read-log`, src/cmd/cmd_query.go:66,155-157)."""
+        self._read_log_df = landing_df
+        return self
+
+    # -- projection transforms -------------------------------------------
+    def str_replace(self, col: str, pattern: str, replacement: str) -> "Query":
+        self._str_replaces.append((col, pattern, replacement))
+        return self
+
+    # -- filters ----------------------------------------------------------
+    def int_filter(self, col: str, op: str, value) -> "Query":
+        if op not in _INT_OPS:
+            raise ValueError(f"int filter op must be one of {_INT_OPS}, got {op!r}")
+        self._filters.append(("int", op, col, value))
+        return self
+
+    def str_filter(self, col: str, op: str, value: str) -> "Query":
+        if op not in _STR_OPS:
+            raise ValueError(f"str filter op must be one of {_STR_OPS}, got {op!r}")
+        self._filters.append(("str", op, col, value))
+        return self
+
+    def set_filter(self, col: str, op: str, value: str) -> "Query":
+        if op not in _SET_OPS:
+            raise ValueError(f"set filter op must be one of {_SET_OPS}, got {op!r}")
+        self._filters.append(("set", op, col, value))
+        return self
+
+    # -- shape -------------------------------------------------------------
+    def group_by(self, *cols: str) -> "Query":
+        self._groups.extend(cols)
+        return self
+
+    def agg(self, col: str, op: str, alias: str | None = None, **params) -> "Query":
+        if op not in _AGG_OPS:
+            raise ValueError(f"agg op must be one of {_AGG_OPS}, got {op!r}")
+        self._aggs.append(_Agg(col, op, alias, params))
+        return self
+
+    def distinct_cols(self, *cols: str, approx: bool = False, rsd: float = 0.05) -> "Query":
+        """COUNT DISTINCT over a tuple of columns (reference `-distinct`,
+        src/lib/query_spec.go:85-104). Exact by default (the correctness
+        oracle); `approx=True` switches to the HLL sketch for scale,
+        matching the reference's LogLogBeta behavior."""
+        self._aggs.append(_Agg(",".join(cols), "distinct", None,
+                               {"cols": list(cols), "approx": approx, "rsd": rsd}))
+        return self
+
+    def weight_col(self, col: str) -> "Query":
+        self._weight_col = col
+        return self
+
+    def time_col(self, col: str, bucket: int) -> "Query":
+        """Tumbling time-series rollup (reference `-time -time-bucket`,
+        src/lib/aggregate.go:145-183)."""
+        self._time_col = col
+        self._time_bucket = int(bucket)
+        return self
+
+    def sort(self, col: str, asc: bool = False) -> "Query":
+        self._sort = (col, asc)
+        return self
+
+    prune_sort = sort  # reference `-prune-sort` is lossy; ours is exact
+
+    def limit(self, n: int | None) -> "Query":
+        self._limit = n
+        return self
+
+    def total_row(self, enabled: bool = True) -> "Query":
+        self._total_row = enabled
+        return self
+
+    def exact_mode(self, enabled: bool = True, scale: int = 6) -> "Query":
+        """Deterministic float aggregation: sums/averages/stddev go
+        through exact decimal(38,scale) accumulation and are cast back
+        to double. Partial-aggregation order then cannot perturb low
+        bits, so results are bit-identical across partitionings,
+        cluster sizes, AND other engines (the DuckDB correctness
+        oracle). Keep |sum|·10^scale < 2^53 — then the decimal→double
+        cast is a single correctly-rounded operation in every engine
+        (larger scaled sums expose engines whose int128→double
+        conversion is two-step). Slightly slower than native double
+        sums; off by default."""
+        self._exact = enabled
+        self._DEC = f"decimal(38,{scale})"
+        return self
+
+    # -- compile -----------------------------------------------------------
+    def _load(self, spark: SparkSession) -> DataFrame:
+        df = (spark.read.parquet(self._source)
+              if isinstance(self._source, str) else self._source)
+        if self._read_log_df is not None:
+            df = df.unionByName(self._read_log_df, allowMissingColumns=True)
+        return df
+
+    def _predicate(self, df: DataFrame) -> Column | None:
+        preds: list[Column] = []
+        for kind, op, col, value in self._filters:
+            c = F.col(col)
+            if kind == "int":
+                # Align filters on the time column to the bucket boundary
+                # when rollup is active (reference src/lib/filter.go:86-95).
+                if (self._time_bucket and col == self._time_col
+                        and isinstance(value, (int, float))):
+                    value = int(value) - int(value) % self._time_bucket
+                preds.append({"gt": c > value, "lt": c < value,
+                              "ge": c >= value, "le": c <= value,
+                              "eq": c == value, "neq": c != value}[op])
+            elif kind == "str":
+                if op == "eq":
+                    preds.append(c == value)
+                elif op == "neq":
+                    preds.append(c != value)
+                elif op == "re":
+                    preds.append(c.rlike(value))
+                else:  # nre
+                    preds.append(~c.rlike(value))
+            else:  # set
+                contains = F.array_contains(c, value)
+                preds.append(contains if op == "in" else ~contains)
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def _weight(self) -> Column:
+        if self._weight_col:
+            return F.coalesce(F.col(self._weight_col).cast("double"), F.lit(1.0))
+        return F.lit(1.0)
+
+    _DEC = "decimal(38,6)"
+
+    def _dsum(self, c: Column) -> Column:
+        """Order-independent float sum (see exact_mode)."""
+        return F.sum(c.cast(self._DEC)).cast("double")
+
+    def _agg_exprs(self) -> list[Column]:
+        w = self._weight()
+        exprs: list[Column] = []
+        if self._weight_col:
+            cnt = self._dsum(w) if self._exact else F.sum(w)
+            exprs.append(cnt.alias("count"))
+            exprs.append(F.count(F.lit(1)).alias("samples"))
+        else:
+            exprs.append(F.count(F.lit(1)).alias("count"))
+        for a in self._aggs:
+            c = F.col(a.col)
+            name = a.alias or f"{a.op}_{a.col.replace(',', '_')}"
+            if a.op == "avg":
+                if self._weight_col:
+                    num = self._dsum(c * w) if self._exact else F.sum(c * w)
+                    den_c = F.when(c.isNotNull(), w)
+                    den = self._dsum(den_c) if self._exact else F.sum(den_c)
+                    expr = num / den
+                elif self._exact:
+                    expr = self._dsum(c) / F.count(c)
+                else:
+                    expr = F.avg(c)
+                exprs.append(expr.alias(name))
+            elif a.op == "sum":
+                expr = self._dsum(c) if self._exact else F.sum(c)
+                exprs.append(expr.alias(name))
+            elif a.op == "min":
+                exprs.append(F.min(c).alias(name))
+            elif a.op == "max":
+                exprs.append(F.max(c).alias(name))
+            elif a.op == "stddev":
+                if self._exact:
+                    n = F.count(c)
+                    var = ((self._dsum(c * c)
+                            - self._dsum(c) * self._dsum(c) / n)
+                           / (n - F.lit(1)))
+                    exprs.append(F.sqrt(var).alias(name))
+                else:
+                    exprs.append(F.stddev_samp(c).alias(name))
+            elif a.op == "percentile":
+                pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
+                for p in pcts:
+                    exprs.append(F.expr(
+                        f"percentile({a.col}, {p!r})"
+                    ).alias(a.alias or f"p{int(p * 100)}_{a.col}"))
+            elif a.op == "distinct":
+                cols = a.params.get("cols") or a.col.split(",")
+                if a.params.get("approx"):
+                    expr = F.approx_count_distinct(
+                        F.concat_ws("\x1f", *[F.col(x) for x in cols]),
+                        a.params.get("rsd", 0.05))
+                else:
+                    expr = F.count_distinct(*[F.col(x) for x in cols])
+                exprs.append(expr.alias(a.alias or "distinct"))
+            elif a.op == "count":
+                pass  # count/samples are always emitted
+            elif a.op == "hist":
+                raise ValueError("hist aggregations compile via Query.hist()")
+        return exprs
+
+    def _group_cols(self, df: DataFrame) -> list[Column]:
+        cols = [F.col(g) for g in self._groups]
+        if self._time_bucket:
+            t = F.col(self._time_col).cast("long")
+            cols.append((t - t % self._time_bucket).alias("tbucket"))
+        return cols
+
+    def compile(self, spark: SparkSession) -> DataFrame:
+        df = self._load(spark)
+        for col, pat, repl in self._str_replaces:
+            df = df.withColumn(col, F.regexp_replace(F.col(col), pat, repl))
+        pred = self._predicate(df)
+        if pred is not None:
+            df = df.where(pred)
+
+        group_cols = self._group_cols(df)
+        if group_cols:
+            out = df.groupBy(*group_cols).agg(*self._agg_exprs())
+        else:
+            out = df.agg(*self._agg_exprs())
+
+        if self._total_row and group_cols:
+            # Grand-total union (reference src/lib/aggregate.go:414-459);
+            # group keys become null, rendered "TOTAL" in the output layer.
+            total = df.agg(*self._agg_exprs())
+            for gc in out.columns:
+                if gc not in total.columns:
+                    total = total.withColumn(gc, F.lit(None))
+            out = out.unionByName(total.select(out.columns))
+
+        sort_col, asc = self._sort or ("count", False)
+        if group_cols:
+            order = [F.col(sort_col).asc() if asc else F.col(sort_col).desc()]
+            # Group keys as tiebreakers make limit deterministic (the
+            # reference's pick under ties is block-order-dependent; ours
+            # is total-ordered — documented divergence, SURVEY §7.5).
+            order += [F.col(g).asc_nulls_last()
+                      for g in out.columns
+                      if g in self._groups or g == "tbucket"]
+            out = out.orderBy(*order)
+        if self._limit:
+            out = out.limit(self._limit)
+        return out
+
+    def execute(self, spark: SparkSession) -> DataFrame:
+        return self.compile(spark)
+
+    # -- histogram path ----------------------------------------------------
+    def hist(self, spark: SparkSession, col: str, bucket: float | None = None,
+             min_val: float | None = None, max_val: float | None = None,
+             weighted: bool = True) -> DataFrame:
+        """Fixed-width bucket histogram per group (reference `-op hist`,
+        src/lib/hist_basic.go:28-151).
+
+        The reference sizes buckets as (table_max - table_min) /
+        NUM_BUCKETS using *table-lifetime* column stats
+        (src/lib/hist_basic.go:87-91); pass explicit min/max (from the
+        metadata registry) for compat, or an explicit `bucket` width
+        (reference `-int-bucket`). When neither is given, min/max are
+        computed from the filtered scan — exact, one extra cheap
+        aggregate, still two scans total.
+
+        Output: one row per (group..., bucket) with `bucket` = inclusive
+        lower bound, `count` (weighted) and `samples` (raw).
+        """
+        df = self._load(spark)
+        for c0, pat, repl in self._str_replaces:
+            df = df.withColumn(c0, F.regexp_replace(F.col(c0), pat, repl))
+        pred = self._predicate(df)
+        if pred is not None:
+            df = df.where(pred)
+        df = df.where(F.col(col).isNotNull())
+
+        if bucket is None:
+            if min_val is None or max_val is None:
+                row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+                min_val = row["mn"] if min_val is None else min_val
+                max_val = row["mx"] if max_val is None else max_val
+            bucket = max((max_val - min_val) / NUM_BUCKETS, 1)
+        base = float(min_val) if min_val is not None else 0.0
+
+        bcol = (F.floor((F.col(col) - F.lit(base)) / F.lit(float(bucket)))
+                * F.lit(float(bucket)) + F.lit(base)).alias("bucket")
+        group_cols = self._group_cols(df) + [bcol]
+        w = self._weight()
+        aggs = [F.sum(w).alias("count"), F.count(F.lit(1)).alias("samples")] \
+            if (weighted and self._weight_col) else [F.count(F.lit(1)).alias("count")]
+        out = df.groupBy(*group_cols).agg(*aggs)
+        order = [F.col(c).asc_nulls_last() for c in out.columns
+                 if c in self._groups or c in ("tbucket", "bucket")]
+        return out.orderBy(*order)

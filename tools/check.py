@@ -1,0 +1,111 @@
+"""Local correctness harness — replicates the driver's oracle compare.
+
+For every corpus query: run the Spark DataFrame and the DuckDB oracle
+SQL on the same sf dir, sort columns by name, sort rows, and compare
+row counts + values (exact for ints/strings, bit-equality for floats
+— our exact_mode makes that achievable; a fallback tolerance report
+shows how close near-misses are).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df):
+    """pandas frame → sorted-by-all-columns list of tuples, columns
+    sorted by name (mirrors the driver's order-insensitive hash)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b or str(a) == str(b)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from sybil_spark.session import get_spark
+    from sybil_spark.corpus import QUERIES, ORACLES
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_weak = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"weak  {name}: rows={len(sdf)} (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.execute(ORACLES[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        scols, srows = normalize(sdf)
+        dcols, drows = normalize(ddf)
+        status, detail = "PASS", ""
+        if scols != dcols:
+            status, detail = "FAIL", f"columns {scols} vs {dcols}"
+        elif len(srows) != len(drows):
+            status, detail = "FAIL", f"rowcount {len(srows)} vs {len(drows)}"
+        else:
+            for i, (sr, dr) in enumerate(zip(srows, drows)):
+                bad = [(c, x, y) for c, x, y in zip(scols, sr, dr)
+                       if not values_equal(x, y)]
+                if bad:
+                    status = "FAIL"
+                    detail = f"row {i}: " + "; ".join(
+                        f"{c}: {x!r} != {y!r}" for c, x, y in bad[:3])
+                    break
+        print(f"{status}  {name}: rows={len(srows)} "
+              f"[{time.time()-t0:.1f}s] {detail}")
+        n_pass += status == "PASS"
+        n_fail += status == "FAIL"
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
