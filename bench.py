@@ -1,0 +1,72 @@
+"""Benchmark harness — headline corpus queries at a given scale factor.
+
+Runs each headline query end-to-end (plan + execute + fetch) on a local
+Spark session and prints ONE JSON line:
+
+    {"metric": "corpus_total", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_QUERIES (comma-separated subset override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: the reference's canonical shapes + one of each
+#: pipeline-operator family, heaviest variants included.
+HEADLINE = [
+    "count", "avg", "hist", "time_avg", "group_count", "distinct",
+    "time_distinct", "group_avg", "group_avg_limit", "group_hist",
+    "regex_avg", "group2_avg", "time_group_avg_limit",
+    "percentiles", "weighted_count",
+    "tpch_q1", "tpch_q3", "join_geo",
+    "dedup_exact", "minhash_lsh", "simhash_dup", "ngram_jaccard",
+    "ann_topk", "ann_pairs_topk", "text_stats", "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINE
+
+    from sybil_spark.session import get_spark
+    from sybil_spark.corpus import QUERIES
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not classloading.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the harness alive; flag the query
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({"metric": "corpus_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

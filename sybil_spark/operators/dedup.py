@@ -55,16 +55,44 @@ def exact_keep_first(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text_col: Column, num_hashes: int = 64,
-                      shingle_n: int = 3) -> Column:
-    """array<bigint> MinHash signature over word-shingles.
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
-    The hash family is xxhash64(shingle, i) for i in [0, num_hashes):
-    one JVM expression tree, no Python, no randomness at runtime."""
-    sh = shingles(text_col, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))))
+
+def _mix64(*parts: int) -> int:
+    """Deterministic splitmix-style integer mix (no runtime RNG)."""
+    z = 0x9E3779B97F4A7C15
+    for p in parts:
+        z = (z ^ (p + 0x9E3779B97F4A7C15)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z ^= z >> 31
+    return z
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<bigint>): MinHash signature over word-shingles.
+
+    Perf-critical design: the shingle string is hashed ONCE
+    (xxhash64 → 31-bit), then the hash family is the universal
+    (a_i·h + b_i) mod (2^31-1) — 64 multiply-adds per shingle instead
+    of 64 string hashes, all flat codegen'd aggregate expressions
+    (nested array higher-order functions are interpreted in Spark and
+    were ~50× slower). Arithmetic stays < 2^62 so ANSI mode never
+    overflows. One explode + one partial-aggregated groupBy: the
+    shuffle carries (id, 64×long), independent of document size."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    base = sh.select(
+        "id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE31)).alias("h"))
+    mins = []
+    for i in range(num_hashes):
+        a = _mix64(2 * i) % _MERSENNE31 or 1
+        b = _mix64(2 * i + 1) % _MERSENNE31
+        mins.append(F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b),
+                                 F.lit(_MERSENNE31))).alias(f"m{i}"))
+    sig = base.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -77,14 +105,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     candidate join is an equi-join on (band, band_hash) so it
     co-partitions — no cross join at any scale."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    banded = (df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
                 .select("id", F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(bands - 1)),
-                        lambda b: F.xxhash64(F.slice(
-                            F.col("sig"), b * rows_per_band + 1, rows_per_band
-                        ).cast("string"))))
+                    F.array(*[
+                        F.xxhash64(F.slice(F.col("sig"),
+                                           b * rows_per_band + 1,
+                                           rows_per_band))
+                        for b in range(bands)]))
                     .alias("band", "band_hash")))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -103,8 +130,24 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Without `candidates` this computes ALL pairs sharing ≥1 shingle via
     an inverted-index self-join (posting-list join — the classic
     all-pairs similarity strategy; skewed hot shingles are the risk at
-    scale, which is why production runs pass LSH `candidates` to
-    restrict the join). Output: id_a < id_b, jaccard ∈ (0,1]."""
+    scale). With `candidates` (e.g. from minhash_lsh_candidates) the
+    posting-list join is skipped entirely: each candidate pair joins
+    its two shingle sets and intersects them with one JVM
+    array_intersect — work proportional to |candidates|, not |pairs
+    sharing a shingle|. Output: id_a < id_b, jaccard ∈ (0,1]."""
+    if candidates is not None:
+        sets = df.select(F.col(id_col).alias("id"),
+                         shingles(F.col(text_col), shingle_n).alias("sh"))
+        sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        out = (candidates.select("id_a", "id_b")
+               .join(sa, "id_a").join(sb, "id_b")
+               .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+               .withColumn("jaccard",
+                           F.col("inter").cast("double")
+                           / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+               .select("id_a", "id_b", "jaccard"))
+        return out.where(F.col("jaccard") >= threshold) if threshold else out
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -114,8 +157,6 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col("a.id") < F.col("b.id")])
               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
               .agg(F.count(F.lit(1)).alias("inter")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (inter.join(sa, "id_a").join(sb, "id_b")

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+Design: media lives in a `binary` column with a typed metadata
+struct beside it. All Spark-side plumbing (schema, partition sizing,
+Arrow batch shape, UDF signatures) is real; the codec calls are
+stubbed (`decode_stub`) because media libraries are not available in
+this environment — swap `_decode_image_bytes` for a real decoder
+(PIL/ffmpeg) without touching the pipeline.
+
+Scale notes: media rows are orders of magnitude wider than tabular
+rows, so the operators run through `mapInPandas` (streamed Arrow
+batches — bounded memory, no collect), and repartitioning targets
+bytes per task, not rows (`target_mb`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
+
+#: canonical media-column schema: content + typed metadata
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),      # image | audio | video
+    StructField("format", StringType()),    # png, wav, mp4, ...
+    StructField("content", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from any text table — the test
+    harness for the plumbing (content = utf8 bytes, kind=image)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("png").alias("format"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.length(F.col(text_col)).cast("long").alias("n_bytes"))
+
+
+def _decode_image_bytes(buf: bytes) -> dict:
+    """STUB — deterministic fake decode. A real implementation returns
+    {width, height, channels, pixels}; unavailable codecs here, so we
+    derive stable pseudo-dimensions from the content so downstream
+    plumbing (schema, grouping, joins) is fully exercisable."""
+    n = len(buf)
+    return {"width": (n % 640) + 1, "height": ((n * 7) % 480) + 1,
+            "channels": 3}
+
+
+def extract_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
+    """media table → per-item feature row via mapInPandas.
+
+    Output: media_id, n_bytes, width, height, channels, byte_entropy.
+    The entropy is a real computation (numpy histogram over bytes) to
+    prove the Arrow round-trip carries binary intact."""
+    schema = ("media_id long, n_bytes long, width int, height int, "
+              "channels int, byte_entropy double")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                buf = bytes(content)
+                meta = _decode_image_bytes(buf)
+                if buf:
+                    counts = np.bincount(
+                        np.frombuffer(buf, dtype=np.uint8), minlength=256)
+                    p = counts[counts > 0] / len(buf)
+                    ent = float(-(p * np.log2(p)).sum())
+                else:
+                    ent = 0.0
+                rows.append((mid, len(buf), meta["width"], meta["height"],
+                             meta["channels"], ent))
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "width",
+                                              "height", "channels",
+                                              "byte_entropy"])
+
+    return df.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: passes content through unchanged but updates the
+    metadata — keeps the pipeline runnable without codecs."""
+    raise NotImplementedError(
+        "media resize requires an image codec (PIL/opencv), not "
+        "available in this environment; the pipeline contract is "
+        "extract_features-style mapInPandas over MEDIA_SCHEMA")
+
+
+def repartition_by_bytes(df: DataFrame, target_mb: int = 128,
+                         bytes_col: str = "n_bytes") -> DataFrame:
+    """Repartition a media table so each task sees ~target_mb of
+    payload — rows are a meaningless unit when items range from 10 KB
+    thumbnails to 4 GB videos."""
+    row = df.agg(F.sum(bytes_col).alias("b")).first()
+    total = row["b"] or 0
+    nparts = max(1, int(total / (target_mb << 20)) + 1)
+    return df.repartition(nparts)

@@ -82,17 +82,83 @@ def lsh_topk(df: DataFrame, vec_col: str, query: list[float], k: int = 10,
 
 
 def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
-                  k: int = 20) -> DataFrame:
+                  k: int = 20, block_rows: int = 2048,
+                  margin: int = 32) -> DataFrame:
     """Global top-k most-similar pairs (id_a < id_b) by cosine.
 
-    Exact all-pairs — meant for validation / small dims; the scale
-    variant blocks by `random_hyperplane_bucket` first (see
-    dedup.embedding_dup_pairs(block_on=...))."""
+    Scale design — block-matrix all-pairs:
+    1. rows are hashed into B = ⌈n/block_rows⌉ blocks; each row is
+       replicated to the B block-pairs it participates in (explode),
+       so every (i ≤ j) block-pair becomes one applyInPandas group;
+    2. inside a group, cosines are one numpy float64 matmul
+       (Arrow-batched, ~10⁸ flops per group — the work is dense
+       linear algebra, exactly what a Python batch is for); each
+       group emits only its local top (k+margin) candidate pairs;
+    3. candidates are exactly re-scored with the sequential-fold JVM
+       cosine and globally re-sorted — so the FINAL values are
+       bit-deterministic (BLAS summation order never leaks into the
+       result), and the output matches an exact SQL oracle as long as
+       the true k-th and (k+margin)-th cosines aren't within float
+       noise of each other.
+
+    Work is O(n²·d / cluster) with perfect parallelism across block
+    pairs; no shuffle exceeds (k+margin)·B² candidate rows."""
+    import pandas as pd
+
     from sybil_spark.functions.vectors import cosine
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    a, b = base.alias("a"), base.alias("b")
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"))
-             .orderBy(F.desc("cos"), F.col("id_a").asc(), F.col("id_b").asc())
-             .limit(k))
+
+    n = df.count()
+    nblocks = max(1, -(-n // block_rows))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
+                      .alias("blk"))
+    pairs = base.select(
+        "id", "vec", "blk",
+        F.explode(F.array(*[
+            F.struct(F.least(F.col("blk"), F.lit(j)).alias("pa"),
+                     F.greatest(F.col("blk"), F.lit(j)).alias("pb"))
+            for j in range(nblocks)])).alias("p")).select(
+        "id", "vec", "blk", F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+
+    take = k + margin
+
+    def local_topk(key, pdf):
+        import numpy as np
+        pa, pb = key
+        va = pdf[pdf.blk == pa]
+        vb = pdf[pdf.blk == pb]
+        if len(va) == 0 or len(vb) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        Xa = np.array([np.asarray(v, dtype=np.float64) for v in va.vec])
+        Xb = np.array([np.asarray(v, dtype=np.float64) for v in vb.vec])
+        Xa /= np.linalg.norm(Xa, axis=1, keepdims=True)
+        Xb /= np.linalg.norm(Xb, axis=1, keepdims=True)
+        sims = Xa @ Xb.T
+        ia = va.id.to_numpy()
+        ib = vb.id.to_numpy()
+        if pa == pb:
+            # diagonal block: upper triangle only (each pair once)
+            mask = ia[:, None] < ib[None, :]
+        else:
+            mask = np.ones_like(sims, dtype=bool)
+        sims = np.where(mask, sims, -np.inf)
+        flat = sims.ravel()
+        top = min(take, int(mask.sum()))
+        if top == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        idx = np.argpartition(flat, -top)[-top:]
+        sel_a = ia[idx // sims.shape[1]]
+        sel_b = ib[idx % sims.shape[1]]
+        return pd.DataFrame({"id_a": np.minimum(sel_a, sel_b),
+                             "id_b": np.maximum(sel_a, sel_b)})
+
+    cands = (pairs.groupBy("pa", "pb")
+                  .applyInPandas(local_topk, schema="id_a long, id_b long"))
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+                 .select("id_a", "id_b",
+                         cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+                 .orderBy(F.desc("cos"), F.col("id_a").asc(),
+                          F.col("id_b").asc())
+                 .limit(k))

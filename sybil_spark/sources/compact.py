@@ -1,0 +1,162 @@
+"""Storage lifecycle jobs: digest (row-log → blocks), trim, rebuild.
+
+Digest (reference `sybil digest`, src/lib/table_ingest.go:287-331,
+src/lib/table_io.go:80-130): replay the ingest log, sort by time,
+write fixed-size column blocks, then clear the log. Spark mapping:
+read TABLE/ingest/, `repartitionByRange(time)` +
+`sortWithinPartitions` (cluster-wide time ordering AND in-file
+ordering so parquet row-group stats give tight zone maps),
+`maxRecordsPerFile` ≈ the reference's 65,536-row CHUNK_SIZE, append
+to TABLE/blocks/, atomically swap the log out.
+
+At 100 TB: digest is an incremental job over only the landing files;
+range partitioning by time keeps blocks time-local so time-filtered
+queries prune files via footer stats (the reference's
+ShouldLoadBlockFromDir zone-map skip, table_block_io.go:110-182 —
+free in parquet).
+
+Trim (reference `sybil trim`, src/lib/table_trim.go:12-58): delete
+blocks wholly older than a cutoff or beyond a size budget, decided
+on per-file footer stats only — never a data scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time as _time
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sybil_spark.table import CHUNK_SIZE, Table
+
+
+def digest(spark: SparkSession, table: Table,
+           time_col: str | None = None,
+           chunk_size: int = CHUNK_SIZE) -> int:
+    """Compact the row log into time-sorted blocks. Returns rows
+    digested (0 = nothing to do)."""
+    if not os.path.exists(table.ingest_path):
+        return 0
+    meta = table.load_meta()
+    time_col = time_col or meta.time_col
+
+    # Stage the log away first (the reference moves files into a
+    # `stomache` dir, table_ingest.go:106-161) so concurrent ingests
+    # appending new files are not lost by the final cleanup.
+    stage = os.path.join(table.path, f"stomache-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    moved = False
+    for f in os.listdir(table.ingest_path):
+        p = os.path.join(table.ingest_path, f)
+        if f.startswith(("_", ".")):
+            # committer markers / checksums / the streaming sink's
+            # _spark_metadata log — all refer to files this digest is
+            # about to move away, so they must not outlive them. (A
+            # crash-replayed streaming micro-batch could re-append its
+            # files after this wipe — documented at-least-once edge.)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            continue
+        os.rename(p, os.path.join(stage, f))
+        moved = True
+    if not moved:
+        shutil.rmtree(stage)
+        return 0
+
+    df = spark.read.option("mergeSchema", "true").parquet(stage)
+    n = df.count()
+    npart = max(1, -(-n // chunk_size))
+    if time_col and time_col in df.columns:
+        df = (df.repartitionByRange(npart, F.col(time_col))
+                .sortWithinPartitions(time_col))
+    else:
+        df = df.repartition(npart)
+    (df.write.mode("append")
+       .option("maxRecordsPerFile", chunk_size)
+       .parquet(table.blocks_path))
+    shutil.rmtree(stage)
+
+    meta.updated_at = _time.time()
+    table.save_meta(meta)
+    return n
+
+
+def _file_time_stats(path: str, time_col: str) -> tuple[int | None, int | None]:
+    """(min, max) of the time column from the parquet footer only."""
+    import pyarrow.parquet as pq
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None, None
+    idx = None
+    for i in range(md.num_columns if md.num_row_groups else 0):
+        if md.row_group(0).column(i).path_in_schema == time_col:
+            idx = i
+            break
+    if idx is None:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    return mn, mx
+
+
+def trim(table: Table, time_col: str | None = None,
+         before: int | None = None, size_budget_mb: int | None = None,
+         delete: bool = False) -> list[str]:
+    """List (and optionally delete) blocks past a retention boundary
+    (reference src/cmd/cmd_trim.go:31-97).
+
+    A block is trimmed when its footer max(time) < `before`, or —
+    newest-first by max(time) — once cumulative size exceeds
+    `size_budget_mb`. Only footer metadata is read."""
+    if not os.path.exists(table.blocks_path):
+        return []
+    time_col = time_col or table.load_meta().time_col
+    files = []
+    for f in sorted(os.listdir(table.blocks_path)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(table.blocks_path, f)
+        mn, mx = _file_time_stats(p, time_col) if time_col else (None, None)
+        files.append((p, os.path.getsize(p), mx))
+
+    doomed = []
+    if before is not None:
+        doomed += [p for p, _sz, mx in files if mx is not None and mx < before]
+    if size_budget_mb is not None:
+        budget = size_budget_mb * (1 << 20)
+        used = 0
+        # newest first; unknown-time blocks are kept (conservative)
+        for p, sz, mx in sorted(files, key=lambda t: (t[2] is None,
+                                                      -(t[2] or 0))):
+            used += sz
+            if used > budget and mx is not None and p not in doomed:
+                doomed.append(p)
+    if delete:
+        for p in doomed:
+            os.remove(p)
+    return doomed
+
+
+def rebuild_meta(spark: SparkSession, table: Table) -> "TableMeta":
+    """Reconstruct meta.json from the data files (reference
+    `sybil rebuild`, src/cmd/cmd_rebuild.go:7-43) — schema from
+    parquet footers, row count from a metadata-only count."""
+    from sybil_spark.sources.ingest import _SPARK_TO_SYBIL
+    from sybil_spark.table import TableMeta
+
+    df = table.read(spark, read_log=True)
+    meta = TableMeta(name=table.name)
+    for f in df.schema.fields:
+        meta.key_types[f.name] = _SPARK_TO_SYBIL.get(
+            f.dataType.simpleString(), f.dataType.simpleString())
+    meta.row_count = df.count()
+    table.save_meta(meta)
+    return meta

@@ -1,0 +1,73 @@
+"""Structured-Streaming ingestion — continuous sybil.
+
+The reference has no streaming engine; continuous behavior is shell
+loops re-running ingest/digest (reference scripts/steady_ingest.sh,
+scripts/stress_ingest_digest.sh; SURVEY.md §2.7). Here the same
+lifecycle is a first-class stream:
+
+    readStream(ndjson dir) → coerce (ingest typing rules)
+        → writeStream into TABLE/ingest/   (the row log)
+
+and, instead of query-time-only rollups, an optional continuously
+maintained time-bucket aggregate with watermarked late-data handling
+— something the reference can only do by rescanning.
+
+At scale: the file source tracks processed files in the checkpoint;
+`maxFilesPerTrigger` bounds batch size; the landing dir is the same
+one batch `compact.digest` compacts (digest is safe to run between
+micro-batches because it only moves files the stream has already
+committed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from sybil_spark.sources.ingest import IngestSpec, coerce
+from sybil_spark.table import Table
+
+
+def stream_ingest(spark: SparkSession, source_dir: str, table: Table,
+                  schema: StructType, spec: IngestSpec | None = None,
+                  checkpoint: str | None = None,
+                  max_files_per_trigger: int = 64) -> StreamingQuery:
+    """NDJSON files appearing under `source_dir` → row log, with the
+    reference's type coercions applied per micro-batch."""
+    spec = spec or IngestSpec()
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .json(source_dir))
+    out = coerce(raw, spec)
+    return (out.writeStream
+            .option("checkpointLocation",
+                    checkpoint or f"{table.path}/_checkpoint_ingest")
+            .outputMode("append")
+            .start(table.ingest_path))
+
+
+def stream_rollup(df: DataFrame, time_col: str, bucket_seconds: int,
+                  group_cols: list[str], agg_col: str | None = None,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Continuously maintained tumbling-window aggregate, the
+    streaming analog of Query.time_col (reference -time rollup,
+    src/lib/aggregate.go:145-183).
+
+    `df` must be a streaming DataFrame whose `time_col` is unix
+    seconds (LongType). Late rows beyond `watermark` are dropped —
+    the batch engine's rescan semantics cover them instead."""
+    ts = F.col(time_col).cast("timestamp")
+    w = F.window(ts, f"{bucket_seconds} seconds")
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if agg_col:
+        aggs.append(F.avg(agg_col).alias(f"avg_{agg_col}"))
+    return (df.withColumn("__ts", ts)
+              .withWatermark("__ts", watermark)
+              .groupBy(F.window(F.col("__ts"), f"{bucket_seconds} seconds"),
+                       *[F.col(c) for c in group_cols])
+              .agg(*aggs)
+              .select(F.col("window.start").cast("long").alias("tbucket"),
+                      *group_cols,
+                      *[F.col(a) for a in
+                        (["count"] + ([f"avg_{agg_col}"] if agg_col else []))]))

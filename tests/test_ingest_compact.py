@@ -1,0 +1,158 @@
+"""Ingest typing rules + storage lifecycle (reference
+src/cmd/cmd_ingest.go, src/lib/table_ingest.go; SURVEY.md §1.3, §2.1)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from sybil_spark.query.builder import Query
+from sybil_spark.sources import compact, ingest
+from sybil_spark.table import Table, list_tables, table_info
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return str(tmp_path / "db")
+
+
+def _write_ndjson(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+def test_typing_rules(spark, db, tmp_path):
+    """JSON number→int64 (floats truncated), bool→0/1, nested object
+    flattened parent_child, array→set of strings
+    (reference cmd_ingest.go:59-85)."""
+    p = _write_ndjson(tmp_path / "a.ndjson", [
+        {"s": "x", "f": 3.9, "b": True, "nested": {"inner": 7},
+         "arr": [1, 2, 2]},
+        {"s": "y", "f": -2.7, "b": False, "nested": {"inner": 8},
+         "arr": ["a"]},
+    ])
+    t = Table(db, "typed")
+    n = ingest.ingest_json(spark, p, t)
+    assert n == 2
+    got = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(t.ingest_path).schema.fields}
+    assert got["s"] == "string"
+    assert got["f"] == "bigint"          # truncated, reference-faithful
+    assert got["b"] == "bigint"
+    assert got["nested_inner"] == "bigint"
+    assert got["arr"] == "array<string>"
+    rows = {r["s"]: r for r in spark.read.parquet(t.ingest_path).collect()}
+    assert rows["x"]["f"] == 3 and rows["y"]["f"] == -2  # toward zero
+    assert rows["x"]["b"] == 1 and rows["y"]["b"] == 0
+    assert sorted(rows["x"]["arr"]) == ["1", "2"]        # set semantics
+
+
+def test_float_keep_mode(spark, db, tmp_path):
+    p = _write_ndjson(tmp_path / "f.ndjson", [{"f": 3.9}])
+    t = Table(db, "floats")
+    ingest.ingest_json(spark, p, t,
+                       ingest.IngestSpec(float_mode="keep"))
+    assert spark.read.parquet(t.ingest_path).collect()[0]["f"] == 3.9
+
+
+def test_ints_and_timestamps_flags(spark, db, tmp_path):
+    p = _write_ndjson(tmp_path / "t.ndjson",
+                      [{"n": "42", "when": "2024-05-01 00:00:00"}])
+    t = Table(db, "flags")
+    ingest.ingest_json(
+        spark, p, t,
+        ingest.IngestSpec(ints=["n"], timestamps=["when"]))
+    r = spark.read.parquet(t.ingest_path).collect()[0]
+    assert r["n"] == 42
+    assert r["when"] == 1714521600  # unix seconds, UTC session
+
+
+def test_json_path_selector(spark, db, tmp_path):
+    p = _write_ndjson(tmp_path / "p.ndjson",
+                      [{"outer": {"x": 1}}, {"outer": {"x": 2}}])
+    t = Table(db, "pathsel")
+    ingest.ingest_json(spark, p, t, ingest.IngestSpec(json_path="$.outer"))
+    vals = sorted(r["x"] for r in spark.read.parquet(t.ingest_path).collect())
+    assert vals == [1, 2]
+
+
+def test_first_writer_wins_typing(spark, db, tmp_path):
+    """A later batch re-typing a column has that column dropped
+    (reference src/lib/table.go:155-170)."""
+    t = Table(db, "conflict")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "1.ndjson",
+                                            [{"c": 5}]), t)
+    with pytest.warns(UserWarning, match="conflicts"):
+        ingest.ingest_json(spark, _write_ndjson(tmp_path / "2.ndjson",
+                                                [{"c": "oops", "d": 1}]), t)
+    df = t.read(spark, read_log=True)
+    assert df.where("c is not null").count() == 1   # conflicting write failed
+    assert df.where("d = 1").count() == 1           # rest of batch landed
+
+
+def test_digest_roundtrip_and_query(spark, db, tmp_path):
+    """ingest → digest → query: the reference's minimum end-to-end
+    slice (SURVEY.md §7). Digest moves the log into time-sorted
+    blocks; results are identical before and after."""
+    recs = [{"host": f"h{i % 3}", "ping": 10 + i % 5, "time": 1_700_000_000 + i}
+            for i in range(500)]
+    t = Table(db, "uptime")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "u.ndjson", recs), t,
+                       time_col="time")
+    before = (Query.table(t.read(spark, read_log=True))
+              .group_by("host").agg("ping", "avg")
+              .limit(None).execute(spark).collect())
+    n = compact.digest(spark, t, time_col="time", chunk_size=128)
+    assert n == 500
+    assert not os.listdir(t.ingest_path)  # log drained
+    files = [f for f in os.listdir(t.blocks_path) if f.endswith(".parquet")]
+    assert len(files) >= 4                # 500 rows / 128-row chunks
+    after = (Query.table(t.read(spark)).group_by("host").agg("ping", "avg")
+             .limit(None).execute(spark).collect())
+    assert sorted(map(str, before)) == sorted(map(str, after))
+
+
+def test_digest_empty_is_noop(spark, db):
+    t = Table(db, "empty")
+    assert compact.digest(spark, t) == 0
+
+
+def test_trim_by_time(spark, db, tmp_path):
+    recs = [{"v": i, "time": 1_700_000_000 + i * 1000} for i in range(400)]
+    t = Table(db, "trimme")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "tr.ndjson", recs), t,
+                       time_col="time")
+    compact.digest(spark, t, time_col="time", chunk_size=100)
+    cutoff = 1_700_000_000 + 200 * 1000
+    doomed = compact.trim(t, time_col="time", before=cutoff)
+    assert doomed  # some blocks are wholly before the cutoff
+    compact.trim(t, time_col="time", before=cutoff, delete=True)
+    remaining = t.read(spark)
+    assert remaining.where(f"time < {cutoff}").count() < 200
+    assert remaining.where(f"time >= {cutoff}").count() == 200  # kept intact
+
+
+def test_rebuild_and_info(spark, db, tmp_path):
+    t = Table(db, "meta")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "m.ndjson",
+                                            [{"a": 1, "b": "x"}]), t)
+    os.remove(t.meta_path)
+    meta = compact.rebuild_meta(spark, t)
+    assert meta.key_types == {"a": "int", "b": "str"}
+    assert meta.row_count == 1
+    info = table_info(spark, db, "meta")
+    assert info["row_count"] == 1 and "a" in info["columns"]
+    assert "meta" in list_tables(db)
+
+
+def test_csv_ingest(spark, db, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("name,score\nalice,10\nbob,20.5\n")
+    t = Table(db, "csvt")
+    ingest.ingest_csv(spark, str(p), t)
+    rows = {r["name"]: r["score"]
+            for r in spark.read.parquet(t.ingest_path).collect()}
+    assert rows == {"alice": 10, "bob": 20}  # float→long reference rule

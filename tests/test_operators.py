@@ -1,0 +1,182 @@
+"""Training-data pipeline operators: dedup, similarity, text,
+multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sybil_spark.functions import text as T
+from sybil_spark.functions.vectors import cosine, dot, norm
+from sybil_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with planted exact dups and near-dups."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight").split()
+    rows = []
+    for i in range(40):
+        words = list(base)
+        words[i % len(words)] = f"w{i}"        # near-dups of base
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    rows.append(Row(doc_id=100, text=" ".join(base)))
+    rows.append(Row(doc_id=101, text=" ".join(base)))     # exact dup of 100
+    rows.append(Row(doc_id=102, text="completely different words entirely "
+                                     "unrelated to anything else written"))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_groups(docs, ["text"], "doc_id").collect()
+    dup = [g for g in groups if g["dupes"] > 1]
+    assert len(dup) == 1 and dup[0]["keeper"] == 100
+    kept = dedup.exact_keep_first(docs, ["text"], "doc_id")
+    assert kept.count() == docs.count() - 1
+    assert kept.where("doc_id = 101").count() == 0
+
+
+def test_jaccard_exact_pairs(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.99)
+    hit = pairs.collect()
+    assert any(r["id_a"] == 100 and r["id_b"] == 101 and r["jaccard"] == 1.0
+               for r in hit)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                         num_hashes=64, bands=32)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (100, 101) in got          # exact dup always collides
+    # near-dup recall: most single-word-edit docs should pair up
+    near = [p for p in got if p[0] < 40 and p[1] < 40 or 100 in p or 101 in p]
+    assert len(near) > 20
+    # the unrelated doc should not appear
+    assert not any(102 in p for p in got)
+
+
+def test_minhash_candidates_verified_jaccard(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                         num_hashes=64, bands=32)
+    verified = dedup.jaccard_pairs(docs, "doc_id", "text",
+                                   candidates=cands, threshold=0.9)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert rows[(100, 101)] == 1.0
+    # candidate-restricted jaccard equals the full computation
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs, "doc_id", "text",
+                                         threshold=0.9).collect()}
+    for k, v in rows.items():
+        assert full[k] == v
+
+
+def test_simhash(spark, docs):
+    sigs = {r["id"]: r["sig"]
+            for r in dedup.simhash_df(docs, "doc_id", "text").collect()}
+    assert sigs[100] == sigs[101]     # identical text → identical signature
+    c = dedup.simhash_candidates(docs, "doc_id", "text")
+    ham = (c.withColumn("h", dedup.hamming64(F.col("sig_a"), F.col("sig_b")))
+            .where("id_a = 100 and id_b = 101").collect())
+    assert ham and ham[0]["h"] == 0
+
+
+def test_vector_functions(spark):
+    d = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
+    r = d.select(dot(F.col("a"), F.col("b")).alias("d"),
+                 norm(F.col("a")).alias("n"),
+                 cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert r["d"] == 32.0
+    assert r["n"] == pytest.approx(math.sqrt(14))
+    assert r["c"] == pytest.approx(32 / (math.sqrt(14) * math.sqrt(77)))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    X = rng.randn(200, 16)
+    X[50] = X[0] * 2.0                 # same direction as 0 → cos 1
+    X[51] = X[0] + rng.randn(16) * .01  # near-dup of 0
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in X[i]])
+         for i in range(200)]).cache()
+
+
+def test_brute_force_topk(spark, emb):
+    q = [float(x) for x in
+         emb.where("vec_id = 0").first()["embedding"]]
+    top = similarity.brute_force_topk(emb, "embedding", q, k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and set(ids[1:]) == {50, 51}
+    assert top[0]["cos"] == pytest.approx(1.0)
+
+
+def test_pairwise_topk_matches_bruteforce(spark, emb):
+    """Blocked-numpy top-k pairs must equal the exact all-pairs
+    result (multiple blocks exercised via small block_rows)."""
+    got = similarity.pairwise_topk(emb, "embedding", "vec_id", k=5,
+                                   block_rows=64).collect()
+    import numpy as np
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    best = sorted(((S[i, j], min(ids[i], ids[j]), max(ids[i], ids[j]))
+                   for i in range(len(ids)) for j in range(len(ids))
+                   if ids[i] < ids[j]), reverse=True)[:5]
+    want = {(b, c) for _s, b, c in best}
+    assert {(r["id_a"], r["id_b"]) for r in got} == want
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    approx = similarity.lsh_topk(emb, "embedding", q, k=3,
+                                 num_planes=4).collect()
+    ids = {r["vec_id"] for r in approx}
+    # 0/50 are colinear with q so they share q's bucket by construction
+    assert 0 in ids and 50 in ids
+
+
+def test_embedding_dup_pairs(spark, emb):
+    pairs = dedup.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                      threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 50) in got
+
+
+def test_text_functions(spark):
+    d = spark.createDataFrame([Row(t="the cat sat on the mat")])
+    r = d.select(T.token_count(F.col("t")).alias("n"),
+                 T.stopword_count(F.col("t")).alias("sw"),
+                 T.avg_word_len(F.col("t")).alias("awl"),
+                 T.lang_id(F.col("t")).alias("lang"),
+                 T.fingerprint(F.col("t")).alias("fp"),
+                 T.shingles(F.col("t"), 3).alias("sh")).collect()[0]
+    assert r["n"] == 6
+    assert r["sw"] == 2               # 'the' twice
+    assert r["awl"] == pytest.approx((22 - 5) / 6)
+    assert r["lang"] == "en"
+    assert len(r["fp"]) == 8
+    assert "the cat sat" in r["sh"] and len(r["sh"]) == 4
+
+
+def test_bpe_tokens(spark):
+    d = spark.createDataFrame([Row(t="hello,world 42x")])
+    r = d.select(T.tokens(F.col("t"), T.BPE_SPLIT_PATTERN).alias("tk")
+                 ).collect()[0]
+    assert r["tk"] == ["hello", ",", "world", "42", "x"]
+
+
+def test_multimodal_features(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r for r in feats}
+    txt = docs.where("doc_id = 102").first()["text"]
+    assert by_id[102]["n_bytes"] == len(txt.encode())
+    assert by_id[102]["byte_entropy"] > 0
+    assert by_id[102]["width"] == (len(txt.encode()) % 640) + 1
+    # identical content → identical features (deterministic)
+    assert by_id[100]["byte_entropy"] == by_id[101]["byte_entropy"]

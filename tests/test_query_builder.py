@@ -1,0 +1,174 @@
+"""Query-builder semantics, invariant-style (reference
+src/lib/aggregate_test.go, filter_test.go — see SURVEY.md §5):
+derived correlated columns let results be asserted without a second
+engine."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sybil_spark.query.builder import Query
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # the reference test fixture: age + age_str = str(age) + age_set
+    # (aggregate_test.go:25-30), plus weight and time columns
+    rows = []
+    for i in range(1000):
+        age = 10 + (i * 7) % 20
+        rows.append(Row(id=i, age=age, age_str=str(age), age_set=[str(age)],
+                        weight=(1, 10, 100)[i % 3],
+                        time=1_700_000_000 + i * 61))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_count(spark, df):
+    out = Query.table(df).limit(None).execute(spark).collect()
+    assert out[0]["count"] == 1000
+
+
+def test_group_key_equals_mean(spark, df):
+    """age_str group key must equal mean(age) of the group
+    (reference aggregate_test.go:25-56)."""
+    res = (Query.table(df).group_by("age_str").agg("age", "avg")
+           .limit(None).execute(spark).collect())
+    assert len(res) == 20
+    for r in res:
+        assert float(r["age_str"]) == pytest.approx(r["avg_age"])
+
+
+def test_group_key_equals_percentiles(spark, df):
+    """p25/p50/p75 equal the key for constant-in-group values
+    (reference aggregate_test.go:102-155)."""
+    res = (Query.table(df).group_by("age_str")
+           .agg("age", "percentile", percentiles=[0.25, 0.5, 0.75])
+           .limit(None).execute(spark).collect())
+    for r in res:
+        k = float(r["age_str"])
+        assert r["p25_age"] == k and r["p50_age"] == k and r["p75_age"] == k
+
+
+def test_int_filters(spark, df):
+    for op, pred in [("gt", lambda a: a > 20), ("lt", lambda a: a < 20),
+                     ("eq", lambda a: a == 20), ("neq", lambda a: a != 20)]:
+        got = (Query.table(df).int_filter("age", op, 20)
+               .limit(None).execute(spark).collect()[0]["count"])
+        want = sum(1 for i in range(1000) if pred(10 + (i * 7) % 20))
+        assert got == want, op
+
+
+def test_str_filters(spark, df):
+    got = (Query.table(df).str_filter("age_str", "re", "^1[0-9]$")
+           .limit(None).execute(spark).collect()[0]["count"])
+    want = sum(1 for i in range(1000) if 10 <= 10 + (i * 7) % 20 <= 19)
+    assert got == want
+    nre = (Query.table(df).str_filter("age_str", "nre", "^1[0-9]$")
+           .limit(None).execute(spark).collect()[0]["count"])
+    assert nre == 1000 - want
+
+
+def test_set_filters(spark, df):
+    got = (Query.table(df).set_filter("age_set", "in", "15")
+           .limit(None).execute(spark).collect()[0]["count"])
+    want = sum(1 for i in range(1000) if (10 + (i * 7) % 20) == 15)
+    assert got == want
+    nin = (Query.table(df).set_filter("age_set", "nin", "15")
+           .limit(None).execute(spark).collect()[0]["count"])
+    assert nin == 1000 - want
+
+
+def test_null_never_matches(spark):
+    """Missing values match no filter — the reference's unpopulated
+    semantics (src/lib/filter.go:171-195)."""
+    d = spark.createDataFrame([Row(x=1), Row(x=None), Row(x=3)])
+    assert (Query.table(d).int_filter("x", "gt", 0)
+            .limit(None).execute(spark).collect()[0]["count"]) == 2
+    assert (Query.table(d).int_filter("x", "neq", 1)
+            .limit(None).execute(spark).collect()[0]["count"]) == 1
+
+
+def test_weighted_count_and_samples(spark, df):
+    """count is weight-summed, samples is raw rows (reference
+    aggregate.go:100-102); weighted avg is sum(v*w)/sum(w)
+    (hist_basic.go:111-118)."""
+    res = (Query.table(df).weight_col("weight").agg("age", "avg")
+           .limit(None).execute(spark).collect()[0])
+    ages = [10 + (i * 7) % 20 for i in range(1000)]
+    ws = [(1, 10, 100)[i % 3] for i in range(1000)]
+    assert res["samples"] == 1000
+    assert res["count"] == sum(ws)
+    assert res["avg_age"] == pytest.approx(
+        sum(a * w for a, w in zip(ages, ws)) / sum(ws))
+
+
+def test_time_rollup_and_filter_alignment(spark, df):
+    """Time filters are floored to the bucket boundary when rollup is
+    active (reference src/lib/filter.go:86-95)."""
+    bucket = 3600
+    cutoff = 1_700_003_999  # mid-bucket; aligns down to 1_700_003_600-ish
+    aligned = cutoff - cutoff % bucket
+    res = (Query.table(df).time_col("time", bucket)
+           .int_filter("time", "gt", cutoff)
+           .limit(None).execute(spark).collect())
+    want = sum(1 for i in range(1000) if 1_700_000_000 + i * 61 > aligned)
+    assert sum(r["count"] for r in res) == want
+    for r in res:
+        assert r["tbucket"] % bucket == 0
+
+
+def test_total_row(spark, df):
+    """Grand-total row (reference aggregate.go:414-459): null group
+    key, count covers all rows."""
+    res = (Query.table(df).group_by("age_str").total_row()
+           .limit(None).execute(spark).collect())
+    totals = [r for r in res if r["age_str"] is None]
+    assert len(totals) == 1 and totals[0]["count"] == 1000
+    assert len(res) == 21
+
+
+def test_sort_and_limit_deterministic(spark, df):
+    res = (Query.table(df).group_by("age_str").sort("count")
+           .limit(5).execute(spark).collect())
+    counts = [r["count"] for r in res]
+    assert counts == sorted(counts, reverse=True)
+    again = (Query.table(df).group_by("age_str").sort("count")
+             .limit(5).execute(spark).collect())
+    assert res == again
+
+
+def test_str_replace(spark, df):
+    res = (Query.table(df).str_replace("age_str", "^1", "X")
+           .group_by("age_str").limit(None).execute(spark).collect())
+    keys = {r["age_str"] for r in res}
+    assert all(k.startswith("X") or k.startswith("2") for k in keys)
+
+
+def test_hist_buckets(spark, df):
+    res = (Query.table(df).limit(None)
+           .hist(spark, "age", bucket=5.0).collect())
+    total = sum(r["count"] for r in res)
+    assert total == 1000
+    assert all(r["bucket"] % 5 == 0 for r in res)
+
+
+def test_hist_auto_bucket_from_minmax(spark, df):
+    res = Query.table(df).limit(None).hist(spark, "age").collect()
+    assert sum(r["count"] for r in res) == 1000
+
+
+def test_read_log_union(spark, df):
+    extra = spark.createDataFrame(
+        [Row(id=-1, age=99, age_str="99", age_set=["99"], weight=1,
+             time=1_700_000_000)])
+    res = (Query.table(df).read_log(extra).group_by("age_str")
+           .limit(None).execute(spark).collect())
+    assert sum(r["count"] for r in res) == 1001
+
+
+def test_distinct(spark, df):
+    res = (Query.table(df).distinct_cols("age_str")
+           .limit(None).execute(spark).collect()[0])
+    assert res["distinct"] == 20
+    approx = (Query.table(df).distinct_cols("age_str", approx=True)
+              .limit(None).execute(spark).collect()[0])
+    assert abs(approx["distinct"] - 20) <= 2

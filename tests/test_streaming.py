@@ -1,0 +1,71 @@
+"""Structured-Streaming ingest + continuous rollup (SURVEY.md §2.7
+extension — the reference emulates streaming with shell loops)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from sybil_spark.sources import compact
+from sybil_spark.streaming.ingest_stream import stream_ingest, stream_rollup
+from sybil_spark.table import Table
+
+SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("ping", LongType()),
+    StructField("time", LongType()),
+])
+
+
+def _write_batch(d, name, records):
+    p = d / name
+    with open(p, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_ingest_to_row_log(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson",
+                 [{"host": "a", "ping": 10, "time": 1_700_000_000},
+                  {"host": "b", "ping": 20, "time": 1_700_000_060}])
+    t = Table(str(tmp_path / "db"), "stream")
+    q = stream_ingest(spark, str(src), t, SCHEMA)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson",
+                     [{"host": "a", "ping": 30, "time": 1_700_003_700}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    df = spark.read.parquet(t.ingest_path)
+    assert df.count() == 3
+    # the landing dir is digestible like any batch-ingested log
+    n = compact.digest(spark, t, time_col="time")
+    assert n == 3
+
+
+def test_stream_rollup(spark, tmp_path):
+    src = tmp_path / "roll-in"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson",
+                 [{"host": "a", "ping": 10, "time": 1_700_000_000},
+                  {"host": "a", "ping": 20, "time": 1_700_000_100},
+                  {"host": "a", "ping": 40, "time": 1_700_003_600}])
+    stream = (spark.readStream.schema(SCHEMA).json(str(src)))
+    rolled = stream_rollup(stream, "time", 3600, ["host"], agg_col="ping")
+    q = (rolled.writeStream.format("memory").queryName("rollup_test")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = {(r["tbucket"], r["host"]): r
+                for r in spark.sql("select * from rollup_test").collect()}
+    finally:
+        q.stop()
+    first = 1_700_000_000 - 1_700_000_000 % 3600
+    assert rows[(first, "a")]["count"] == 2
+    assert rows[(first, "a")]["avg_ping"] == pytest.approx(15.0)
+    assert rows[(first + 3600, "a")]["count"] == 1
