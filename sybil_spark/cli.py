@@ -1,0 +1,220 @@
+"""Command-line interface — the reference's command/flag surface.
+
+    python -m sybil_spark ingest -dir db -table t [-ints a,b] ... FILE
+    python -m sybil_spark digest -dir db -table t
+    python -m sybil_spark query  -dir db -table t -group host -int ping \
+        -op avg -int-filter ping:gt:10 -limit 10 -json
+    python -m sybil_spark trim   -dir db -table t -before TS [-delete]
+    python -m sybil_spark rebuild -dir db -table t
+    python -m sybil_spark tables -dir db
+    python -m sybil_spark info   -dir db -table t
+
+Flag names and semantics follow the reference (src/cmd/cmd_query.go:
+19-83, cmd_ingest.go:26-56, cmd_trim.go): filters are col:op:val
+triples, comma-separated lists for -group/-int/-distinct, -op one of
+count|avg|hist|distinct, -time/-time-col/-time-bucket for rollups.
+The one intentional difference: input is files, not stdin pipes —
+driver programs submit Spark jobs rather than forking binaries."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _split(s: str | None) -> list[str]:
+    return [x for x in (s or "").split(",") if x]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sybil_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("-dir", default="./db", dest="dir")
+        sp.add_argument("-table", required=True, dest="table")
+
+    sp = sub.add_parser("ingest", help="NDJSON/CSV file(s) into the row log")
+    common(sp)
+    sp.add_argument("files", nargs="+")
+    sp.add_argument("-ints", default="")
+    sp.add_argument("-timestamps", default="")
+    sp.add_argument("-timestamp-format", default=None, dest="timestamp_format")
+    sp.add_argument("-exclude", default="")
+    sp.add_argument("-path", default=None, dest="json_path")
+    sp.add_argument("-csv", action="store_true")
+    sp.add_argument("-time-col", default=None, dest="time_col")
+    sp.add_argument("-floats", action="store_true",
+                    help="keep floats as double (reference truncates)")
+
+    sp = sub.add_parser("digest", help="compact the row log into blocks")
+    common(sp)
+    sp.add_argument("-time-col", default=None, dest="time_col")
+
+    sp = sub.add_parser("query")
+    common(sp)
+    sp.add_argument("-group", default="")
+    sp.add_argument("-int", default="", dest="int_cols")
+    sp.add_argument("-op", default="count",
+                    choices=["count", "avg", "hist", "distinct"])
+    sp.add_argument("-distinct", default="", dest="distinct_cols")
+    sp.add_argument("-int-filter", action="append", default=[],
+                    dest="int_filters")
+    sp.add_argument("-str-filter", action="append", default=[],
+                    dest="str_filters")
+    sp.add_argument("-set-filter", action="append", default=[],
+                    dest="set_filters")
+    sp.add_argument("-str-replace", action="append", default=[],
+                    dest="str_replaces")
+    sp.add_argument("-time", action="store_true", dest="time_rollup")
+    sp.add_argument("-time-col", default="time", dest="time_col")
+    sp.add_argument("-time-bucket", type=int, default=3600,
+                    dest="time_bucket")
+    sp.add_argument("-weight-col", default=None, dest="weight_col")
+    sp.add_argument("-int-bucket", type=float, default=None,
+                    dest="int_bucket")
+    sp.add_argument("-loghist", action="store_true")
+    sp.add_argument("-sort", default=None)
+    sp.add_argument("-sort-asc", action="store_true", dest="sort_asc")
+    sp.add_argument("-limit", type=int, default=100)
+    sp.add_argument("-samples", action="store_true")
+    sp.add_argument("-read-log", action="store_true", dest="read_log")
+    sp.add_argument("-json", action="store_true")
+    sp.add_argument("-export", default=None,
+                    help="write matched records as gzipped TSV here")
+
+    sp = sub.add_parser("trim")
+    common(sp)
+    sp.add_argument("-time-col", default=None, dest="time_col")
+    sp.add_argument("-before", type=int, default=None)
+    sp.add_argument("-mb", type=int, default=None)
+    sp.add_argument("-delete", action="store_true")
+
+    sp = sub.add_parser("rebuild")
+    common(sp)
+
+    sp = sub.add_parser("tables")
+    sp.add_argument("-dir", default="./db", dest="dir")
+
+    sp = sub.add_parser("info")
+    common(sp)
+    return p
+
+
+def _filters(q, args) -> None:
+    for trip in args.int_filters:
+        col, op, val = trip.split(":", 2)
+        q.int_filter(col, op, float(val) if "." in val else int(val))
+    for trip in args.str_filters:
+        col, op, val = trip.split(":", 2)
+        q.str_filter(col, op, val)
+    for trip in args.set_filters:
+        col, op, val = trip.split(":", 2)
+        q.set_filter(col, op, val)
+    for trip in args.str_replaces:
+        col, pat, repl = trip.split(":", 2)
+        q.str_replace(col, pat, repl)
+
+
+def run_query(spark: SparkSession, args) -> "DataFrame":
+    from sybil_spark.query.builder import Query
+    from sybil_spark.table import Table
+
+    t = Table(args.dir, args.table)
+    df = t.read(spark, read_log=args.read_log)
+    q = Query.table(df)
+    _filters(q, args)
+    groups = _split(args.group)
+    if groups:
+        q.group_by(*groups)
+    if args.weight_col:
+        q.weight_col(args.weight_col)
+    if args.time_rollup:
+        q.time_col(args.time_col, args.time_bucket)
+    if args.sort:
+        q.sort(args.sort, asc=args.sort_asc)
+    q.limit(args.limit)
+
+    if args.samples:
+        return q.samples(spark, n=args.limit, sort_col=args.sort,
+                         asc=args.sort_asc)
+    int_cols = _split(args.int_cols)
+    if args.loghist:
+        return q.loghist(spark, int_cols[0])
+    if args.op == "hist":
+        return q.hist(spark, int_cols[0], bucket=args.int_bucket)
+    if args.op == "distinct" or args.distinct_cols:
+        q.distinct_cols(*_split(args.distinct_cols or args.int_cols))
+    elif args.op == "avg":
+        for c in int_cols:
+            q.agg(c, "avg")
+    return q.execute(spark)
+
+
+def main(argv: list[str] | None = None,
+         spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if spark is None:
+        from sybil_spark.session import get_spark
+        spark = get_spark(f"sybil_spark-{args.cmd}")
+
+    from sybil_spark.sources import compact, ingest
+    from sybil_spark.table import Table, list_tables, table_info
+
+    try:
+        if args.cmd == "ingest":
+            spec = ingest.IngestSpec(
+                ints=_split(args.ints), timestamps=_split(args.timestamps),
+                timestamp_format=args.timestamp_format,
+                exclude=_split(args.exclude), json_path=args.json_path,
+                float_mode="keep" if args.floats else "truncate")
+            t = Table(args.dir, args.table)
+            total = 0
+            for f in args.files:
+                fn = ingest.ingest_csv if args.csv else ingest.ingest_json
+                total += fn(spark, f, t, spec, time_col=args.time_col)
+            print(f"ingested {total} records into {t.path}")
+        elif args.cmd == "digest":
+            n = compact.digest(spark, Table(args.dir, args.table),
+                               time_col=args.time_col)
+            print(f"digested {n} records")
+        elif args.cmd == "query":
+            from sybil_spark.query import printer
+            out = run_query(spark, args)
+            if args.export:
+                from sybil_spark.sources.export import export_tsv
+                export_tsv(out, args.export)
+                print(f"exported to {args.export}")
+            elif args.json:
+                printer.print_json(out, _split(args.group))
+            else:
+                printer.print_table(out, _split(args.group))
+        elif args.cmd == "trim":
+            doomed = compact.trim(Table(args.dir, args.table),
+                                  time_col=args.time_col, before=args.before,
+                                  size_budget_mb=args.mb, delete=args.delete)
+            verb = "deleted" if args.delete else "would delete"
+            print(f"{verb} {len(doomed)} block files")
+            for p in doomed:
+                print(" ", p)
+        elif args.cmd == "rebuild":
+            meta = compact.rebuild_meta(spark, Table(args.dir, args.table))
+            print(meta.to_json())
+        elif args.cmd == "tables":
+            for t in list_tables(args.dir):
+                print(t)
+        elif args.cmd == "info":
+            import json as _json
+            print(_json.dumps(table_info(spark, args.dir, args.table),
+                              indent=2))
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -550,3 +550,84 @@ def q_set_filter(spark, sf):
     d = _t(spark, sf, "documents").withColumn("words", F.split("text", " "))
     return (Query.table(d).set_filter("words", "in", "spark")
             .group_by("lang").limit(None).execute(spark))
+
+
+# ===========================================================================
+# 4. Extended operator coverage (loghist / samples / set group-by /
+#    rollup / ICC / distinct-limit)
+# ===========================================================================
+
+@_q("loghist", f"""
+    select case when value >= 1
+                then power(2.0, length(bin(cast(floor(value) as bigint))) - 1)
+                else 0.0 end as bucket,
+           count(*) as count
+    from {EV} where value is not null group by 1""")
+def q_loghist(spark, sf):
+    return Query.table(_events(spark, sf)).limit(None).loghist(spark, "value")
+
+
+@_q("samples", f"""
+    select event_id, user_id, value, time from {EV}
+    where event_type = 'error'
+    order by event_id desc limit 20""")
+def q_samples(spark, sf):
+    return (Query.table(_events(spark, sf))
+            .str_filter("event_type", "eq", "error")
+            .samples(spark, n=20, sort_col="event_id",
+                     cols=["event_id", "user_id", "value", "time"]))
+
+
+@_q("token_freq", """
+    select t.token, count(*) as count
+    from (select unnest(string_split(text, ' ')) as token
+          from documents) t
+    group by 1 order by count desc, token asc limit 50""")
+def q_token_freq(spark, sf):
+    """Set-column group-by via explode — the reference REJECTS grouping
+    on set columns (src/cmd/cmd_query.go:254-255); this is the
+    documented extension (SURVEY.md §2.4 A2)."""
+    d = _t(spark, sf, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+             .orderBy(F.desc("count"), F.asc("token")).limit(50))
+
+
+@_q("rollup_counts", f"""
+    select event_type, user_id, count(*) as count
+    from {EV} group by rollup(event_type, user_id)""")
+def q_rollup_counts(spark, sf):
+    """Grouping-sets rollup — native in Spark, absent in the reference
+    (SURVEY.md §2.4 A18); subsumes the TOTAL row."""
+    return (_events(spark, sf).rollup("event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+@_q("icc", f"""
+    with g as (
+      select event_type, count(value) as n_j,
+             {_dsum('value')} as s_j,
+             {_dsum('value*value')} as ss_j
+      from {EV} where value is not null group by 1),
+    c as (
+      select cast(sum(n_j) as bigint) as n, count(*) as groups,
+             {_dsum('s_j')} as s, {_dsum('ss_j')} as ss,
+             {_dsum('s_j*s_j/n_j')} as sg
+      from g)
+    select n, groups,
+           (sg - s*s/n)/(groups - 1) as msb,
+           (ss - sg)/(n - groups) as msw,
+           ((sg - s*s/n)/(groups - 1) - (ss - sg)/(n - groups))
+           / ((sg - s*s/n)/(groups - 1)
+              + (cast(n as double)/groups - 1) * ((ss - sg)/(n - groups)))
+             as icc
+    from c""")
+def q_icc(spark, sf):
+    from sybil_spark.query.stats import icc
+    return icc(_events(spark, sf), "event_type", "value")
+
+
+@_q("distinct_limit")  # no oracle: WHICH n tuples return is
+def q_distinct_limit(spark, sf):  # nondeterministic (SURVEY.md §7.5)
+    return (Query.table(_events(spark, sf))
+            .distinct_values(spark, ["user_id"], limit=10))

@@ -319,6 +319,13 @@ class Query:
                     total = total.withColumn(gc, F.lit(None))
             out = out.unionByName(total.select(out.columns))
 
+        # No explicit sort AND no limit → skip the output sort: the
+        # result set is order-insensitive and the extra range-partition
+        # Exchange is pure cost at scale. (With a limit, ordering is
+        # part of the semantics; orderBy+limit compiles to an exact
+        # TakeOrderedAndProject, not a full sort.)
+        if self._sort is None and not self._limit:
+            return out
         sort_col, asc = self._sort or ("count", False)
         if group_cols:
             order = [F.col(sort_col).asc() if asc else F.col(sort_col).desc()]
@@ -339,7 +346,8 @@ class Query:
     # -- histogram path ----------------------------------------------------
     def hist(self, spark: SparkSession, col: str, bucket: float | None = None,
              min_val: float | None = None, max_val: float | None = None,
-             weighted: bool = True) -> DataFrame:
+             weighted: bool = True,
+             discard_over: float | None = None) -> DataFrame:
         """Fixed-width bucket histogram per group (reference `-op hist`,
         src/lib/hist_basic.go:28-151).
 
@@ -351,6 +359,10 @@ class Query:
         computed from the filtered scan — exact, one extra cheap
         aggregate, still two scans total.
 
+        `discard_over` drops values above a cutoff before bucketing —
+        sybil-compat callers pass 10× the registry's table max
+        (reference src/lib/hist_basic.go:101-109).
+
         Output: one row per (group..., bucket) with `bucket` = inclusive
         lower bound, `count` (weighted) and `samples` (raw).
         """
@@ -361,6 +373,8 @@ class Query:
         if pred is not None:
             df = df.where(pred)
         df = df.where(F.col(col).isNotNull())
+        if discard_over is not None:
+            df = df.where(F.col(col) <= discard_over)
 
         if bucket is None:
             if min_val is None or max_val is None:
@@ -380,3 +394,71 @@ class Query:
         order = [F.col(c).asc_nulls_last() for c in out.columns
                  if c in self._groups or c in ("tbucket", "bucket")]
         return out.orderBy(*order)
+
+    def loghist(self, spark: SparkSession, col: str,
+                weighted: bool = True) -> DataFrame:
+        """Log-scaled histogram (reference `-loghist`,
+        src/lib/hist_multi.go:6-261): bucket width shrinks
+        logarithmically so wide-range columns keep resolution near
+        zero. Bucket = 2^floor(log2(v)) for v ≥ 1, one bucket for
+        v < 1. floor(log2) is computed as bit-length of floor(v) —
+        integer arithmetic, so the bucket is bit-deterministic across
+        engines (float log2 differs in the last ulp near exact powers
+        of two: Spark evaluates ln(x)/ln(2)). Output columns mirror
+        hist(): bucket (lower bound), count[, samples]."""
+        df = self._load(spark)
+        pred = self._predicate(df)
+        if pred is not None:
+            df = df.where(pred)
+        df = df.where(F.col(col).isNotNull())
+        bcol = (F.when(F.col(col) >= 1,
+                       F.pow(F.lit(2.0),
+                             (F.length(F.bin(F.floor(F.col(col))
+                                             .cast("long"))) - 1)
+                             .cast("double")))
+                 .otherwise(F.lit(0.0))).alias("bucket")
+        group_cols = self._group_cols(df) + [bcol]
+        w = self._weight()
+        aggs = [F.sum(w).alias("count"), F.count(F.lit(1)).alias("samples")] \
+            if (weighted and self._weight_col) else [F.count(F.lit(1)).alias("count")]
+        out = df.groupBy(*group_cols).agg(*aggs)
+        order = [F.col(c).asc_nulls_last() for c in out.columns
+                 if c in self._groups or c in ("tbucket", "bucket")]
+        return out.orderBy(*order)
+
+    # -- raw-record paths --------------------------------------------------
+    def samples(self, spark: SparkSession, n: int = 100,
+                sort_col: str | None = None, asc: bool = False,
+                cols: list[str] | None = None) -> DataFrame:
+        """Matched raw records (reference `-samples`,
+        src/lib/printer.go:388-456): filters apply, then records sort
+        by `sort_col` (reference default: reverse-chronological) and
+        the top n return. Compiles to TakeOrderedAndProject — no full
+        sort, no collect."""
+        df = self._load(spark)
+        for c0, pat, repl in self._str_replaces:
+            df = df.withColumn(c0, F.regexp_replace(F.col(c0), pat, repl))
+        pred = self._predicate(df)
+        if pred is not None:
+            df = df.where(pred)
+        if cols:
+            df = df.select(*cols)
+        order_col = sort_col or self._time_col
+        if order_col:
+            df = df.orderBy(F.col(order_col).asc() if asc
+                            else F.col(order_col).desc())
+        return df.limit(n)
+
+    def distinct_values(self, spark: SparkSession, cols: list[str],
+                        limit: int | None = None) -> DataFrame:
+        """Distinct tuples with an optional early-exit limit
+        (reference `-distinct-limit`, src/lib/table_query.go:259-280).
+        Spark's limit short-circuits tasks once n rows are buffered —
+        the same cost-saving intent; WHICH n tuples return is
+        nondeterministic in both engines (SURVEY.md §7.5)."""
+        df = self._load(spark)
+        pred = self._predicate(df)
+        if pred is not None:
+            df = df.where(pred)
+        out = df.select(*cols).distinct()
+        return out.limit(limit) if limit else out

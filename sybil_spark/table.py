@@ -109,11 +109,15 @@ class Table:
     def read(self, spark: SparkSession, read_log: bool = False) -> DataFrame:
         """Scan the digested blocks; `read_log=True` unions the not-yet
         digested ingest log (reference `-read-log`)."""
+        def has_data(p: str) -> bool:
+            return os.path.isdir(p) and any(
+                not f.startswith(("_", ".")) for f in os.listdir(p))
+
         parts = []
-        if os.path.exists(self.blocks_path):
+        if has_data(self.blocks_path):
             parts.append(spark.read.option("mergeSchema", "true")
                          .parquet(self.blocks_path))
-        if read_log and os.path.exists(self.ingest_path):
+        if read_log and has_data(self.ingest_path):
             parts.append(spark.read.option("mergeSchema", "true")
                          .parquet(self.ingest_path))
         if not parts:

@@ -1,0 +1,117 @@
+"""CLI surface — the reference's command/flag pipeline end-to-end
+(ingest → digest → query → trim → info), via cli.main with a shared
+session."""
+
+import json
+
+import pytest
+
+from sybil_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("clidb")
+    src = d / "uptime.ndjson"
+    with open(src, "w") as f:
+        for i in range(200):
+            f.write(json.dumps({
+                "host": f"h{i % 3}", "ping": 40 + i % 20,
+                "status": str(200 + (i % 2) * 300),
+                "tags": ["prod"] if i % 2 else ["prod", "canary"],
+                "time": 1_700_000_000 + i * 30}) + "\n")
+    db_dir = str(d / "db")
+    assert main(["ingest", "-dir", db_dir, "-table", "uptime",
+                 "-time-col", "time", str(src)], spark=spark) == 0
+    assert main(["digest", "-dir", db_dir, "-table", "uptime"],
+                spark=spark) == 0
+    return db_dir
+
+
+def _run_json(capsys, spark, argv):
+    assert main(argv + ["-json"], spark=spark) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_group_avg(capsys, spark, db):
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-group", "host", "-int", "ping", "-op", "avg"])
+    assert len(rows) == 3
+    assert {r["host"] for r in rows} == {"h0", "h1", "h2"}
+    assert all("avg_ping" in r and "count" in r for r in rows)
+
+
+def test_cli_filters(capsys, spark, db):
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-group", "host",
+                      "-int-filter", "ping:gt:50",
+                      "-str-filter", "status:eq:200",
+                      "-set-filter", "tags:in:canary"])
+    total = sum(r["count"] for r in rows)
+    want = sum(1 for i in range(200)
+               if 40 + i % 20 > 50 and i % 2 == 0)
+    assert total == want
+
+
+def test_cli_time_rollup(capsys, spark, db):
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-time", "-time-col", "time", "-time-bucket", "600",
+                      "-int", "ping", "-op", "avg", "-limit", "200"])
+    assert sum(r["count"] for r in rows) == 200
+    assert all(r["tbucket"] % 600 == 0 for r in rows)
+
+
+def test_cli_hist_and_loghist(capsys, spark, db):
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-int", "ping", "-op", "hist", "-int-bucket", "10"])
+    assert sum(r["count"] for r in rows) == 200
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-int", "ping", "-loghist"])
+    assert {r["bucket"] for r in rows} == {32.0}  # pings 40..59
+
+
+def test_cli_distinct_and_samples(capsys, spark, db):
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-distinct", "host"])
+    assert rows[0]["distinct"] == 3
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-samples", "-sort", "time", "-limit", "5"])
+    assert len(rows) == 5
+    times = [r["time"] for r in rows]
+    assert times == sorted(times, reverse=True)
+
+
+def test_cli_tables_info_trim(capsys, spark, db):
+    assert main(["tables", "-dir", db], spark=spark) == 0
+    assert "uptime" in capsys.readouterr().out
+    assert main(["info", "-dir", db, "-table", "uptime"], spark=spark) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["row_count"] == 200
+    assert main(["trim", "-dir", db, "-table", "uptime", "-time-col", "time",
+                 "-before", str(1_700_000_000 + 100 * 30)], spark=spark) == 0
+    assert "would delete" in capsys.readouterr().out
+
+
+def test_cli_export(capsys, spark, db, tmp_path):
+    out = str(tmp_path / "export")
+    assert main(["query", "-dir", db, "-table", "uptime",
+                 "-str-filter", "status:eq:500", "-samples",
+                 "-limit", "500", "-export", out], spark=spark) == 0
+    import glob
+    import gzip
+    files = glob.glob(f"{out}/*.csv.gz")
+    assert files
+    n = 0
+    for fp in files:
+        with gzip.open(fp, "rt") as f:
+            lines = f.read().strip().splitlines()
+            assert "\t" in lines[0]
+            n += len(lines) - 1
+    assert n == 100  # half the rows have status 500
