@@ -1,0 +1,92 @@
+"""Plan-quality regression tests.
+
+These pin the physical-plan properties the 100 TB target depends on:
+filters reach the Parquet scan, scans read only projected columns,
+small-dimension joins broadcast, and the agg pipeline stays inside
+whole-stage codegen. A correctness-green change that breaks one of
+these would be a silent 10-100x regression at scale — the reference
+hand-codes the equivalents (src/lib/table_load_spec.go:59-76 column
+pruning, src/lib/table_block_io.go:110-182 zone-map skipping), so
+plan shape IS part of parity.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sybil_spark.plans import inspect as I
+from sybil_spark.query.builder import Query
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from sybil_spark.corpus import _events
+    return _events(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(events):
+    q = (Query.table(events).int_filter("value", "gt", 10)
+         .group_by("event_type").limit(None).execute(events.sparkSession))
+    pushed = I.pushed_filters(q)
+    assert any("GreaterThan(value" in p for p in pushed), pushed
+    assert any("IsNotNull(value)" in p for p in pushed), pushed
+
+
+def test_column_pruning_scan_reads_only_needed(events):
+    q = (Query.table(events).group_by("event_type").agg("value", "avg")
+         .limit(None).execute(events.sparkSession))
+    # scan must read only the grouping col + agg col (+ weight if any)
+    assert I.scans_read_only(q, {"event_type", "value"}), I.scan_columns(q)
+
+
+def test_groupby_is_single_shuffle(events):
+    q = (Query.table(events).group_by("event_type").agg("value", "avg")
+         .limit(None).execute(events.sparkSession))
+    # partial agg map-side, one hash exchange, final agg — no more
+    assert I.shuffle_exchange_count(q) == 1, I.formatted_plan(q)
+
+
+def test_sorted_limit_takes_ordered_not_full_sort(events):
+    q = (Query.table(events).group_by("user_id").agg("value", "avg")
+         .limit(10).execute(events.sparkSession))
+    plan = I.formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    # top-k must not pay a range-partition exchange on top of the agg
+    assert I.shuffle_exchange_count(q) == 1, plan
+
+
+def test_samples_compile_to_top_k(events):
+    q = (Query.table(events).str_filter("event_type", "eq", "error")
+         .samples(events.sparkSession, n=20, sort_col="event_id"))
+    assert "TakeOrderedAndProject" in I.formatted_plan(q)
+    assert I.shuffle_exchange_count(q) == 0
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .groupBy("n_name").agg(F.count(F.lit(1)).alias("count")))
+    assert I.broadcast_join_count(j) >= 1
+    assert I.sort_merge_join_count(j) == 0
+
+
+def test_agg_pipeline_in_codegen(events):
+    q = (Query.table(events).int_filter("value", "gt", 0)
+         .group_by("event_type").agg("value", "avg")
+         .limit(None).execute(events.sparkSession))
+    # AQE assigns codegen ids only once the plan is final — execute first
+    q.collect()
+    # scan→filter→partial-agg and final-agg each fuse into codegen
+    assert I.codegen_span_count(q) >= 2, I.formatted_plan(q)
+
+
+def test_hist_scan_prunes_to_bucket_cols(events):
+    q = Query.table(events).limit(None).hist(
+        events.sparkSession, "value", bucket=10.0)
+    assert I.scans_read_only(q, {"value"}), I.scan_columns(q)
+
+
+def test_count_reads_no_data_columns(events):
+    q = Query.table(events).limit(None).execute(events.sparkSession)
+    # plain COUNT should scan zero columns (parquet footer counts)
+    assert I.scans_read_only(q, set()), I.scan_columns(q)
