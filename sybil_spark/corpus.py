@@ -631,3 +631,57 @@ def q_icc(spark, sf):
 def q_distinct_limit(spark, sf):  # nondeterministic (SURVEY.md §7.5)
     return (Query.table(_events(spark, sf))
             .distinct_values(spark, ["user_id"], limit=10))
+
+
+# ===========================================================================
+# 5. Embedding dedup / IVF / multimodal
+# ===========================================================================
+
+@_q("embedding_dup", """
+    with e as (select vec_id, CAST(embedding AS DOUBLE[]) emb from embeddings)
+    select a.vec_id as id_a, b.vec_id as id_b,
+           list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb))
+              * sqrt(list_dot_product(b.emb, b.emb))) as cos
+    from e a join e b on a.vec_id < b.vec_id
+    where list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45""")
+def q_embedding_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs; exact (unblocked)
+    variant so the oracle covers the cosine math end-to-end. The
+    100TB path passes block_on= an LSH/IVF bucket column — covered
+    by the weak lsh/ivf entries and unit tests."""
+    return dedup.embedding_dup_pairs(_t(spark, sf, "embeddings"),
+                                     "vec_id", "embedding", threshold=0.45)
+
+
+@_q("ivf_topk")  # no oracle: approximate by construction; recall tested
+def q_ivf_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ivf_topk(emb, "embedding", qvec, k=10,
+                               nlist=16, nprobe=4)
+
+
+@_q("media_meta", """
+    with m as (select doc_id as media_id,
+                      octet_length(encode(text)) as n_bytes
+               from documents)
+    select count(*) as count, sum(n_bytes) as sum_bytes,
+           sum((n_bytes % 640) + 1) as sum_width,
+           sum(((n_bytes * 7) % 480) + 1) as sum_height
+    from m""")
+def q_media_meta(spark, sf):
+    """Multimodal plumbing proof: text → binary media column →
+    mapInPandas Arrow round-trip (operators/multimodal.py) →
+    aggregate of the decoded metadata, matched against a pure-SQL
+    oracle over byte lengths."""
+    from sybil_spark.operators import multimodal as M
+    media = M.documents_as_media(_t(spark, sf, "documents"))
+    feats = M.extract_features(media)
+    return feats.agg(F.count(F.lit(1)).alias("count"),
+                     F.sum("n_bytes").alias("sum_bytes"),
+                     F.sum("width").alias("sum_width"),
+                     F.sum("height").alias("sum_height"))

@@ -81,6 +81,63 @@ def lsh_topk(df: DataFrame, vec_col: str, query: list[float], k: int = 10,
                             vec_col, query, k, id_col)
 
 
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str = "vec_id",
+                  nlist: int = 16) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: the `nlist` vectors
+    whose ids hash lowest (xxhash64 order — a uniform pseudo-random
+    sample that is stable across runs and cluster sizes, no RNG).
+
+    This is IVF-flat's "train" step without Lloyd iterations — at
+    ingest time a real deployment can refine these with k-means
+    (pyspark.ml.clustering.KMeans, seeded); retrieval code below is
+    identical either way. Only nlist rows reach the driver."""
+    rows = (df.select(F.col(id_col), F.col(vec_col))
+              .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+              .limit(nlist).collect())
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
+               cluster_col: str = "cluster") -> DataFrame:
+    """Assign each row to its max-cosine centroid (ties → lowest
+    centroid index). Pure JVM column math: one fold dot product per
+    centroid, argmax via array_max over (sim, -index) structs —
+    struct ordering compares fields left-to-right, so equal sims pick
+    the smaller index. No shuffle; at ingest the table is then
+    *written* partitioned/bucketed by this column."""
+    sims = F.array(*[
+        F.struct(cosine_to_const(F.col(vec_col), c).alias("s"),
+                 F.lit(-i).alias("ni"))
+        for i, c in enumerate(centroids)])
+    m = F.array_max(sims)
+    return df.withColumn(cluster_col, (-m["ni"]).cast("int"))
+
+
+def ivf_topk(df: DataFrame, vec_col: str, query: list[float], k: int = 10,
+             id_col: str = "vec_id", nlist: int = 16, nprobe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k: probe only the `nprobe` inverted lists
+    whose centroids are nearest the query.
+
+    Scale path: with the table written `partitionBy(cluster)` at
+    ingest (ivf_assign), the `cluster IN (probes)` predicate becomes
+    partition pruning — the scan touches nprobe/nlist of the data
+    before any per-row cosine runs. Recall/latency trade tunes with
+    (nlist, nprobe) exactly as in FAISS IVF-flat."""
+    cents = centroids or ivf_centroids(df, vec_col, id_col, nlist)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else 0.0
+
+    probes = sorted(range(len(cents)),
+                    key=lambda i: (-_cos(query, cents[i]), i))[:nprobe]
+    assigned = ivf_assign(df, vec_col, cents)
+    return brute_force_topk(assigned.where(F.col("cluster").isin(probes)),
+                            vec_col, query, k, id_col)
+
+
 def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
                   k: int = 20, block_rows: int = 2048,
                   margin: int = 32) -> DataFrame:

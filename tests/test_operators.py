@@ -180,3 +180,34 @@ def test_multimodal_features(spark, docs):
     assert by_id[102]["width"] == (len(txt.encode()) % 640) + 1
     # identical content → identical features (deterministic)
     assert by_id[100]["byte_entropy"] == by_id[101]["byte_entropy"]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe == nlist scans everything → must equal exact top-k."""
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, "embedding", q, k=5).collect()]
+    ivf = [r["vec_id"] for r in
+           similarity.ivf_topk(emb, "embedding", q, k=5,
+                               nlist=8, nprobe=8).collect()]
+    assert ivf == exact
+
+
+def test_ivf_probe_finds_neighbors(spark, emb):
+    """The query's own cluster is always probed first, so colinear
+    vectors (0 and 50 by construction) must surface."""
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = similarity.ivf_topk(emb, "embedding", q, k=3,
+                              nlist=8, nprobe=2).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 0 in ids and 50 in ids
+
+
+def test_ivf_assign_deterministic(spark, emb):
+    cents = similarity.ivf_centroids(emb, "embedding", "vec_id", nlist=8)
+    a1 = similarity.ivf_assign(emb, "embedding", cents) \
+        .select("vec_id", "cluster").collect()
+    a2 = similarity.ivf_assign(emb, "embedding", cents) \
+        .select("vec_id", "cluster").collect()
+    assert sorted(a1) == sorted(a2)
+    assert {r["cluster"] for r in a1} <= set(range(8))
