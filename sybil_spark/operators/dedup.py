@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sybil_spark.functions.text import shingles, tokens
+from sybil_spark.operators._util import spread
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +80,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     were ~50× slower). Arithmetic stays < 2^62 so ANSI mode never
     overflows. One explode + one partial-aggregated groupBy: the
     shuffle carries (id, 64×long), independent of document size."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
     base = sh.select(
@@ -136,7 +137,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     array_intersect — work proportional to |candidates|, not |pairs
     sharing a shingle|. Output: id_a < id_b, jaccard ∈ (0,1]."""
     if candidates is not None:
-        sets = df.select(F.col(id_col).alias("id"),
+        sets = spread(df).select(F.col(id_col).alias("id"),
                          shingles(F.col(text_col), shingle_n).alias("sh"))
         sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -148,8 +149,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
                .select("id_a", "id_b", "jaccard"))
         return out.where(F.col("jaccard") >= threshold) if threshold else out
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")))
+    sh = (spread(df).select(F.col(id_col).alias("id"),
+                            F.explode(shingles(F.col(text_col), shingle_n))
+                            .alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -181,8 +183,8 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     64 JVM sum expressions (shiftright needs a literal shift, so the
     bit loop unrolls in the plan, not per-row Python). One shuffle of
     (id, 64 ints) regardless of document size."""
-    tok = (df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = (spread(df).select(F.col(id_col).alias("id"),
+                             F.explode(tokens(F.col(text_col))).alias("t"))
              .select("id", F.xxhash64("t").alias("h")))
     votes = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
