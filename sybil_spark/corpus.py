@@ -665,6 +665,33 @@ def q_ivf_topk(spark, sf):
                                nlist=16, nprobe=4)
 
 
+@_q("rollup_serve", f"""
+    select time - time % 3600 as tbucket, event_type,
+           count(*) as count, {_dsum('value')} as sum_value,
+           min(value) as min_value, max(value) as max_value
+    from {EV} group by 1, 2""")
+def q_rollup_serve(spark, sf):
+    """Materialized-rollup path vs direct-scan oracle: build partials
+    at 60 s granularity, serve the query at 3600 s — the answer must
+    equal DuckDB aggregating the raw rows directly. Proves the
+    mergeable-partials design (sources/rollup.py) end-to-end."""
+    from sybil_spark.sources import rollup as R
+    ev = _events(spark, sf)
+    roll = R.build_rollup(ev, "time", 60, ["event_type"], ["value"])
+    return (R.serve(roll, ["event_type"], ["value"], bucket_s=3600)
+            .select("tbucket", "event_type", "count", "sum_value",
+                    "min_value", "max_value"))
+
+
+@_q("rollup_distinct")  # no oracle: HLL sketch estimate (approximate;
+def q_rollup_distinct(spark, sf):  # ±5% vs exact asserted in tests)
+    from sybil_spark.sources import rollup as R
+    ev = _events(spark, sf)
+    roll = R.build_rollup(ev, "time", 60, ["event_type"], [],
+                          distinct_cols=["user_id"])
+    return R.serve(roll, ["event_type"], distinct=True)
+
+
 @_q("media_meta", """
     with m as (select doc_id as media_id,
                       octet_length(encode(text)) as n_bytes

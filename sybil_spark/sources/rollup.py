@@ -1,0 +1,184 @@
+"""Materialized time-bucket rollups — the engine's query cache.
+
+The reference caches per-block query results keyed by a normalized
+query hash (reference src/lib/query_cache.go:30-242) and merges
+per-node partial results with histogram re-bucketing (reference
+src/lib/node_aggregator.go:8-198, src/lib/query_spec.go:118-135).
+The Spark-first equivalent of both is one artifact: a pre-aggregated
+table at the finest time-bucket granularity holding *mergeable*
+partial aggregates —
+
+- count / samples                       (sum-mergeable)
+- per-column sum (decimal), min, max,
+  non-null count, sum of squares        (sum/min/max-mergeable;
+                                         avg & stddev derive exactly)
+- fixed-width histogram bucket counts   (map, sum-mergeable;
+                                         percentiles derive)
+- HLL sketch of the distinct tuple      (hll_union_agg-mergeable;
+                                         Apache DataSketches binary)
+
+Any coarser time bucket, any subset of the group columns, and every
+reference aggregation (COUNT/AVG/SUM/MIN/MAX/STDDEV/HIST/percentile/
+COUNT-DISTINCT) then answers FROM THE ROLLUP — at 100 TB a dashboard
+query reads the few-GB rollup instead of re-scanning raw events, and
+the rollup is incrementally maintainable per ingest batch because
+every column is mergeable (append new partials; serve() re-merges on
+read; compact periodically).
+
+Decimal sums make the merge bit-exact: float addition is not
+associative, decimal(38,6) is — so a rollup-served AVG equals the
+direct-scan AVG bit-for-bit (see Query.exact_mode for the same rule
+on the direct path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,6)"
+#: unit separator — same tuple encoding as the distinct query path
+_SEP = "\x1f"
+
+
+def build_rollup(df: DataFrame, time_col: str, bucket_s: int,
+                 group_cols: list[str], num_cols: list[str],
+                 distinct_cols: list[str] | None = None,
+                 hist_buckets: dict[str, float] | None = None) -> DataFrame:
+    """Aggregate raw rows to one row per (time bucket × group).
+
+    `bucket_s` is the FINEST granularity the rollup can serve; pick
+    the dashboard's smallest window (e.g. 60). `hist_buckets` maps a
+    column to its fixed histogram bucket width (reference
+    `-int-bucket`, src/lib/hist_basic.go:28-45); its counts land in a
+    sum-mergeable map<bigint,bigint> via a second aggregate joined on
+    the rollup key (the join is co-partitioned — both sides just
+    shuffled on the same key)."""
+    b = (F.col(time_col) - F.pmod(F.col(time_col), F.lit(bucket_s)))
+    aggs: list[Column] = [F.count(F.lit(1)).alias("samples")]
+    for c in num_cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.cast(_DEC)).alias(f"{c}__sum"),
+            F.sum(col.cast(_DEC) * col.cast(_DEC)).alias(f"{c}__sumsq"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.count(col).alias(f"{c}__n"),
+        ]
+    if distinct_cols:
+        aggs.append(F.hll_sketch_agg(
+            F.concat_ws(_SEP, *[F.col(c).cast("string")
+                                for c in distinct_cols]))
+            .alias("distinct__hll"))
+    out = df.groupBy(b.alias("tbucket"), *group_cols).agg(*aggs)
+    for c, width in (hist_buckets or {}).items():
+        hb = F.floor(F.col(c) / F.lit(width)).cast("long")
+        hist = (df.where(F.col(c).isNotNull())
+                  .groupBy(b.alias("tbucket"), *group_cols, hb.alias("__hb"))
+                  .agg(F.count(F.lit(1)).alias("__hc"))
+                  .groupBy("tbucket", *group_cols)
+                  .agg(F.map_from_entries(
+                      F.sort_array(F.collect_list(
+                          F.struct(F.col("__hb"), F.col("__hc")))))
+                      .alias(f"{c}__hist")))
+        out = out.join(hist, ["tbucket", *group_cols], "left")
+    return out
+
+
+def write_rollup(roll: DataFrame, path: str) -> None:
+    """Persist partitioned by day so retention (trim) and incremental
+    refresh are partition drops/appends, and time-range queries prune
+    partitions before reading a byte."""
+    (roll.withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
+         .write.mode("overwrite").partitionBy("__day").parquet(path))
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("__day")
+
+
+def serve(roll: DataFrame, group_cols: list[str],
+          num_cols: list[str] | None = None, bucket_s: int | None = None,
+          distinct: bool = False,
+          hist_cols: list[str] | None = None) -> DataFrame:
+    """Answer a query from the rollup: re-bucket time to any multiple
+    of the build granularity, drop any group columns, and finalize
+    the mergeable partials (reference CombineResults,
+    src/lib/aggregate.go:326-467 — here it is one groupBy).
+
+    Output per group [× tbucket]: count, per-col avg/sum/min/max/
+    stddev, [distinct], [per-col hist map] — the full reference
+    aggregation surface, without touching raw data."""
+    keys = list(group_cols)
+    if bucket_s is not None:
+        roll = roll.withColumn(
+            "tbucket", F.col("tbucket") - F.pmod(F.col("tbucket"),
+                                                 F.lit(bucket_s)))
+        keys.insert(0, "tbucket")
+    aggs: list[Column] = [F.sum("samples").alias("count")]
+    for c in (num_cols or []):
+        s = F.sum(f"{c}__sum")
+        ss = F.sum(f"{c}__sumsq")
+        n = F.sum(f"{c}__n")
+        aggs += [
+            # try_divide: a group can hold only-null values (n = 0) —
+            # ANSI mode would raise; NULL is the correct answer
+            F.try_divide(s, n).cast("double").alias(f"avg_{c}"),
+            s.cast("double").alias(f"sum_{c}"),
+            F.min(f"{c}__min").alias(f"min_{c}"),
+            F.max(f"{c}__max").alias(f"max_{c}"),
+            # unbiased sample stddev from mergeable moments
+            F.sqrt(F.try_divide((ss - F.try_divide(s * s, n)).cast("double"),
+                                (n - 1).cast("double")))
+             .alias(f"stddev_{c}"),
+        ]
+    if distinct:
+        aggs.append(F.hll_sketch_estimate(
+            F.hll_union_agg("distinct__hll")).alias("distinct"))
+    for c in (hist_cols or []):
+        aggs.append(_merge_hist_maps(f"{c}__hist").alias(f"hist_{c}"))
+    return roll.groupBy(*keys).agg(*aggs) if keys else roll.agg(*aggs)
+
+
+def _merge_hist_maps(col: str) -> Column:
+    """Sum map<long,long> histograms across rollup rows: concatenate
+    all entry lists, then per distinct key sum the matching values —
+    pure JVM array expressions, no UDF."""
+    entries = F.flatten(F.collect_list(F.map_entries(F.col(col))))
+    keys = F.array_sort(
+        F.array_distinct(F.transform(entries, lambda e: e["key"])))
+    return F.map_from_entries(
+        F.transform(keys,
+                    lambda k: F.struct(
+                        k.alias("key"),
+                        F.aggregate(
+                            F.filter(entries, lambda e: e["key"] == k),
+                            F.lit(0).cast("long"),
+                            lambda acc, e: acc + e["value"]).alias("value"))))
+
+
+def percentiles_from_hist(served: DataFrame, hist_col: str, width: float,
+                          ps: list[float]) -> DataFrame:
+    """Bucket-quantized percentiles from a served histogram map —
+    the reference's piecewise-constant CDF walk (reference
+    src/lib/hist_basic.go:153-183) as array expressions: sort the
+    (bucket, count) entries, find the first bucket whose running
+    cumulative count crosses p·total, return its lower bound."""
+    entries = F.array_sort(F.map_entries(F.col(hist_col)))
+    total = F.aggregate(entries, F.lit(0).cast("long"),
+                        lambda a, e: a + e["value"])
+    out = served
+    for p in ps:
+        target = F.lit(p) * total.cast("double")
+        scanned = F.aggregate(
+            entries,
+            F.struct(F.lit(0).cast("long").alias("cum"),
+                     F.lit(None).cast("long").alias("ans")),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(acc["ans"].isNotNull(), acc["ans"])
+                 .when((acc["cum"] + e["value"]).cast("double") >= target,
+                       e["key"]).alias("ans")))
+        out = out.withColumn(f"p{int(p * 100)}",
+                             scanned["ans"].cast("double") * F.lit(width))
+    return out

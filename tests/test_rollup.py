@@ -1,0 +1,134 @@
+"""Materialized rollup: served results must equal direct scans.
+
+The invariant under test is *mergeability*: build at fine granularity,
+serve at coarse, and every derived aggregate (count/avg/sum/min/max/
+stddev/hist/percentile) matches the same aggregate computed directly
+on the raw rows — including after a parquet round-trip and after
+unioning two incremental builds (the incremental-refresh path).
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sybil_spark.sources import rollup as R
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from sybil_spark.corpus import _events
+    return _events(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def roll(events):
+    return R.build_rollup(events, "time", 60, ["event_type"], ["value"],
+                          distinct_cols=["user_id"],
+                          hist_buckets={"value": 10.0}).cache()
+
+
+def _direct(events, bucket):
+    b = (F.col("time") - F.pmod(F.col("time"), F.lit(bucket)))
+    return {tuple(r[:2]): r for r in
+            events.groupBy(b.alias("tbucket"), "event_type")
+                  .agg(F.count(F.lit(1)).alias("count"),
+                       (F.sum(F.col("value").cast("decimal(38,6)"))
+                        / F.count("value")).cast("double").alias("avg_value"),
+                       F.min("value").alias("min_value"),
+                       F.max("value").alias("max_value"),
+                       F.stddev_samp("value").alias("stddev_value"))
+                  .collect()}
+
+
+def test_serve_coarser_bucket_matches_direct(events, roll):
+    served = {tuple(r[:2]): r for r in
+              R.serve(roll, ["event_type"], ["value"], bucket_s=3600)
+               .collect()}
+    direct = _direct(events, 3600)
+    assert served.keys() == direct.keys()
+    for k, s in served.items():
+        d = direct[k]
+        assert s["count"] == d["count"]
+        assert s["avg_value"] == d["avg_value"]  # bit-exact via decimal
+        assert s["min_value"] == d["min_value"]
+        assert s["max_value"] == d["max_value"]
+        # sumsq is decimal(38,6) — quantized at 1e-6 per term, so the
+        # moments-based stddev agrees to ~1e-8 rel, not bit-exact
+        assert s["stddev_value"] == pytest.approx(d["stddev_value"],
+                                                  rel=1e-6)
+
+
+def test_serve_global_group_drop(events, roll):
+    s = R.serve(roll, [], ["value"]).collect()[0]
+    assert s["count"] == events.count()
+    exact = events.agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) / F.count("value"))
+        .cast("double")).collect()[0][0]
+    assert s["avg_value"] == exact
+
+
+def test_hll_distinct_close_to_exact(events, roll):
+    est = R.serve(roll, ["event_type"], distinct=True).collect()
+    exact = {r["event_type"]: r["d"] for r in
+             events.groupBy("event_type")
+                   .agg(F.countDistinct("user_id").alias("d")).collect()}
+    for r in est:
+        assert r["distinct"] == pytest.approx(exact[r["event_type"]],
+                                              rel=0.05)
+
+
+def test_hist_merge_and_percentiles(events, roll):
+    served = R.serve(roll, ["event_type"], bucket_s=None,
+                     hist_cols=["value"])
+    direct = {r["event_type"]: dict(zip(r["b"], r["c"])) for r in
+              events.where(F.col("value").isNotNull())
+                    .groupBy("event_type",
+                             F.floor(F.col("value") / 10).alias("hb"))
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .groupBy("event_type")
+                    .agg(F.collect_list("hb").alias("b"),
+                         F.collect_list("c").alias("c")).collect()}
+    got = {r["event_type"]: r["hist_value"] for r in served.collect()}
+    assert got == direct
+
+    # bucket-quantized median lower bound brackets the true median
+    p = R.percentiles_from_hist(served, "hist_value", 10.0, [0.5]).collect()
+    true_med = {r["event_type"]: r["m"] for r in
+                events.groupBy("event_type")
+                      .agg(F.expr("percentile(value, 0.5)").alias("m"))
+                      .collect()}
+    for r in p:
+        assert r["p50"] <= true_med[r["event_type"]] <= r["p50"] + 10.0
+
+
+def test_incremental_union_merges_exactly(events, roll):
+    """Two half-builds unioned then served == one full build served —
+    the incremental-refresh invariant."""
+    mid = events.agg(F.expr("percentile(time, 0.5)")).collect()[0][0]
+    r1 = R.build_rollup(events.where(F.col("time") <= mid), "time", 60,
+                        ["event_type"], ["value"], ["user_id"])
+    r2 = R.build_rollup(events.where(F.col("time") > mid), "time", 60,
+                        ["event_type"], ["value"], ["user_id"])
+    both = r1.unionByName(r2)
+    a = {tuple(r[:1]): r for r in
+         R.serve(both, ["event_type"], ["value"], distinct=True).collect()}
+    b = {tuple(r[:1]): r for r in
+         R.serve(roll.drop("value__hist"), ["event_type"], ["value"],
+                 distinct=True).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["count"] == b[k]["count"]
+        assert a[k]["avg_value"] == b[k]["avg_value"]
+        assert a[k]["distinct"] == b[k]["distinct"]  # sketches merge
+
+
+def test_parquet_round_trip(spark, roll, tmp_path):
+    path = str(tmp_path / "roll")
+    R.write_rollup(roll.drop("value__hist"), path)
+    back = R.read_rollup(spark, path)
+    a = R.serve(back, ["event_type"], ["value"], distinct=True).collect()
+    b = R.serve(roll.drop("value__hist"), ["event_type"], ["value"],
+                distinct=True).collect()
+    key = lambda r: r["event_type"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
