@@ -29,7 +29,9 @@ HEADLINE = [
     "percentiles", "weighted_count",
     "tpch_q1", "tpch_q3", "join_geo",
     "dedup_exact", "minhash_lsh", "simhash_dup", "ngram_jaccard",
-    "ann_topk", "ann_pairs_topk", "text_stats", "lang_id",
+    "ann_topk", "ann_pairs_topk", "ivf_topk", "embedding_dup",
+    "text_stats", "lang_id", "token_freq", "loghist",
+    "rollup_serve", "media_meta",
 ]
 
 
@@ -43,9 +45,12 @@ def main() -> None:
     from sybil_spark.corpus import QUERIES
 
     spark = get_spark("bench", master=f"local[{cpus}]")
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not classloading.
+    # Warm the JVM/codegen path and the Python workers (pandas/numpy
+    # import + Arrow setup) once, so per-query numbers measure the
+    # engine, not classloading or worker fork cost.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    (spark.range(8).repartition(int(cpus) if cpus.isdigit() else 8)
+          .mapInPandas(lambda it: (pdf for pdf in it), "id long").count())
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
