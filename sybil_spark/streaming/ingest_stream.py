@@ -71,3 +71,53 @@ def stream_rollup(df: DataFrame, time_col: str, bucket_seconds: int,
                       *group_cols,
                       *[F.col(a) for a in
                         (["count"] + ([f"avg_{agg_col}"] if agg_col else []))]))
+
+
+def stream_sessions(df: DataFrame, time_col: str, key_cols: list[str],
+                    gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Event-time session windows per key (built-in session_window —
+    state store managed, mergeable across micro-batches). A session
+    closes when no event arrives for `gap`; late rows beyond
+    `watermark` are dropped. Output: key..., session start/end (unix
+    seconds), event count."""
+    ts = F.col(time_col).cast("timestamp")
+    return (df.withColumn("__ts", ts)
+              .withWatermark("__ts", watermark)
+              .groupBy(F.session_window(F.col("__ts"), gap),
+                       *[F.col(c) for c in key_cols])
+              .agg(F.count(F.lit(1)).alias("count"))
+              .select(*key_cols,
+                      F.col("session_window.start").cast("long")
+                       .alias("session_start"),
+                      F.col("session_window.end").cast("long")
+                       .alias("session_end"),
+                      "count"))
+
+
+def stream_running_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Cumulative per-key event count across ALL micro-batches — a
+    custom stateful operator via applyInPandasWithState (the pattern
+    for state Spark's built-ins can't express: per-key accumulators,
+    custom eviction, model state, ...).
+
+    State is one long per key in the state store (checkpointed,
+    recoverable); each batch emits the key's updated total. Use
+    outputMode('update') on the sink."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"key": ["\x1f".join(map(str, key))],
+                            "total": [total]})
+
+    return (df.groupBy(*[F.col(c) for c in key_cols])
+              .applyInPandasWithState(update,
+                                      "key string, total long",
+                                      "total long",
+                                      "update",
+                                      GroupStateTimeout.NoTimeout))

@@ -69,3 +69,59 @@ def test_stream_rollup(spark, tmp_path):
     assert rows[(first, "a")]["count"] == 2
     assert rows[(first, "a")]["avg_ping"] == pytest.approx(15.0)
     assert rows[(first + 3600, "a")]["count"] == 1
+
+
+def test_stream_sessions(spark, tmp_path):
+    from sybil_spark.streaming.ingest_stream import stream_sessions
+    src = tmp_path / "sess-in"
+    src.mkdir()
+    t0 = 1_700_000_000
+    _write_batch(src, "b1.ndjson",
+                 [{"host": "a", "ping": 1, "time": t0},
+                  {"host": "a", "ping": 1, "time": t0 + 60},      # same session
+                  {"host": "a", "ping": 1, "time": t0 + 10_000},  # new session
+                  {"host": "b", "ping": 1, "time": t0}])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    sess = stream_sessions(stream, "time", ["host"], gap="30 minutes")
+    q = (sess.writeStream.format("memory").queryName("sess_test")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from sess_test").collect()
+    finally:
+        q.stop()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["a"]) == 2   # gap of 10000s > 30min splits
+    assert len(by_host["b"]) == 1
+    first_a = min(by_host["a"], key=lambda r: r["session_start"])
+    assert first_a["count"] == 2
+    assert first_a["session_end"] - first_a["session_start"] == 60 + 1800
+
+
+def test_stream_running_counts(spark, tmp_path):
+    from sybil_spark.streaming.ingest_stream import stream_running_counts
+    src = tmp_path / "state-in"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson",
+                 [{"host": "a", "ping": 1, "time": 1},
+                  {"host": "a", "ping": 2, "time": 2},
+                  {"host": "b", "ping": 3, "time": 3}])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    counts = stream_running_counts(stream, ["host"])
+    q = (counts.writeStream.format("memory").queryName("state_test")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson",
+                     [{"host": "a", "ping": 4, "time": 4}])
+        q.processAllAvailable()
+        rows = spark.sql("select * from state_test").collect()
+    finally:
+        q.stop()
+    # update mode appends one row per (batch, key): a→2, b→1, then a→3
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = max(latest.get(r["key"], 0), r["total"])
+    assert latest == {"a": 3, "b": 1}
