@@ -90,3 +90,42 @@ def test_count_reads_no_data_columns(events):
     q = Query.table(events).limit(None).execute(events.sparkSession)
     # plain COUNT should scan zero columns (parquet footer counts)
     assert I.scans_read_only(q, set()), I.scan_columns(q)
+
+
+def test_bucketed_join_has_zero_shuffles(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join with NO Exchange —
+    the write-time shuffle amortization (sources/bucketed.py)."""
+    from sybil_spark.sources.bucketed import write_bucketed
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 4,
+                   sort_cols=["o_custkey"], path=str(tmp_path / "bo"))
+    write_bucketed(cust, "b_cust", ["c_custkey"], 4,
+                   sort_cols=["c_custkey"], path=str(tmp_path / "bc"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("b_orders")
+             .join(spark.table("b_cust"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .select("o_orderkey", "c_name"))
+        assert I.shuffle_exchange_count(j) == 0, I.formatted_plan(j)
+        assert I.sort_merge_join_count(j) == 1
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists b_orders")
+        spark.sql("drop table if exists b_cust")
+
+
+def test_bucketed_groupby_has_zero_shuffles(spark, sf_dir, tmp_path):
+    from sybil_spark.sources.bucketed import write_bucketed
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(orders, "b_orders2", ["o_custkey"], 4,
+                   path=str(tmp_path / "bo2"))
+    try:
+        g = (spark.table("b_orders2").groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n")))
+        assert I.shuffle_exchange_count(g) == 0, I.formatted_plan(g)
+    finally:
+        spark.sql("drop table if exists b_orders2")
