@@ -634,6 +634,60 @@ def q_distinct_limit(spark, sf):  # nondeterministic (SURVEY.md §7.5)
 
 
 # ===========================================================================
+# 4b. Temporal joins (as-of / range) — operators Spark lacks natively
+# ===========================================================================
+
+@_q("asof_join", f"""
+    with l as (select event_id, user_id, time from {EV}
+               where event_type = 'purchase'),
+    r0 as (select user_id, time, max(event_id) as view_event
+           from {EV} where event_type = 'view' group by 1, 2)
+    select l.user_id, l.time, l.event_id,
+           r0.time as time_r, r0.view_event as view_event_r
+    from l asof left join r0
+      on l.user_id = r0.user_id and l.time >= r0.time""")
+def q_asof_join(spark, sf):
+    """For each purchase, the user's most recent prior view —
+    kdb-style as-of join as one window pass (operators/temporal.py),
+    oracle = DuckDB's native ASOF LEFT JOIN. Right side deduped per
+    (key, time) so tie-breaking is engine-independent."""
+    from sybil_spark.operators import temporal
+    ev = _events(spark, sf)
+    l = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", "time", "event_id"))
+    r = (ev.where(F.col("event_type") == "view")
+           .groupBy("user_id", "time")
+           .agg(F.max("event_id").alias("view_event")))
+    return temporal.asof_join(l, r, ["user_id"], "time", "time",
+                              right_cols=["view_event"])
+
+
+@_q("range_join", f"""
+    with p as (select event_id as purchase_id, user_id, time as pt
+               from {EV} where event_type = 'purchase'),
+    e as (select user_id, time as et from {EV} where event_type = 'error')
+    select p.purchase_id, count(*) as n_errors
+    from p join e on p.user_id = e.user_id
+                 and e.et >= p.pt - 3600 and e.et < p.pt
+    group by 1""")
+def q_range_join(spark, sf):
+    """Errors in the hour before each purchase — interval join
+    discretized into an equi-join (operators/temporal.py), oracle =
+    DuckDB's inequality join."""
+    from sybil_spark.operators import temporal
+    ev = _events(spark, sf)
+    points = (ev.where(F.col("event_type") == "error")
+                .select("user_id", F.col("time").alias("et")))
+    ivals = (ev.where(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("purchase_id"), "user_id",
+                       (F.col("time") - 3600).alias("start"),
+                       F.col("time").alias("end")))
+    j = temporal.range_join(points, "et", ivals, "start", "end",
+                            on=["user_id"], bucket=3600.0)
+    return j.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_errors"))
+
+
+# ===========================================================================
 # 5. Embedding dedup / IVF / multimodal
 # ===========================================================================
 
