@@ -270,10 +270,19 @@ class Query:
                     exprs.append(F.stddev_samp(c).alias(name))
             elif a.op == "percentile":
                 pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
+                # approx=True is the scale path: a mergeable quantile
+                # sketch (reference's optional t-digest build,
+                # src/lib/hist_tdigest.go:1-130) instead of the exact
+                # full-sort percentile; accuracy trades memory
+                approx = a.params.get("approx", False)
+                acc = a.params.get("accuracy", 10000)
                 for p in pcts:
-                    exprs.append(F.expr(
-                        f"percentile({a.col}, {p!r})"
-                    ).alias(a.alias or f"p{int(p * 100)}_{a.col}"))
+                    if approx:
+                        e = F.percentile_approx(a.col, p, acc)
+                    else:
+                        e = F.expr(f"percentile({a.col}, {p!r})")
+                    exprs.append(
+                        e.alias(a.alias or f"p{int(p * 100)}_{a.col}"))
             elif a.op == "distinct":
                 cols = a.params.get("cols") or a.col.split(",")
                 if a.params.get("approx"):

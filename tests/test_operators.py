@@ -211,3 +211,17 @@ def test_ivf_assign_deterministic(spark, emb):
         .select("vec_id", "cluster").collect()
     assert sorted(a1) == sorted(a2)
     assert {r["cluster"] for r in a1} <= set(range(8))
+
+
+def test_salted_join_equals_plain(spark):
+    from sybil_spark.operators._util import salted_join
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [Row(k="hot" if i % 10 else f"t{i}", v=i) for i in range(500)])
+    small = spark.createDataFrame(
+        [Row(k="hot", w=1), Row(k="t10", w=2), Row(k="zz", w=3)])
+    got = sorted((r["k"], r["v"], r["w"]) for r in
+                 salted_join(big, small, ["k"], salts=8).collect())
+    want = sorted((r["k"], r["v"], r["w"]) for r in
+                  big.join(small, "k").collect())
+    assert got == want and len(got) > 400

@@ -172,3 +172,17 @@ def test_distinct(spark, df):
     approx = (Query.table(df).distinct_cols("age_str", approx=True)
               .limit(None).execute(spark).collect()[0])
     assert abs(approx["distinct"] - 20) <= 2
+
+
+def test_percentile_approx_close_to_exact(spark, df):
+    exact = (Query.table(df).group_by("age_str")
+             .agg("age", "percentile", percentiles=[0.5])
+             .limit(None).execute(spark).collect())
+    approx = (Query.table(df).group_by("age_str")
+              .agg("age", "percentile", percentiles=[0.5], approx=True)
+              .limit(None).execute(spark).collect())
+    e = {r["age_str"]: r["p50_age"] for r in exact}
+    a = {r["age_str"]: r["p50_age"] for r in approx}
+    assert e.keys() == a.keys()
+    for k in e:
+        assert a[k] == pytest.approx(e[k], rel=0.05)
