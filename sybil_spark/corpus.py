@@ -350,6 +350,65 @@ def q_tpch_q3(spark, sf):
              .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10))
 
 
+@_q("tpch_q5", f"""
+    select n.n_name,
+           {_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} as revenue
+    from customer c
+    join orders o   on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+                   and c.c_nationkey = s.s_nationkey
+    join nation n   on s.s_nationkey = n.n_nationkey
+    join region r   on n.n_regionkey = r.r_regionkey
+    where r.r_name = 'ASIA'
+      and o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+      and o.o_orderdate <  timestamp '1998-01-01 00:00:00'
+    group by 1""")
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape: the two fact tables co-shuffle on orderkey
+    once; every dimension (supplier/customer-nation/region) joins by
+    broadcast, so the 6-table query pays exactly two shuffles (join +
+    final agg) regardless of fact size."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00"))))
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+                 & (c.c_nationkey == s.s_nationkey))
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (j.groupBy("n_name")
+             .agg(F.sum(rev.cast(_DEC)).cast("double").alias("revenue")))
+
+
+@_q("tpch_q6", f"""
+    select {_dsum('l_extendedprice * l_discount')} as revenue
+    from lineitem
+    where l_shipdate >= timestamp '1996-01-01 00:00:00'
+      and l_shipdate <  timestamp '1997-01-01 00:00:00'
+      and l_discount between 0.02 and 0.04
+      and l_quantity < 24.0""")
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6: pure pushed-filter scan + global agg — every
+    predicate reaches the parquet reader (asserted in test_plans
+    style via PushedFilters)."""
+    li = _t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24.0))
+        .agg(F.sum(rev.cast(_DEC)).cast("double").alias("revenue")))
+
+
 @_q("join_geo", f"""
     select r.r_name, count(*) as count,
            {_dsum('c.c_acctbal')} as sum_acctbal

@@ -129,3 +129,22 @@ def test_bucketed_groupby_has_zero_shuffles(spark, sf_dir, tmp_path):
         assert I.shuffle_exchange_count(g) == 0, I.formatted_plan(g)
     finally:
         spark.sql("drop table if exists b_orders2")
+
+
+def test_tpch_q5_broadcasts_dims_two_shuffles(spark, sf_dir):
+    """6-table join: dims broadcast, facts co-shuffle once, one agg
+    shuffle — the plan that survives a 100x fact scale-up."""
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["tpch_q5"](spark, sf_dir)
+    assert I.broadcast_join_count(q) >= 4, I.formatted_plan(q)
+    assert I.shuffle_exchange_count(q) <= 2, I.formatted_plan(q)
+
+
+def test_tpch_q6_filters_all_pushed(spark, sf_dir):
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["tpch_q6"](spark, sf_dir)
+    pushed = " ".join(I.pushed_filters(q))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert I.scans_read_only(
+        q, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"})
