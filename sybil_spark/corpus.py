@@ -48,18 +48,31 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+def _conf(spark: SparkSession) -> None:
+    """Session settings the corpus depends on, applied defensively
+    because the driver verifies with its OWN vanilla session (all are
+    runtime-settable): nanosAsLong for the events table's
+    TIMESTAMP(NANOS), and UTC so date_format/timestamp-literal
+    results match the timezone-naive DuckDB oracle regardless of the
+    host timezone."""
+    for k, v in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS); we read it as a long of
-    # nanoseconds (session.py sets nanosAsLong) and derive unix seconds.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # nanoseconds and derive unix seconds.
+    _conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("time", F.expr(f"ts div {NS}"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
