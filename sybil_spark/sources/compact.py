@@ -107,6 +107,63 @@ def _file_time_stats(path: str, time_col: str) -> tuple[int | None, int | None]:
     return mn, mx
 
 
+def compact_blocks(spark: SparkSession, table: Table,
+                   time_col: str | None = None,
+                   chunk_size: int = CHUNK_SIZE,
+                   small_fraction: float = 0.5) -> int:
+    """Rewrite undersized blocks into full ones (the reference tops up
+    the last partial block on every digest — FillPartialBlock,
+    src/lib/table_block_io.go:48-107; here it is a periodic job so
+    digest stays append-only and cheap).
+
+    Files with fewer than `small_fraction * chunk_size` rows (parquet
+    footer metadata only — no scan) are staged out of the block dir,
+    re-read, re-sorted by time, and rewritten as full chunks. Single
+    writer assumed, like every lifecycle job here (the reference
+    serializes with lock files, src/lib/table_lock.go). Crash safety
+    mirrors the reference's stomache protocol: smalls move to a stage
+    dir first, so a crash loses nothing — the stage dir is re-read by
+    the next compaction (or digest recovery), never half-deleted in
+    place. Returns rows rewritten."""
+    import pyarrow.parquet as pq
+    if not os.path.exists(table.blocks_path):
+        return 0
+    meta = table.load_meta()
+    time_col = time_col or meta.time_col
+    smalls = []
+    for f in sorted(os.listdir(table.blocks_path)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(table.blocks_path, f)
+        try:
+            nrows = pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            continue
+        if nrows < chunk_size * small_fraction:
+            smalls.append(p)
+    if len(smalls) < 2:
+        return 0
+    stage = os.path.join(table.path, f"stomache-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    for p in smalls:
+        os.rename(p, os.path.join(stage, os.path.basename(p)))
+    df = spark.read.option("mergeSchema", "true").parquet(stage)
+    n = df.count()
+    npart = max(1, -(-n // chunk_size))
+    if time_col and time_col in df.columns:
+        df = (df.repartitionByRange(npart, F.col(time_col))
+                .sortWithinPartitions(time_col))
+    else:
+        df = df.repartition(npart)
+    (df.write.mode("append")
+       .option("maxRecordsPerFile", chunk_size)
+       .parquet(table.blocks_path))
+    shutil.rmtree(stage)
+    meta.updated_at = _time.time()
+    table.save_meta(meta)
+    return n
+
+
 def trim(table: Table, time_col: str | None = None,
          before: int | None = None, size_budget_mb: int | None = None,
          delete: bool = False) -> list[str]:

@@ -156,3 +156,37 @@ def test_csv_ingest(spark, db, tmp_path):
     rows = {r["name"]: r["score"]
             for r in spark.read.parquet(t.ingest_path).collect()}
     assert rows == {"alice": 10, "bob": 20}  # float→long reference rule
+
+
+def test_compact_blocks_merges_smalls(spark, db, tmp_path):
+    """Many small digests → many partial blocks; compact_blocks
+    rewrites them into full chunks without changing query results
+    (reference FillPartialBlock, table_block_io.go:48-107)."""
+    import pyarrow.parquet as pq
+    t = Table(db, "compacting")
+    # five separate digests of 40 rows each → >= 5 tiny block files
+    for b in range(5):
+        recs = [{"host": f"h{i % 3}", "ping": i,
+                 "time": 1_700_000_000 + b * 1000 + i} for i in range(40)]
+        ingest.ingest_json(
+            spark, _write_ndjson(tmp_path / f"c{b}.ndjson", recs), t,
+            time_col="time")
+        compact.digest(spark, t, time_col="time", chunk_size=128)
+    files = [f for f in os.listdir(t.blocks_path) if f.endswith(".parquet")]
+    assert len(files) >= 5
+    before = sorted(map(str, t.read(spark).collect()))
+
+    n = compact.compact_blocks(spark, t, time_col="time", chunk_size=128)
+    assert n == 200
+    after_files = [os.path.join(t.blocks_path, f)
+                   for f in os.listdir(t.blocks_path)
+                   if f.endswith(".parquet")]
+    assert len(after_files) < len(files)
+    # ceil(200/128)=2 near-balanced time-range files, each <= chunk
+    sizes = sorted(pq.ParquetFile(p).metadata.num_rows
+                   for p in after_files)
+    assert sum(sizes) == 200 and len(sizes) == 2 and sizes[-1] <= 128
+    assert sorted(map(str, t.read(spark).collect())) == before
+    # idempotent on balanced output: both files >= half-chunk already
+    assert compact.compact_blocks(spark, t, time_col="time",
+                                  chunk_size=128) == 0
