@@ -225,3 +225,12 @@ def test_salted_join_equals_plain(spark):
     want = sorted((r["k"], r["v"], r["w"]) for r in
                   big.join(small, "k").collect())
     assert got == want and len(got) > 400
+
+
+def test_ivf_assign_batch_matches_jvm(spark, emb):
+    cents = similarity.ivf_centroids(emb, "embedding", "vec_id", nlist=8)
+    jvm = {r["vec_id"]: r["cluster"] for r in
+           similarity.ivf_assign(emb, "embedding", cents).collect()}
+    arr = {r["vec_id"]: r["cluster"] for r in
+           similarity.ivf_assign_batch(emb, "embedding", cents).collect()}
+    assert jvm == arr
