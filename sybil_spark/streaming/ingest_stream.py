@@ -121,3 +121,40 @@ def stream_running_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
                                       "total long",
                                       "update",
                                       GroupStateTimeout.NoTimeout))
+
+
+def stream_rollup_partials(df: DataFrame, rollup_path: str,
+                           time_col: str, bucket_s: int,
+                           group_cols: list[str], num_cols: list[str],
+                           distinct_cols: list[str] | None = None,
+                           checkpoint: str | None = None) -> StreamingQuery:
+    """Continuously maintain a materialized rollup (sources/rollup.py)
+    from a stream: every micro-batch aggregates to mergeable partials
+    (decimal sums, min/max, HLL sketches) and APPENDS them — no
+    read-modify-write, no state store growth. serve() re-merges
+    overlapping partials on read, and compact_rollup() (or a
+    periodic batch re-build) folds them together when the partial
+    count grows. Exactness: appends of mergeable partials commute,
+    so a served result equals the one-shot batch rollup bit-for-bit
+    (decimal sums are associative) — asserted in tests.
+
+    This is the incremental materialized view the reference
+    approximates with its per-block query cache
+    (src/lib/query_cache.go) — but maintainable under continuous
+    ingest and mergeable across any grouping of batches."""
+    from sybil_spark.sources.rollup import build_rollup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (build_rollup(batch_df, time_col, bucket_s, group_cols, num_cols,
+                      distinct_cols)
+         .withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
+         .write.mode("append").partitionBy("__day").parquet(rollup_path))
+
+    return (df.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or rollup_path + "_checkpoint")
+            .outputMode("append")
+            .start())

@@ -153,3 +153,16 @@ def table_info(spark: SparkSession, db_dir: str, name: str) -> dict:
         "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
         "key_types": meta.key_types,
     }
+
+
+def register_views(spark: SparkSession, db_dir: str,
+                   read_log: bool = False) -> list[str]:
+    """Expose every table in `db_dir` as a temp view so plain
+    `spark.sql` works beside the Query builder (the reference has no
+    SQL surface at all — this is free on Spark and listed as an
+    extension in SURVEY.md §7). Returns the view names."""
+    names = list_tables(db_dir)
+    for name in names:
+        Table(db_dir, name).read(spark, read_log=read_log) \
+            .createOrReplaceTempView(name)
+    return names

@@ -190,3 +190,19 @@ def test_compact_blocks_merges_smalls(spark, db, tmp_path):
     # idempotent on balanced output: both files >= half-chunk already
     assert compact.compact_blocks(spark, t, time_col="time",
                                   chunk_size=128) == 0
+
+
+def test_register_views_sql(spark, db, tmp_path):
+    from sybil_spark.table import register_views
+    recs = [{"host": f"h{i % 2}", "ping": i, "time": 1_700_000_000 + i}
+            for i in range(20)]
+    t = Table(db, "sqlable")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "sq.ndjson", recs), t,
+                       time_col="time")
+    compact.digest(spark, t, time_col="time")
+    names = register_views(spark, db)
+    assert "sqlable" in names
+    rows = spark.sql(
+        "select host, count(*) n, avg(ping) a from sqlable group by host"
+    ).collect()
+    assert {r["host"]: r["n"] for r in rows} == {"h0": 10, "h1": 10}

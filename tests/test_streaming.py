@@ -125,3 +125,44 @@ def test_stream_running_counts(spark, tmp_path):
     for r in rows:
         latest[r["key"]] = max(latest.get(r["key"], 0), r["total"])
     assert latest == {"a": 3, "b": 1}
+
+
+def test_stream_rollup_partials_equal_batch_rollup(spark, tmp_path):
+    """Incremental rollup partials appended per micro-batch must
+    serve the same answer as a one-shot batch rollup — bit-for-bit
+    (mergeable decimal partials commute)."""
+    from sybil_spark.sources import rollup as R
+    from sybil_spark.streaming.ingest_stream import stream_rollup_partials
+    src = tmp_path / "rp-in"
+    src.mkdir()
+    roll_path = str(tmp_path / "roll")
+    b1 = [{"host": f"h{i % 2}", "ping": 10 + i, "time": 1_700_000_000 + i * 30}
+          for i in range(40)]
+    b2 = [{"host": f"h{i % 2}", "ping": 50 + i, "time": 1_700_000_000 + i * 45}
+          for i in range(30)]
+    _write_batch(src, "b1.ndjson", b1)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = stream_rollup_partials(stream, roll_path, "time", 60, ["host"],
+                               ["ping"], distinct_cols=["host"])
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pyspark.sql import Row
+    batch_df = spark.createDataFrame([Row(**r) for r in b1 + b2])
+    want = {r["host"]: r for r in
+            R.serve(R.build_rollup(batch_df, "time", 60, ["host"], ["ping"],
+                                   ["host"]),
+                    ["host"], ["ping"], distinct=True).collect()}
+    got = {r["host"]: r for r in
+           R.serve(R.read_rollup(spark, roll_path),
+                   ["host"], ["ping"], distinct=True).collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k]["count"] == want[k]["count"]
+        assert got[k]["avg_ping"] == want[k]["avg_ping"]   # bit-exact
+        assert got[k]["min_ping"] == want[k]["min_ping"]
+        assert got[k]["distinct"] == want[k]["distinct"]
