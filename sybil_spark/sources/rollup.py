@@ -182,3 +182,48 @@ def percentiles_from_hist(served: DataFrame, hist_col: str, width: float,
         out = out.withColumn(f"p{int(p * 100)}",
                              scanned["ans"].cast("double") * F.lit(width))
     return out
+
+
+def merge_partials(roll: DataFrame, group_cols: list[str],
+                   num_cols: list[str], distinct: bool = False,
+                   hist_cols: list[str] | None = None) -> DataFrame:
+    """Fold overlapping partial rows to one row per (tbucket, group),
+    PRESERVING mergeability (sums stay sums, sketches stay sketches —
+    unlike serve(), which finalizes). Used by compact_rollup after
+    many incremental appends."""
+    aggs: list[Column] = [F.sum("samples").alias("samples")]
+    for c in num_cols:
+        aggs += [F.sum(f"{c}__sum").alias(f"{c}__sum"),
+                 F.sum(f"{c}__sumsq").alias(f"{c}__sumsq"),
+                 F.min(f"{c}__min").alias(f"{c}__min"),
+                 F.max(f"{c}__max").alias(f"{c}__max"),
+                 F.sum(f"{c}__n").alias(f"{c}__n")]
+    if distinct:
+        aggs.append(F.hll_union_agg("distinct__hll").alias("distinct__hll"))
+    for c in (hist_cols or []):
+        aggs.append(_merge_hist_maps(f"{c}__hist").alias(f"{c}__hist"))
+    return roll.groupBy("tbucket", *group_cols).agg(*aggs)
+
+
+def compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
+                   num_cols: list[str], distinct: bool = False,
+                   hist_cols: list[str] | None = None) -> int:
+    """Rewrite an incrementally-appended rollup dir so each
+    (tbucket, group) holds a single partial row again. Staged like
+    every lifecycle job (write new, swap dirs) — readers of the old
+    path see a consistent snapshot either way. Returns rows after
+    compaction."""
+    import os
+    import shutil
+    import uuid
+
+    merged = merge_partials(read_rollup(spark, path), group_cols,
+                            num_cols, distinct, hist_cols)
+    tmp = f"{path}__compact-{uuid.uuid4().hex[:8]}"
+    write_rollup(merged, tmp)
+    n = spark.read.parquet(tmp).count()
+    old = f"{path}__old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

@@ -132,3 +132,35 @@ def test_parquet_round_trip(spark, roll, tmp_path):
                 distinct=True).collect()
     key = lambda r: r["event_type"]  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_compact_rollup_preserves_serve(spark, events, tmp_path):
+    """Append two half-builds to disk, compact to one partial per
+    key, and serving before == after, bit-for-bit."""
+    path = str(tmp_path / "increments")
+    # split by row parity (NOT by time) so the same (tbucket, group)
+    # keys appear in both increments and compaction has work to do
+    for part in (events.where(F.col("event_id") % 2 == 0),
+                 events.where(F.col("event_id") % 2 == 1)):
+        # day-sized buckets: sf0.001 events are ~1 row per minute, so
+        # 60 s buckets would never overlap between the two increments
+        (R.build_rollup(part, "time", 86_400, ["event_type"], ["value"],
+                        ["user_id"])
+         .withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
+         .write.mode("append").partitionBy("__day").parquet(path))
+
+    before = {r["event_type"]: r for r in
+              R.serve(R.read_rollup(spark, path), ["event_type"], ["value"],
+                      distinct=True).collect()}
+    n_rows_pre = spark.read.parquet(path).count()
+    n = R.compact_rollup(spark, path, ["event_type"], ["value"],
+                         distinct=True)
+    assert n < n_rows_pre   # overlapping buckets folded
+    after = {r["event_type"]: r for r in
+             R.serve(R.read_rollup(spark, path), ["event_type"], ["value"],
+                     distinct=True).collect()}
+    assert before.keys() == after.keys()
+    for k in before:
+        assert after[k]["count"] == before[k]["count"]
+        assert after[k]["avg_value"] == before[k]["avg_value"]
+        assert after[k]["distinct"] == before[k]["distinct"]
