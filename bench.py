@@ -31,7 +31,8 @@ HEADLINE = [
     "dedup_exact", "minhash_lsh", "simhash_dup", "ngram_jaccard",
     "ann_topk", "ann_pairs_topk", "ivf_topk", "embedding_dup",
     "text_stats", "lang_id", "token_freq", "loghist",
-    "rollup_serve", "media_meta",
+    "rollup_serve", "media_meta", "asof_join", "range_join",
+    "sessionize", "topk_per_group",
 ]
 
 

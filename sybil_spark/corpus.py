@@ -705,6 +705,54 @@ def q_distinct_limit(spark, sf):  # nondeterministic (SURVEY.md §7.5)
             .distinct_values(spark, ["user_id"], limit=10))
 
 
+@_q("topk_per_group", f"""
+    select event_type, user_id, n, rk from (
+      select event_type, user_id, n,
+             row_number() over (partition by event_type
+                                order by n desc, user_id asc) as rk
+      from (select event_type, user_id, count(*) as n
+            from {EV} group by 1, 2))
+    where rk <= 3""")
+def q_topk_per_group(spark, sf):
+    """Top-3 most active users per event type — rank window over a
+    grouped count. The window shuffle is on event_type only; the
+    heavy count is a normal partial-aggregated groupBy first."""
+    from pyspark.sql import Window
+    counts = (_events(spark, sf).groupBy("event_type", "user_id")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.desc("n"), F.asc("user_id")))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("event_type", "user_id", "n", "rk"))
+
+
+@_q("sessionize", f"""
+    with e as (select user_id, time, event_id,
+                      case when time - lag(time) over
+                           (partition by user_id order by time, event_id)
+                           > 1800 or lag(time) over
+                           (partition by user_id order by time, event_id)
+                           is null then 1 else 0 end as new_sess
+               from {EV}),
+    s as (select user_id, time,
+                 sum(new_sess) over (partition by user_id
+                                     order by time, event_id
+                                     rows unbounded preceding) as sess
+          from e)
+    select user_id, sess, count(*) as n_events,
+           min(time) as session_start, max(time) as session_end
+    from s group by 1, 2""")
+def q_sessionize(spark, sf):
+    """Batch sessionization (gap = 30 min) — the batch twin of
+    streaming/stream_sessions: lag-window new-session flags, running
+    sum for session ids, group. Two windows + one agg, all
+    partitioned by user (one shuffle, AQE balances skew)."""
+    from sybil_spark.operators.temporal import sessionize
+    return sessionize(_events(spark, sf), "user_id", "time", gap_s=1800,
+                      tiebreak="event_id")
+
+
 # ===========================================================================
 # 4b. Temporal joins (as-of / range) — operators Spark lacks natively
 # ===========================================================================

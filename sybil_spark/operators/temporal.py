@@ -107,3 +107,34 @@ def range_join(points: DataFrame, point_col: str,
     return (joined.where((F.col(point_col) >= F.col(start_col))
                          & (F.col(point_col) < F.col(end_col)))
                   .drop("__b"))
+
+
+def sessionize(df: DataFrame, key_col: str, time_col: str,
+               gap_s: int = 1800, tiebreak: str | None = None) -> DataFrame:
+    """Gap-based sessions per key (batch twin of
+    streaming.stream_sessions): a session breaks when the time since
+    the previous event exceeds `gap_s`.
+
+    Plan: one hash shuffle on the key; within each partition a lag
+    window flags session starts and a running sum numbers them —
+    both windows share the same partitioning/ordering so Catalyst
+    runs them in a single Window node chain without extra exchanges.
+    `tiebreak` orders same-timestamp events deterministically.
+
+    Output: key, sess (1-based per key), n_events,
+    session_start/session_end (inclusive event times)."""
+    order = [F.col(time_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w_lag = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(time_col).over(w_lag)
+    flagged = df.withColumn(
+        "__new", F.when(prev.isNull()
+                        | ((F.col(time_col) - prev) > gap_s), 1).otherwise(0))
+    w_run = (Window.partitionBy(key_col).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = flagged.withColumn("sess", F.sum("__new").over(w_run))
+    return (sess.groupBy(key_col, "sess")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min(time_col).alias("session_start"),
+                     F.max(time_col).alias("session_end")))

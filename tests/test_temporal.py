@@ -73,3 +73,17 @@ def test_range_join_matches_naive(spark):
                    .where((F.col("t") >= F.col("s"))
                           & (F.col("t") < F.col("e"))).collect()}
     assert got == naive and len(got) > 0
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [Row(u="a", t=0, i=0), Row(u="a", t=1800, i=1),   # gap == 1800 stays
+            Row(u="a", t=3601, i=2),                          # > 1800 breaks
+            Row(u="b", t=0, i=3)]
+    out = {(r["u"], r["sess"]): r for r in
+           temporal.sessionize(spark.createDataFrame(rows), "u", "t",
+                               gap_s=1800, tiebreak="i").collect()}
+    assert out[("a", 1)]["n_events"] == 2
+    assert out[("a", 1)]["session_end"] == 1800
+    assert out[("a", 2)]["n_events"] == 1
+    assert out[("a", 2)]["session_start"] == 3601
+    assert out[("b", 1)]["n_events"] == 1
