@@ -495,6 +495,26 @@ def q_ngram_jaccard(spark, sf):
                                "doc_id", "text", shingle_n=3, threshold=0.1)
 
 
+@_q("dedup_clusters", """
+    select d.doc_id from documents d
+    where d.doc_id = (select min(doc_id) from documents x
+                      where x.text = d.text)
+    order by d.doc_id""")
+def q_dedup_clusters(spark, sf):
+    """Pairs → connected components → keeper per cluster
+    (dedup.components, iterative min-label propagation): feed exact
+    same-text pairs so the transitive closure is oracle-checkable —
+    survivors must be exactly the min doc_id of every text group."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = (a.join(b, (F.col("ta") == F.col("tb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    return (dedup.keep_cluster_representatives(d, "doc_id", pairs)
+            .select("doc_id").orderBy("doc_id"))
+
+
 @_q("minhash_lsh")  # no oracle: hash-family specific; verified in tests
 def q_minhash_lsh(spark, sf):
     cands = dedup.minhash_lsh_candidates(

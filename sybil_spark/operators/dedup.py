@@ -306,3 +306,65 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                  .select("id_a", "id_b",
                          cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
                  .where(F.col("cos") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over (id_a, id_b) candidate pairs:
+    returns (id, rep) where rep = min id reachable — the canonical
+    keeper of each duplicate cluster.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels (one
+    equi-join + one groupBy = two shuffles per round), stopping when
+    a round changes nothing. Rounds needed = graph diameter; near-dup
+    graphs are unions of small cliques, so 2-3 rounds in practice —
+    this is the GraphX/GraphFrames CC algorithm without the GraphX
+    dependency. Label frames are cached per round and the loop's
+    convergence check is a cheap count, not a collect of labels."""
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct().localCheckpoint())
+    # localCheckpoint (not cache): iterative plans grow exponentially
+    # in lineage — round N's plan embeds round N-1's twice (join +
+    # convergence check). Checkpointing truncates the lineage each
+    # round so the analyzer/optimizer see a flat scan, which is what
+    # keeps round time CONSTANT as iterations accumulate.
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("rep", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        # min label among neighbors, per node
+        nbr = (edges.join(labels.withColumnRenamed("id", "dst")
+                                .withColumnRenamed("rep", "nrep"), "dst")
+               .groupBy("src").agg(F.min("nrep").alias("nbr_rep"))
+               .withColumnRenamed("src", "id"))
+        new_labels = (labels.join(nbr, "id", "left")
+                      .select("id", F.least(
+                          F.col("rep"),
+                          F.coalesce(F.col("nbr_rep"), F.col("rep")))
+                          .alias("rep")).localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.rep") != F.col("o.rep")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_cluster_representatives(df: DataFrame, id_col: str,
+                                 pairs: DataFrame) -> DataFrame:
+    """Drop all but the min-id member of every duplicate cluster
+    implied by `pairs` (transitively: if a~b and b~c, only min(a,b,c)
+    survives even when a~c was never emitted as a candidate). Rows
+    not in any pair pass through untouched — an anti-join on the
+    non-representative ids, so the wide rows never shuffle."""
+    labels = components(pairs)
+    losers = labels.where(F.col("id") != F.col("rep")) \
+                   .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -234,3 +234,44 @@ def test_ivf_assign_batch_matches_jvm(spark, emb):
     arr = {r["vec_id"]: r["cluster"] for r in
            similarity.ivf_assign_batch(emb, "embedding", cents).collect()}
     assert jvm == arr
+
+
+def test_components_transitive(spark):
+    # chain 1-2-3, pair 10-11, isolated nodes absent from output
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)])
+    got = {r["id"]: r["rep"] for r in dedup.components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_keep_cluster_representatives(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=f"d{i}")
+                                for i in range(6)])
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=4), Row(id_a=4, id_b=5), Row(id_a=2, id_b=3)])
+    kept = sorted(r["doc_id"] for r in
+                  dedup.keep_cluster_representatives(df, "doc_id",
+                                                     pairs).collect())
+    assert kept == [0, 1, 2]   # clusters {0,4,5}->0, {2,3}->2, singleton 1
+
+
+def test_components_match_union_find(spark, docs):
+    """CC over real simhash candidates equals a driver-side
+    union-find on the same pairs."""
+    pairs = dedup.simhash_candidates(docs, "doc_id", "text") \
+                 .select("id_a", "id_b")
+    labels = {r["id"]: r["rep"] for r in dedup.components(pairs).collect()}
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert labels == want
