@@ -28,7 +28,7 @@ HEADLINE = [
     "regex_avg", "group2_avg", "time_group_avg_limit",
     "percentiles", "weighted_count",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "join_geo",
-    "dedup_exact", "minhash_lsh", "simhash_dup", "ngram_jaccard",
+    "dedup_exact", "dedup_clusters", "minhash_lsh", "simhash_dup", "ngram_jaccard",
     "ann_topk", "ann_pairs_topk", "ivf_topk", "embedding_dup",
     "text_stats", "lang_id", "token_freq", "loghist",
     "rollup_serve", "media_meta", "asof_join", "range_join",

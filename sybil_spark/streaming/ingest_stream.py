@@ -158,3 +158,20 @@ def stream_rollup_partials(df: DataFrame, rollup_path: str,
                     checkpoint or rollup_path + "_checkpoint")
             .outputMode("append")
             .start())
+
+
+def stream_dedup(df: DataFrame, key_cols: list[str], time_col: str,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: emit only the first event per key,
+    with state bounded by the watermark
+    (dropDuplicatesWithinWatermark — duplicates arriving within the
+    watermark window are suppressed; state for keys older than the
+    watermark is evicted, so memory is O(keys per window), not
+    O(all keys ever)). The batch engine's exact_keep_first covers
+    full-history dedup; this is the continuous-ingest guard against
+    e.g. at-least-once upstream delivery."""
+    ts = F.col(time_col).cast("timestamp")
+    return (df.withColumn("__ts", ts)
+              .withWatermark("__ts", watermark)
+              .dropDuplicatesWithinWatermark(key_cols)
+              .drop("__ts"))

@@ -166,3 +166,29 @@ def test_stream_rollup_partials_equal_batch_rollup(spark, tmp_path):
         assert got[k]["avg_ping"] == want[k]["avg_ping"]   # bit-exact
         assert got[k]["min_ping"] == want[k]["min_ping"]
         assert got[k]["distinct"] == want[k]["distinct"]
+
+
+def test_stream_dedup(spark, tmp_path):
+    from sybil_spark.streaming.ingest_stream import stream_dedup
+    src = tmp_path / "dd-in"
+    src.mkdir()
+    t0 = 1_700_000_000
+    _write_batch(src, "b1.ndjson",
+                 [{"host": "a", "ping": 1, "time": t0},
+                  {"host": "a", "ping": 2, "time": t0 + 10},  # dup key 'a'
+                  {"host": "b", "ping": 3, "time": t0}])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    deduped = stream_dedup(stream, ["host"], "time")
+    q = (deduped.writeStream.format("memory").queryName("dd_test")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson",
+                     [{"host": "a", "ping": 4, "time": t0 + 20},  # still dup
+                      {"host": "c", "ping": 5, "time": t0}])
+        q.processAllAvailable()
+        rows = spark.sql("select * from dd_test").collect()
+    finally:
+        q.stop()
+    hosts = sorted(r["host"] for r in rows)
+    assert hosts == ["a", "b", "c"]   # one row per key within watermark
