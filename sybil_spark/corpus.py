@@ -625,6 +625,34 @@ def q_lang_id(spark, sf):
              .agg(F.count(F.lit(1)).alias("count")))
 
 
+@_q("repetition", """
+    with g as (select lang,
+                      list_transform(generate_series(1,
+                          len(string_split(text, ' ')) - 2),
+                          i -> string_split(text, ' ')[i] || ' '
+                               || string_split(text, ' ')[i+1] || ' '
+                               || string_split(text, ' ')[i+2]) as ng
+               from documents),
+    r as (select lang,
+                 1.0 - cast(len(list_distinct(ng)) as double)
+                       / cast(len(ng) as double) as rep
+          from g)
+    select lang, count(*) as count,
+           cast(sum(cast(rep as decimal(38,6))) as double)
+             / count(rep) as avg_repetition
+    from r group by 1""")
+def q_repetition(spark, sf):
+    """Average n-gram repetition ratio per language — the
+    boilerplate/keyword-stuffing quality signal
+    (functions/text.repetition_ratio)."""
+    d = _t(spark, sf, "documents")
+    rep = T.repetition_ratio(F.col("text")).alias("rep")
+    return (d.select("lang", rep).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("count"),
+                 (F.sum(F.col("rep").cast(_DEC)).cast("double")
+                  / F.count("rep")).alias("avg_repetition")))
+
+
 @_q("fingerprint", """
     select substr(md5(text), 1, 2) as fp, count(*) as count
     from documents group by 1""")

@@ -77,11 +77,27 @@ def fingerprint(col: Column, nibbles: int = 8) -> Column:
     return F.substring(F.md5(col), 1, nibbles)
 
 
+def ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string>, duplicates kept (one entry
+    per position). Documents shorter than n words yield a single
+    whole-text n-gram."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; distinct set.
     Documents shorter than n words yield a single whole-text shingle."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    joined = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
-    return F.array_distinct(joined)
+    return F.array_distinct(ngrams(col, n))
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """1 - distinct_ngrams/total_ngrams in [0, 1): 0 = no repeated
+    n-gram, -> 1 = the document repeats itself. The cheap scan-time
+    repetition signal training-data pipelines filter on (boilerplate,
+    keyword stuffing, decoding loops)."""
+    g = ngrams(col, n)
+    return (F.lit(1.0) - F.size(F.array_distinct(g)).cast("double")
+            / F.size(g).cast("double"))
