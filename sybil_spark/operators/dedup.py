@@ -72,19 +72,52 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>): MinHash signature over word-shingles.
 
-    Perf-critical design: the shingle string is hashed ONCE
-    (xxhash64 → 31-bit), then the hash family is the universal
-    (a_i·h + b_i) mod (2^31-1) — 64 multiply-adds per shingle instead
-    of 64 string hashes, all flat codegen'd aggregate expressions
-    (nested array higher-order functions are interpreted in Spark and
-    were ~50× slower). Arithmetic stays < 2^62 so ANSI mode never
-    overflows. One explode + one partial-aggregated groupBy: the
-    shuffle carries (id, 64×long), independent of document size."""
-    sh = spread(df).select(
+    Perf-critical design — every stage stays in whole-stage codegen:
+
+    1. shingle hashes come from token hashes, not shingle strings:
+       split → posexplode → xxhash64 per token (all codegen), then a
+       window lead stitches n consecutive token hashes into one
+       multi-column xxhash64. No interpreted higher-order function
+       ever builds a shingle string (transform/element_at lambdas are
+       interpreted row-by-row and dominated the old profile).
+    2. the hash family is universal (a_i·h + b_i) mod (2^31-1) — 64
+       multiply-adds per shingle instead of 64 string hashes, as flat
+       codegen'd aggregate expressions. Arithmetic stays < 2^62 so
+       ANSI mode never overflows.
+    3. the window partitions by id and the final groupBy groups by id
+       — Catalyst reuses the hash partitioning, so the whole job is
+       ONE shuffle carrying (id, token hash), and the output shuffle
+       is (id, 64×long), independent of document size.
+
+    Min over a multiset equals min over the set, so positional
+    (non-distinct) shingles leave the signature unchanged. Documents
+    shorter than n tokens keep one row (pos 0) with sentinel-padded
+    lead hashes — they still get a stable signature."""
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
-    base = sh.select(
-        "id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE31)).alias("h"))
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    # explicit partition count: the rows are narrow (~24 B) so AQE
+    # would coalesce the window shuffle to 1-2 partitions and
+    # serialize the CPU-heavy window + 64-min aggregation; a
+    # user-specified numPartitions is exempt from AQE coalescing, and
+    # both the window and the final groupBy reuse this partitioning
+    # (still exactly one shuffle end-to-end)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    th = (toks.repartition(npart, "id")
+          .select("id", "pos", F.xxhash64("tok").alias("h0")))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("h0", j).over(w).alias(f"h{j}")
+             for j in range(1, shingle_n)]
+    stitched = th.select("id", "pos", "h0", *leads)
+    last = F.col(f"h{shingle_n - 1}")
+    sh_hash = F.xxhash64(*[
+        F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
+        for j in range(shingle_n)])
+    base = (stitched
+            .where(last.isNotNull() | (F.col("pos") == 0))
+            .select("id", F.pmod(sh_hash, F.lit(_MERSENNE31)).alias("h")))
     mins = []
     for i in range(num_hashes):
         a = _mix64(2 * i) % _MERSENNE31 or 1
