@@ -148,3 +148,30 @@ def test_tpch_q6_filters_all_pushed(spark, sf_dir):
         assert col in pushed, pushed
     assert I.scans_read_only(
         q, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"})
+
+
+def test_day_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """Time-partitioned layout (digest writes time-ranged files; at
+    scale, day partitions): a day-filtered query must prune
+    partitions in the scan, not filter rows after reading — the
+    reference's zone-map block skip (table_block_io.go:110-182) as
+    directory pruning."""
+    from sybil_spark.corpus import _events
+    path = str(tmp_path / "ev_by_day")
+    ev = _events(spark, sf_dir)
+    (ev.withColumn("day", F.to_date(F.timestamp_seconds("time")))
+       .write.partitionBy("day").parquet(path))
+    days = [r["day"] for r in
+            spark.read.parquet(path).select("day").distinct().limit(2)
+            .collect()]
+    q = (spark.read.parquet(path)
+         .where(F.col("day") == days[0])
+         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    plan = I.formatted_plan(q)
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    # the day predicate must NOT appear as a post-scan row Filter
+    data_filters = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert data_filters is None or "day" not in data_filters.group(1)
