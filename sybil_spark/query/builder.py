@@ -356,7 +356,8 @@ class Query:
     def hist(self, spark: SparkSession, col: str, bucket: float | None = None,
              min_val: float | None = None, max_val: float | None = None,
              weighted: bool = True,
-             discard_over: float | None = None) -> DataFrame:
+             discard_over: float | None = None,
+             from_registry=None) -> DataFrame:
         """Fixed-width bucket histogram per group (reference `-op hist`,
         src/lib/hist_basic.go:28-151).
 
@@ -372,9 +373,26 @@ class Query:
         sybil-compat callers pass 10× the registry's table max
         (reference src/lib/hist_basic.go:101-109).
 
+        `from_registry` is the full sybil-compat mode: pass a `Table`
+        and bucket width, base, and the 10x-max outlier discard all
+        come from the table-lifetime stats registry (maintained by
+        digest, sources/compact._update_int_info) with no extra scan
+        — histogram numbers then match the reference's quantization
+        for any ingest history, not just the current rows.
+
         Output: one row per (group..., bucket) with `bucket` = inclusive
         lower bound, `count` (weighted) and `samples` (raw).
         """
+        if from_registry is not None:
+            info = from_registry.load_meta().int_info.get(col)
+            if not info:
+                raise ValueError(
+                    f"no registry stats for column {col!r}; run digest")
+            min_val = info["min"] if min_val is None else min_val
+            max_val = info["max"] if max_val is None else max_val
+            if discard_over is None and info["max"] is not None \
+                    and info["max"] > 0:
+                discard_over = 10 * info["max"]
         df = self._load(spark)
         for c0, pat, repl in self._str_replaces:
             df = df.withColumn(c0, F.regexp_replace(F.col(c0), pat, repl))

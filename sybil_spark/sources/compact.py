@@ -76,11 +76,42 @@ def digest(spark: SparkSession, table: Table,
     (df.write.mode("append")
        .option("maxRecordsPerFile", chunk_size)
        .parquet(table.blocks_path))
+    # stats read the staged files again — must run before the cleanup
+    _update_int_info(meta, df)
     shutil.rmtree(stage)
 
     meta.updated_at = _time.time()
     table.save_meta(meta)
     return n
+
+
+def _update_int_info(meta, df) -> None:
+    """Merge this batch's numeric min/max/count into the table-level
+    stats registry (reference IntInfo zone maps,
+    src/lib/table_column_info.go:13-59) — one aggregate over the
+    batch already being digested. The registry feeds the
+    sybil-compat histogram's bucket width (Query.hist
+    from_registry), which the reference derives from table-lifetime
+    min/max (hist_basic.go:87-91)."""
+    num_cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() in ("bigint", "double", "int")]
+    if not num_cols:
+        return
+    aggs = []
+    for c in num_cols:
+        aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx"),
+                 F.count(c).alias(f"{c}__n")]
+    row = df.agg(*aggs).collect()[0]
+    for c in num_cols:
+        mn, mx, cnt = row[f"{c}__mn"], row[f"{c}__mx"], row[f"{c}__n"]
+        if mn is None:
+            continue
+        prev = meta.int_info.get(c, {})
+        meta.int_info[c] = {
+            "min": mn if prev.get("min") is None else min(prev["min"], mn),
+            "max": mx if prev.get("max") is None else max(prev["max"], mx),
+            "count": prev.get("count", 0) + cnt,
+        }
 
 
 def _file_time_stats(path: str, time_col: str) -> tuple[int | None, int | None]:

@@ -206,3 +206,39 @@ def test_register_views_sql(spark, db, tmp_path):
         "select host, count(*) n, avg(ping) a from sqlable group by host"
     ).collect()
     assert {r["host"]: r["n"] for r in rows} == {"h0": 10, "h1": 10}
+
+
+def test_registry_stats_and_compat_hist(spark, db, tmp_path):
+    """Digest maintains table-lifetime min/max (reference IntInfo,
+    table_column_info.go); the compat hist sizes buckets from the
+    REGISTRY, so a second digest widening the range changes bucket
+    width even for queries over old rows — the reference's
+    ingest-history-dependent quantization (SURVEY.md §7 hard part 1)."""
+    t = Table(db, "registry")
+    ingest.ingest_json(spark, _write_ndjson(
+        tmp_path / "r1.ndjson",
+        [{"v": i, "time": 1_700_000_000 + i} for i in range(100)]), t,
+        time_col="time")
+    compact.digest(spark, t, time_col="time")
+    info = t.load_meta().int_info["v"]
+    assert info["min"] == 0 and info["max"] == 99 and info["count"] == 100
+
+    # second digest widens the registry range (lifetime, not batch)
+    ingest.ingest_json(spark, _write_ndjson(
+        tmp_path / "r2.ndjson",
+        [{"v": 1000, "time": 1_700_000_200}]), t, time_col="time")
+    compact.digest(spark, t, time_col="time")
+    info = t.load_meta().int_info["v"]
+    assert info["min"] == 0 and info["max"] == 1000 and info["count"] == 101
+
+    h = (Query.table(t.read(spark)).limit(None)
+         .hist(spark, "v", from_registry=t).collect())
+    # bucket width = (1000-0)/1000 = 1 -> buckets are exact values
+    assert {r["bucket"] for r in h} == set(range(100)) | {1000}
+    # outlier discard: a value beyond 10x registry max is dropped
+    ingest.ingest_json(spark, _write_ndjson(
+        tmp_path / "r3.ndjson",
+        [{"v": 50_000, "time": 1_700_000_300}]), t, time_col="time")
+    h2 = (Query.table(t.read(spark, read_log=True)).limit(None)
+          .hist(spark, "v", from_registry=t).collect())
+    assert not any(r["bucket"] >= 20_000 for r in h2)
