@@ -301,6 +301,22 @@ def q_weighted_count(spark, sf):
 # 2. Joins / TPC-H-style (beyond reference parity: sybil has no joins)
 # ===========================================================================
 
+@_q("weighted_hist", f"""
+    select floor(l_extendedprice / 5000.0) * 5000.0 as bucket,
+           {_dsum('coalesce(cast(l_quantity as double), 1.0)')} as count,
+           count(*) as samples
+    from lineitem where l_extendedprice is not null
+    group by 1""")
+def q_weighted_hist(spark, sf):
+    """Weighted histogram: per-bucket Count is the weight sum while
+    Samples stays the raw row count (reference weight semantics,
+    aggregate.go:100-102 + hist_basic.go:111-118)."""
+    li = _t(spark, sf, "lineitem")
+    return (Query.table(li).weight_col("l_quantity").exact_mode()
+            .hist(spark, "l_extendedprice", bucket=5000.0,
+                  min_val=0.0))
+
+
 @_q("tpch_q1", f"""
     select l_returnflag, l_linestatus,
            {_dsum('l_quantity')} as sum_qty,

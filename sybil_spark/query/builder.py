@@ -415,7 +415,8 @@ class Query:
                 * F.lit(float(bucket)) + F.lit(base)).alias("bucket")
         group_cols = self._group_cols(df) + [bcol]
         w = self._weight()
-        aggs = [F.sum(w).alias("count"), F.count(F.lit(1)).alias("samples")] \
+        wsum = self._dsum(w) if self._exact else F.sum(w)
+        aggs = [wsum.alias("count"), F.count(F.lit(1)).alias("samples")] \
             if (weighted and self._weight_col) else [F.count(F.lit(1)).alias("count")]
         out = df.groupBy(*group_cols).agg(*aggs)
         order = [F.col(c).asc_nulls_last() for c in out.columns

@@ -275,3 +275,22 @@ def test_components_match_union_find(spark, docs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert labels == want
+
+
+def test_embedding_dup_block_on(spark, emb):
+    """Bucketed near-dup (the 100TB path): comparisons restricted to
+    co-bucketed rows must return exactly the plain-variant pairs that
+    share a bucket — and colinear vectors always share one."""
+    bucketed = emb.withColumn(
+        "bkt", similarity.random_hyperplane_bucket(F.col("embedding"), 16, 4))
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_dup_pairs(bucketed, "vec_id", "embedding",
+                                     threshold=0.999,
+                                     block_on="bkt").collect()}
+    plain = {(r["id_a"], r["id_b"]): None for r in
+             dedup.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                       threshold=0.999).collect()}
+    buckets = {r["vec_id"]: r["bkt"] for r in bucketed.collect()}
+    want = {(a, b) for (a, b) in plain if buckets[a] == buckets[b]}
+    assert got == want
+    assert (0, 50) in got   # colinear pair co-buckets by construction
