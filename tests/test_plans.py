@@ -175,3 +175,21 @@ def test_day_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     # the day predicate must NOT appear as a post-scan row Filter
     data_filters = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert data_filters is None or "day" not in data_filters.group(1)
+
+
+def test_no_cartesian_or_nested_loop_in_corpus(spark):
+    """Global plan-smell gate: no corpus query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — the two shapes
+    that are quadratic at scale regardless of cluster size. Guards
+    every future operator against accidentally joining without an
+    equi-condition."""
+    from sybil_spark.corpus import QUERIES
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in QUERIES.items():
+        plan = I.formatted_plan(fn(spark, sf))
+        smells = [s for s in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                  if s in plan]
+        if smells:
+            bad[name] = smells
+    assert not bad, bad
