@@ -27,7 +27,7 @@ HEADLINE = [
     "time_distinct", "group_avg", "group_avg_limit", "group_hist",
     "regex_avg", "group2_avg", "time_group_avg_limit",
     "percentiles", "weighted_count",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "join_geo",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "join_geo",
     "dedup_exact", "dedup_clusters", "minhash_lsh", "simhash_dup", "ngram_jaccard",
     "ann_topk", "ann_pairs_topk", "ivf_topk", "embedding_dup",
     "text_stats", "lang_id", "token_freq", "loghist",

@@ -438,6 +438,39 @@ def q_tpch_q6(spark, sf):
         .agg(F.sum(rev.cast(_DEC)).cast("double").alias("revenue")))
 
 
+@_q("tpch_q10", f"""
+    select c.c_custkey, c.c_name,
+           {_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} as revenue,
+           n.n_name
+    from customer c
+    join orders o   on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    join nation n   on c.c_nationkey = n.n_nationkey
+    where o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+      and o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+      and l.l_returnflag = 'R'
+    group by 1, 2, 4
+    order by revenue desc, c_custkey asc limit 20""")
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape (returned-item revenue): facts co-shuffle on
+    orderkey, customer+nation broadcast after the date filter, top-20
+    via TakeOrderedAndProject."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-10-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00"))))
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+             .agg(F.sum(rev.cast(_DEC)).cast("double").alias("revenue"))
+             .select("c_custkey", "c_name", "revenue", "n_name")
+             .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
 @_q("join_geo", f"""
     select r.r_name, count(*) as count,
            {_dsum('c.c_acctbal')} as sum_acctbal
