@@ -86,20 +86,30 @@ def digest(spark: SparkSession, table: Table,
 
 
 def _update_int_info(meta, df) -> None:
-    """Merge this batch's numeric min/max/count into the table-level
-    stats registry (reference IntInfo zone maps,
-    src/lib/table_column_info.go:13-59) — one aggregate over the
-    batch already being digested. The registry feeds the
-    sybil-compat histogram's bucket width (Query.hist
-    from_registry), which the reference derives from table-lifetime
-    min/max (hist_basic.go:87-91)."""
+    """Merge this batch's column stats into the table-level registry
+    (reference IntInfo/StrInfo zone maps,
+    src/lib/table_column_info.go:13-59) — ONE aggregate over the
+    batch already being digested. Numeric columns get min/max/count
+    (feeds the sybil-compat histogram bucket width, Query.hist
+    from_registry — the reference derives it from table-lifetime
+    min/max, hist_basic.go:87-91); string columns get an approximate
+    batch cardinality (the StrInfo.Cardinality analog — the
+    reference uses it to pick bucket- vs value-encoding, for us it
+    is surfaced through table_info). Batch cardinalities are
+    max-merged: a lower bound on lifetime cardinality without
+    persisting sketches."""
     num_cols = [f.name for f in df.schema.fields
                 if f.dataType.simpleString() in ("bigint", "double", "int")]
-    if not num_cols:
+    str_cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"]
+    if not num_cols and not str_cols:
         return
     aggs = []
     for c in num_cols:
         aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx"),
+                 F.count(c).alias(f"{c}__n")]
+    for c in str_cols:
+        aggs += [F.approx_count_distinct(c).alias(f"{c}__card"),
                  F.count(c).alias(f"{c}__n")]
     row = df.agg(*aggs).collect()[0]
     for c in num_cols:
@@ -111,6 +121,12 @@ def _update_int_info(meta, df) -> None:
             "min": mn if prev.get("min") is None else min(prev["min"], mn),
             "max": mx if prev.get("max") is None else max(prev["max"], mx),
             "count": prev.get("count", 0) + cnt,
+        }
+    for c in str_cols:
+        prev = meta.int_info.get(c, {})
+        meta.int_info[c] = {
+            "cardinality": max(prev.get("cardinality", 0), row[f"{c}__card"]),
+            "count": prev.get("count", 0) + row[f"{c}__n"],
         }
 
 

@@ -152,6 +152,10 @@ def table_info(spark: SparkSession, db_dir: str, name: str) -> dict:
         "avg_bytes_per_row": (size / count) if count else 0.0,
         "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
         "key_types": meta.key_types,
+        # lifetime column stats from the digest-maintained registry
+        # (IntInfo min/max/count, StrInfo cardinality — reference
+        # src/lib/table_column_info.go:13-59)
+        "column_stats": meta.int_info,
     }
 
 

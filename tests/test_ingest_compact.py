@@ -242,3 +242,18 @@ def test_registry_stats_and_compat_hist(spark, db, tmp_path):
     h2 = (Query.table(t.read(spark, read_log=True)).limit(None)
           .hist(spark, "v", from_registry=t).collect())
     assert not any(r["bucket"] >= 20_000 for r in h2)
+
+
+def test_str_cardinality_in_registry(spark, db, tmp_path):
+    t = Table(db, "cardreg")
+    ingest.ingest_json(spark, _write_ndjson(
+        tmp_path / "cr.ndjson",
+        [{"host": f"h{i % 7}", "v": i, "time": i} for i in range(100)]), t,
+        time_col="time")
+    compact.digest(spark, t, time_col="time")
+    stats = t.load_meta().int_info
+    assert stats["host"]["count"] == 100
+    # approx cardinality of 7 distinct values is exact at this size
+    assert stats["host"]["cardinality"] == 7
+    info = table_info(spark, db, "cardreg")
+    assert info["column_stats"]["host"]["cardinality"] == 7
