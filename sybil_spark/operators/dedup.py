@@ -158,7 +158,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 3, threshold: float = 0.0,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_posting: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
     Without `candidates` this computes ALL pairs sharing ≥1 shingle via
@@ -185,6 +186,30 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = (spread(df).select(F.col(id_col).alias("id"),
                             F.explode(shingles(F.col(text_col), shingle_n))
                             .alias("sh")))
+    if max_posting is not None:
+        # Skew guard (opt-in): drop shingles appearing in more than
+        # max_posting documents from the PAIR-FINDING join — the
+        # classic stop-shingle cap. The posting-list join cost is
+        # sum(df(s)^2) over shingles s, so one boilerplate trigram in
+        # a million docs is 10^12 pairs; capping bounds it at
+        # max_posting^2 per shingle. Pairs found are then re-scored
+        # through the candidates path on FULL shingle sets, so the
+        # jaccard of every returned pair is exact — the only
+        # approximation is that pairs whose entire overlap is hot
+        # shingles are never found (near-dups share rare shingles;
+        # boilerplate-only matches are the pairs the cap exists to
+        # avoid). Default None = fully exact (the oracle path).
+        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+                 .where(F.col("df") > max_posting).select("sh"))
+        cold = sh.join(hot, "sh", "left_anti")
+        ca = cold.alias("a")
+        cb = cold.alias("b")
+        cands = (ca.join(cb, [F.col("a.sh") == F.col("b.sh"),
+                              F.col("a.id") < F.col("b.id")])
+                   .select(F.col("a.id").alias("id_a"),
+                           F.col("b.id").alias("id_b")).distinct())
+        return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
+                             candidates=cands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -294,3 +294,24 @@ def test_embedding_dup_block_on(spark, emb):
     want = {(a, b) for (a, b) in plain if buckets[a] == buckets[b]}
     assert got == want
     assert (0, 50) in got   # colinear pair co-buckets by construction
+
+
+def test_jaccard_max_posting_subset(spark):
+    """The hot-shingle cap yields a subset of the exact pairs with
+    identical jaccard values, keeps pairs sharing rare shingles, and
+    drops only pairs whose entire overlap is boilerplate."""
+    boiler = "subscribe to our newsletter today"
+    rows = [Row(doc_id=i, text=f"{boiler} filler{i} mid{i} tail{i}")
+            for i in range(20)]
+    # 18 and 19 share unique content beyond the boilerplate
+    rows[19] = Row(doc_id=19, text=f"{boiler} filler18 mid18 tail18x")
+    d = spark.createDataFrame(rows)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.jaccard_pairs(d, "doc_id", "text").collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              dedup.jaccard_pairs(d, "doc_id", "text",
+                                  max_posting=5).collect()}
+    assert set(capped) < set(exact)   # boilerplate-only pairs dropped
+    for k, v in capped.items():
+        assert v == exact[k]          # values exact, not rescaled
+    assert (18, 19) in capped         # rare-shingle pair survives
