@@ -234,6 +234,47 @@ def q_filter_gt_count(spark, sf):
             .group_by("event_type").limit(None).execute(spark))
 
 
+@_q("filter_sweep", f"""
+    select event_type, count(*) as count from {EV}
+    where value >= 10.0 and value <= 500.0
+      and event_type != 'click'
+      and not regexp_matches(event_type, '^sig')
+    group by 1""")
+def q_filter_sweep(spark, sf):
+    """Every remaining filter op AND'd in one query: int ge/le, str
+    neq, str negated-regex (reference filter conjunction,
+    src/lib/aggregate.go:104-116 + ops filter.go:143-250)."""
+    return (Query.table(_events(spark, sf))
+            .int_filter("value", "ge", 10.0)
+            .int_filter("value", "le", 500.0)
+            .str_filter("event_type", "neq", "click")
+            .str_filter("event_type", "nre", "^sig")
+            .group_by("event_type").limit(None).execute(spark))
+
+
+@_q("set_filter_nin", """
+    select lang, count(*) as count from documents
+    where not list_contains(string_split(text, ' '), 'data')
+    group by 1""")
+def q_set_filter_nin(spark, sf):
+    d = _t(spark, sf, "documents").withColumn("words", F.split("text", " "))
+    return (Query.table(d).set_filter("words", "nin", "data")
+            .group_by("lang").limit(None).execute(spark))
+
+
+@_q("distinct_multi", f"""
+    select event_type, count(*) as count,
+           count(distinct (user_id, cast(value as varchar))) as distinct
+    from {EV} group by 1""")
+def q_distinct_multi(spark, sf):
+    """COUNT DISTINCT over a column TUPLE per group (reference
+    `-distinct a,b`, src/lib/query_spec.go:85-104)."""
+    return (Query.table(_events(spark, sf))
+            .group_by("event_type")
+            .distinct_cols("user_id", "value")
+            .limit(None).execute(spark))
+
+
 @_q("str_replace_group", f"""
     select regexp_replace(event_type, '^(click|view)$', 'interaction')
              as event_type,
