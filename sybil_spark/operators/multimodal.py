@@ -107,3 +107,46 @@ def repartition_by_bytes(df: DataFrame, target_mb: int = 128,
     total = row["b"] or 0
     nparts = max(1, int(total / (target_mb << 20)) + 1)
     return df.repartition(nparts)
+
+
+def frame_sample(df: DataFrame, every_n: int = 30,
+                 max_frames: int = 8) -> DataFrame:
+    """Video → sampled frame rows via mapInPandas (one input item
+    fans out to up to `max_frames` output rows — the schema,
+    ordering, and Arrow batch shape are the real contract; the frame
+    decode is a deterministic STUB because no video codec ships in
+    this container; swap `_fake_frames` for ffmpeg/pyav without
+    touching the pipeline).
+
+    Output: media_id, frame_idx (source frame number, every_n
+    apart), frame (binary — stub: a content-derived slice standing in
+    for encoded pixels), n_bytes.
+
+    Scale note: fan-out happens INSIDE the batch iterator, so a
+    4 GB video never materializes more than one Arrow batch of
+    frames at a time; pair with repartition_by_bytes so tasks are
+    payload-balanced before decode."""
+    schema = "media_id long, frame_idx int, frame binary, n_bytes long"
+
+    def _fake_frames(buf: bytes, n: int):
+        # deterministic stand-in: n slices of the source bytes
+        step = max(1, len(buf) // max(n, 1))
+        for i in range(n):
+            yield buf[i * step:(i + 1) * step] or b"\x00"
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                buf = bytes(content)
+                # stub "frame count": one frame per byte-block, as if
+                # the container reported len/every_n frames
+                total = max(1, len(buf) // every_n)
+                n = min(max_frames, total)
+                for idx, frame in enumerate(_fake_frames(buf, n)):
+                    rows.append((mid, idx * every_n, frame, len(frame)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "frame", "n_bytes"])
+
+    return df.select("media_id", "content").mapInPandas(gen, schema)

@@ -315,3 +315,21 @@ def test_jaccard_max_posting_subset(spark):
     for k, v in capped.items():
         assert v == exact[k]          # values exact, not rescaled
     assert (18, 19) in capped         # rare-shingle pair survives
+
+
+def test_frame_sample_plumbing(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.frame_sample(media, every_n=10, max_frames=4)
+    rows = frames.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: r["n_bytes"] for r in media.collect()}
+    for mid, fr in by_id.items():
+        assert 1 <= len(fr) <= 4
+        idxs = sorted(r["frame_idx"] for r in fr)
+        assert idxs == [i * 10 for i in range(len(fr))]
+        for r in fr:
+            assert isinstance(r["frame"], (bytes, bytearray))
+            assert r["n_bytes"] == len(r["frame"]) > 0
+    assert set(by_id) == set(src)   # every item produced frames
