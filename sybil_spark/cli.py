@@ -95,6 +95,29 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("rebuild")
     common(sp)
 
+    sp = sub.add_parser(
+        "rollup-build",
+        help="materialize mergeable partials from a table (engine "
+             "extension: the continuous query cache, sources/rollup.py)")
+    common(sp)
+    sp.add_argument("-out", required=True, help="rollup output dir")
+    sp.add_argument("-time-col", default="time", dest="time_col")
+    sp.add_argument("-bucket", type=int, default=60,
+                    help="finest servable granularity, seconds")
+    sp.add_argument("-group", default="")
+    sp.add_argument("-int", default="", dest="int_cols")
+    sp.add_argument("-distinct", default="", dest="distinct_cols")
+
+    sp = sub.add_parser("rollup-serve",
+                        help="answer an aggregate from a rollup dir")
+    sp.add_argument("-rollup", required=True, help="rollup dir")
+    sp.add_argument("-group", default="")
+    sp.add_argument("-int", default="", dest="int_cols")
+    sp.add_argument("-time-bucket", type=int, default=None,
+                    dest="time_bucket")
+    sp.add_argument("-distinct", action="store_true")
+    sp.add_argument("-json", action="store_true")
+
     sp = sub.add_parser("tables")
     sp.add_argument("-dir", default="./db", dest="dir")
 
@@ -203,6 +226,25 @@ def main(argv: list[str] | None = None,
         elif args.cmd == "rebuild":
             meta = compact.rebuild_meta(spark, Table(args.dir, args.table))
             print(meta.to_json())
+        elif args.cmd == "rollup-build":
+            from sybil_spark.sources import rollup as R
+            df = Table(args.dir, args.table).read(spark)
+            roll = R.build_rollup(df, args.time_col, args.bucket,
+                                  _split(args.group), _split(args.int_cols),
+                                  _split(args.distinct_cols) or None)
+            R.write_rollup(roll, args.out)
+            print(f"rollup written to {args.out}")
+        elif args.cmd == "rollup-serve":
+            from sybil_spark.query import printer
+            from sybil_spark.sources import rollup as R
+            served = R.serve(R.read_rollup(spark, args.rollup),
+                             _split(args.group), _split(args.int_cols),
+                             bucket_s=args.time_bucket,
+                             distinct=args.distinct)
+            if args.json:
+                printer.print_json(served, _split(args.group))
+            else:
+                printer.print_table(served, _split(args.group))
         elif args.cmd == "tables":
             for t in list_tables(args.dir):
                 print(t)

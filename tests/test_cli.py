@@ -115,3 +115,28 @@ def test_cli_export(capsys, spark, db, tmp_path):
             assert "\t" in lines[0]
             n += len(lines) - 1
     assert n == 100  # half the rows have status 500
+
+
+def test_rollup_build_and_serve(spark, tmp_path, capsys):
+    db = str(tmp_path / "db")
+    src = str(tmp_path / "r.ndjson")
+    with open(src, "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"host": f"h{i % 2}", "ping": 10 + i,
+                                "time": 1_700_000_000 + i * 40}) + "\n")
+    assert main(["ingest", "-dir", db, "-table", "up", "-time-col", "time",
+                 src], spark) == 0
+    assert main(["digest", "-dir", db, "-table", "up"], spark) == 0
+    roll = str(tmp_path / "roll")
+    assert main(["rollup-build", "-dir", db, "-table", "up", "-out", roll,
+                 "-bucket", "60", "-group", "host", "-int", "ping"],
+                spark) == 0
+    capsys.readouterr()
+    assert main(["rollup-serve", "-rollup", roll, "-group", "host",
+                 "-int", "ping", "-json"], spark) == 0
+    out = json.loads(capsys.readouterr().out)
+    got = {r["host"]: r for r in out}
+    assert got["h0"]["count"] == 25 and got["h1"]["count"] == 25
+    import statistics
+    want = statistics.mean(10 + i for i in range(50) if i % 2 == 0)
+    assert got["h0"]["avg_ping"] == want
