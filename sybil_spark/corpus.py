@@ -234,6 +234,21 @@ def q_filter_gt_count(spark, sf):
             .group_by("event_type").limit(None).execute(spark))
 
 
+@_q("total_row", f"""
+    select event_type, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1
+    union all
+    select null, count(*), {_dsum('value')}/count(value) from {EV}""")
+def q_total_row(spark, sf):
+    """Grand-total row across all groups (reference prints it when
+    >1 group, src/lib/aggregate.go:414-459) — null group key in the
+    result; the printer renders it as TOTAL."""
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type").agg("value", "avg")
+            .total_row().limit(None).execute(spark))
+
+
 @_q("filter_sweep", f"""
     select event_type, count(*) as count from {EV}
     where value >= 10.0 and value <= 500.0
