@@ -108,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-int", default="", dest="int_cols")
     sp.add_argument("-distinct", default="", dest="distinct_cols")
 
+    sp = sub.add_parser(
+        "rollup-compact",
+        help="fold incrementally-appended rollup partials (stays "
+             "mergeable; see sources/rollup.compact_rollup)")
+    sp.add_argument("-rollup", required=True, help="rollup dir")
+    sp.add_argument("-group", default="")
+    sp.add_argument("-int", default="", dest="int_cols")
+    sp.add_argument("-distinct", action="store_true")
+
     sp = sub.add_parser("rollup-serve",
                         help="answer an aggregate from a rollup dir")
     sp.add_argument("-rollup", required=True, help="rollup dir")
@@ -234,6 +243,12 @@ def main(argv: list[str] | None = None,
                                   _split(args.distinct_cols) or None)
             R.write_rollup(roll, args.out)
             print(f"rollup written to {args.out}")
+        elif args.cmd == "rollup-compact":
+            from sybil_spark.sources import rollup as R
+            n = R.compact_rollup(spark, args.rollup, _split(args.group),
+                                 _split(args.int_cols),
+                                 distinct=args.distinct)
+            print(f"compacted to {n} partial rows")
         elif args.cmd == "rollup-serve":
             from sybil_spark.query import printer
             from sybil_spark.sources import rollup as R

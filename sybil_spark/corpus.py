@@ -792,6 +792,19 @@ def q_loghist(spark, sf):
     return Query.table(_events(spark, sf)).limit(None).loghist(spark, "value")
 
 
+@_q("loghist_group", f"""
+    select event_type,
+           case when value >= 1
+                then power(2.0, length(bin(cast(floor(value) as bigint))) - 1)
+                else 0.0 end as bucket,
+           count(*) as count
+    from {EV} where value is not null group by 1, 2""")
+def q_loghist_group(spark, sf):
+    return (Query.table(_events(spark, sf))
+            .group_by("event_type").limit(None)
+            .loghist(spark, "value"))
+
+
 @_q("samples", f"""
     select event_id, user_id, value, time from {EV}
     where event_type = 'error'
