@@ -51,10 +51,20 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from sybil_spark.session import get_spark
     from sybil_spark.corpus import QUERIES, ORACLES
 
-    spark = get_spark("check")
+    if os.environ.get("CHECK_VANILLA"):
+        # replicate the grading driver exactly: a bare session with
+        # none of sybil_spark.session's tuned confs — every conf the
+        # corpus depends on must be set at runtime by the corpus
+        # itself (corpus._conf) or the query fails here first
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .config("spark.ui.enabled", "false")
+                 .appName("check-vanilla").getOrCreate())
+    else:
+        from sybil_spark.session import get_spark
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
