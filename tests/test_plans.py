@@ -193,3 +193,19 @@ def test_no_cartesian_or_nested_loop_in_corpus(spark):
         if smells:
             bad[name] = smells
     assert not bad, bad
+
+
+def test_sessionize_single_shuffle(spark, events):
+    from sybil_spark.operators.temporal import sessionize
+    q = sessionize(events, "user_id", "time", tiebreak="event_id")
+    # lag window, running-sum window, and the session groupBy all
+    # share the user_id hash partitioning -> exactly one Exchange
+    assert I.shuffle_exchange_count(q) == 1, I.formatted_plan(q)
+
+
+def test_topk_per_group_two_shuffles(spark, sf_dir):
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["topk_per_group"](spark, sf_dir)
+    # count shuffle on (event_type, user_id) + rank-window shuffle on
+    # event_type; the window input is groups, never raw events
+    assert I.shuffle_exchange_count(q) == 2, I.formatted_plan(q)
