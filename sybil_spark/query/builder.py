@@ -73,6 +73,7 @@ class Query:
         self._filters: list[tuple[str, str, str, object]] = []
         self._str_replaces: list[tuple[str, str, str]] = []
         self._groups: list[str] = []
+        self._set_groups: list[tuple[str, str]] = []
         self._aggs: list[_Agg] = []
         self._weight_col: str | None = None
         self._time_col: str | None = None
@@ -121,6 +122,17 @@ class Query:
     # -- shape -------------------------------------------------------------
     def group_by(self, *cols: str) -> "Query":
         self._groups.extend(cols)
+        return self
+
+    def group_by_set(self, col: str, alias: str | None = None) -> "Query":
+        """Group by the ELEMENTS of a set/array column (explode before
+        grouping, after filters — so set filters still see the whole
+        array). The reference rejects set group-by outright
+        ("Grouping by Set columns is currently not supported",
+        src/cmd/cmd_query.go:254-255); this is the documented
+        extension (SURVEY.md §2.4 A2). A row contributes once per
+        element."""
+        self._set_groups.append((col, alias or col + "_elem"))
         return self
 
     def agg(self, col: str, op: str, alias: str | None = None, **params) -> "Query":
@@ -300,6 +312,7 @@ class Query:
 
     def _group_cols(self, df: DataFrame) -> list[Column]:
         cols = [F.col(g) for g in self._groups]
+        cols += [F.col(a) for _c, a in self._set_groups if a in df.columns]
         if self._time_bucket:
             t = F.col(self._time_col).cast("long")
             cols.append((t - t % self._time_bucket).alias("tbucket"))
@@ -312,6 +325,8 @@ class Query:
         pred = self._predicate(df)
         if pred is not None:
             df = df.where(pred)
+        for col, alias in self._set_groups:
+            df = df.withColumn(alias, F.explode(F.col(col)))
 
         group_cols = self._group_cols(df)
         if group_cols:

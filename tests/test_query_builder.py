@@ -186,3 +186,22 @@ def test_percentile_approx_close_to_exact(spark, df):
     assert e.keys() == a.keys()
     for k in e:
         assert a[k] == pytest.approx(e[k], rel=0.05)
+
+
+def test_group_by_set_explodes(spark, df):
+    res = (Query.table(df).group_by_set("age_set", "age_elem")
+           .limit(None).execute(spark).collect())
+    # age_set = [str(age)] so element counts mirror the age groups
+    direct = {r["age_str"]: r["count"] for r in
+              Query.table(df).group_by("age_str").limit(None)
+              .execute(spark).collect()}
+    got = {r["age_elem"]: r["count"] for r in res}
+    assert got == direct
+
+
+def test_group_by_set_after_set_filter(spark, df):
+    # the set filter sees the whole array (applies before explode)
+    res = (Query.table(df).set_filter("age_set", "in", "10")
+           .group_by_set("age_set", "e").limit(None)
+           .execute(spark).collect())
+    assert {r["e"] for r in res} == {"10"}
