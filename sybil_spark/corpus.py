@@ -203,6 +203,17 @@ def q_group2_avg(spark, sf):
             .limit(None).execute(spark))
 
 
+@_q("distinct_approx")  # no oracle: HLL estimate (rsd-bounded;
+def q_distinct_approx(spark, sf):  # ±5% vs exact asserted in tests)
+    """The scale path for COUNT DISTINCT: approx_count_distinct
+    sketch per group (reference's LogLogBeta, query_spec.go:85-104)
+    — the exact variant is the oracle-checked `distinct` entry."""
+    return (Query.table(_events(spark, sf))
+            .group_by("event_type")
+            .distinct_cols("user_id", approx=True, rsd=0.02)
+            .limit(None).execute(spark))
+
+
 @_q("time_group_avg_limit", f"""
     select event_type, time - time % 21600 as tbucket, count(*) as count,
            {_dsum('value')}/count(value) as avg_value

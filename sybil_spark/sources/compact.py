@@ -35,9 +35,16 @@ from sybil_spark.table import CHUNK_SIZE, Table
 
 def digest(spark: SparkSession, table: Table,
            time_col: str | None = None,
-           chunk_size: int = CHUNK_SIZE) -> int:
+           chunk_size: int = CHUNK_SIZE,
+           compression: str = "zstd") -> int:
     """Compact the row log into time-sorted blocks. Returns rows
-    digested (0 = nothing to do)."""
+    digested (0 = nothing to do).
+
+    Blocks default to zstd: at 100 TB the scan is IO-bound and zstd
+    reads ~30-40% fewer bytes than snappy for ~equal decode cost on
+    modern cores (the reference gzips whole column files for the same
+    reason, src/lib/file_decoder.go:10-53). The landing log stays
+    snappy — it is written once, read once, and latency-sensitive."""
     if not os.path.exists(table.ingest_path):
         return 0
     meta = table.load_meta()
@@ -75,6 +82,7 @@ def digest(spark: SparkSession, table: Table,
         df = df.repartition(npart)
     (df.write.mode("append")
        .option("maxRecordsPerFile", chunk_size)
+       .option("compression", compression)
        .parquet(table.blocks_path))
     # stats read the staged files again — must run before the cleanup
     _update_int_info(meta, df)
@@ -157,7 +165,8 @@ def _file_time_stats(path: str, time_col: str) -> tuple[int | None, int | None]:
 def compact_blocks(spark: SparkSession, table: Table,
                    time_col: str | None = None,
                    chunk_size: int = CHUNK_SIZE,
-                   small_fraction: float = 0.5) -> int:
+                   small_fraction: float = 0.5,
+                   compression: str = "zstd") -> int:
     """Rewrite undersized blocks into full ones (the reference tops up
     the last partial block on every digest — FillPartialBlock,
     src/lib/table_block_io.go:48-107; here it is a periodic job so
@@ -204,6 +213,7 @@ def compact_blocks(spark: SparkSession, table: Table,
         df = df.repartition(npart)
     (df.write.mode("append")
        .option("maxRecordsPerFile", chunk_size)
+       .option("compression", compression)
        .parquet(table.blocks_path))
     shutil.rmtree(stage)
     meta.updated_at = _time.time()

@@ -205,3 +205,35 @@ def test_group_by_set_after_set_filter(spark, df):
            .group_by_set("age_set", "e").limit(None)
            .execute(spark).collect())
     assert {r["e"] for r in res} == {"10"}
+
+
+def test_distinct_approx_tolerance(spark, df):
+    exact = {r["age_str"]: r["distinct"] for r in
+             Query.table(df).group_by("age_str").distinct_cols("id")
+             .limit(None).execute(spark).collect()}
+    approx = {r["age_str"]: r["distinct"] for r in
+              Query.table(df).group_by("age_str")
+              .distinct_cols("id", approx=True, rsd=0.02)
+              .limit(None).execute(spark).collect()}
+    for k, v in exact.items():
+        assert approx[k] == pytest.approx(v, rel=0.1)
+
+
+def test_loghist_buckets_exact_at_powers_of_two(spark):
+    """The bit-length log2 bucketing must place 2^k exactly in the
+    2^k bucket and 2^k - 1 in the 2^(k-1) bucket — the boundary where
+    float log2 implementations disagree in the last ulp."""
+    from pyspark.sql import Row
+    vals = [float(2 ** k) for k in range(1, 11)] \
+        + [float(2 ** k - 1) for k in range(2, 11)] + [0.5, 1.0]
+    d = spark.createDataFrame([Row(v=v) for v in vals])
+    out = {r["v"]: None for r in d.collect()}
+    res = (Query.table(d).limit(None).loghist(spark, "v").collect())
+    by_bucket = {}
+    for r in res:
+        by_bucket[r["bucket"]] = by_bucket.get(r["bucket"], 0) + r["count"]
+    # 2^k alone in bucket 2^k plus 2^(k+1)-1 from below
+    assert by_bucket[1024.0] == 1            # only 1024 itself
+    assert by_bucket[512.0] == 2             # 512 and 1023
+    assert by_bucket[0.0] == 1               # 0.5 (below 1)
+    assert by_bucket[1.0] == 1               # 1.0
