@@ -36,7 +36,8 @@ from sybil_spark.table import CHUNK_SIZE, Table
 def digest(spark: SparkSession, table: Table,
            time_col: str | None = None,
            chunk_size: int = CHUNK_SIZE,
-           compression: str = "zstd") -> int:
+           compression: str = "zstd",
+           day_partitions: bool = False) -> int:
     """Compact the row log into time-sorted blocks. Returns rows
     digested (0 = nothing to do).
 
@@ -44,7 +45,13 @@ def digest(spark: SparkSession, table: Table,
     reads ~30-40% fewer bytes than snappy for ~equal decode cost on
     modern cores (the reference gzips whole column files for the same
     reason, src/lib/file_decoder.go:10-53). The landing log stays
-    snappy — it is written once, read once, and latency-sensitive."""
+    snappy — it is written once, read once, and latency-sensitive.
+
+    `day_partitions=True` is the 100 TB layout: blocks land under
+    day=YYYY-MM-DD directories derived from the time column, so
+    time-range queries prune whole directories before reading a byte
+    (PartitionFilters) and trim degenerates to partition drops. Off
+    by default to keep small tables flat."""
     if not os.path.exists(table.ingest_path):
         return 0
     meta = table.load_meta()
@@ -80,10 +87,17 @@ def digest(spark: SparkSession, table: Table,
                 .sortWithinPartitions(time_col))
     else:
         df = df.repartition(npart)
-    (df.write.mode("append")
-       .option("maxRecordsPerFile", chunk_size)
-       .option("compression", compression)
-       .parquet(table.blocks_path))
+    w = (df.write.mode("append")
+           .option("maxRecordsPerFile", chunk_size)
+           .option("compression", compression))
+    if day_partitions and time_col and time_col in df.columns:
+        w = (df.withColumn("day", F.to_date(F.timestamp_seconds(
+                F.col(time_col).cast("long"))))
+               .write.mode("append")
+               .option("maxRecordsPerFile", chunk_size)
+               .option("compression", compression)
+               .partitionBy("day"))
+    w.parquet(table.blocks_path)
     # stats read the staged files again — must run before the cleanup
     _update_int_info(meta, df)
     shutil.rmtree(stage)
@@ -234,12 +248,16 @@ def trim(table: Table, time_col: str | None = None,
         return []
     time_col = time_col or table.load_meta().time_col
     files = []
-    for f in sorted(os.listdir(table.blocks_path)):
-        if not f.endswith(".parquet"):
-            continue
-        p = os.path.join(table.blocks_path, f)
-        mn, mx = _file_time_stats(p, time_col) if time_col else (None, None)
-        files.append((p, os.path.getsize(p), mx))
+    # walk: flat tables keep *.parquet at the top level; the
+    # day-partitioned layout nests them under day=YYYY-MM-DD dirs
+    for root, _dirs, names in os.walk(table.blocks_path):
+        for f in sorted(names):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            mn, mx = (_file_time_stats(p, time_col)
+                      if time_col else (None, None))
+            files.append((p, os.path.getsize(p), mx))
 
     doomed = []
     if before is not None:
@@ -256,6 +274,11 @@ def trim(table: Table, time_col: str | None = None,
     if delete:
         for p in doomed:
             os.remove(p)
+        # drop emptied day= partition dirs so scans never list them
+        for root, dirs, names in list(os.walk(table.blocks_path,
+                                              topdown=False)):
+            if root != table.blocks_path and not dirs and not names:
+                os.rmdir(root)
     return doomed
 
 

@@ -5,7 +5,7 @@ import json
 import os
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from sybil_spark.query.builder import Query
 from sybil_spark.sources import compact, ingest
@@ -257,3 +257,34 @@ def test_str_cardinality_in_registry(spark, db, tmp_path):
     assert stats["host"]["cardinality"] == 7
     info = table_info(spark, db, "cardreg")
     assert info["column_stats"]["host"]["cardinality"] == 7
+
+
+def test_day_partitioned_digest_and_trim(spark, db, tmp_path):
+    """The 100TB layout: digest writes day=YYYY-MM-DD partitions,
+    time queries prune directories, trim drops whole partitions."""
+    from sybil_spark.plans import inspect as I
+    day = 86_400
+    recs = [{"v": i, "time": 1_700_000_000 + i * (day // 4)}
+            for i in range(40)]     # ~10 days of data
+    t = Table(db, "daily")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "d.ndjson", recs), t,
+                       time_col="time")
+    compact.digest(spark, t, time_col="time", day_partitions=True)
+    subdirs = [d for d in os.listdir(t.blocks_path) if d.startswith("day=")]
+    assert len(subdirs) >= 10
+
+    df = t.read(spark)
+    assert df.count() == 40
+    q = df.where(F.col("day") == subdirs[0].split("=", 1)[1])
+    assert "PartitionFilters" in I.formatted_plan(q)
+
+    cutoff = 1_700_000_000 + 5 * day
+    doomed = compact.trim(t, time_col="time", before=cutoff, delete=True)
+    assert doomed
+    left = t.read(spark)
+    assert left.where(f"time >= {cutoff}").count() == \
+        sum(1 for r in recs if r["time"] >= cutoff)
+    # emptied day dirs are gone
+    for d in os.listdir(t.blocks_path):
+        if d.startswith("day="):
+            assert os.listdir(os.path.join(t.blocks_path, d))
