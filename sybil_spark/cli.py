@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("digest", help="compact the row log into blocks")
     common(sp)
     sp.add_argument("-time-col", default=None, dest="time_col")
+    sp.add_argument("-day-partitions", action="store_true",
+                    dest="day_partitions",
+                    help="write blocks under day=YYYY-MM-DD partitions")
 
     sp = sub.add_parser("query")
     common(sp)
@@ -211,7 +214,8 @@ def main(argv: list[str] | None = None,
             print(f"ingested {total} records into {t.path}")
         elif args.cmd == "digest":
             n = compact.digest(spark, Table(args.dir, args.table),
-                               time_col=args.time_col)
+                               time_col=args.time_col,
+                               day_partitions=args.day_partitions)
             print(f"digested {n} records")
         elif args.cmd == "query":
             from sybil_spark.query import printer
