@@ -237,3 +237,14 @@ def test_loghist_buckets_exact_at_powers_of_two(spark):
     assert by_bucket[512.0] == 2             # 512 and 1023
     assert by_bucket[0.0] == 1               # 0.5 (below 1)
     assert by_bucket[1.0] == 1               # 1.0
+
+
+def test_invalid_ops_raise(spark, df):
+    with pytest.raises(ValueError):
+        Query.table(df).int_filter("age", "like", 1)
+    with pytest.raises(ValueError):
+        Query.table(df).str_filter("age_str", "gt", "x")
+    with pytest.raises(ValueError):
+        Query.table(df).set_filter("age_set", "eq", "x")
+    with pytest.raises(ValueError):
+        Query.table(df).agg("age", "median")
