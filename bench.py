@@ -30,7 +30,7 @@ HEADLINE = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "join_geo",
     "dedup_exact", "dedup_clusters", "minhash_lsh", "simhash_dup", "ngram_jaccard",
     "ann_topk", "ann_pairs_topk", "ivf_topk", "embedding_dup",
-    "text_stats", "lang_id", "token_freq", "loghist",
+    "text_stats", "lang_id", "token_freq", "loghist", "hash_sample",
     "rollup_serve", "media_meta", "asof_join", "range_join",
     "sessionize", "topk_per_group",
 ]

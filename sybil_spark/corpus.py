@@ -930,6 +930,39 @@ def q_sessionize(spark, sf):
                       tiebreak="event_id")
 
 
+@_q("hash_sample", f"""
+    select event_type, count(*) as count
+    from {EV}
+    where cast(concat('0x', substr(md5(cast(user_id as varchar)), 1, 4))
+               as bigint) < 6554
+    group by 1""")
+def q_hash_sample(spark, sf):
+    """Deterministic ~10% entity sample (operators/sampling.py):
+    membership = md5(key) prefix threshold, bit-identical in every
+    engine — all rows of a kept user survive together."""
+    from sybil_spark.operators import sampling
+    return (sampling.hash_sample(_events(spark, sf), "user_id", 0.1)
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("count")))
+
+
+@_q("stratified_sample", f"""
+    select event_type, count(*) as count
+    from {EV}
+    where cast(concat('0x', substr(md5(cast(event_id as varchar)), 1, 4))
+               as bigint)
+          < case when event_type = 'error' then 65536
+                 when event_type = 'view' then 3277 else 0 end
+    group by 1""")
+def q_stratified_sample(spark, sf):
+    """Class rebalancing: keep 100% of errors, ~5% of views, drop the
+    rest — per-stratum hash thresholds, no shuffle."""
+    from sybil_spark.operators import sampling
+    return (sampling.stratified_sample(
+                _events(spark, sf), "event_type", "event_id",
+                {"error": 1.0, "view": 0.05})
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("count")))
+
+
 # ===========================================================================
 # 4b. Temporal joins (as-of / range) — operators Spark lacks natively
 # ===========================================================================

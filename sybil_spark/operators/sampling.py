@@ -1,0 +1,68 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-dependent per partitioning and not reproducible
+across engines or cluster layouts. These operators decide membership
+from a HASH OF THE KEY instead, which buys three properties worth
+more than true randomness at 100 TB:
+
+- reproducible: the same key samples identically on every run, every
+  cluster size, and every engine (md5 is bit-identical everywhere —
+  the correctness oracle compares byte-for-byte);
+- consistent across tables: sampling users at 1% and filtering their
+  events by the same predicate keeps users and events aligned with
+  no join (the "sample the entity, keep all its rows" pipeline need);
+- pushdown-friendly: the predicate is pure column math, so it runs
+  inside the scan's codegen stage — no shuffle, no UDF.
+
+Mechanics: the first 4 hex chars of md5(key) are uniform over
+[0, 65536); a fraction f keeps keys whose prefix < f·65536. The
+granularity (1/65536 ≈ 0.0015%) is finer than any practical rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column) -> Column:
+    """Uniform value in [0, 65536) from the md5 hex prefix — JVM-side
+    conv() parse of 4 hex chars."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10) \
+        .cast("long")
+
+
+def sample_predicate(key: Column, fraction: float) -> Column:
+    """Boolean column: key is in the deterministic `fraction` sample.
+    Compose it into any query — including on a DIFFERENT table that
+    shares the key — to get consistent entity-level sampling."""
+    return _bucket(key) < int(round(fraction * 65536))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~`fraction` of rows, decided per key (all rows of a kept
+    key survive). Plan: scan + codegen'd filter; zero shuffles."""
+    return df.where(sample_predicate(F.col(key_col), fraction))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      fractions: dict, default: float = 0.0) -> DataFrame:
+    """Per-stratum rates (e.g. keep 100% of rare 'error' events, 1%
+    of 'view') — the class-rebalancing primitive. `fractions` maps
+    stratum value -> fraction; unlisted strata get `default`."""
+    b = _bucket(F.col(key_col))
+    thresh = F.lit(int(round(default * 65536)))
+    for value, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(round(frac * 65536)))).otherwise(thresh)
+    return df.where(b < thresh)
+
+
+def reservoir_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:
+    """Exactly-n uniform sample: order by the key hash, take n —
+    compiles to TakeOrderedAndProject (per-partition top-n + driver
+    merge of n·partitions rows), not a full sort. Deterministic for
+    a fixed key population; adding/removing keys perturbs membership
+    only near the cut line."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return (df.orderBy(h.asc(), F.col(key_col).asc()).limit(n))

@@ -333,3 +333,48 @@ def test_frame_sample_plumbing(spark, docs):
             assert isinstance(r["frame"], (bytes, bytearray))
             assert r["n_bytes"] == len(r["frame"]) > 0
     assert set(by_id) == set(src)   # every item produced frames
+
+
+def test_hash_sample_entity_consistency(spark):
+    """The same key samples identically in different tables — the
+    'sample users, keep all their events' alignment property."""
+    from sybil_spark.operators import sampling
+    users = spark.createDataFrame([Row(uid=i) for i in range(1000)])
+    events = spark.createDataFrame(
+        [Row(uid=i % 1000, e=j) for j in range(3) for i in range(0, 1000, 7)])
+    kept_users = {r["uid"] for r in
+                  sampling.hash_sample(users, "uid", 0.2).collect()}
+    kept_events = sampling.hash_sample(events, "uid", 0.2).collect()
+    assert {r["uid"] for r in kept_events} <= kept_users
+    # fraction lands near 20% (md5 uniformity)
+    assert 0.15 < len(kept_users) / 1000 < 0.25
+    # deterministic across invocations
+    again = {r["uid"] for r in
+             sampling.hash_sample(users, "uid", 0.2).collect()}
+    assert again == kept_users
+
+
+def test_stratified_sample_rates(spark):
+    from sybil_spark.operators import sampling
+    df = spark.createDataFrame(
+        [Row(k=i, s="rare" if i % 10 == 0 else "common")
+         for i in range(2000)])
+    out = sampling.stratified_sample(df, "s", "k",
+                                     {"rare": 1.0, "common": 0.1}).collect()
+    by = {}
+    for r in out:
+        by[r["s"]] = by.get(r["s"], 0) + 1
+    assert by["rare"] == 200                 # 100% kept
+    assert 100 < by["common"] < 260          # ~10% of 1800
+
+
+def test_reservoir_sample_exact_n_and_plan(spark):
+    from sybil_spark.operators import sampling
+    from sybil_spark.plans import inspect as I
+    df = spark.createDataFrame([Row(k=i) for i in range(5000)])
+    s = sampling.reservoir_sample(df, 50, "k")
+    assert "TakeOrderedAndProject" in I.formatted_plan(s)
+    got = [r["k"] for r in s.collect()]
+    assert len(got) == 50 == len(set(got))
+    assert got == [r["k"] for r in
+                   sampling.reservoir_sample(df, 50, "k").collect()]
