@@ -963,6 +963,25 @@ def q_stratified_sample(spark, sf):
             .groupBy("event_type").agg(F.count(F.lit(1)).alias("count")))
 
 
+@_q("assign_splits", f"""
+    with b as (select user_id,
+                      cast(concat('0x', substr(md5(cast(user_id as varchar)),
+                                               1, 4)) as bigint) as h
+               from (select distinct user_id from {EV}))
+    select case when h < 58982 then 'train'
+                when h < 62259 then 'val' else 'test' end as split,
+           count(*) as count
+    from b group by 1""")
+def q_assign_splits(spark, sf):
+    """Deterministic 90/5/5 train/val/test over users — same key,
+    same split, on any engine; entity-leakage-free by construction
+    (operators/sampling.assign_splits)."""
+    from sybil_spark.operators import sampling
+    users = _events(spark, sf).select("user_id").distinct()
+    return (sampling.assign_splits(users, "user_id")
+            .groupBy("split").agg(F.count(F.lit(1)).alias("count")))
+
+
 # ===========================================================================
 # 4b. Temporal joins (as-of / range) — operators Spark lacks natively
 # ===========================================================================

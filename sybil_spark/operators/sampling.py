@@ -66,3 +66,28 @@ def reservoir_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:
     only near the cut line."""
     h = F.md5(F.col(key_col).cast("string"))
     return (df.orderBy(h.asc(), F.col(key_col).asc()).limit(n))
+
+
+def assign_splits(df: DataFrame, key_col: str,
+                  weights: dict | None = None,
+                  split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the key's hash bucket
+    falls into contiguous ranges sized by `weights` (default
+    90/5/5). Same key -> same split, forever, on any engine — the
+    property that keeps a held-out set held out across pipeline
+    re-runs and prevents entity-level leakage between splits (all of
+    a user's rows land in one split). Pure column math; composes
+    with partitionBy(split_col) at write time so downstream readers
+    scan only their split."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = _bucket(F.col(key_col))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        hi = int(round(acc * 65536))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    return df.withColumn(split_col, expr.otherwise(list(weights)[-1]))

@@ -378,3 +378,18 @@ def test_reservoir_sample_exact_n_and_plan(spark):
     assert len(got) == 50 == len(set(got))
     assert got == [r["k"] for r in
                    sampling.reservoir_sample(df, 50, "k").collect()]
+
+
+def test_assign_splits_leakage_free(spark):
+    from sybil_spark.operators import sampling
+    users = spark.createDataFrame([Row(uid=i) for i in range(2000)])
+    events = spark.createDataFrame(
+        [Row(uid=i, e=j) for j in range(2) for i in range(2000)])
+    us = {r["uid"]: r["split"] for r in
+          sampling.assign_splits(users, "uid").collect()}
+    es = sampling.assign_splits(events, "uid").collect()
+    for r in es:
+        assert r["split"] == us[r["uid"]]   # no entity straddles splits
+    frac = sum(1 for v in us.values() if v == "train") / len(us)
+    assert 0.87 < frac < 0.93
+    assert set(us.values()) == {"train", "val", "test"}
