@@ -982,6 +982,22 @@ def q_assign_splits(spark, sf):
             .groupBy("split").agg(F.count(F.lit(1)).alias("count")))
 
 
+@_q("pack_batches")  # no oracle: greedy bin-packing is algorithmic,
+def q_pack_batches(spark, sf):  # invariants (budget, coverage) tested
+    """Sequence packing: documents into <=8192-token batches via
+    parallel first-fit-decreasing (operators/sampling.pack_by_budget);
+    returns per-batch doc count + token load."""
+    from sybil_spark.operators import sampling
+    d = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")))
+    packed = sampling.pack_by_budget(d, "doc_id", "n_tokens", budget=8192)
+    sizes = d.select(F.col("doc_id").alias("id"), "n_tokens")
+    return (packed.join(sizes, "id")
+            .groupBy("batch").agg(F.count(F.lit(1)).alias("n_docs"),
+                                  F.sum("n_tokens").alias("tokens"))
+            .orderBy("batch"))
+
+
 # ===========================================================================
 # 4b. Temporal joins (as-of / range) — operators Spark lacks natively
 # ===========================================================================

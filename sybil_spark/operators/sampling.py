@@ -91,3 +91,52 @@ def assign_splits(df: DataFrame, key_col: str,
         expr = F.when(cond, name) if expr is None \
             else expr.when(cond, name)
     return df.withColumn(split_col, expr.otherwise(list(weights)[-1]))
+
+
+def pack_by_budget(df: DataFrame, id_col: str, size_col: str,
+                   budget: int, partitions: int | None = None) -> DataFrame:
+    """Greedy first-fit packing of items into batches of total
+    `size_col` <= budget (the sequence-packing step that turns
+    documents into training batches without padding waste).
+
+    Distributed design: items hash into `partitions` independent
+    packing groups (defaults to cluster parallelism); within a group
+    an Arrow-batched first-fit-decreasing pass assigns batch ids —
+    the classic 11/9·OPT+1 bound applies per group, and groups pack
+    in parallel with no cross-talk. Output: (id, batch) where batch
+    is globally unique (group * 2^40 + local index). Deterministic:
+    grouping is a hash, within-group order is (size desc, id).
+
+    Items larger than `budget` get a singleton batch (truncation is
+    the caller's policy, not the packer's)."""
+    import pandas as pd
+
+    sess = df.sparkSession
+    nparts = partitions or sess.sparkContext.defaultParallelism
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(size_col).cast("long").alias("sz"),
+                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(nparts))
+                      .alias("grp"))
+
+    def pack(key, pdf):
+        grp = int(key[0])
+        pdf = pdf.sort_values(["sz", "id"],
+                              ascending=[False, True], kind="mergesort")
+        batches = []      # per-batch remaining budget
+        assign = []
+        for sz in pdf.sz:
+            placed = None
+            for bi, rem in enumerate(batches):
+                if sz <= rem:
+                    placed = bi
+                    batches[bi] -= sz
+                    break
+            if placed is None:
+                batches.append(max(0, budget - sz))
+                placed = len(batches) - 1
+            assign.append((grp << 40) + placed)
+        return pd.DataFrame({"id": pdf.id, "batch": assign})
+
+    return (base.groupBy("grp")
+                .applyInPandas(pack, schema="id long, batch long"))

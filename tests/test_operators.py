@@ -393,3 +393,37 @@ def test_assign_splits_leakage_free(spark):
     frac = sum(1 for v in us.values() if v == "train") / len(us)
     assert 0.87 < frac < 0.93
     assert set(us.values()) == {"train", "val", "test"}
+
+
+def test_pack_by_budget(spark):
+    from sybil_spark.operators import sampling
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=50 + (i * 137) % 900) for i in range(500)])
+    packed = sampling.pack_by_budget(docs, "doc_id", "n_tokens",
+                                     budget=2048, partitions=4)
+    rows = packed.collect()
+    assert len(rows) == 500                       # every doc assigned once
+    assert len({r["id"] for r in rows}) == 500
+    sizes = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    loads = {}
+    for r in rows:
+        loads[r["batch"]] = loads.get(r["batch"], 0) + sizes[r["id"]]
+    assert all(v <= 2048 for v in loads.values())  # budget respected
+    # packing efficiency: average batch fill > 70% (FFD is near-OPT)
+    fills = [v / 2048 for v in loads.values()]
+    assert sum(fills) / len(fills) > 0.7
+    # deterministic
+    again = sorted((r["id"], r["batch"]) for r in
+                   sampling.pack_by_budget(docs, "doc_id", "n_tokens",
+                                           budget=2048,
+                                           partitions=4).collect())
+    assert again == sorted((r["id"], r["batch"]) for r in rows)
+
+
+def test_pack_oversize_singleton(spark):
+    from sybil_spark.operators import sampling
+    docs = spark.createDataFrame([Row(doc_id=1, n=5000), Row(doc_id=2, n=10)])
+    rows = sampling.pack_by_budget(docs, "doc_id", "n", budget=100,
+                                   partitions=1).collect()
+    batches = {r["id"]: r["batch"] for r in rows}
+    assert batches[1] != batches[2]   # oversize item isolated
