@@ -29,8 +29,15 @@ def normalize(df):
     sorted by name (mirrors the driver's order-insensitive hash)."""
     cols = sorted(df.columns)
     df = df[cols]
+    # dtype *kind* per column: the driver's value-hash is type-sensitive
+    # (int64 123 vs float64 123.0 hash differently — e.g. DuckDB
+    # sum(BIGINT) returns HUGEINT which pandas renders as float64), so a
+    # kind mismatch between engines must be reported as a failure here.
+    kinds = ["f" if df[c].dtype.kind == "f" else
+             "i" if df[c].dtype.kind in "iu" else "o" for c in cols]
     rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
-    return cols, sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, kinds, sorted(
+        rows, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 def values_equal(a, b):
@@ -92,11 +99,16 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        scols, srows = normalize(sdf)
-        dcols, drows = normalize(ddf)
+        scols, skinds, srows = normalize(sdf)
+        dcols, dkinds, drows = normalize(ddf)
         status, detail = "PASS", ""
         if scols != dcols:
             status, detail = "FAIL", f"columns {scols} vs {dcols}"
+        elif skinds != dkinds:
+            status, detail = "FAIL", (
+                "dtype kinds "
+                + str([f"{c}:{a}!={b}" for c, a, b
+                       in zip(scols, skinds, dkinds) if a != b]))
         elif len(srows) != len(drows):
             status, detail = "FAIL", f"rowcount {len(srows)} vs {len(drows)}"
         else:
