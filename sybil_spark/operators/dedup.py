@@ -43,13 +43,26 @@ def exact_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 def exact_keep_first(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Return the deduplicated rows (first id wins per key).
 
-    Shuffles only (hash, id): at 100 TB the wide document row stays
-    columnar at rest and is re-joined after the winner is chosen —
-    a semi-join that Catalyst can push as a DPP/bloom filter."""
-    h = F.xxhash64(*[F.col(c) for c in key_cols]).alias("__k")
-    winners = (df.select(h, F.col(id_col))
-                 .groupBy("__k").agg(F.min(id_col).alias(id_col)))
-    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+    The cheap pass shuffles only (hash, id): at 100 TB the wide
+    document row stays columnar at rest and is re-joined after the
+    winner is chosen — a semi-join that Catalyst can push as a
+    DPP/bloom filter. Hash groups with >1 member are then RE-CHECKED
+    on the real key columns (a second grouped pass over just those
+    rows), so a 64-bit collision between two distinct keys can never
+    drop a unique row: the wide keys shuffle only for rows that are
+    duplicates or collisions, never for the (dominant) unique rows."""
+    h = F.xxhash64(*[F.col(c) for c in key_cols])
+    g = (df.select(h.alias("__k"), F.col(id_col))
+           .groupBy("__k").agg(F.min(id_col).alias(id_col),
+                               F.count(F.lit(1)).alias("__n")))
+    solo = g.where(F.col("__n") == 1).select(id_col)
+    multi_rows = (df.withColumn("__k", h)
+                    .join(g.where(F.col("__n") > 1).select("__k"),
+                          "__k", "left_semi"))
+    multi = (multi_rows.groupBy(*key_cols)
+                       .agg(F.min(id_col).alias(id_col)).select(id_col))
+    winners = solo.unionByName(multi)
+    return df.join(winners, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -156,20 +169,40 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
              .distinct())
 
 
+#: default posting-list cap: bounds the pair-finding join at
+#: max_posting² pairs per shingle, so one boilerplate shingle can never
+#: make the self-join quadratic in corpus size. Pairs that are FOUND
+#: are still scored exactly (full shingle sets); only pairs whose
+#: entire overlap is hot shingles are missed — the pairs the cap
+#: exists to avoid.
+DEFAULT_MAX_POSTING = 1000
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 3, threshold: float = 0.0,
                   candidates: DataFrame | None = None,
-                  max_posting: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity for document pairs.
+                  max_posting: int | None = DEFAULT_MAX_POSTING,
+                  exact: bool = False) -> DataFrame:
+    """N-gram Jaccard similarity for document pairs; every returned
+    pair's jaccard value is exact.
 
-    Without `candidates` this computes ALL pairs sharing ≥1 shingle via
-    an inverted-index self-join (posting-list join — the classic
-    all-pairs similarity strategy; skewed hot shingles are the risk at
-    scale). With `candidates` (e.g. from minhash_lsh_candidates) the
+    Without `candidates` this finds pairs sharing ≥1 shingle via an
+    inverted-index self-join (posting-list join). The join cost is
+    Σ df(s)² over shingles s, so by DEFAULT postings longer than
+    `max_posting` (hot/boilerplate shingles) are dropped from the
+    pair-FINDING step — the scale-safe mode; found pairs are then
+    re-scored on full shingle sets, so returned values stay exact.
+    Pass ``exact=True`` (or ``max_posting=None``) for the fully
+    exhaustive join — the oracle/auditing path, quadratic in the
+    hottest posting and NOT safe at 100 TB.
+
+    With `candidates` (e.g. from minhash_lsh_candidates) the
     posting-list join is skipped entirely: each candidate pair joins
     its two shingle sets and intersects them with one JVM
     array_intersect — work proportional to |candidates|, not |pairs
     sharing a shingle|. Output: id_a < id_b, jaccard ∈ (0,1]."""
+    if exact:
+        max_posting = None
     if candidates is not None:
         sets = spread(df).select(F.col(id_col).alias("id"),
                          shingles(F.col(text_col), shingle_n).alias("sh"))
@@ -187,8 +220,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                             F.explode(shingles(F.col(text_col), shingle_n))
                             .alias("sh")))
     if max_posting is not None:
-        # Skew guard (opt-in): drop shingles appearing in more than
-        # max_posting documents from the PAIR-FINDING join — the
+        # Skew guard (the DEFAULT): drop shingles appearing in more
+        # than max_posting documents from the PAIR-FINDING join — the
         # classic stop-shingle cap. The posting-list join cost is
         # sum(df(s)^2) over shingles s, so one boilerplate trigram in
         # a million docs is 10^12 pairs; capping bounds it at
@@ -198,7 +231,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # approximation is that pairs whose entire overlap is hot
         # shingles are never found (near-dups share rare shingles;
         # boilerplate-only matches are the pairs the cap exists to
-        # avoid). Default None = fully exact (the oracle path).
+        # avoid). exact=True/max_posting=None = exhaustive (oracle
+        # path only).
         hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                  .where(F.col("df") > max_posting).select("sh"))
         cold = sh.join(hot, "sh", "left_anti")
@@ -292,44 +326,40 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float, block_on: str | None = None,
-                        block_rows: int = 2048) -> DataFrame:
+                        block_rows: int = 2048, n_rows: int | None = None,
+                        n_groups: int | None = None,
+                        auto_block_threshold: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     Candidate generation is dense linear algebra, so it runs as
     block-matrix numpy matmuls (same strategy as
-    similarity.pairwise_topk): rows hash into ⌈n/block_rows⌉ blocks,
-    each (i ≤ j) block-pair is one applyInPandas group computing an
-    Arrow-batched float64 matmul and emitting only pairs with
-    cos ≥ t − 1e-9 (the margin absorbs BLAS summation-order error,
-    ~1e-15 relative). Survivors — a tiny set — are re-scored with the
-    sequential-fold JVM cosine and filtered at exactly t, so the
-    output values are bit-deterministic and oracle-matched while the
-    O(n²·d) work stays in BLAS. 12.5M-pair sf0.1: 85 s interpreted
-    self-join → ~2 s blocked.
+    similarity.pairwise_topk): rows hash into ⌈group_rows/block_rows⌉
+    blocks per group, each (i ≤ j) block-pair is one applyInPandas
+    group computing an Arrow-batched float64 matmul and emitting only
+    pairs with cos ≥ t − 1e-9 (the margin absorbs BLAS
+    summation-order error, ~1e-15 relative). Survivors — a tiny set —
+    are re-scored with the sequential-fold JVM cosine and filtered at
+    exactly t, so the output values are bit-deterministic and
+    oracle-matched while the O(n²·d) work stays in BLAS. 12.5M-pair
+    sf0.1: 85 s interpreted self-join → ~2 s blocked.
 
-    Pass `block_on` (an LSH bucket or ivf_assign cluster column) to
-    restrict comparisons to co-bucketed rows — the 100 TB path where
-    even BLAS all-pairs is too much; then comparisons happen only
-    within buckets (one applyInPandas group per bucket-block-pair)."""
+    Scale defaults (similarity._prepare_blocks): pass `block_on` (an
+    LSH bucket or ivf_assign cluster column) to restrict comparisons
+    to co-bucketed rows; above `auto_block_threshold` rows
+    (similarity.AUTO_BLOCK_THRESHOLD) an un-bucketed input derives a
+    hyperplane-LSH bucket automatically, so the default can never go
+    quadratic in table size. Pass `n_rows` (e.g. from table metadata)
+    to skip the plan-sizing count job."""
     import pandas as pd
 
     from sybil_spark.functions.vectors import cosine
-    from sybil_spark.operators._util import spread
+    from sybil_spark.operators import similarity as S
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                     (F.col(block_on) if block_on else F.lit(0)).alias("grp"))
-    n = base.count()
-    nblocks = max(1, -(-n // block_rows))
-    blocked = spread(base).withColumn(
-        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)))
-    pairs = blocked.select(
-        "id", "vec", "grp", "blk",
-        F.explode(F.array(*[
-            F.struct(F.least(F.col("blk"), F.lit(j)).alias("pa"),
-                     F.greatest(F.col("blk"), F.lit(j)).alias("pb"))
-            for j in range(nblocks)])).alias("p")).select(
-        "id", "vec", "grp", "blk",
-        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+    if auto_block_threshold is None:
+        auto_block_threshold = S.AUTO_BLOCK_THRESHOLD
+    base, pairs = S._prepare_blocks(df, id_col, vec_col, block_on,
+                                    block_rows, n_rows, n_groups,
+                                    auto_block_threshold)
 
     margin = 1e-9
 

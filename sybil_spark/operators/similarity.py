@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sybil_spark.functions.vectors import cosine_to_const, dot, norm_sq
+from sybil_spark.operators._util import spread
 
 
 def brute_force_topk(df: DataFrame, vec_col: str, query: list[float],
@@ -171,9 +172,81 @@ def ivf_topk(df: DataFrame, vec_col: str, query: list[float], k: int = 10,
                             vec_col, query, k, id_col)
 
 
+#: rows above which un-bucketed all-pairs operators derive an LSH
+#: bucket column automatically instead of running O(n²) blocked BLAS.
+AUTO_BLOCK_THRESHOLD = 200_000
+
+
+def _auto_planes(n_rows: int, block_rows: int) -> int:
+    """Hyperplane count sizing buckets to ~4 blocks each: 2^planes ≈
+    n/(4·block_rows), clamped to [4, 16] (16..65536 buckets)."""
+    return max(4, min(16, (n_rows // (4 * block_rows)).bit_length()))
+
+
+def _prepare_blocks(df: DataFrame, id_col: str, vec_col: str,
+                    block_on: str | None, block_rows: int,
+                    n_rows: int | None, n_groups: int | None,
+                    auto_block_threshold: int):
+    """Shared front-end of the blocked all-pairs operators: a narrow
+    (id, vec, grp) frame replicated to its (grp, pa, pb) block-pair
+    groups, sized so replication is ⌈group_rows/block_rows⌉ — per
+    GROUP, not per table.
+
+    - One count() job runs only when `n_rows` isn't passed, on a
+      persisted narrow projection, so the job that sizes the plan also
+      materializes the cache the main job reads (callers at scale pass
+      n_rows — e.g. from table metadata — and no extra job runs).
+    - Un-bucketed inputs above `auto_block_threshold` rows get a
+      deterministic hyperplane-LSH `grp` automatically: comparisons
+      then happen only within co-bucketed rows. Near-identical vectors
+      produce near-identical plane signs, so true near-dup pairs
+      co-bucket with high probability; this is the documented
+      approximation that makes 100 TB feasible — pass an explicit
+      `block_on` (IVF cluster / LSH bucket) to control it.
+
+    Returns (base, pairs) where base = (id, vec, grp) and pairs adds
+    (blk, pa, pb)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        (F.col(block_on) if block_on else F.lit(0)).alias("grp"))
+    if n_rows is None:
+        base = base.persist()
+        n_rows = base.count()
+    if block_on is None:
+        if n_rows > auto_block_threshold:
+            dim = df.select(F.size(F.col(vec_col))).first()[0]
+            planes = _auto_planes(n_rows, block_rows)
+            base = base.withColumn(
+                "grp", random_hyperplane_bucket(F.col("vec"), dim, planes))
+            n_groups = 1 << planes
+        else:
+            n_groups = 1
+    elif n_groups is None:
+        n_groups = max(1, base.select("grp").distinct().count())
+    nb = max(1, -(-n_rows // (n_groups * block_rows)))
+    blocked = spread(base).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)))
+    if nb == 1:
+        pairs = blocked.select("id", "vec", "grp", "blk",
+                               F.lit(0).alias("pa"), F.lit(0).alias("pb"))
+        return base, pairs
+    pairs = blocked.select(
+        "id", "vec", "grp", "blk",
+        F.explode(F.array(*[
+            F.struct(F.least(F.col("blk"), F.lit(j)).alias("pa"),
+                     F.greatest(F.col("blk"), F.lit(j)).alias("pb"))
+            for j in range(nb)])).alias("p")).select(
+        "id", "vec", "grp", "blk",
+        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+    return base, pairs
+
+
 def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
                   k: int = 20, block_rows: int = 2048,
-                  margin: int = 32) -> DataFrame:
+                  margin: int = 32, n_rows: int | None = None,
+                  block_on: str | None = None, n_groups: int | None = None,
+                  auto_block_threshold: int = AUTO_BLOCK_THRESHOLD
+                  ) -> DataFrame:
     """Global top-k most-similar pairs (id_a < id_b) by cosine.
 
     Scale design — block-matrix all-pairs:
@@ -192,29 +265,25 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
        noise of each other.
 
     Work is O(n²·d / cluster) with perfect parallelism across block
-    pairs; no shuffle exceeds (k+margin)·B² candidate rows."""
+    pairs; no shuffle exceeds (k+margin)·B² candidate rows. Above
+    `auto_block_threshold` rows (or with `block_on`), comparisons are
+    restricted to co-bucketed rows — see _prepare_blocks; the global
+    top-k is then approximate in the usual LSH sense (the top pairs
+    are near-identical vectors, which co-bucket with high
+    probability)."""
     import pandas as pd
 
     from sybil_spark.functions.vectors import cosine
 
-    n = df.count()
-    nblocks = max(1, -(-n // block_rows))
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
-                      .alias("blk"))
-    pairs = base.select(
-        "id", "vec", "blk",
-        F.explode(F.array(*[
-            F.struct(F.least(F.col("blk"), F.lit(j)).alias("pa"),
-                     F.greatest(F.col("blk"), F.lit(j)).alias("pb"))
-            for j in range(nblocks)])).alias("p")).select(
-        "id", "vec", "blk", F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+    base, pairs = _prepare_blocks(df, id_col, vec_col, block_on,
+                                  block_rows, n_rows, n_groups,
+                                  auto_block_threshold)
 
     take = k + margin
 
     def local_topk(key, pdf):
         import numpy as np
-        pa, pb = key
+        _grp, pa, pb = key
         va = pdf[pdf.blk == pa]
         vb = pdf[pdf.blk == pb]
         if len(va) == 0 or len(vb) == 0:
@@ -242,7 +311,7 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
         return pd.DataFrame({"id_a": np.minimum(sel_a, sel_b),
                              "id_b": np.maximum(sel_a, sel_b)})
 
-    cands = (pairs.groupBy("pa", "pb")
+    cands = (pairs.groupBy("grp", "pa", "pb")
                   .applyInPandas(local_topk, schema="id_a long, id_b long"))
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))

@@ -427,3 +427,62 @@ def test_pack_oversize_singleton(spark):
                                    partitions=1).collect()
     batches = {r["id"]: r["batch"] for r in rows}
     assert batches[1] != batches[2]   # oversize item isolated
+
+
+def test_jaccard_default_is_capped_and_exact_where_found(spark, docs):
+    """The DEFAULT jaccard path runs with a finite posting cap (the
+    scale-safe mode); at small df the cap is vacuous, so defaults must
+    equal exact=True bit-for-bit."""
+    assert dedup.DEFAULT_MAX_POSTING is not None
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              dedup.jaccard_pairs(docs, "doc_id", "text",
+                                  threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                 exact=True).collect()}
+    assert capped == exact
+
+
+def test_keep_first_hash_collision(spark, monkeypatch):
+    """Two distinct keys colliding in the 64-bit hash must BOTH keep a
+    row: winners are re-verified on the real key columns within
+    multi-member hash groups (a degenerate constant 'hash' forces
+    every row into one collision group)."""
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="alpha"),
+         Row(doc_id=3, text="beta"), Row(doc_id=4, text="gamma")])
+    monkeypatch.setattr(dedup.F, "xxhash64",
+                        lambda *c: F.lit(0).cast("long"))
+    kept = sorted(r["doc_id"]
+                  for r in dedup.exact_keep_first(d, ["text"], "doc_id")
+                  .collect())
+    assert kept == [1, 3, 4]
+
+
+def test_prepare_blocks_replication_bounded(spark):
+    """Block count derives from GROUP size, not table size: 1000 rows
+    in 10 groups with block_rows=128 need no replication (nb=1),
+    where a global ceil(n/block_rows) would replicate every row 8x."""
+    rows = [Row(vec_id=i, embedding=[float(i % 7) + 1.0, 1.0], grp=i % 10)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    _base, pairs = similarity._prepare_blocks(
+        df, "vec_id", "embedding", "grp", 128, None, None,
+        similarity.AUTO_BLOCK_THRESHOLD)
+    assert pairs.count() == 1000
+
+
+def test_embedding_dup_auto_bucket(spark):
+    """Above auto_block_threshold an un-bucketed input derives an LSH
+    bucket automatically — identical vectors co-bucket, so planted
+    dups survive, and the all-pairs work is confined to buckets."""
+    rows = [Row(vec_id=i,
+                embedding=[math.sin(i * 1.0 + j) for j in range(8)])
+            for i in range(300)]
+    rows.append(Row(vec_id=1000, embedding=rows[5].embedding))
+    df = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_dup_pairs(df, "vec_id", "embedding",
+                                       threshold=1.0 - 1e-12,
+                                       auto_block_threshold=100).collect()}
+    assert (5, 1000) in pairs

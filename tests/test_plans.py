@@ -209,3 +209,16 @@ def test_topk_per_group_two_shuffles(spark, sf_dir):
     # count shuffle on (event_type, user_id) + rank-window shuffle on
     # event_type; the window input is groups, never raw events
     assert I.shuffle_exchange_count(q) == 2, I.formatted_plan(q)
+
+
+def test_jaccard_default_plan_has_posting_cap(spark, sf_dir):
+    """The DEFAULT jaccard plan must route pair-finding through the
+    hot-shingle cap (left-anti join against over-long postings); the
+    uncapped posting self-join is opt-in (exact=True) only — it is
+    quadratic in the hottest posting and unsafe at 100 TB."""
+    from sybil_spark.operators import dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.1)
+    assert "LeftAnti" in I.formatted_plan(q), "default must be capped"
+    q2 = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.1, exact=True)
+    assert "LeftAnti" not in I.formatted_plan(q2)
