@@ -37,7 +37,8 @@ def digest(spark: SparkSession, table: Table,
            time_col: str | None = None,
            chunk_size: int = CHUNK_SIZE,
            compression: str = "zstd",
-           day_partitions: bool = False) -> int:
+           day_partitions: bool = False,
+           skip_outliers: bool = True) -> int:
     """Compact the row log into time-sorted blocks. Returns rows
     digested (0 = nothing to do).
 
@@ -99,7 +100,7 @@ def digest(spark: SparkSession, table: Table,
                .partitionBy("day"))
     w.parquet(table.blocks_path)
     # stats read the staged files again — must run before the cleanup
-    _update_int_info(meta, df)
+    _update_int_info(meta, df, skip_outliers)
     shutil.rmtree(stage)
 
     meta.updated_at = _time.time()
@@ -107,19 +108,39 @@ def digest(spark: SparkSession, table: Table,
     return n
 
 
-def _update_int_info(meta, df) -> None:
+#: outlier suppression for registry min/max, matching the reference
+#: (src/lib/table_column_info.go:71-73): values more than STD_CUTOFF
+#: standard deviations from the mean are ignored when updating
+#: min/max (unless skip_outliers=False), and no suppression happens
+#: until MIN_CUTOFF values have been seen.
+STD_CUTOFF = 1000.0
+MIN_CUTOFF = 5
+
+
+def _update_int_info(meta, df, skip_outliers: bool = True) -> None:
     """Merge this batch's column stats into the table-level registry
     (reference IntInfo/StrInfo zone maps,
     src/lib/table_column_info.go:13-59) — ONE aggregate over the
     batch already being digested. Numeric columns get min/max/count
-    (feeds the sybil-compat histogram bucket width, Query.hist
-    from_registry — the reference derives it from table-lifetime
-    min/max, hist_basic.go:87-91); string columns get an approximate
-    batch cardinality (the StrInfo.Cardinality analog — the
-    reference uses it to pick bucket- vs value-encoding, for us it
-    is surfaced through table_info). Batch cardinalities are
-    max-merged: a lower bound on lifetime cardinality without
-    persisting sketches."""
+    plus mergeable sum/sumsq (feeds the sybil-compat histogram bucket
+    width, Query.hist from_registry — the reference derives it from
+    table-lifetime min/max, hist_basic.go:87-91); string columns get
+    an approximate batch cardinality (the StrInfo.Cardinality analog).
+    Batch cardinalities are max-merged: a lower bound on lifetime
+    cardinality without persisting sketches.
+
+    With `skip_outliers` (the default, like the reference's
+    -skip-outliers), a batch extreme further than STD_CUTOFF spreads
+    from the batch center does NOT widen the registry min/max
+    (reference update_int_info, table_column_info.go:75-131) — one
+    junk 10⁹ value must not inflate every future registry-derived
+    histogram's bucket width. The reference's online algorithm
+    excludes ignored values from its running moments; the batch
+    equivalent of that self-protection is a ROBUST spread estimate —
+    median/IQR from percentile_approx (σ ≈ IQR/1.349), which a few
+    outliers cannot contaminate the way sum/sumsq moments can. The
+    common case costs nothing: the suppressed re-aggregate runs only
+    when the batch extremes actually breach the cutoff."""
     num_cols = [f.name for f in df.schema.fields
                 if f.dataType.simpleString() in ("bigint", "double", "int")]
     str_cols = [f.name for f in df.schema.fields
@@ -129,19 +150,54 @@ def _update_int_info(meta, df) -> None:
     aggs = []
     for c in num_cols:
         aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx"),
-                 F.count(c).alias(f"{c}__n")]
+                 F.count(c).alias(f"{c}__n"),
+                 F.percentile_approx(F.col(c).cast("double"),
+                                     F.array(F.lit(0.25), F.lit(0.5),
+                                             F.lit(0.75)))
+                  .alias(f"{c}__q")]
     for c in str_cols:
         aggs += [F.approx_count_distinct(c).alias(f"{c}__card"),
                  F.count(c).alias(f"{c}__n")]
     row = df.agg(*aggs).collect()[0]
+    batch = {}    # col -> (batch_min, batch_max, batch_count)
+    refine = {}   # col -> (lo, hi) bounds for the suppressed re-agg
     for c in num_cols:
         mn, mx, cnt = row[f"{c}__mn"], row[f"{c}__mx"], row[f"{c}__n"]
         if mn is None:
             continue
         prev = meta.int_info.get(c, {})
+        n = prev.get("count", 0) + cnt
+        batch[c] = (mn, mx, cnt)
+        if skip_outliers and n > MIN_CUTOFF:
+            q1, med, q3 = row[f"{c}__q"]
+            std = (q3 - q1) / 1.349
+            if std <= 1.0:
+                # assume large stddev early on (reference
+                # table_column_info.go:86-89)
+                std = max(med, 1.0)
+            lo, hi = med - STD_CUTOFF * std, med + STD_CUTOFF * std
+            if mn < lo or mx > hi:
+                refine[c] = (lo, hi)
+    if refine:
+        # second (rare) pass: batch min/max over in-cutoff values
+        # only; a None result (whole batch out of cutoff) keeps the
+        # previous registry value untouched
+        raggs = []
+        for c, (lo, hi) in refine.items():
+            inb = F.when((F.col(c) >= lo) & (F.col(c) <= hi), F.col(c))
+            raggs += [F.min(inb).alias(f"{c}__mn"),
+                      F.max(inb).alias(f"{c}__mx")]
+        rrow = df.agg(*raggs).collect()[0]
+        for c in refine:
+            batch[c] = (rrow[f"{c}__mn"], rrow[f"{c}__mx"], batch[c][2])
+    for c, (mn, mx, cnt) in batch.items():
+        prev = meta.int_info.get(c, {})
+        pmn, pmx = prev.get("min"), prev.get("max")
         meta.int_info[c] = {
-            "min": mn if prev.get("min") is None else min(prev["min"], mn),
-            "max": mx if prev.get("max") is None else max(prev["max"], mx),
+            "min": pmn if mn is None else (mn if pmn is None
+                                           else min(pmn, mn)),
+            "max": pmx if mx is None else (mx if pmx is None
+                                           else max(pmx, mx)),
             "count": prev.get("count", 0) + cnt,
         }
     for c in str_cols:

@@ -127,12 +127,62 @@ def _check_types(meta: TableMeta, df: DataFrame) -> DataFrame:
     return df.select(*[F.col(f"`{c}`") for c in keep])
 
 
+#: auto-digest thresholds, matching the reference's
+#: ShouldCompactRowStore (src/lib/row_store.go:77-123):
+#: FILE_DIGEST_THRESHOLD = 256 landing files,
+#: SIZE_DIGEST_THRESHOLD = 2048 KB of landing bytes.
+FILE_DIGEST_THRESHOLD = 256
+SIZE_DIGEST_THRESHOLD_KB = 2048
+
+
+def should_digest(table: Table,
+                  file_threshold: int | None = None,
+                  size_threshold_kb: int | None = None) -> bool:
+    """True when the landing dir has grown past the auto-compaction
+    thresholds. Directory metadata only — no data is read until the
+    digest itself runs (reference row_store.go:101-123: 'there is no
+    reason to actually read the data off disk until we decide to
+    compact')."""
+    import os
+    if file_threshold is None:
+        file_threshold = FILE_DIGEST_THRESHOLD
+    if size_threshold_kb is None:
+        size_threshold_kb = SIZE_DIGEST_THRESHOLD_KB
+    if not os.path.exists(table.ingest_path):
+        return False
+    n_files = 0
+    n_bytes = 0
+    for f in os.listdir(table.ingest_path):
+        if f.startswith(("_", ".")):
+            continue
+        n_files += 1
+        try:
+            n_bytes += os.path.getsize(os.path.join(table.ingest_path, f))
+        except OSError:
+            pass
+    return n_files > file_threshold or n_bytes // 1024 > size_threshold_kb
+
+
+def maybe_digest(spark: SparkSession, table: Table) -> int:
+    """Run compact.digest iff the landing dir is past threshold
+    (reference MaybeCompactRecords, src/lib/table_ingest.go:63-71).
+    Returns rows digested (0 = below threshold)."""
+    from sybil_spark.sources import compact
+    if should_digest(table):
+        return compact.digest(spark, table)
+    return 0
+
+
 def ingest_df(df: DataFrame, table: Table, spec: IngestSpec | None = None,
-              time_col: str | None = None) -> int:
+              time_col: str | None = None, auto_digest: bool = True) -> int:
     """Coerce + append a batch into TABLE/ingest/ (the row log).
 
     Returns the number of rows written. Small files are expected —
-    that is the row-log contract; `compact.digest` merges them."""
+    that is the row-log contract. When the landing dir passes the
+    file-count/byte thresholds the batch triggers an inline digest
+    (reference auto-compaction, src/lib/table_ingest.go:63-71), so a
+    steady ingest loop can never grow the landing dir unboundedly;
+    pass ``auto_digest=False`` to manage compaction externally."""
     spec = spec or IngestSpec()
     out = coerce(df, spec)
     meta = table.load_meta()
@@ -143,23 +193,36 @@ def ingest_df(df: DataFrame, table: Table, spec: IngestSpec | None = None,
     if time_col and not meta.time_col:
         meta.time_col = time_col
     table.save_meta(meta)
+    if auto_digest:
+        maybe_digest(df.sparkSession, table)
     return n
 
 
 def ingest_json(spark: SparkSession, lines_path: str, table: Table,
                 spec: IngestSpec | None = None,
-                time_col: str | None = None) -> int:
+                time_col: str | None = None,
+                infer_sample: int = 1000) -> int:
     """NDJSON file(s) → row log (reference `sybil ingest`).
 
     `spec.json_path` selects a sub-object per line before coercion
-    (reference `-path $.foo.bar`, cmd_ingest.go:145-223)."""
+    (reference `-path $.foo.bar`, cmd_ingest.go:145-223). The
+    sub-tree path stays entirely JVM-side: get_json_object extracts
+    the sub-document, whose schema is inferred from the first
+    `infer_sample` lines, and `from_json` parses the full data inside
+    codegen — no per-line Python. Keys absent from the sample are
+    dropped (matching first-use typing: a later batch where they
+    appear early registers them)."""
     spec = spec or IngestSpec()
     if spec.json_path:
         raw = spark.read.text(lines_path)
         sel = F.get_json_object(F.col("value"), spec.json_path)
-        df = spark.read.json(raw.select(sel.alias("value"))
-                             .where(F.col("value").isNotNull())
-                             .rdd.map(lambda r: r["value"]))
+        sub = (raw.select(sel.alias("value"))
+                  .where(F.col("value").isNotNull()))
+        sample = [r["value"] for r in sub.limit(infer_sample).collect()]
+        schema = spark.read.json(
+            spark.sparkContext.parallelize(sample or ["{}"])).schema
+        df = (sub.select(F.from_json("value", schema).alias("j"))
+                 .select("j.*"))
     else:
         df = spark.read.json(lines_path)
     return ingest_df(df, table, spec, time_col)

@@ -288,3 +288,53 @@ def test_day_partitioned_digest_and_trim(spark, db, tmp_path):
     for d in os.listdir(t.blocks_path):
         if d.startswith("day="):
             assert os.listdir(os.path.join(t.blocks_path, d))
+
+
+def test_auto_digest_trigger(spark, db, monkeypatch):
+    """A steady ingest loop auto-compacts once the landing dir passes
+    the file threshold (reference MaybeCompactRecords,
+    src/lib/table_ingest.go:63-71, row_store.go:77-123); results are
+    identical to a manual-digest lifecycle."""
+    monkeypatch.setattr(ingest, "FILE_DIGEST_THRESHOLD", 3)
+    t = Table(db, "autodig")
+    for i in range(6):
+        df = spark.createDataFrame([Row(v=i, time=1_700_000_000 + i)])
+        ingest.ingest_df(df, t, time_col="time")
+    assert os.path.exists(t.blocks_path)        # a digest fired
+    landing = [f for f in os.listdir(t.ingest_path)
+               if not f.startswith(("_", "."))]
+    assert len(landing) <= ingest.FILE_DIGEST_THRESHOLD + 1
+    got = sorted(r["v"] for r in t.read(spark, read_log=True).collect())
+    assert got == list(range(6))                # nothing lost or doubled
+    # opting out leaves the landing dir alone
+    t2 = Table(db, "nodigest")
+    for i in range(6):
+        df = spark.createDataFrame([Row(v=i, time=i)])
+        ingest.ingest_df(df, t2, time_col="time", auto_digest=False)
+    assert not os.path.exists(t2.blocks_path)
+
+
+def test_outlier_suppressed_registry(spark, db, tmp_path):
+    """One junk 10^9 value must not widen the registry min/max used
+    for compat-hist bucket sizing (reference STD_CUTOFF=1000 rule,
+    table_column_info.go:71-131); skip_outliers=False keeps the raw
+    extreme (reference -skip-outliers=false)."""
+    recs = [{"v": i % 100, "time": 1_700_000_000 + i} for i in range(500)]
+    recs.append({"v": 10**9, "time": 1_700_000_500})
+    t = Table(db, "outliers")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "o.ndjson", recs), t,
+                       time_col="time")
+    compact.digest(spark, t, time_col="time")
+    info = t.load_meta().int_info["v"]
+    assert info["min"] == 0 and info["max"] == 99     # outlier ignored
+    assert info["count"] == 501                       # but still counted
+    # registry-derived hist keeps its tight bucket width
+    h = (Query.table(t.read(spark)).limit(None)
+         .hist(spark, "v", from_registry=t).collect())
+    assert all(r["bucket"] < 20_000 for r in h)
+
+    t2 = Table(db, "outliers_raw")
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "o2.ndjson", recs), t2,
+                       time_col="time")
+    compact.digest(spark, t2, time_col="time", skip_outliers=False)
+    assert t2.load_meta().int_info["v"]["max"] == 10**9
