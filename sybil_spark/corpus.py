@@ -1139,6 +1139,79 @@ def q_media_meta(spark, sf):
                      F.sum("height").alias("sum_height"))
 
 
+@_q("hist_summary", f"""
+    with h as (
+      select event_type,
+             cast(floor((value - 0.0)/25.0)*25.0 + 0.0 as double) as b,
+             count(*) as n,
+             sum(cast(value as {_DEC})) as s,
+             sum(cast(value*value as {_DEC})) as ss
+      from {EV} where value is not null group by 1, 2),
+    c as (
+      select event_type, b, n,
+             sum(n) over (partition by event_type order by b
+                          rows unbounded preceding) as cum,
+             sum(n) over (partition by event_type) as tot
+      from h),
+    g as (
+      select event_type, cast(sum(n) as bigint) as samples,
+             cast(sum(s) as double) as sum_value,
+             cast(sum(s) as double)/sum(n) as avg_value,
+             sqrt((cast(sum(ss) as double)
+                   - cast(sum(s) as double)*cast(sum(s) as double)/sum(n))
+                  /(sum(n) - 1)) as stddev_value
+      from h group by 1),
+    p as (
+      select event_type,
+             min(case when cum >= 0.25*tot then b end) as p25,
+             min(case when cum >= 0.5*tot then b end) as p50,
+             min(case when cum >= 0.75*tot then b end) as p75
+      from c group by 1)
+    select g.event_type, g.samples, g.sum_value, g.avg_value,
+           g.stddev_value, p.p25, p.p50, p.p75
+    from g join p on g.event_type = p.event_type""")
+def q_hist_summary(spark, sf):
+    """Composite hist output (reference -op hist prints avg/stddev/
+    percentiles derived from the same histogram, printer.go:111-125):
+    one row per group with moments + bucket-quantized percentiles."""
+    out = (Query.table(_events(spark, sf)).group_by("event_type")
+           .hist_summary(spark, "value", bucket=25.0, min_val=0.0))
+    return out.select(
+        "event_type", "samples",
+        F.col("sum_value").alias("sum_value"),
+        F.col("avg_value").alias("avg_value"),
+        F.col("stddev_value").alias("stddev_value"),
+        "p25", "p50", "p75")
+
+
+@_q("weighted_percentile", f"""
+    with s as (select l_returnflag, l_extendedprice as v,
+                      coalesce(cast(l_quantity as double), 1.0) as w
+               from lineitem where l_extendedprice is not null),
+    c as (select l_returnflag, v,
+                 sum(cast(w as {_DEC})) over
+                     (partition by l_returnflag order by v, w
+                      rows unbounded preceding) as cw,
+                 sum(cast(w as {_DEC})) over
+                     (partition by l_returnflag) as tw
+          from s)
+    select l_returnflag,
+           min(case when cast(cw as double) >= 0.5*cast(tw as double)
+                    then v end) as p50_l_extendedprice
+    from c group by 1""")
+def q_weighted_percentile(spark, sf):
+    """Weighted median: smallest value whose cumulative weight reaches
+    half the total (the un-quantized version of the reference's
+    weight-scaled histogram percentiles, hist_basic.go:111-118,
+    153-183)."""
+    li = _t(spark, sf, "lineitem")
+    out = (Query.table(li).weight_col("l_quantity")
+           .group_by("l_returnflag")
+           .agg("l_extendedprice", "percentile", percentiles=[0.5])
+           .limit(None).execute(spark))
+    return out.select("l_returnflag", "p50_l_extendedprice")
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -1155,8 +1228,10 @@ _DRIVER_FIRST = [
     "stratified_sample", "assign_splits", "pack_batches", "asof_join",
     "range_join", "embedding_dup", "ivf_topk", "rollup_serve",
     "rollup_distinct", "media_meta",
-    # (b) changed this round (red row fixed / defaults made scale-safe):
+    # (b) changed this round (red row fixed / defaults made scale-safe)
+    # or new this round:
     "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
+    "hist_summary", "weighted_percentile",
 ]
 
 

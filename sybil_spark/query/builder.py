@@ -288,6 +288,15 @@ class Query:
                 # full-sort percentile; accuracy trades memory
                 approx = a.params.get("approx", False)
                 acc = a.params.get("accuracy", 10000)
+                if self._weight_col:
+                    # weighted percentiles compile via a window CDF
+                    # pass joined in by compile() — see _wp_frame
+                    if approx:
+                        raise ValueError(
+                            "approx percentile does not support "
+                            "weight_col; use hist_summary for the "
+                            "weighted scale path")
+                    continue
                 for p in pcts:
                     if approx:
                         e = F.percentile_approx(a.col, p, acc)
@@ -309,6 +318,50 @@ class Query:
             elif a.op == "hist":
                 raise ValueError("hist aggregations compile via Query.hist()")
         return exprs
+
+    def _group_names(self, df: DataFrame) -> list[str]:
+        names = list(self._groups)
+        names += [a for _c, a in self._set_groups if a in df.columns]
+        if self._time_bucket:
+            names.append("tbucket")
+        return names
+
+    def _wp_frame(self, df: DataFrame, a: "_Agg") -> DataFrame:
+        """Exact weighted percentiles for one agg: smallest value whose
+        cumulative weight reaches p·total (the un-quantized version of
+        the reference's weight-scaled histogram percentiles,
+        src/lib/hist_basic.go:111-118, 153-183).
+
+        Plan shape: one window pass building the weighted CDF
+        (partitioned by the group columns — the per-group sort is the
+        unavoidable cost of an exact percentile and Spark spills it),
+        then a grouped min over threshold-crossing values. Weights
+        accumulate in decimal, so the CDF is order-exact and
+        bit-matches a SQL window oracle. The mergeable scale path is
+        the histogram CDF (hist_summary / rollup)."""
+        from pyspark.sql import Window
+
+        names = self._group_names(df)
+        gexprs = self._group_cols(df)
+        w = self._weight()
+        proj = (df.select(*gexprs, F.col(a.col).alias("__v"),
+                          w.cast(self._DEC).alias("__w"))
+                  .where(F.col("__v").isNotNull()))
+        part = Window.partitionBy(*[F.col(n) for n in names])
+        cdf = part.orderBy("__v", "__w").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        proj = proj.select(*names, "__v",
+                           F.sum("__w").over(cdf).alias("__cw"),
+                           F.sum("__w").over(part).alias("__tw"))
+        pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
+        aggs = []
+        for p in pcts:
+            hit = F.when(F.col("__cw").cast("double")
+                         >= F.lit(float(p)) * F.col("__tw").cast("double"),
+                         F.col("__v"))
+            aggs.append(F.min(hit).cast("double")
+                        .alias(a.alias or f"p{int(p * 100)}_{a.col}"))
+        return proj.groupBy(*names).agg(*aggs) if names else proj.agg(*aggs)
 
     def _group_cols(self, df: DataFrame) -> list[Column]:
         cols = [F.col(g) for g in self._groups]
@@ -333,6 +386,19 @@ class Query:
             out = df.groupBy(*group_cols).agg(*self._agg_exprs())
         else:
             out = df.agg(*self._agg_exprs())
+
+        wp_aggs = [a for a in self._aggs
+                   if a.op == "percentile" and self._weight_col
+                   and not a.params.get("approx")]
+        if wp_aggs:
+            if self._total_row:
+                raise ValueError("total_row with weighted percentiles "
+                                 "is not supported")
+            names = self._group_names(df)
+            for a in wp_aggs:
+                frame = self._wp_frame(df, a)
+                out = (out.join(frame, names, "left") if names
+                       else out.crossJoin(frame))
 
         if self._total_row and group_cols:
             # Grand-total union (reference src/lib/aggregate.go:414-459);
@@ -414,6 +480,11 @@ class Query:
         pred = self._predicate(df)
         if pred is not None:
             df = df.where(pred)
+        # set group-by explodes here exactly like compile() — a
+        # group_by_set + hist query must group per element, not
+        # silently drop the grouping
+        for c0, alias in self._set_groups:
+            df = df.withColumn(alias, F.explode(F.col(c0)))
         df = df.where(F.col(col).isNotNull())
         if discard_over is not None:
             df = df.where(F.col(col) <= discard_over)
@@ -435,8 +506,102 @@ class Query:
             if (weighted and self._weight_col) else [F.count(F.lit(1)).alias("count")]
         out = df.groupBy(*group_cols).agg(*aggs)
         order = [F.col(c).asc_nulls_last() for c in out.columns
-                 if c in self._groups or c in ("tbucket", "bucket")]
+                 if c in self._groups or c in ("tbucket", "bucket")
+                 or c in {a for _c, a in self._set_groups}]
         return out.orderBy(*order)
+
+    def hist_summary(self, spark: SparkSession, col: str,
+                     bucket: float | None = None,
+                     min_val: float | None = None,
+                     max_val: float | None = None,
+                     ps: tuple = (0.25, 0.5, 0.75),
+                     discard_over: float | None = None,
+                     from_registry=None) -> DataFrame:
+        """Composite histogram result: per group, ONE row holding
+        samples, sum, avg, stddev AND bucket-quantized percentiles —
+        the reference's `-op hist` output, which prints
+        percentiles/stddev/avg/sum derived from the same histogram
+        (src/lib/printer.go:111-125, hist_basic.go:153-211), without
+        issuing separate percentile/stddev queries.
+
+        Plan shape: one scan → per-(group, bucket) partial moments
+        (count + decimal sum/sumsq) → per-group final merge where
+        percentiles walk the ≤NUM_BUCKETS (bucket,count) entries
+        (rollup.percentiles_from_hist's CDF logic as an aggregate).
+        avg/stddev come from the exact decimal moments (like
+        sources/rollup.serve); percentiles are bucket lower bounds,
+        quantized exactly like the reference. Scale-safe: the second
+        aggregate sees at most NUM_BUCKETS rows per group."""
+        if from_registry is not None:
+            info = from_registry.load_meta().int_info.get(col)
+            if not info:
+                raise ValueError(
+                    f"no registry stats for column {col!r}; run digest")
+            min_val = info["min"] if min_val is None else min_val
+            max_val = info["max"] if max_val is None else max_val
+            if discard_over is None and info["max"] is not None \
+                    and info["max"] > 0:
+                discard_over = 10 * info["max"]
+        df = self._load(spark)
+        for c0, pat, repl in self._str_replaces:
+            df = df.withColumn(c0, F.regexp_replace(F.col(c0), pat, repl))
+        pred = self._predicate(df)
+        if pred is not None:
+            df = df.where(pred)
+        for c0, alias in self._set_groups:
+            df = df.withColumn(alias, F.explode(F.col(c0)))
+        df = df.where(F.col(col).isNotNull())
+        if discard_over is not None:
+            df = df.where(F.col(col) <= discard_over)
+        if bucket is None:
+            if min_val is None or max_val is None:
+                row = df.agg(F.min(col).alias("mn"),
+                             F.max(col).alias("mx")).first()
+                min_val = row["mn"] if min_val is None else min_val
+                max_val = row["mx"] if max_val is None else max_val
+            bucket = max((max_val - min_val) / NUM_BUCKETS, 1)
+        base = float(min_val) if min_val is not None else 0.0
+
+        c = F.col(col)
+        bcol = (F.floor((c - F.lit(base)) / F.lit(float(bucket)))
+                * F.lit(float(bucket)) + F.lit(base)).alias("bucket")
+        group_cols = self._group_cols(df)
+        per_bucket = (df.groupBy(*group_cols, bcol)
+                      .agg(F.count(F.lit(1)).alias("__n"),
+                           F.sum(c.cast(self._DEC)).alias("__s"),
+                           F.sum((c * c).cast(self._DEC)).alias("__ss")))
+        gnames = [x for x in per_bucket.columns
+                  if x not in ("bucket", "__n", "__s", "__ss")]
+        n = F.sum("__n")
+        s = F.sum("__s").cast("double")
+        ss = F.sum("__ss").cast("double")
+        entries = F.array_sort(F.collect_list(
+            F.struct(F.col("bucket").alias("b"), F.col("__n").alias("n"))))
+        aggs = [n.alias("samples"),
+                s.alias(f"sum_{col}"),
+                (s / n).alias(f"avg_{col}"),
+                F.sqrt((ss - s * s / n) / (n - F.lit(1)))
+                 .alias(f"stddev_{col}"),
+                entries.alias("__e")]
+        out = (per_bucket.groupBy(*gnames).agg(*aggs) if gnames
+               else per_bucket.agg(*aggs))
+        def _cdf_walk(target):
+            return F.aggregate(
+                F.col("__e"),
+                F.struct(F.lit(0).cast("long").alias("cum"),
+                         F.lit(None).cast("double").alias("ans")),
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["n"]).alias("cum"),
+                    F.when(acc["ans"].isNotNull(), acc["ans"])
+                     .when((acc["cum"] + e["n"]).cast("double") >= target,
+                           e["b"]).alias("ans")))
+
+        for p in ps:
+            target = F.lit(float(p)) * F.col("samples").cast("double")
+            out = out.withColumn(f"p{int(p * 100)}", _cdf_walk(target)["ans"])
+        out = out.drop("__e")
+        order = [F.col(x).asc_nulls_last() for x in gnames]
+        return out.orderBy(*order) if order else out
 
     def loghist(self, spark: SparkSession, col: str,
                 weighted: bool = True) -> DataFrame:
@@ -453,6 +618,8 @@ class Query:
         pred = self._predicate(df)
         if pred is not None:
             df = df.where(pred)
+        for c0, alias in self._set_groups:
+            df = df.withColumn(alias, F.explode(F.col(c0)))
         df = df.where(F.col(col).isNotNull())
         bcol = (F.when(F.col(col) >= 1,
                        F.pow(F.lit(2.0),
@@ -462,11 +629,13 @@ class Query:
                  .otherwise(F.lit(0.0))).alias("bucket")
         group_cols = self._group_cols(df) + [bcol]
         w = self._weight()
-        aggs = [F.sum(w).alias("count"), F.count(F.lit(1)).alias("samples")] \
+        wsum = self._dsum(w) if self._exact else F.sum(w)
+        aggs = [wsum.alias("count"), F.count(F.lit(1)).alias("samples")] \
             if (weighted and self._weight_col) else [F.count(F.lit(1)).alias("count")]
         out = df.groupBy(*group_cols).agg(*aggs)
         order = [F.col(c).asc_nulls_last() for c in out.columns
-                 if c in self._groups or c in ("tbucket", "bucket")]
+                 if c in self._groups or c in ("tbucket", "bucket")
+                 or c in {a for _c, a in self._set_groups}]
         return out.orderBy(*order)
 
     # -- raw-record paths --------------------------------------------------

@@ -54,7 +54,11 @@ def build_rollup(df: DataFrame, time_col: str, bucket_s: int,
     sum-mergeable map<bigint,bigint> via a second aggregate joined on
     the rollup key (the join is co-partitioned — both sides just
     shuffled on the same key)."""
-    b = (F.col(time_col) - F.pmod(F.col(time_col), F.lit(bucket_s)))
+    # `t - t % bucket` (truncate toward zero), NOT pmod: the Query
+    # builder (builder.py _group_cols) and the DuckDB oracles bucket
+    # with %, and the rollup path must mirror the direct-scan path
+    # bit-for-bit for ALL time values, negatives included
+    b = (F.col(time_col) - F.col(time_col) % F.lit(bucket_s))
     aggs: list[Column] = [F.count(F.lit(1)).alias("samples")]
     for c in num_cols:
         col = F.col(c)
@@ -111,9 +115,9 @@ def serve(roll: DataFrame, group_cols: list[str],
     aggregation surface, without touching raw data."""
     keys = list(group_cols)
     if bucket_s is not None:
+        # same %-bucketing as build_rollup / the Query builder
         roll = roll.withColumn(
-            "tbucket", F.col("tbucket") - F.pmod(F.col("tbucket"),
-                                                 F.lit(bucket_s)))
+            "tbucket", F.col("tbucket") - F.col("tbucket") % F.lit(bucket_s))
         keys.insert(0, "tbucket")
     aggs: list[Column] = [F.sum("samples").alias("count")]
     for c in (num_cols or []):

@@ -248,3 +248,61 @@ def test_invalid_ops_raise(spark, df):
         Query.table(df).set_filter("age_set", "eq", "x")
     with pytest.raises(ValueError):
         Query.table(df).agg("age", "median")
+
+
+def test_weighted_percentile(spark):
+    """Weighted median = smallest value whose cumulative weight
+    reaches half the total weight (reference derives percentiles from
+    weight-scaled hist counts, hist_basic.go:111-118, 153-183)."""
+    d = spark.createDataFrame([Row(v=1.0, w=1), Row(v=2.0, w=1),
+                               Row(v=3.0, w=10), Row(v=4.0, w=1)])
+    r = (Query.table(d).weight_col("w")
+         .agg("v", "percentile", percentiles=[0.5])
+         .limit(None).execute(spark).collect()[0])
+    # total weight 13; cum at v=3 is 12 >= 6.5 -> weighted median 3
+    assert r["p50_v"] == 3.0
+    # unweighted median of the same rows is 2.5 (interpolated) — the
+    # weight genuinely changes the answer
+    u = (Query.table(d).agg("v", "percentile", percentiles=[0.5])
+         .limit(None).execute(spark).collect()[0])
+    assert u["p50_v"] != r["p50_v"]
+    # approx sketch + weights is an explicit error, not silence
+    with pytest.raises(ValueError, match="weight"):
+        (Query.table(d).weight_col("w")
+         .agg("v", "percentile", percentiles=[0.5], approx=True)
+         .limit(None).execute(spark))
+
+
+def test_group_by_set_hist(spark):
+    """group_by_set + hist must group per set ELEMENT (the compile()
+    explode), never silently aggregate without the grouping."""
+    d = spark.createDataFrame([
+        Row(tags=["a", "b"], v=10.0),
+        Row(tags=["a"], v=30.0),
+        Row(tags=["c"], v=30.0)])
+    res = (Query.table(d).group_by_set("tags", "tag").limit(None)
+           .hist(spark, "v", bucket=20.0, min_val=0.0).collect())
+    got = {(r["tag"], r["bucket"]): r["count"] for r in res}
+    assert got == {("a", 0.0): 1, ("b", 0.0): 1,
+                   ("a", 20.0): 1, ("c", 20.0): 1}
+
+
+def test_hist_summary_matches_separate_queries(spark):
+    """hist_summary's composite row equals the separate avg/stddev
+    queries and bucket-quantized percentiles."""
+    d = spark.createDataFrame([Row(g="x", v=float(i)) for i in range(100)]
+                              + [Row(g="y", v=float(i % 10))
+                                 for i in range(50)])
+    rows = {r["g"]: r for r in
+            (Query.table(d).group_by("g")
+             .hist_summary(spark, "v", bucket=10.0, min_val=0.0)
+             .collect())}
+    x = rows["x"]
+    assert x["samples"] == 100
+    assert x["sum_value" if "sum_value" in x.__fields__ else "sum_v"] \
+        == pytest.approx(4950.0)
+    assert x["avg_v"] == pytest.approx(49.5)
+    # p50: cum at bucket 40 is 50 >= 50 -> bucket 40.0
+    assert x["p50"] == 40.0
+    y = rows["y"]
+    assert y["samples"] == 50 and y["p50"] == 0.0

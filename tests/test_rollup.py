@@ -164,3 +164,23 @@ def test_compact_rollup_preserves_serve(spark, events, tmp_path):
         assert after[k]["count"] == before[k]["count"]
         assert after[k]["avg_value"] == before[k]["avg_value"]
         assert after[k]["distinct"] == before[k]["distinct"]
+
+
+def test_rollup_negative_times_match_direct_scan(spark):
+    """Time bucketing must truncate toward zero (t - t % bucket) on
+    the rollup path exactly like the Query builder and the SQL
+    oracles — negative (pre-1970) timestamps land in the same bucket
+    either way."""
+    from pyspark.sql import Row
+    from sybil_spark.query.builder import Query
+    rows = [Row(t=ts, v=float(i))
+            for i, ts in enumerate([-7201, -7200, -3601, -1, 0, 1, 3599,
+                                    3600, 7199])]
+    d = spark.createDataFrame(rows)
+    roll = R.build_rollup(d, "t", 60, [], ["v"])
+    served = {r["tbucket"]: r["count"] for r in
+              R.serve(roll, [], ["v"], bucket_s=3600).collect()}
+    direct = {r["tbucket"]: r["count"] for r in
+              (Query.table(d).time_col("t", 3600).limit(None)
+               .execute(spark).collect())}
+    assert served == direct
