@@ -44,14 +44,44 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
         F.length(F.col(text_col)).cast("long").alias("n_bytes"))
 
 
-def _decode_image_bytes(buf: bytes) -> dict:
-    """STUB — deterministic fake decode. A real implementation returns
-    {width, height, channels, pixels}; unavailable codecs here, so we
-    derive stable pseudo-dimensions from the content so downstream
-    plumbing (schema, grouping, joins) is fully exercisable."""
+def _image_codec():
+    """The PIL Image module when importable, else None — the feature
+    gate deciding whether decode/resize run a real codec or the
+    deterministic stubs. Resolved at call time (not import time) so
+    installing Pillow upgrades the pipeline without code changes."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _fake_decode(buf: bytes) -> dict:
+    """Deterministic fake decode: stable pseudo-dimensions derived
+    from the content, so downstream plumbing (schema, grouping,
+    joins, the media_meta oracle) is fully exercisable without
+    codecs."""
     n = len(buf)
     return {"width": (n % 640) + 1, "height": ((n * 7) % 480) + 1,
             "channels": 3}
+
+
+def _decode_image_bytes(buf: bytes) -> dict:
+    """Real decode via PIL when available, deterministic fake
+    otherwise. Content that is not a decodable image (e.g. the
+    documents_as_media harness, whose 'images' are utf-8 bytes) also
+    falls back to the fake, so results are stable whether or not a
+    codec is installed."""
+    Image = _image_codec()
+    if Image is not None:
+        import io
+        try:
+            with Image.open(io.BytesIO(buf)) as im:
+                return {"width": im.width, "height": im.height,
+                        "channels": len(im.getbands())}
+        except Exception:
+            pass
+    return _fake_decode(buf)
 
 
 def extract_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -89,13 +119,52 @@ def extract_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(gen, schema)
 
 
+def resize(df: DataFrame, width: int, height: int,
+           out_format: str = "png") -> DataFrame:
+    """Resize every image to (width, height), re-encoding as
+    `out_format` — mapInPandas over MEDIA_SCHEMA, same contract as
+    extract_features. Requires a real codec: raises
+    NotImplementedError when PIL is not importable (the graceful
+    stub regime this container runs in); un-decodable items pass
+    through unchanged rather than poisoning the batch."""
+    Image = _image_codec()
+    if Image is None:
+        raise NotImplementedError(
+            "media resize requires an image codec (Pillow not "
+            "importable here); the pipeline contract is "
+            "extract_features-style mapInPandas over MEDIA_SCHEMA")
+    schema = ("media_id long, kind string, format string, "
+              "content binary, n_bytes long")
+
+    def gen(batches):
+        import io
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf.media_id, pdf.kind,
+                                          pdf.content):
+                buf = bytes(content)
+                try:
+                    with Image.open(io.BytesIO(buf)) as im:
+                        out = io.BytesIO()
+                        im.resize((width, height)).save(out,
+                                                        format=out_format)
+                        buf = out.getvalue()
+                        fmt = out_format
+                except Exception:
+                    fmt = None   # pass through un-decodable content
+                rows.append((mid, kind, fmt or "unknown", buf, len(buf)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "format",
+                                              "content", "n_bytes"])
+
+    return (df.select("media_id", "kind", "content")
+              .mapInPandas(gen, schema))
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: passes content through unchanged but updates the
-    metadata — keeps the pipeline runnable without codecs."""
-    raise NotImplementedError(
-        "media resize requires an image codec (PIL/opencv), not "
-        "available in this environment; the pipeline contract is "
-        "extract_features-style mapInPandas over MEDIA_SCHEMA")
+    """Back-compat name for resize(); same codec gate."""
+    return resize(df, width, height)
 
 
 def repartition_by_bytes(df: DataFrame, target_mb: int = 128,

@@ -486,3 +486,28 @@ def test_embedding_dup_auto_bucket(spark):
                                        threshold=1.0 - 1e-12,
                                        auto_block_threshold=100).collect()}
     assert (5, 1000) in pairs
+
+
+def test_decode_import_or_stub(spark):
+    """The decode path gates on a real codec at call time: with PIL
+    importable a valid image decodes to true dimensions; without it
+    (or for un-decodable bytes) the deterministic fake keeps the
+    pipeline and its oracle stable."""
+    fake = multimodal._fake_decode(b"not an image")
+    assert set(fake) == {"width", "height", "channels"}
+    got = multimodal._decode_image_bytes(b"not an image")
+    assert got == fake                      # always falls back
+    Image = multimodal._image_codec()
+    if Image is not None:
+        # real-codec regime: a round-tripped PNG decodes to true dims
+        import io
+        out = io.BytesIO()
+        Image.new("RGB", (3, 2)).save(out, format="png")
+        dec = multimodal._decode_image_bytes(out.getvalue())
+        assert (dec["width"], dec["height"]) == (3, 2)
+    else:
+        # stub regime: resize is an explicit NotImplementedError
+        with pytest.raises(NotImplementedError):
+            multimodal.resize(
+                multimodal.documents_as_media(
+                    spark.createDataFrame([Row(doc_id=1, text="x")])), 2, 2)
