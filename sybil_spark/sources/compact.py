@@ -200,12 +200,51 @@ def _update_int_info(meta, df, skip_outliers: bool = True) -> None:
                                            else max(pmx, mx)),
             "count": prev.get("count", 0) + cnt,
         }
+    top_k = _top_string_values(df, str_cols) if str_cols else {}
     for c in str_cols:
         prev = meta.int_info.get(c, {})
+        # merge batch top-K into lifetime top-K (reference
+        # StrInfo.TopStringCount, table_column_info.go:42-69): sum
+        # counts for values seen in both, keep the TOP_STRINGS
+        # heaviest. Lossy in the usual heavy-hitters way — a value
+        # must crack a batch's top-K to accumulate — which matches
+        # the reference's eviction behavior.
+        merged = dict(prev.get("top_values", {}))
+        for v, n in top_k.get(c, {}).items():
+            merged[v] = merged.get(v, 0) + n
+        merged = dict(sorted(merged.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[:TOP_STRINGS])
         meta.int_info[c] = {
             "cardinality": max(prev.get("cardinality", 0), row[f"{c}__card"]),
             "count": prev.get("count", 0) + row[f"{c}__n"],
+            "top_values": merged,
         }
+
+
+#: top string values tracked per column (reference keeps the top ~20,
+#: src/lib/table_column_info.go:42-59)
+TOP_STRINGS = 20
+
+
+def _top_string_values(df, str_cols) -> dict[str, dict[str, int]]:
+    """Per string column, the TOP_STRINGS most frequent values with
+    counts — ONE job for all columns: unpivot to (col, value) pairs,
+    grouped count, rank-window top-K per column. Only
+    len(str_cols)×TOP_STRINGS rows ever reach the driver."""
+    from pyspark.sql import Window
+
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+        for c in str_cols])).alias("p")).select("p.c", "p.v") \
+        .where(F.col("v").isNotNull())
+    counts = pairs.groupBy("c", "v").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c").orderBy(F.desc("n"), F.asc("v"))
+    top = (counts.withColumn("rk", F.row_number().over(w))
+                 .where(F.col("rk") <= TOP_STRINGS).collect())
+    out: dict[str, dict[str, int]] = {}
+    for r in top:
+        out.setdefault(r["c"], {})[r["v"]] = r["n"]
+    return out
 
 
 def _file_time_stats(path: str, time_col: str) -> tuple[int | None, int | None]:

@@ -338,3 +338,26 @@ def test_outlier_suppressed_registry(spark, db, tmp_path):
                        time_col="time")
     compact.digest(spark, t2, time_col="time", skip_outliers=False)
     assert t2.load_meta().int_info["v"]["max"] == 10**9
+
+
+def test_top_string_values_in_registry(spark, db, tmp_path):
+    """Digest tracks the top-K most frequent values per string column
+    (reference StrInfo.TopStringCount, table_column_info.go:42-59),
+    surfaced through -info; counts accumulate across digests."""
+    t = Table(db, "topvals")
+    recs = [{"host": f"h{i % 3}", "time": i} for i in range(60)]
+    ingest.ingest_json(spark, _write_ndjson(tmp_path / "tv1.ndjson", recs), t,
+                       time_col="time")
+    compact.digest(spark, t, time_col="time")
+    tv = t.load_meta().int_info["host"]["top_values"]
+    assert tv == {"h0": 20, "h1": 20, "h2": 20}
+    # second digest accumulates
+    ingest.ingest_json(spark, _write_ndjson(
+        tmp_path / "tv2.ndjson",
+        [{"host": "h0", "time": 100 + i} for i in range(5)]), t,
+        time_col="time")
+    compact.digest(spark, t, time_col="time")
+    tv = t.load_meta().int_info["host"]["top_values"]
+    assert tv["h0"] == 25 and tv["h1"] == 20
+    info = table_info(spark, db, "topvals")
+    assert info["column_stats"]["host"]["top_values"]["h0"] == 25
