@@ -32,7 +32,7 @@ HEADLINE = [
     "ann_topk", "ann_pairs_topk", "ivf_topk", "embedding_dup",
     "text_stats", "lang_id", "token_freq", "loghist", "hash_sample",
     "rollup_serve", "media_meta", "asof_join", "range_join",
-    "sessionize", "topk_per_group",
+    "sessionize", "topk_per_group", "hist_summary", "weighted_percentile",
 ]
 
 

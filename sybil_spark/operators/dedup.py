@@ -81,6 +81,48 @@ def _mix64(*parts: int) -> int:
     return z
 
 
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                   shingle_n: int = 3) -> DataFrame:
+    """(id, h): one row per DISTINCT word-shingle per document, with
+    the shingle as a 64-bit hash — never as a string.
+
+    This is the codegen-fast shingle pipeline shared by MinHash and
+    Jaccard: split → posexplode → xxhash64 per token, then a window
+    lead stitches n consecutive token hashes into one multi-column
+    xxhash64 (no interpreted higher-order lambda ever builds a
+    shingle string — those are 5-10x slower and dominated the old
+    profile). Documents shorter than n tokens keep one row (pos 0)
+    with sentinel-padded lead hashes. Distinct-shingle semantics
+    match functions.text.shingles up to 64-bit hash collisions
+    (P ≈ m²/2⁶⁴ for m distinct shingles — negligible below ~10⁹)."""
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    # explicit partition count: the rows are narrow (~24 B) so AQE
+    # would coalesce the window shuffle to 1-2 partitions and
+    # serialize the CPU-heavy window + downstream aggregations; a
+    # user-specified numPartitions is exempt from AQE coalescing,
+    # and the window, the distinct, and callers' groupBy(id) all
+    # reuse this partitioning (one shuffle end-to-end)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    th = (toks.repartition(npart, "id")
+          .select("id", "pos", F.xxhash64("tok").alias("h0")))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("h0", j).over(w).alias(f"h{j}")
+             for j in range(1, shingle_n)]
+    stitched = th.select("id", "pos", "h0", *leads)
+    last = F.col(f"h{shingle_n - 1}")
+    sh_hash = F.xxhash64(*[
+        F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
+        for j in range(shingle_n)])
+    return (stitched
+            .where(last.isNotNull() | (F.col("pos") == 0))
+            .select("id", sh_hash.alias("h"))
+            .distinct())
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>): MinHash signature over word-shingles.
@@ -102,35 +144,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
        ONE shuffle carrying (id, token hash), and the output shuffle
        is (id, 64×long), independent of document size.
 
-    Min over a multiset equals min over the set, so positional
-    (non-distinct) shingles leave the signature unchanged. Documents
+    Min over a multiset equals min over the set, so building on the
+    DISTINCT shingle_hashes frame leaves signatures unchanged while
+    feeding fewer rows into the 64-way min; the distinct groups on
+    (id, h), which the window's id-hash partitioning already
+    satisfies, so the whole job is still ONE shuffle. Documents
     shorter than n tokens keep one row (pos 0) with sentinel-padded
     lead hashes — they still get a stable signature."""
-    from pyspark.sql import Window
-
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
-    # explicit partition count: the rows are narrow (~24 B) so AQE
-    # would coalesce the window shuffle to 1-2 partitions and
-    # serialize the CPU-heavy window + 64-min aggregation; a
-    # user-specified numPartitions is exempt from AQE coalescing, and
-    # both the window and the final groupBy reuse this partitioning
-    # (still exactly one shuffle end-to-end)
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    th = (toks.repartition(npart, "id")
-          .select("id", "pos", F.xxhash64("tok").alias("h0")))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("h0", j).over(w).alias(f"h{j}")
-             for j in range(1, shingle_n)]
-    stitched = th.select("id", "pos", "h0", *leads)
-    last = F.col(f"h{shingle_n - 1}")
-    sh_hash = F.xxhash64(*[
-        F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
-        for j in range(shingle_n)])
-    base = (stitched
-            .where(last.isNotNull() | (F.col("pos") == 0))
-            .select("id", F.pmod(sh_hash, F.lit(_MERSENNE31)).alias("h")))
+    base = (shingle_hashes(df, id_col, text_col, shingle_n)
+            .select("id", F.pmod(F.col("h"), F.lit(_MERSENNE31)).alias("h")))
     mins = []
     for i in range(num_hashes):
         a = _mix64(2 * i) % _MERSENNE31 or 1
@@ -197,63 +219,80 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     hottest posting and NOT safe at 100 TB.
 
     With `candidates` (e.g. from minhash_lsh_candidates) the
-    posting-list join is skipped entirely: each candidate pair joins
-    its two shingle sets and intersects them with one JVM
-    array_intersect — work proportional to |candidates|, not |pairs
-    sharing a shingle|. Output: id_a < id_b, jaccard ∈ (0,1]."""
+    posting-list join is skipped entirely: each candidate pair's
+    intersection is counted by a candidate-restricted posting join —
+    work proportional to Σ|shingles(id_a)| over candidates, not
+    |pairs sharing a shingle|. Output: id_a < id_b, jaccard ∈ (0,1].
+
+    All shingles travel as 64-bit hashes (shingle_hashes) — every
+    stage is a codegen equi-join/aggregate; no shingle string or
+    interpreted array lambda is ever built."""
     if exact:
         max_posting = None
-    if candidates is not None:
-        sets = spread(df).select(F.col(id_col).alias("id"),
-                         shingles(F.col(text_col), shingle_n).alias("sh"))
-        sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-        sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-        out = (candidates.select("id_a", "id_b")
-               .join(sa, "id_a").join(sb, "id_b")
-               .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-               .withColumn("jaccard",
-                           F.col("inter").cast("double")
-                           / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
-               .select("id_a", "id_b", "jaccard"))
-        return out.where(F.col("jaccard") >= threshold) if threshold else out
-    sh = (spread(df).select(F.col(id_col).alias("id"),
-                            F.explode(shingles(F.col(text_col), shingle_n))
-                            .alias("sh")))
-    if max_posting is not None:
+    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if candidates is None and max_posting is None:
+        # fully exhaustive: direct posting self-join (the oracle /
+        # auditing path — quadratic in the hottest posting)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (a.join(b, [F.col("a.h") == F.col("b.h"),
+                            F.col("a.id") < F.col("b.id")])
+                  .groupBy(F.col("a.id").alias("id_a"),
+                           F.col("b.id").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("inter")))
+    elif candidates is not None:
+        # exact intersection count restricted to the given candidate
+        # pairs: fan each pair out to id_a's shingles, keep those
+        # id_b also has — Σ|sh(id_a)| rows, never quadratic
+        sa = sh.select(F.col("id").alias("id_a"), "h")
+        sb = sh.select(F.col("id").alias("id_b"), "h")
+        inter = (candidates.select("id_a", "id_b")
+                 .join(sa, "id_a").join(sb, ["id_b", "h"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("inter")))
+    else:
         # Skew guard (the DEFAULT): drop shingles appearing in more
         # than max_posting documents from the PAIR-FINDING join — the
         # classic stop-shingle cap. The posting-list join cost is
         # sum(df(s)^2) over shingles s, so one boilerplate trigram in
         # a million docs is 10^12 pairs; capping bounds it at
-        # max_posting^2 per shingle. Pairs found are then re-scored
-        # through the candidates path on FULL shingle sets, so the
-        # jaccard of every returned pair is exact — the only
-        # approximation is that pairs whose entire overlap is hot
-        # shingles are never found (near-dups share rare shingles;
-        # boilerplate-only matches are the pairs the cap exists to
-        # avoid). exact=True/max_posting=None = exhaustive (oracle
-        # path only).
-        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-                 .where(F.col("df") > max_posting).select("sh"))
-        cold = sh.join(hot, "sh", "left_anti")
+        # max_posting^2 per shingle. The cold self-join counts the
+        # cold part of each pair's intersection directly; the hot
+        # part is added back by a pair-restricted join against just
+        # the hot postings — empty work when no posting exceeds the
+        # cap, so the benign case costs the same as exact=True. Every
+        # returned jaccard is exact; the only approximation is that
+        # pairs whose ENTIRE overlap is hot shingles are never found
+        # (near-dups share rare shingles; boilerplate-only matches
+        # are the pairs the cap exists to avoid).
+        hot = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+                 .where(F.col("df") > max_posting).select("h"))
+        cold = sh.join(hot, "h", "left_anti")
         ca = cold.alias("a")
         cb = cold.alias("b")
-        cands = (ca.join(cb, [F.col("a.sh") == F.col("b.sh"),
-                              F.col("a.id") < F.col("b.id")])
-                   .select(F.col("a.id").alias("id_a"),
-                           F.col("b.id").alias("id_b")).distinct())
-        return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
-                             candidates=cands)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, [F.col("a.sh") == F.col("b.sh"),
-                        F.col("a.id") < F.col("b.id")])
-              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (inter.join(sa, "id_a").join(sb, "id_b")
+        inter_cold = (ca.join(cb, [F.col("a.h") == F.col("b.h"),
+                                   F.col("a.id") < F.col("b.id")])
+                        .groupBy(F.col("a.id").alias("id_a"),
+                                 F.col("b.id").alias("id_b"))
+                        .agg(F.count(F.lit(1)).alias("inter_c")))
+        hot_rows = sh.join(hot, "h", "left_semi")
+        ha = hot_rows.select(F.col("id").alias("id_a"), "h")
+        hb = hot_rows.select(F.col("id").alias("id_b"), "h")
+        inter_hot = (inter_cold.select("id_a", "id_b")
+                     .join(ha, "id_a").join(hb, ["id_b", "h"])
+                     .groupBy("id_a", "id_b")
+                     .agg(F.count(F.lit(1)).alias("inter_h")))
+        inter = (inter_cold.join(inter_hot, ["id_a", "id_b"], "left")
+                 .select("id_a", "id_b",
+                         (F.col("inter_c")
+                          + F.coalesce(F.col("inter_h"), F.lit(0)))
+                         .alias("inter")))
+
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (inter.join(na, "id_a").join(nb, "id_b")
            .withColumn("jaccard",
                        F.col("inter").cast("double")
                        / (F.col("n_a") + F.col("n_b") - F.col("inter")))
