@@ -1212,6 +1212,114 @@ def q_weighted_percentile(spark, sf):
     return out.select("l_returnflag", "p50_l_extendedprice")
 
 
+@_q("decontaminate", """
+    with toks as (select doc_id, string_split(text, ' ') t from documents),
+    s as (select doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t)-2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh from toks),
+    b as (select distinct sh from s where doc_id % 20 = 0),
+    hits as (select s.doc_id, count(*) c from s join b on s.sh = b.sh
+             where s.doc_id % 20 <> 0 group by 1)
+    select doc_id from documents
+    where doc_id % 20 <> 0
+      and doc_id not in (select doc_id from hits where c >= 5)
+    order by doc_id""")
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: every 20th doc plays the eval set;
+    corpus docs sharing >=5 distinct trigram shingles with it are
+    dropped (dedup.decontaminate — broadcast bench-shingle semi-join,
+    linear in corpus size)."""
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    clean = dedup.decontaminate(corpus, "doc_id", "text",
+                                bench, "doc_id", "text",
+                                shingle_n=3, min_overlap=5)
+    return clean.select("doc_id").orderBy("doc_id")
+
+
+@_q("resample_mixture", f"""
+    with n as (select event_type, count(*) as n from {EV}
+               where event_type in ('view', 'error') group by 1),
+    t as (select min(n / case event_type when 'view' then 0.7
+                                         else 0.3 end) as t from n),
+    r as (select event_type,
+                 cast(case event_type when 'view' then 0.7 else 0.3 end
+                      * t.t / n * 65536 as bigint) as th
+          from n, t)
+    select e.event_type, count(*) as count
+    from {EV} e join r on e.event_type = r.event_type
+    where cast(concat('0x', substr(md5(cast(e.event_id as varchar)), 1, 4))
+               as bigint) < r.th
+    group by 1""")
+def q_resample_mixture(spark, sf):
+    """Mixture rebalancing: resample events so view:error is 70:30 in
+    the output (sampling.resample_to_mixture — deterministic hash
+    membership, rates planned from one count aggregate)."""
+    from sybil_spark.operators import sampling
+    out = sampling.resample_to_mixture(
+        _events(spark, sf), "event_type", "event_id",
+        {"view": 0.7, "error": 0.3})
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
+
+
+@_q("tpch_q14", f"""
+    select 100.00 * {_dsum("case when p_type like 'PROMO%' "
+                           "then l_extendedprice * (1 - l_discount) "
+                           "else 0 end")}
+           / {_dsum('l_extendedprice * (1 - l_discount)')} as promo_revenue
+    from lineitem join part on l_partkey = p_partkey
+    where l_shipdate >= timestamp '1995-09-01 00:00:00'
+      and l_shipdate <  timestamp '1995-10-01 00:00:00'""")
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 (promo revenue): fact filtered by pushed shipdate
+    range, part dim broadcast, conditional decimal sums."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
+    j = (li.where((F.col("l_shipdate")
+                   >= F.to_timestamp(F.lit("1995-09-01 00:00:00")))
+                  & (F.col("l_shipdate")
+                     < F.to_timestamp(F.lit("1995-10-01 00:00:00"))))
+           .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")))
+    dsum = lambda c: F.sum(c.cast(_DEC)).cast("double")  # noqa: E731
+    return j.agg((F.lit(100.00) * dsum(promo) / dsum(disc))
+                 .alias("promo_revenue"))
+
+
+@_q("tpch_q18", f"""
+    select c_name, c_custkey, o_orderkey, o_totalprice,
+           {_dsum('l_quantity')} as sum_qty
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on o_orderkey = l_orderkey
+    where o_orderkey in (
+        select l_orderkey from lineitem group by 1
+        having sum(cast(l_quantity as {_DEC})) > 300)
+    group by 1, 2, 3, 4
+    order by o_totalprice desc, o_orderkey asc limit 20""")
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 (large-volume customers): decimal-sum HAVING
+    subquery -> broadcast semi-join of the fact, then the customer
+    join only sees the few surviving orders."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+             .where(F.col("q") > 300).select("l_orderkey"))
+    oo = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"),
+                "left_semi")
+    j = (oo.join(li, F.col("o_orderkey") == li["l_orderkey"])
+           .join(c, F.col("c_custkey") == F.col("o_custkey")))
+    return (j.groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+             .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+              .alias("sum_qty"))
+             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+             .limit(20))
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -1231,7 +1339,8 @@ _DRIVER_FIRST = [
     # (b) changed this round (red row fixed / defaults made scale-safe)
     # or new this round:
     "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
-    "hist_summary", "weighted_percentile",
+    "hist_summary", "weighted_percentile", "decontaminate",
+    "resample_mixture", "tpch_q14", "tpch_q18",
 ]
 
 

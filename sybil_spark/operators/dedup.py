@@ -301,6 +301,47 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination(df: DataFrame, id_col: str, text_col: str,
+                  bench: DataFrame, bench_id_col: str, bench_text_col: str,
+                  shingle_n: int = 3,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """(id, n_overlap): how many DISTINCT word-shingles each corpus
+    document shares with the benchmark/eval set — the training-data
+    decontamination signal (the n-gram overlap check used to keep
+    eval answers out of training corpora).
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny
+    (eval sets are thousands of documents), so it broadcasts and the
+    corpus side is one scan + codegen semi-join + groupBy — linear in
+    corpus size, no shuffle of text. Set broadcast_bench=False for an
+    unusually large benchmark (falls back to a shuffle semi-join)."""
+    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    bh = (shingle_hashes(bench, bench_id_col, bench_text_col, shingle_n)
+          .select("h").distinct())
+    if broadcast_bench:
+        bh = F.broadcast(bh)
+    return (sh.join(bh, "h", "left_semi")
+              .groupBy("id").agg(F.count(F.lit(1)).alias("n_overlap")))
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  bench: DataFrame, bench_id_col: str, bench_text_col: str,
+                  shingle_n: int = 3, min_overlap: int = 1,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Drop corpus documents sharing >= min_overlap distinct shingles
+    with the benchmark set; everything else passes through untouched
+    (anti-join on the contaminated ids — wide rows never shuffle)."""
+    bad = (contamination(df, id_col, text_col, bench, bench_id_col,
+                         bench_text_col, shingle_n, broadcast_bench)
+           .where(F.col("n_overlap") >= min_overlap)
+           .select(F.col("id").alias(id_col)))
+    return df.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,38 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
     return df.where(b < thresh)
 
 
+def resample_to_mixture(df: DataFrame, strata_col: str, key_col: str,
+                        weights: dict) -> DataFrame:
+    """Downsample strata so the OUTPUT follows the target mixture
+    `weights` (the domain/language-mixture rebalancing step of a
+    training-data pipeline: e.g. {'web': 0.6, 'code': 0.3,
+    'papers': 0.1}).
+
+    The achievable total is maximized without upsampling: with
+    stratum counts n_g and weights w_g, T = min_g(n_g / w_g) rows
+    are kept in expectation, stratum g at rate w_g·T/n_g (the
+    argmin stratum keeps 100%). Membership is the deterministic
+    md5-prefix predicate, so the same keys survive on every engine
+    and run; strata not in `weights` are dropped. One count
+    aggregate plans the rates; the sample itself is a codegen
+    filter, zero shuffles. Thresholds floor (not round) so a SQL
+    oracle reproduces them exactly."""
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    present = {g: w for g, w in weights.items() if counts.get(g)}
+    if not present:
+        return df.where(F.lit(False))
+    t = min(counts[g] / w for g, w in present.items())
+    b = _bucket(F.col(key_col))
+    thresh = F.lit(0)
+    for g, w in present.items():
+        thresh = F.when(F.col(strata_col) == g,
+                        F.lit(int(w * t / counts[g] * 65536))) \
+                  .otherwise(thresh)
+    return df.where(b < thresh)
+
+
 def reservoir_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:
     """Exactly-n uniform sample: order by the key hash, take n —
     compiles to TakeOrderedAndProject (per-partition top-n + driver

@@ -511,3 +511,49 @@ def test_decode_import_or_stub(spark):
             multimodal.resize(
                 multimodal.documents_as_media(
                     spark.createDataFrame([Row(doc_id=1, text="x")])), 2, 2)
+
+
+def test_decontaminate(spark):
+    """Docs sharing >= min_overlap distinct shingles with the bench
+    set are dropped; others pass through; values via broadcast
+    semi-join on hashed shingles."""
+    bench = spark.createDataFrame([
+        Row(doc_id=0, text="the secret eval answer is forty two exactly")])
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="the secret eval answer is forty two exactly "
+                           "copied into training data"),       # contaminated
+        Row(doc_id=2, text="totally unrelated clean document about spark "
+                           "partitions and shuffles"),          # clean
+        Row(doc_id=3, text="shares the secret eval answer fragment only "
+                           "briefly nothing more")])            # 1-2 shingles
+    over = {r["id"]: r["n_overlap"] for r in
+            dedup.contamination(corpus, "doc_id", "text",
+                                bench, "doc_id", "text").collect()}
+    assert over[1] >= 5 and 2 not in over
+    clean = dedup.decontaminate(corpus, "doc_id", "text",
+                                bench, "doc_id", "text", min_overlap=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_resample_to_mixture(spark):
+    """Output stratum proportions approach the target weights; the
+    argmin stratum keeps ~100%; unlisted strata drop; membership is
+    deterministic."""
+    from sybil_spark.operators import sampling
+    rows = ([Row(k=i, s="web") for i in range(4000)]
+            + [Row(k=10_000 + i, s="code") for i in range(1000)]
+            + [Row(k=20_000 + i, s="junk") for i in range(500)])
+    d = spark.createDataFrame(rows)
+    out = sampling.resample_to_mixture(d, "s", "k",
+                                       {"web": 0.5, "code": 0.5})
+    got = {r["s"]: r["n"] for r in
+           out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "junk" not in got
+    # T = min(4000/0.5, 1000/0.5) = 2000 -> code keeps ~100%, web ~25%
+    assert got["code"] == 1000
+    assert abs(got["web"] - 1000) < 150          # hash-uniform tolerance
+    again = {r["s"]: r["n"] for r in
+             sampling.resample_to_mixture(d, "s", "k",
+                                          {"web": 0.5, "code": 0.5})
+             .groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got                          # deterministic
