@@ -1320,6 +1320,64 @@ def q_tpch_q18(spark, sf):
              .limit(20))
 
 
+@_q("pii_scrub", """
+    with aug as (select doc_id,
+           text || ' contact user' || doc_id ||
+           '@example.com ip 10.0.' || doc_id % 256 ||
+           '.7 phone +1-555-000-' || doc_id % 10000 as t
+         from documents)
+    select doc_id,
+           substr(md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+             '<IP>', 'g'),
+             '\\+?\\d[\\d().-]{6,}\\d',
+             '<PHONE>', 'g')), 1, 16) as fp
+    from aug order by doc_id""")
+def q_pii_scrub(spark, sf):
+    """PII scrubbing: synthetic email/IP/phone appended per doc (both
+    engines see identical input), then the regexp_replace chain; the
+    md5 fingerprint of the scrubbed text proves byte-identical
+    redaction across engines."""
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com ip 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 phone +1-555-000-"),
+                 (F.col("doc_id") % 10000).cast("string")).alias("t"))
+    return (aug.select("doc_id",
+                       F.substring(F.md5(T.scrub_pii(F.col("t"))), 1, 16)
+                        .alias("fp"))
+               .orderBy("doc_id"))
+
+
+@_q("url_domains", """
+    with aug as (select doc_id,
+           text || ' see https://site' || doc_id % 7 ||
+           '.example.com/page/' || doc_id ||
+           ' and http://cdn' || doc_id % 3 || '.example.net/x' as t
+         from documents),
+    d as (select unnest(regexp_extract_all(t,
+              'https?://([A-Za-z0-9.-]+)', 1)) as domain from aug)
+    select domain, count(*) as count from d group by 1""")
+def q_url_domains(spark, sf):
+    """Per-domain document counts from URLs in text (the C4-style
+    domain-weighting input): regexp_extract_all -> explode ->
+    grouped count, all JVM-side."""
+    d = _t(spark, sf, "documents")
+    aug = d.select(F.concat(
+        F.col("text"), F.lit(" see https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/page/"), F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.net/x")).alias("t"))
+    return (aug.select(F.explode(T.url_domains(F.col("t"))).alias("domain"))
+               .groupBy("domain").agg(F.count(F.lit(1)).alias("count")))
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -1340,7 +1398,8 @@ _DRIVER_FIRST = [
     # or new this round:
     "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
     "hist_summary", "weighted_percentile", "decontaminate",
-    "resample_mixture", "tpch_q14", "tpch_q18",
+    "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
+    "url_domains",
 ]
 
 

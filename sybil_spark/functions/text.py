@@ -71,6 +71,37 @@ def quality_score(col: Column) -> Column:
     return length_score * sw_score
 
 
+#: (pattern, replacement) chain for PII scrubbing, applied in order
+#: (email before phone so phone never eats an address's digits).
+#: Patterns stay within the regex subset where Java regex (Spark) and
+#: RE2 (DuckDB oracle) agree byte-for-byte.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().-]{6,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails / IPv4s / phone-like digit runs — the standard
+    pre-training scrub pass. Chained JVM regexp_replace, so it runs
+    inside codegen on the scan; extend PII_PATTERNS for more
+    categories (SSNs, credit cards) without touching callers."""
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains(col: Column) -> Column:
+    """array<string> of the domains of every http(s) URL in the text
+    — feeds domain-level quality filtering / mixture weighting (the
+    C4-style per-domain pipeline steps)."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), 1)
+
+
 def fingerprint(col: Column, nibbles: int = 8) -> Column:
     """Stable content fingerprint: leading hex of md5 (md5 is available
     and bit-identical in every engine we oracle against)."""

@@ -557,3 +557,16 @@ def test_resample_to_mixture(spark):
                                           {"web": 0.5, "code": 0.5})
              .groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == got                          # deterministic
+
+
+def test_scrub_pii_and_url_domains(spark):
+    d = spark.createDataFrame([Row(t=(
+        "mail me at jane.doe+spam@corp.example.org from 192.168.1.10 "
+        "or call +1-555-123-4567; docs at https://docs.example.com/x "
+        "and http://cdn2.example.net/y"))])
+    r = d.select(T.scrub_pii(F.col("t")).alias("s"),
+                 T.url_domains(F.col("t")).alias("u")).collect()[0]
+    assert "<EMAIL>" in r["s"] and "<IP>" in r["s"] and "<PHONE>" in r["s"]
+    assert "jane" not in r["s"] and "192.168" not in r["s"]
+    assert "555" not in r["s"]
+    assert r["u"] == ["docs.example.com", "cdn2.example.net"]
