@@ -32,17 +32,41 @@ from sybil_spark.table import Table
 def stream_ingest(spark: SparkSession, source_dir: str, table: Table,
                   schema: StructType, spec: IngestSpec | None = None,
                   checkpoint: str | None = None,
-                  max_files_per_trigger: int = 64) -> StreamingQuery:
+                  max_files_per_trigger: int = 64,
+                  auto_digest: bool = False) -> StreamingQuery:
     """NDJSON files appearing under `source_dir` → row log, with the
-    reference's type coercions applied per micro-batch."""
+    reference's type coercions applied per micro-batch.
+
+    `auto_digest=True` is the fully continuous lifecycle: each
+    micro-batch appends to the landing dir and then compacts it when
+    it passes the reference's file/byte thresholds (ingest.
+    maybe_digest) — ingest, row log, and block store all maintained
+    by one streaming query, the thing the reference approximates
+    with shell loops. This mode writes through foreachBatch
+    (plain appends + digests between batches), trading the file
+    sink's _spark_metadata exactly-once ledger for at-least-once on
+    crash-replayed batches — same documented edge as running batch
+    digest beside the plain sink."""
     spec = spec or IngestSpec()
     raw = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .json(source_dir))
     out = coerce(raw, spec)
+    ckpt = checkpoint or f"{table.path}/_checkpoint_ingest"
+    if auto_digest:
+        from sybil_spark.sources.ingest import maybe_digest
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch_df.write.mode("append").parquet(table.ingest_path)
+            maybe_digest(batch_df.sparkSession, table)
+
+        return (out.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
     return (out.writeStream
-            .option("checkpointLocation",
-                    checkpoint or f"{table.path}/_checkpoint_ingest")
+            .option("checkpointLocation", ckpt)
             .outputMode("append")
             .start(table.ingest_path))
 

@@ -192,3 +192,31 @@ def test_stream_dedup(spark, tmp_path):
         q.stop()
     hosts = sorted(r["host"] for r in rows)
     assert hosts == ["a", "b", "c"]   # one row per key within watermark
+
+
+def test_stream_ingest_auto_digest(spark, tmp_path, monkeypatch):
+    """auto_digest=True keeps the landing dir bounded under a steady
+    stream: batches past the file threshold compact into blocks, and
+    the table's full contents stay intact."""
+    from sybil_spark.sources import ingest as I
+    monkeypatch.setattr(I, "FILE_DIGEST_THRESHOLD", 2)
+    src = tmp_path / "auto-in"
+    src.mkdir()
+    t = Table(str(tmp_path / "db"), "autostream")
+    for i in range(5):
+        _write_batch(src, f"b{i}.ndjson",
+                     [{"host": f"h{i}", "ping": i,
+                       "time": 1_700_000_000 + i}])
+    q = stream_ingest(spark, str(src), t, SCHEMA, auto_digest=True,
+                      max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+    assert os.path.exists(t.blocks_path)        # digests fired mid-stream
+    landing = [f for f in os.listdir(t.ingest_path)
+               if not f.startswith(("_", "."))]
+    assert len(landing) <= 3 * 2                # bounded, not 5 batches
+    got = sorted(r["ping"] for r in t.read(spark, read_log=True).collect())
+    assert got == [0, 1, 2, 3, 4]
