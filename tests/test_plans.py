@@ -222,3 +222,37 @@ def test_jaccard_default_plan_has_posting_cap(spark, sf_dir):
     assert "LeftAnti" in I.formatted_plan(q), "default must be capped"
     q2 = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.1, exact=True)
     assert "LeftAnti" not in I.formatted_plan(q2)
+
+
+def test_tpch_q14_broadcast_and_pushdown(spark, sf_dir):
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["tpch_q14"](spark, sf_dir)
+    assert I.broadcast_join_count(q) >= 1, I.formatted_plan(q)
+    assert I.shuffle_exchange_count(q) <= 1, I.formatted_plan(q)
+    pushed = " ".join(I.pushed_filters(q))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_tpch_q18_semi_join_broadcasts(spark, sf_dir):
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["tpch_q18"](spark, sf_dir)
+    # the HAVING survivors broadcast into orders and lineitem; only
+    # the big-order agg and the final group shuffle
+    assert I.broadcast_join_count(q) >= 2, I.formatted_plan(q)
+    assert I.shuffle_exchange_count(q) <= 2, I.formatted_plan(q)
+
+
+def test_decontaminate_broadcasts_bench(spark, sf_dir):
+    """The bench shingle set must broadcast — the corpus side of
+    decontamination joins without shuffling its text."""
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["decontaminate"](spark, sf_dir)
+    assert I.broadcast_join_count(q) >= 1, I.formatted_plan(q)
+
+
+def test_resample_mixture_single_shuffle(spark, sf_dir):
+    """Membership is a codegen filter: only the output count's group
+    shuffle remains."""
+    from sybil_spark.corpus import QUERIES
+    q = QUERIES["resample_mixture"](spark, sf_dir)
+    assert I.shuffle_exchange_count(q) <= 1, I.formatted_plan(q)
