@@ -1378,6 +1378,30 @@ def q_url_domains(spark, sf):
                .groupBy("domain").agg(F.count(F.lit(1)).alias("count")))
 
 
+@_q("dedup_best", """
+    select doc_id from (
+      select doc_id,
+             row_number() over (partition by substr(md5(lang), 1, 1)
+                                order by n_chars desc, doc_id asc) as rk
+      from documents) where rk = 1 order by doc_id""")
+def q_dedup_best(spark, sf):
+    """Quality-aware cluster retention: cluster docs by a coarse
+    fingerprint (lang hash nibble — a stand-in for any candidate
+    pair source) and keep the HIGHEST-n_chars member per cluster,
+    ties to min doc_id (keep_cluster_representatives score_col) —
+    verified against a plain rank-window oracle."""
+    d = _t(spark, sf, "documents")
+    fp = F.substring(F.md5(F.col("lang")), 1, 1)
+    a = d.select(F.col("doc_id").alias("id_a"), fp.alias("fa"))
+    b = d.select(F.col("doc_id").alias("id_b"), fp.alias("fb"))
+    pairs = (a.join(b, (F.col("fa") == F.col("fb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    kept = dedup.keep_cluster_representatives(d, "doc_id", pairs,
+                                              score_col="n_chars")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -1399,7 +1423,7 @@ _DRIVER_FIRST = [
     "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
     "hist_summary", "weighted_percentile", "decontaminate",
     "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
-    "url_domains",
+    "url_domains", "dedup_best",
 ]
 
 

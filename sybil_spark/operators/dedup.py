@@ -526,13 +526,57 @@ def components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def keep_cluster_representatives(df: DataFrame, id_col: str,
-                                 pairs: DataFrame) -> DataFrame:
-    """Drop all but the min-id member of every duplicate cluster
-    implied by `pairs` (transitively: if a~b and b~c, only min(a,b,c)
-    survives even when a~c was never emitted as a candidate). Rows
-    not in any pair pass through untouched — an anti-join on the
-    non-representative ids, so the wide rows never shuffle."""
+                                 pairs: DataFrame,
+                                 score_col: str | None = None) -> DataFrame:
+    """Drop all but one member of every duplicate cluster implied by
+    `pairs` (transitively: if a~b and b~c, one of {a,b,c} survives
+    even when a~c was never emitted as a candidate). Rows not in any
+    pair pass through untouched — an anti-join on the
+    non-representative ids, so the wide rows never shuffle.
+
+    Default keeper: min id. With `score_col`, the keeper is the
+    cluster member with the HIGHEST score (ties → min id) — real
+    pipelines keep the best-quality duplicate, not the first-seen
+    one. Only (id, rep, score) triples enter the rank window."""
     labels = components(pairs)
-    losers = labels.where(F.col("id") != F.col("rep")) \
-                   .select(F.col("id").alias(id_col))
+    if score_col is None:
+        losers = labels.where(F.col("id") != F.col("rep")) \
+                       .select(F.col("id").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    from pyspark.sql import Window
+    scored = labels.join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(score_col).alias("__s")), "id")
+    w = Window.partitionBy("rep").orderBy(F.desc("__s"), F.asc("id"))
+    losers = (scored.withColumn("__rk", F.row_number().over(w))
+                    .where(F.col("__rk") > 1)
+                    .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs historical index)
+# ---------------------------------------------------------------------------
+
+def hash_index(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(__k): distinct 64-bit key hashes of a corpus — the persisted
+    dedup index for incremental pipelines. 8 bytes per distinct key;
+    write it partitioned/bucketed by __k and each new batch dedups
+    against history with one semi-join instead of re-scanning the
+    corpus."""
+    return (df.select(F.xxhash64(*[F.col(c) for c in key_cols])
+                      .alias("__k")).distinct())
+
+
+def filter_seen(df: DataFrame, key_cols: list[str],
+                index: DataFrame) -> DataFrame:
+    """Drop rows whose key hash is already in `index` (built by
+    hash_index over the historical corpus) — the incremental-ingest
+    dedup step. Anti-join on the 8-byte hash; the new batch's wide
+    rows shuffle only their hash. 64-bit collisions drop a genuinely
+    new row with P ≈ |index|/2⁶⁴ per row — acceptable for corpus
+    dedup (documents), not for financial keys."""
+    h = F.xxhash64(*[F.col(c) for c in key_cols])
+    return (df.withColumn("__k", h)
+              .join(index, "__k", "left_anti")
+              .drop("__k"))

@@ -570,3 +570,34 @@ def test_scrub_pii_and_url_domains(spark):
     assert "jane" not in r["s"] and "192.168" not in r["s"]
     assert "555" not in r["s"]
     assert r["u"] == ["docs.example.com", "cdn2.example.net"]
+
+
+def test_keep_best_in_cluster(spark):
+    """score_col keeps the highest-score member per cluster (ties ->
+    min id); un-paired rows pass through."""
+    d = spark.createDataFrame([
+        Row(doc_id=1, text="a", q=5),
+        Row(doc_id=2, text="a", q=9),       # best of cluster {1,2,3}
+        Row(doc_id=3, text="a", q=9),       # tie -> 2 wins (lower id)
+        Row(doc_id=4, text="b", q=1)])      # no pair -> survives
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    kept = dedup.keep_cluster_representatives(d, "doc_id", pairs,
+                                              score_col="q")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+
+
+def test_incremental_filter_seen(spark):
+    """New-batch dedup against a persisted hash index: seen keys
+    drop, unseen pass; composing index updates is a union."""
+    hist = spark.createDataFrame([Row(doc_id=i, text=f"doc {i}")
+                                  for i in range(5)])
+    idx = dedup.hash_index(hist, ["text"])
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text="doc 3"),      # seen
+         Row(doc_id=101, text="brand new")])
+    out = dedup.filter_seen(batch, ["text"], idx)
+    assert [r["doc_id"] for r in out.collect()] == [101]
+    # updated index = old ∪ new-batch survivors
+    idx2 = idx.unionByName(dedup.hash_index(out, ["text"])).distinct()
+    again = dedup.filter_seen(batch, ["text"], idx2)
+    assert again.count() == 0
