@@ -139,26 +139,32 @@ def serve(roll: DataFrame, group_cols: list[str],
     if distinct:
         aggs.append(F.hll_sketch_estimate(
             F.hll_union_agg("distinct__hll")).alias("distinct"))
+    out = roll.groupBy(*keys).agg(*aggs) if keys else roll.agg(*aggs)
     for c in (hist_cols or []):
-        aggs.append(_merge_hist_maps(f"{c}__hist").alias(f"hist_{c}"))
-    return roll.groupBy(*keys).agg(*aggs) if keys else roll.agg(*aggs)
+        merged = _merged_hist(roll, keys, f"{c}__hist", f"hist_{c}")
+        # left join: a group whose hist rows are all NULL still keeps
+        # its finalized row (hist column NULL)
+        out = out.join(merged, keys, "left") if keys \
+            else out.crossJoin(merged)
+    return out
 
 
-def _merge_hist_maps(col: str) -> Column:
-    """Sum map<long,long> histograms across rollup rows: concatenate
-    all entry lists, then per distinct key sum the matching values —
-    pure JVM array expressions, no UDF."""
-    entries = F.flatten(F.collect_list(F.map_entries(F.col(col))))
-    keys = F.array_sort(
-        F.array_distinct(F.transform(entries, lambda e: e["key"])))
-    return F.map_from_entries(
-        F.transform(keys,
-                    lambda k: F.struct(
-                        k.alias("key"),
-                        F.aggregate(
-                            F.filter(entries, lambda e: e["key"] == k),
-                            F.lit(0).cast("long"),
-                            lambda acc, e: acc + e["value"]).alias("value"))))
+def _merged_hist(roll: DataFrame, keys: list[str], col: str,
+                 alias: str) -> DataFrame:
+    """Sum map<long,long> histograms across rollup rows per key:
+    explode entries → partial-aggregated sum per (keys, bucket) →
+    rebuild the sorted map. Linear in total entries and fully
+    shuffle-parallel — an in-aggregate array merge is O(buckets²)
+    interpreted per group, which matters at NUM_BUCKETS=1000. The
+    join back onto the finalized frame is co-partitioned (both sides
+    just grouped on the same keys)."""
+    e = roll.select(*keys, F.explode(F.map_entries(F.col(col))).alias("e"))
+    summed = (e.groupBy(*keys, F.col("e.key").alias("__hb"))
+               .agg(F.sum("e.value").alias("__hc")))
+    maps = F.map_from_entries(F.sort_array(F.collect_list(
+        F.struct(F.col("__hb"), F.col("__hc"))))).alias(alias)
+    return (summed.groupBy(*keys).agg(maps) if keys
+            else summed.agg(maps))
 
 
 def percentiles_from_hist(served: DataFrame, hist_col: str, width: float,
@@ -204,9 +210,12 @@ def merge_partials(roll: DataFrame, group_cols: list[str],
                  F.sum(f"{c}__n").alias(f"{c}__n")]
     if distinct:
         aggs.append(F.hll_union_agg("distinct__hll").alias("distinct__hll"))
+    keys = ["tbucket", *group_cols]
+    out = roll.groupBy(*keys).agg(*aggs)
     for c in (hist_cols or []):
-        aggs.append(_merge_hist_maps(f"{c}__hist").alias(f"{c}__hist"))
-    return roll.groupBy("tbucket", *group_cols).agg(*aggs)
+        out = out.join(_merged_hist(roll, keys, f"{c}__hist", f"{c}__hist"),
+                       keys, "left")
+    return out
 
 
 def compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
