@@ -1,0 +1,125 @@
+"""Property-based cross-engine fuzz: random small tables + random
+Query-builder specs, compared bit-exact against DuckDB running the
+equivalent SQL — the corpus correctness gate generalized from fixed
+queries to the query-spec space (filters × grouping × aggregations ×
+null patterns). exact_mode makes float aggregates order-independent,
+so any mismatch is a real semantics bug, not float noise."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from sybil_spark.query.builder import Query
+
+_DEC = "decimal(38,6)"
+
+
+def _dsum(expr: str) -> str:
+    return f"cast(sum(cast({expr} as {_DEC})) as double)"
+
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=-20, max_value=20),            # a (int)
+        st.one_of(st.none(),
+                  st.integers(min_value=-1000, max_value=1000)
+                    .map(lambda x: x / 8.0)),                # v (double|null)
+        st.sampled_from(["red", "green", "blue", "teal"]),   # g (str)
+    ),
+    min_size=1, max_size=60)
+
+int_filter_st = st.one_of(
+    st.none(),
+    st.tuples(st.sampled_from(["gt", "lt", "ge", "le", "eq", "neq"]),
+              st.integers(min_value=-15, max_value=15)))
+
+str_filter_st = st.one_of(
+    st.none(),
+    st.tuples(st.sampled_from(["eq", "neq"]),
+              st.sampled_from(["red", "green", "purple"])))
+
+aggs_st = st.lists(st.sampled_from(["avg", "sum", "min", "max"]),
+                   min_size=0, max_size=3, unique=True)
+
+
+@pytest.fixture(scope="module")
+def fuzz_spark(spark):
+    return spark
+
+
+@given(rows=rows_st, int_f=int_filter_st, str_f=str_filter_st,
+       grouped=st.booleans(), aggs=aggs_st)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_query_builder_matches_duckdb(fuzz_spark, rows, int_f, str_f,
+                                      grouped, aggs):
+    spark = fuzz_spark
+    pdf = pd.DataFrame(rows, columns=["a", "v", "g"])
+    sdf = spark.createDataFrame(
+        [(int(a), None if v is None else float(v), g) for a, v, g in rows],
+        schema="a long, v double, g string")
+
+    q = Query.table(sdf).exact_mode().limit(None)
+    preds = []
+    if int_f:
+        op, val = int_f
+        q = q.int_filter("a", op, val)
+        sql_op = {"gt": ">", "lt": "<", "ge": ">=", "le": "<=",
+                  "eq": "=", "neq": "<>"}[op]
+        preds.append(f"a {sql_op} {val}")
+    if str_f:
+        op, val = str_f
+        q = q.str_filter("g", op, val)
+        preds.append(f"g {'=' if op == 'eq' else '<>'} '{val}'")
+    where = f"where {' and '.join(preds)}" if preds else ""
+
+    cols, sels = [], ["count(*) as count"]
+    if grouped:
+        q = q.group_by("g")
+        cols = ["g"]
+    for op in aggs:
+        q = q.agg("v", op)
+        name = f"{op}_v"
+        if op == "avg":
+            sels.append(f"{_dsum('v')}/count(v) as {name}")
+        elif op == "sum":
+            sels.append(f"{_dsum('v')} as {name}")
+        else:
+            sels.append(f"{op}(v) as {name}")
+
+    sql = f"select {', '.join(cols + sels)} from t {where}"
+    if grouped:
+        sql += " group by g"
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute(sql).df()
+    got = q.execute(spark).toPandas()
+
+    def norm(df):
+        c = sorted(df.columns)
+        df = df[c]
+        kinds = ["f" if df[x].dtype.kind == "f" else
+                 "i" if df[x].dtype.kind in "iu" else "o" for x in c]
+        rows_ = sorted((tuple(r) for r in
+                        df.itertuples(index=False, name=None)),
+                       key=lambda t: tuple((x is None or x != x, str(x))
+                                           for x in t))
+        return c, kinds, rows_
+
+    gc, gk, gr = norm(got)
+    oc, ok, orr = norm(oracle)
+    assert gc == oc
+    assert gk == ok, f"dtype kinds {gk} vs {ok}"
+    assert len(gr) == len(orr), f"rowcount {len(gr)} vs {len(orr)}"
+    for rg, ro in zip(gr, orr):
+        for x, y in zip(rg, ro):
+            if isinstance(x, float) or isinstance(y, float):
+                ok_val = (x != x and y != y) or float(x) == float(y) \
+                    if x is not None and y is not None \
+                    else (x is None) == (y is None)
+            else:
+                ok_val = x == y
+            assert ok_val, f"{rg} != {ro}"
