@@ -123,3 +123,53 @@ def test_query_builder_matches_duckdb(fuzz_spark, rows, int_f, str_f,
             else:
                 ok_val = x == y
             assert ok_val, f"{rg} != {ro}"
+
+
+time_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=-50_000, max_value=50_000),    # t (long)
+        st.one_of(st.none(),
+                  st.integers(min_value=-1000, max_value=1000)
+                    .map(lambda x: x / 8.0)),                # v
+        st.sampled_from(["u1", "u2", "u3"]),                 # u (str)
+    ),
+    min_size=1, max_size=60)
+
+
+@given(rows=time_rows_st, bucket=st.sampled_from([7, 100, 3600]),
+       distinct=st.booleans())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_time_bucket_matches_duckdb(fuzz_spark, rows, bucket, distinct):
+    """Time rollup (t - t % bucket, truncation toward zero — negative
+    timestamps included) and count-distinct, vs DuckDB."""
+    spark = fuzz_spark
+    pdf = pd.DataFrame(rows, columns=["t", "v", "u"])
+    sdf = spark.createDataFrame(
+        [(int(t), None if v is None else float(v), u) for t, v, u in rows],
+        schema="t long, v double, u string")
+    q = (Query.table(sdf).exact_mode().limit(None)
+         .time_col("t", bucket).agg("v", "avg"))
+    sels = [f"t - t % {bucket} as tbucket", "count(*) as count",
+            f"{_dsum('v')}/count(v) as avg_v"]
+    if distinct:
+        q = q.distinct_cols("u")
+        sels.append("count(distinct u) as distinct")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute(
+        f"select {', '.join(sels)} from t group by 1").df()
+    got = q.execute(spark).toPandas()
+    assert sorted(got.columns) == sorted(oracle.columns)
+    g = got.sort_values("tbucket").reset_index(drop=True)[
+        sorted(got.columns)]
+    o = oracle.sort_values("tbucket").reset_index(drop=True)[
+        sorted(oracle.columns)]
+    assert len(g) == len(o)
+    for c in g.columns:
+        for x, y in zip(g[c], o[c]):
+            if x is None or (isinstance(x, float) and x != x):
+                assert y is None or (isinstance(y, float) and y != y)
+            else:
+                assert x == y, f"{c}: {x} != {y}"
