@@ -1402,6 +1402,57 @@ def q_dedup_best(spark, sf):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+_WQ = "coalesce(cast(l_quantity as double), 1.0)"
+
+
+@_q("weighted_hist_summary", f"""
+    with h as (
+      select l_returnflag,
+             cast(floor((l_extendedprice - 0.0)/5000.0)*5000.0 + 0.0
+                  as double) as b,
+             count(*) as n,
+             sum(cast({_WQ} as {_DEC})) as w,
+             sum(cast(l_extendedprice * {_WQ} as {_DEC})) as s,
+             sum(cast(l_extendedprice * l_extendedprice * {_WQ}
+                      as {_DEC})) as ss
+      from lineitem where l_extendedprice is not null group by 1, 2),
+    c as (select l_returnflag, b,
+                 sum(w) over (partition by l_returnflag order by b
+                              rows unbounded preceding) as cum,
+                 sum(w) over (partition by l_returnflag) as tot
+          from h),
+    g as (select l_returnflag,
+                 cast(sum(n) as bigint) as samples,
+                 cast(sum(w) as double) as count,
+                 cast(sum(s) as double)/cast(sum(w) as double) as avg_value,
+                 sqrt((cast(sum(ss) as double)
+                       - cast(sum(s) as double)*cast(sum(s) as double)
+                         /cast(sum(w) as double))
+                      /(cast(sum(w) as double) - 1.0)) as stddev_value
+          from h group by 1),
+    p as (select l_returnflag,
+                 min(case when cast(cum as double)
+                          >= 0.5*cast(tot as double) then b end) as p50
+          from c group by 1)
+    select g.l_returnflag, g.samples, g.count, g.avg_value,
+           g.stddev_value, p.p50
+    from g join p on g.l_returnflag = p.l_returnflag""")
+def q_weighted_hist_summary(spark, sf):
+    """Weighted composite hist: weight-scaled count/avg/stddev from
+    frequency-weight decimal moments and the weighted percentile CDF
+    (the reference's weight-scaled histogram, hist_basic.go:111-118,
+    153-183) — the mergeable scale path for weighted percentiles."""
+    li = _t(spark, sf, "lineitem")
+    out = (Query.table(li).weight_col("l_quantity")
+           .group_by("l_returnflag")
+           .hist_summary(spark, "l_extendedprice", bucket=5000.0,
+                         min_val=0.0, ps=(0.5,)))
+    return out.select("l_returnflag", "samples", "count",
+                      F.col("avg_l_extendedprice").alias("avg_value"),
+                      F.col("stddev_l_extendedprice").alias("stddev_value"),
+                      "p50")
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -1423,7 +1474,7 @@ _DRIVER_FIRST = [
     "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
     "hist_summary", "weighted_percentile", "decontaminate",
     "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
-    "url_domains", "dedup_best",
+    "url_domains", "dedup_best", "weighted_hist_summary",
 ]
 
 

@@ -531,7 +531,14 @@ class Query:
         avg/stddev come from the exact decimal moments (like
         sources/rollup.serve); percentiles are bucket lower bounds,
         quantized exactly like the reference. Scale-safe: the second
-        aggregate sees at most NUM_BUCKETS rows per group."""
+        aggregate sees at most NUM_BUCKETS rows per group.
+
+        With a weight column set, `count` is the weight sum, avg and
+        stddev use frequency-weight moments (Σwv, Σwv², sample
+        variance with W−1), and the percentile CDF walks cumulative
+        WEIGHTS in exact decimal — the reference's weight-scaled
+        histogram semantics (hist_basic.go:111-118, 153-183); this
+        is the mergeable scale path for weighted percentiles."""
         if from_registry is not None:
             info = from_registry.load_meta().int_info.get(col)
             if not info:
@@ -566,29 +573,44 @@ class Query:
         bcol = (F.floor((c - F.lit(base)) / F.lit(float(bucket)))
                 * F.lit(float(bucket)) + F.lit(base)).alias("bucket")
         group_cols = self._group_cols(df)
-        per_bucket = (df.groupBy(*group_cols, bcol)
-                      .agg(F.count(F.lit(1)).alias("__n"),
-                           F.sum(c.cast(self._DEC)).alias("__s"),
-                           F.sum((c * c).cast(self._DEC)).alias("__ss")))
+        use_w = bool(self._weight_col)
+        wcol = self._weight()
+        vw = c * wcol if use_w else c
+        vvw = c * c * wcol if use_w else c * c
+        baggs = [F.count(F.lit(1)).alias("__n"),
+                 F.sum(vw.cast(self._DEC)).alias("__s"),
+                 F.sum(vvw.cast(self._DEC)).alias("__ss")]
+        if use_w:
+            baggs.append(F.sum(wcol.cast(self._DEC)).alias("__w"))
+        per_bucket = df.groupBy(*group_cols, bcol).agg(*baggs)
         gnames = [x for x in per_bucket.columns
-                  if x not in ("bucket", "__n", "__s", "__ss")]
+                  if x not in ("bucket", "__n", "__s", "__ss", "__w")]
         n = F.sum("__n")
+        # W: the denominator — weight sum under a weight column, else
+        # the raw row count (frequency-weight moments generalize both)
+        big_w = F.sum("__w").cast("double") if use_w else n.cast("double")
         s = F.sum("__s").cast("double")
         ss = F.sum("__ss").cast("double")
+        cnt_field = F.col("__w") if use_w else F.col("__n")
         entries = F.array_sort(F.collect_list(
-            F.struct(F.col("bucket").alias("b"), F.col("__n").alias("n"))))
+            F.struct(F.col("bucket").alias("b"),
+                     cnt_field.cast(self._DEC).alias("n"))))
         aggs = [n.alias("samples"),
                 s.alias(f"sum_{col}"),
-                (s / n).alias(f"avg_{col}"),
-                F.sqrt((ss - s * s / n) / (n - F.lit(1)))
+                (s / big_w).alias(f"avg_{col}"),
+                F.sqrt((ss - s * s / big_w) / (big_w - F.lit(1.0)))
                  .alias(f"stddev_{col}"),
+                big_w.alias("__W"),
                 entries.alias("__e")]
+        if use_w:
+            aggs.insert(1, F.sum("__w").cast("double").alias("count"))
         out = (per_bucket.groupBy(*gnames).agg(*aggs) if gnames
                else per_bucket.agg(*aggs))
+
         def _cdf_walk(target):
             return F.aggregate(
                 F.col("__e"),
-                F.struct(F.lit(0).cast("long").alias("cum"),
+                F.struct(F.lit(0).cast(self._DEC).alias("cum"),
                          F.lit(None).cast("double").alias("ans")),
                 lambda acc, e: F.struct(
                     (acc["cum"] + e["n"]).alias("cum"),
@@ -597,9 +619,9 @@ class Query:
                            e["b"]).alias("ans")))
 
         for p in ps:
-            target = F.lit(float(p)) * F.col("samples").cast("double")
+            target = F.lit(float(p)) * F.col("__W")
             out = out.withColumn(f"p{int(p * 100)}", _cdf_walk(target)["ans"])
-        out = out.drop("__e")
+        out = out.drop("__e", "__W")
         order = [F.col(x).asc_nulls_last() for x in gnames]
         return out.orderBy(*order) if order else out
 
