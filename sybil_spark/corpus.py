@@ -1244,8 +1244,9 @@ def q_decontaminate(spark, sf):
     t as (select min(n / case event_type when 'view' then 0.7
                                          else 0.3 end) as t from n),
     r as (select event_type,
-                 cast(case event_type when 'view' then 0.7 else 0.3 end
-                      * t.t / n * 65536 as bigint) as th
+                 cast(floor(case event_type when 'view' then 0.7
+                                            else 0.3 end
+                            * t.t / n * 65536) as bigint) as th
           from n, t)
     select e.event_type, count(*) as count
     from {EV} e join r on e.event_type = r.event_type
@@ -1381,17 +1382,18 @@ def q_url_domains(spark, sf):
 @_q("dedup_best", """
     select doc_id from (
       select doc_id,
-             row_number() over (partition by substr(md5(lang), 1, 1)
+             row_number() over (partition by substr(md5(text), 1, 2)
                                 order by n_chars desc, doc_id asc) as rk
       from documents) where rk = 1 order by doc_id""")
 def q_dedup_best(spark, sf):
     """Quality-aware cluster retention: cluster docs by a coarse
-    fingerprint (lang hash nibble — a stand-in for any candidate
-    pair source) and keep the HIGHEST-n_chars member per cluster,
-    ties to min doc_id (keep_cluster_representatives score_col) —
-    verified against a plain rank-window oracle."""
+    fingerprint (two text-hash nibbles — a stand-in for any candidate
+    pair source; 256 buckets keeps the planted cliques small the way
+    real near-dup graphs are) and keep the HIGHEST-n_chars member per
+    cluster, ties to min doc_id (keep_cluster_representatives
+    score_col) — verified against a plain rank-window oracle."""
     d = _t(spark, sf, "documents")
-    fp = F.substring(F.md5(F.col("lang")), 1, 1)
+    fp = F.substring(F.md5(F.col("text")), 1, 2)
     a = d.select(F.col("doc_id").alias("id_a"), fp.alias("fa"))
     b = d.select(F.col("doc_id").alias("id_b"), fp.alias("fb"))
     pairs = (a.join(b, (F.col("fa") == F.col("fb"))

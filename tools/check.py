@@ -66,8 +66,12 @@ def main():
         # corpus depends on must be set at runtime by the corpus
         # itself (corpus._conf) or the query fails here first
         from pyspark.sql import SparkSession
+        # 4g heap: conf parity with the driver is about SQL confs, not
+        # heap size — the default 1g is borderline for a full-corpus
+        # pass at sf0.1 on local[32]
         spark = (SparkSession.builder.master("local[32]")
                  .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "4g")
                  .appName("check-vanilla").getOrCreate())
     else:
         from sybil_spark.session import get_spark
