@@ -1404,6 +1404,116 @@ def q_dedup_best(spark, sf):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+@_q("tpch_q7", f"""
+    select supp_nation, cust_nation, l_year,
+           {_dsum('volume')} as revenue
+    from (select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                 cast(year(l_shipdate) as bigint) as l_year,
+                 l_extendedprice * (1 - l_discount) as volume
+          from supplier
+          join lineitem on s_suppkey = l_suppkey
+          join orders on o_orderkey = l_orderkey
+          join customer on c_custkey = o_custkey
+          join nation n1 on s_nationkey = n1.n_nationkey
+          join nation n2 on c_nationkey = n2.n_nationkey
+          where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+              or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+            and l_shipdate >= timestamp '1995-01-01 00:00:00'
+            and l_shipdate <  timestamp '1997-01-01 00:00:00') shipping
+    group by 1, 2, 3""")
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping between two nations): both nation
+    dims broadcast (aliased twice), supplier broadcast, the
+    lineitem-orders-customer chain co-shuffles once each."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation"))
+    j = (li.where((F.col("l_shipdate")
+                   >= F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+                  & (F.col("l_shipdate")
+                     < F.to_timestamp(F.lit("1997-01-01 00:00:00"))))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+           .where(((F.col("supp_nation") == "NATION_1")
+                   & (F.col("cust_nation") == "NATION_2"))
+                  | ((F.col("supp_nation") == "NATION_2")
+                     & (F.col("cust_nation") == "NATION_1"))))
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (j.select("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"),
+                     vol.alias("volume"))
+             .groupBy("supp_nation", "cust_nation", "l_year")
+             .agg(F.sum(F.col("volume").cast(_DEC)).cast("double")
+              .alias("revenue")))
+
+
+@_q("tpch_q8", f"""
+    select o_year,
+           {_dsum("case when nation = 'NATION_1' then volume "
+                  "else 0 end")} / {_dsum('volume')} as mkt_share
+    from (select cast(year(o_orderdate) as bigint) as o_year,
+                 l_extendedprice * (1 - l_discount) as volume,
+                 n2.n_name as nation
+          from part
+          join lineitem on p_partkey = l_partkey
+          join supplier on s_suppkey = l_suppkey
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          join nation n1 on c_nationkey = n1.n_nationkey
+          join region on n1.n_regionkey = r_regionkey
+          join nation n2 on s_nationkey = n2.n_nationkey
+          where r_name = 'AMERICA' and p_type = 'PROMO'
+            and o_orderdate >= timestamp '1995-01-01 00:00:00'
+            and o_orderdate <  timestamp '1997-01-01 00:00:00') all_nations
+    group by 1""")
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): part/supplier/nation/region
+    dims broadcast, facts co-shuffle; the share is a ratio of two
+    decimal conditional sums."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    p = _t(spark, sf, "part")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("nation"))
+    j = (li.join(F.broadcast(p.where(F.col("p_type") == "PROMO")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(o.where((F.col("o_orderdate")
+                          >= F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+                         & (F.col("o_orderdate")
+                            < F.to_timestamp(F.lit("1997-01-01 00:00:00")))),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+           .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+                 F.col("n1_region") == F.col("r_regionkey"))
+           .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")))
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    base = j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    vol.alias("volume"), "nation")
+    dsum = lambda c: F.sum(c.cast(_DEC)).cast("double")  # noqa: E731
+    nat = F.when(F.col("nation") == "NATION_1",
+                 F.col("volume")).otherwise(F.lit(0))
+    return (base.groupBy("o_year")
+                .agg((dsum(nat) / dsum(F.col("volume")))
+                     .alias("mkt_share")))
+
+
 _WQ = "coalesce(cast(l_quantity as double), 1.0)"
 
 
@@ -1476,7 +1586,8 @@ _DRIVER_FIRST = [
     "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
     "hist_summary", "weighted_percentile", "decontaminate",
     "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
-    "url_domains", "dedup_best", "weighted_hist_summary",
+    "url_domains", "dedup_best", "weighted_hist_summary", "tpch_q7",
+    "tpch_q8",
 ]
 
 

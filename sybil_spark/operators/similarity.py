@@ -98,6 +98,26 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str = "vec_id",
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def ivf_centroids_kmeans(df: DataFrame, vec_col: str, nlist: int = 16,
+                         seed: int = 7, max_iter: int = 10) -> list[list[float]]:
+    """IVF coarse quantizer trained with Lloyd iterations
+    (pyspark.ml KMeans, k-means|| init, fixed seed) — the quality
+    upgrade over the hash-sample centroids of ivf_centroids; the
+    retrieval code (ivf_assign / ivf_topk) is identical either way.
+    Distributed: each iteration is one pass over the vectors with
+    partial aggregation; only k centers reach the driver. Seeded, so
+    centers are stable run-to-run on the same data (float reduction
+    order can wiggle last ulps — IVF is an approximate structure, and
+    assignments are re-scored exactly at query time anyway)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
                cluster_col: str = "cluster") -> DataFrame:
     """Assign each row to its max-cosine centroid (ties → lowest

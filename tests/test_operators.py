@@ -601,3 +601,21 @@ def test_incremental_filter_seen(spark):
     idx2 = idx.unionByName(dedup.hash_index(out, ["text"])).distinct()
     again = dedup.filter_seen(batch, ["text"], idx2)
     assert again.count() == 0
+
+
+def test_ivf_kmeans_centroids(spark, emb):
+    """KMeans-trained coarse quantizer slots into the same retrieval
+    path: full-probe equals brute force, and the planted colinear
+    neighbors co-cluster with the query."""
+    cents = similarity.ivf_centroids_kmeans(emb, "embedding", nlist=8,
+                                            seed=7, max_iter=5)
+    assert len(cents) == 8 and len(cents[0]) == 16
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    full = similarity.ivf_topk(emb, "embedding", q, k=5, nlist=8,
+                               nprobe=8, centroids=cents).collect()
+    brute = similarity.brute_force_topk(emb, "embedding", q, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+    probe1 = similarity.ivf_topk(emb, "embedding", q, k=3, nlist=8,
+                                 nprobe=1, centroids=cents).collect()
+    ids = {r["vec_id"] for r in probe1}
+    assert 0 in ids and 50 in ids        # colinear pair shares the cell
