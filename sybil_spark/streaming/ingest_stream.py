@@ -184,6 +184,50 @@ def stream_rollup_partials(df: DataFrame, rollup_path: str,
             .start())
 
 
+def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
+                               id_col: str, out_path: str,
+                               index_path: str,
+                               checkpoint: str | None = None
+                               ) -> StreamingQuery:
+    """Continuous corpus-level exact dedup: each micro-batch first
+    dedups within itself (operators.dedup.exact_keep_first), then
+    drops rows whose key hash is already in the PERSISTED index
+    (operators.dedup.filter_seen) — i.e. seen in any earlier batch or
+    in the historical corpus the index was bootstrapped from
+    (hash_index). Survivors append to `out_path`; their hashes append
+    to the index.
+
+    Contrast with stream_dedup (dropDuplicatesWithinWatermark):
+    state there lives in the state store and is bounded by the
+    watermark window; here the 'state' is the 8-bytes-per-key parquet
+    index — unbounded history at ~1 GB per 130M distinct keys, the
+    right trade for training-corpus dedup where duplicates arrive
+    years apart. At-least-once on crash-replayed batches (appends are
+    not transactional across the two dirs)."""
+    from sybil_spark.operators.dedup import (exact_keep_first, filter_seen,
+                                             hash_index)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = exact_keep_first(batch_df, key_cols, id_col)
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:
+            idx = None
+        if idx is not None:
+            fresh = filter_seen(fresh, key_cols, idx)
+        fresh = fresh.localCheckpoint()   # both writes see one snapshot
+        fresh.write.mode("append").parquet(out_path)
+        hash_index(fresh, key_cols).write.mode("append").parquet(index_path)
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or out_path + "_checkpoint")
+            .outputMode("append").start())
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], time_col: str,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: emit only the first event per key,

@@ -220,3 +220,38 @@ def test_stream_ingest_auto_digest(spark, tmp_path, monkeypatch):
     assert len(landing) <= 3 * 2                # bounded, not 5 batches
     got = sorted(r["ping"] for r in t.read(spark, read_log=True).collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Cross-batch exact dedup via the persisted hash index: a key
+    seen in batch 1 (or in the bootstrap corpus) never re-emits."""
+    from sybil_spark.operators import dedup
+    from sybil_spark.streaming.ingest_stream import (
+        stream_dedup_against_index)
+    idx_path = str(tmp_path / "idx")
+    out_path = str(tmp_path / "out")
+    # bootstrap the index from a historical corpus containing 'h9'
+    hist = spark.createDataFrame([("h9", 999, 0)],
+                                 schema="host string, ping long, time long")
+    dedup.hash_index(hist, ["host"]).write.parquet(idx_path)
+
+    src = tmp_path / "dd-in"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson",
+                 [{"host": "a", "ping": 1, "time": 1},
+                  {"host": "a", "ping": 2, "time": 2},     # in-batch dup
+                  {"host": "h9", "ping": 3, "time": 3}])   # historical dup
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = stream_dedup_against_index(stream, ["host"], "time",
+                                   out_path, idx_path)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson",
+                     [{"host": "a", "ping": 4, "time": 4},  # cross-batch dup
+                      {"host": "b", "ping": 5, "time": 5}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["host"]: r["ping"]
+            for r in spark.read.parquet(out_path).collect()}
+    assert rows == {"a": 1, "b": 5}
