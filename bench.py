@@ -33,6 +33,7 @@ HEADLINE = [
     "text_stats", "lang_id", "token_freq", "loghist", "hash_sample",
     "rollup_serve", "media_meta", "asof_join", "range_join",
     "sessionize", "topk_per_group", "hist_summary", "weighted_percentile",
+    "decontaminate", "tpch_q7",
 ]
 
 

@@ -1514,6 +1514,24 @@ def q_tpch_q8(spark, sf):
                      .alias("mkt_share")))
 
 
+@_q("weighted_loghist", f"""
+    select case when l_extendedprice >= 1
+                then power(2.0, length(bin(cast(floor(l_extendedprice)
+                                               as bigint))) - 1)
+                else 0.0 end as bucket,
+           cast(sum(cast(coalesce(cast(l_quantity as double), 1.0)
+                         as {_DEC})) as double) as count,
+           count(*) as samples
+    from lineitem where l_extendedprice is not null group by 1""")
+def q_weighted_loghist(spark, sf):
+    """Weighted log-scaled histogram: per-bucket Count is the exact
+    decimal weight sum (loghist honors exact_mode), Samples the raw
+    row count — reference weight semantics on the loghist path."""
+    li = _t(spark, sf, "lineitem")
+    return (Query.table(li).weight_col("l_quantity").exact_mode()
+            .loghist(spark, "l_extendedprice"))
+
+
 _WQ = "coalesce(cast(l_quantity as double), 1.0)"
 
 
@@ -1587,7 +1605,7 @@ _DRIVER_FIRST = [
     "hist_summary", "weighted_percentile", "decontaminate",
     "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
     "url_domains", "dedup_best", "weighted_hist_summary", "tpch_q7",
-    "tpch_q8",
+    "tpch_q8", "weighted_loghist",
 ]
 
 

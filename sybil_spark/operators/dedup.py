@@ -82,9 +82,12 @@ def _mix64(*parts: int) -> int:
 
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
-                   shingle_n: int = 3) -> DataFrame:
+                   shingle_n: int = 3, distinct: bool = True) -> DataFrame:
     """(id, h): one row per DISTINCT word-shingle per document, with
-    the shingle as a 64-bit hash — never as a string.
+    the shingle as a 64-bit hash — never as a string. Pass
+    distinct=False to keep one row per position (MinHash doesn't need
+    the dedup — min over the multiset equals min over the set — and
+    skipping it saves an aggregation on its hottest path).
 
     This is the codegen-fast shingle pipeline shared by MinHash and
     Jaccard: split → posexplode → xxhash64 per token, then a window
@@ -117,10 +120,10 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     sh_hash = F.xxhash64(*[
         F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
         for j in range(shingle_n)])
-    return (stitched
-            .where(last.isNotNull() | (F.col("pos") == 0))
-            .select("id", sh_hash.alias("h"))
-            .distinct())
+    out = (stitched
+           .where(last.isNotNull() | (F.col("pos") == 0))
+           .select("id", sh_hash.alias("h")))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -144,14 +147,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
        ONE shuffle carrying (id, token hash), and the output shuffle
        is (id, 64×long), independent of document size.
 
-    Min over a multiset equals min over the set, so building on the
-    DISTINCT shingle_hashes frame leaves signatures unchanged while
-    feeding fewer rows into the 64-way min; the distinct groups on
-    (id, h), which the window's id-hash partitioning already
-    satisfies, so the whole job is still ONE shuffle. Documents
-    shorter than n tokens keep one row (pos 0) with sentinel-padded
-    lead hashes — they still get a stable signature."""
-    base = (shingle_hashes(df, id_col, text_col, shingle_n)
+    Min over a multiset equals min over the set, so positional
+    (non-distinct) shingle_hashes feed the mins directly — no dedup
+    aggregation on this hot path. Documents shorter than n tokens
+    keep one row (pos 0) with sentinel-padded lead hashes — they
+    still get a stable signature."""
+    base = (shingle_hashes(df, id_col, text_col, shingle_n, distinct=False)
             .select("id", F.pmod(F.col("h"), F.lit(_MERSENNE31)).alias("h")))
     mins = []
     for i in range(num_hashes):
