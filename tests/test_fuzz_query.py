@@ -173,3 +173,61 @@ def test_time_bucket_matches_duckdb(fuzz_spark, rows, bucket, distinct):
                 assert y is None or (isinstance(y, float) and y != y)
             else:
                 assert x == y, f"{c}: {x} != {y}"
+
+
+wrows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(),
+                  st.integers(min_value=-800, max_value=800)
+                    .map(lambda x: x / 4.0)),                # v
+        st.one_of(st.none(),
+                  st.integers(min_value=1, max_value=5)),    # w (weight)
+        st.sampled_from(["x", "y", "z"]),                    # g
+    ),
+    min_size=1, max_size=50)
+
+
+@given(rows=wrows_st, grouped=st.booleans())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_weighted_agg_matches_duckdb(fuzz_spark, rows, grouped):
+    """Weighted Count/Samples/avg semantics (null weights default to
+    1, avg denominator counts weight only where the value is
+    non-null) vs DuckDB."""
+    spark = fuzz_spark
+    pdf = pd.DataFrame(rows, columns=["v", "w", "g"])
+    sdf = spark.createDataFrame(
+        [(None if v is None else float(v),
+          None if w is None else int(w), g) for v, w, g in rows],
+        schema="v double, w long, g string")
+    q = (Query.table(sdf).exact_mode().weight_col("w")
+         .agg("v", "avg").limit(None))
+    wexpr = "coalesce(cast(w as double), 1.0)"
+    sels = [f"{_dsum(wexpr)} as count", "count(*) as samples",
+            f"{_dsum(f'v * {wexpr}')}"
+            f" / cast(sum(cast(case when v is not null then {wexpr} end"
+            f" as {_DEC})) as double) as avg_v"]
+    cols = []
+    if grouped:
+        q = q.group_by("g")
+        cols = ["g"]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = f"select {', '.join(cols + sels)} from t"
+    if grouped:
+        sql += " group by g"
+    oracle = con.execute(sql).df()
+    got = q.execute(spark).toPandas()
+    assert sorted(got.columns) == sorted(oracle.columns)
+    key = (lambda df: df.sort_values(cols or ["count"])
+           .reset_index(drop=True)[sorted(df.columns)])
+    g_, o_ = key(got), key(oracle)
+    assert len(g_) == len(o_)
+    for c in g_.columns:
+        for x, y in zip(g_[c], o_[c]):
+            if x is None or (isinstance(x, float) and x != x):
+                assert y is None or (isinstance(y, float) and y != y), \
+                    f"{c}: {x} != {y}"
+            else:
+                assert x == y, f"{c}: {x} != {y}"
