@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-int-bucket", type=float, default=None,
                     dest="int_bucket")
     sp.add_argument("-loghist", action="store_true")
+    sp.add_argument("-hist-summary", action="store_true",
+                    dest="hist_summary",
+                    help="composite hist output: samples/sum/avg/stddev"
+                         " + bucket percentiles per group (the"
+                         " reference's -op hist printout)")
     sp.add_argument("-sort", default=None)
     sp.add_argument("-sort-asc", action="store_true", dest="sort_asc")
     sp.add_argument("-limit", type=int, default=100)
@@ -179,6 +184,9 @@ def run_query(spark: SparkSession, args) -> "DataFrame":
     if args.loghist:
         return q.loghist(spark, int_cols[0])
     if args.op == "hist":
+        if args.hist_summary:
+            return q.hist_summary(spark, int_cols[0],
+                                  bucket=args.int_bucket)
         return q.hist(spark, int_cols[0], bucket=args.int_bucket)
     if args.op == "distinct" or args.distinct_cols:
         q.distinct_cols(*_split(args.distinct_cols or args.int_cols))

@@ -140,3 +140,16 @@ def test_rollup_build_and_serve(spark, tmp_path, capsys):
     import statistics
     want = statistics.mean(10 + i for i in range(50) if i % 2 == 0)
     assert got["h0"]["avg_ping"] == want
+
+
+def test_cli_hist_summary(capsys, spark, db):
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-group", "host", "-int", "ping", "-op", "hist",
+                      "-hist-summary", "-int-bucket", "5"])
+    assert len(rows) == 3
+    r = rows[0]
+    for k in ("samples", "avg_ping", "stddev_ping", "p25", "p50", "p75"):
+        assert k in r, r
+    # pings are 40..59 roughly uniform; the median bucket is sane
+    assert 40 <= r["p50"] <= 60
