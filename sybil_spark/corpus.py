@@ -1532,6 +1532,38 @@ def q_weighted_loghist(spark, sf):
             .loghist(spark, "l_extendedprice"))
 
 
+@_q("weighted_stddev_sum", f"""
+    select l_returnflag,
+           {_dsum("coalesce(cast(l_quantity as double), 1.0)")} as count,
+           count(*) as samples,
+           {_dsum("l_extendedprice"
+                  " * coalesce(cast(l_quantity as double), 1.0)")}
+             as sum_l_extendedprice,
+           sqrt(({_dsum("l_extendedprice * l_extendedprice"
+                        " * coalesce(cast(l_quantity as double), 1.0)")}
+                 - {_dsum("l_extendedprice"
+                          " * coalesce(cast(l_quantity as double), 1.0)")}
+                   * {_dsum("l_extendedprice"
+                            " * coalesce(cast(l_quantity as double), 1.0)")}
+                   / cast(sum(cast(case when l_extendedprice is not null
+                         then coalesce(cast(l_quantity as double), 1.0) end
+                         as {_DEC})) as double))
+                / (cast(sum(cast(case when l_extendedprice is not null
+                       then coalesce(cast(l_quantity as double), 1.0) end
+                       as {_DEC})) as double) - 1.0))
+             as stddev_l_extendedprice
+    from lineitem group by 1""")
+def q_weighted_stddev_sum(spark, sf):
+    """Weighted SUM (Σv·w — the reference's Mean×WeightedCount) and
+    frequency-weight sample stddev, per group."""
+    li = _t(spark, sf, "lineitem")
+    return (Query.table(li).weight_col("l_quantity").exact_mode()
+            .group_by("l_returnflag")
+            .agg("l_extendedprice", "sum")
+            .agg("l_extendedprice", "stddev")
+            .limit(None).execute(spark))
+
+
 _WQ = "coalesce(cast(l_quantity as double), 1.0)"
 
 
@@ -1605,7 +1637,7 @@ _DRIVER_FIRST = [
     "hist_summary", "weighted_percentile", "decontaminate",
     "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
     "url_domains", "dedup_best", "weighted_hist_summary", "tpch_q7",
-    "tpch_q8", "weighted_loghist",
+    "tpch_q8", "weighted_loghist", "weighted_stddev_sum",
 ]
 
 

@@ -265,14 +265,31 @@ class Query:
                     expr = F.avg(c)
                 exprs.append(expr.alias(name))
             elif a.op == "sum":
-                expr = self._dsum(c) if self._exact else F.sum(c)
+                # weighted SUM is Σv·w — the reference derives SUM as
+                # Mean()·TotalCount with a weight-scaled count
+                # (hist_compat.go:22, printer.go:122), i.e. weighted
+                cw = c * w if self._weight_col else c
+                expr = self._dsum(cw) if self._exact else F.sum(cw)
                 exprs.append(expr.alias(name))
             elif a.op == "min":
                 exprs.append(F.min(c).alias(name))
             elif a.op == "max":
                 exprs.append(F.max(c).alias(name))
             elif a.op == "stddev":
-                if self._exact:
+                if self._weight_col:
+                    # frequency-weight sample stddev: (Σwv² − (Σwv)²/W)
+                    # / (W−1), W = weight over non-null values — the
+                    # un-quantized version of the reference's
+                    # weight-scaled hist stddev (hist_basic.go:186-219)
+                    ww = F.when(c.isNotNull(), w)
+                    big_w = (self._dsum(ww) if self._exact
+                             else F.sum(ww).cast("double"))
+                    s1 = self._dsum(c * w) if self._exact else F.sum(c * w)
+                    s2 = (self._dsum(c * c * w) if self._exact
+                          else F.sum(c * c * w))
+                    var = (s2 - s1 * s1 / big_w) / (big_w - F.lit(1.0))
+                    exprs.append(F.sqrt(var).alias(name))
+                elif self._exact:
                     n = F.count(c)
                     var = ((self._dsum(c * c)
                             - self._dsum(c) * self._dsum(c) / n)
