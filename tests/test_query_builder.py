@@ -306,3 +306,40 @@ def test_hist_summary_matches_separate_queries(spark):
     assert x["p50"] == 40.0
     y = rows["y"]
     assert y["samples"] == 50 and y["p50"] == 0.0
+
+
+def test_correlated_column_invariants(spark):
+    """The reference's signature property test (aggregate_test.go:
+    25-56, 102-155): with age_str = str(age), every group's key must
+    equal the mean of its age values, and within-group percentiles
+    must equal the key too (all values in a group are identical)."""
+    rows = [Row(age=18 + (i * 7) % 40) for i in range(300)]
+    d = spark.createDataFrame(rows).withColumn(
+        "age_str", F.col("age").cast("string"))
+    got = (Query.table(d).exact_mode().group_by("age_str")
+           .agg("age", "avg").agg("age", "percentile",
+                                  percentiles=[0.25, 0.5, 0.75])
+           .limit(None).execute(spark).collect())
+    assert len(got) > 10
+    for r in got:
+        key = float(r["age_str"])
+        assert r["avg_age"] == key
+        assert r["p25_age"] == key
+        assert r["p50_age"] == key
+        assert r["p75_age"] == key
+
+
+def test_full_population_percentiles(spark):
+    """Percentiles against the sorted raw population (reference
+    aggregate_test.go:163-187, tolerance 1)."""
+    import random
+    rng = random.Random(11)
+    vals = [rng.randint(0, 1000) for _ in range(2000)]
+    d = spark.createDataFrame([Row(v=float(v)) for v in vals])
+    r = (Query.table(d).agg("v", "percentile",
+                            percentiles=[0.25, 0.5, 0.75])
+         .limit(None).execute(spark).collect()[0])
+    s = sorted(vals)
+    for p in (25, 50, 75):
+        want = s[int(len(s) * p / 100)]
+        assert abs(r[f"p{p}_v"] - want) <= 1
