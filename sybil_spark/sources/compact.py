@@ -18,6 +18,17 @@ free in parquet).
 Trim (reference `sybil trim`, src/lib/table_trim.go:12-58): delete
 blocks wholly older than a cutoff or beyond a size budget, decided
 on per-file footer stats only — never a data scan.
+
+Concurrency contract (reference locks per table,
+src/lib/table_lock.go; tests pin block-changed-under-query safety,
+src/lib/table_query_test.go:11-158): lifecycle jobs here assume a
+SINGLE writer. Readers planned BEFORE a digest hold the old file
+list — Spark resolves files at planning time — so a concurrent
+digest can fail those in-flight tasks with a missing-file error;
+re-planning (re-calling Table.read) always sees a consistent
+snapshot because every move goes through a staged dir + atomic
+renames. At real scale, a table format (Delta/Iceberg) supplies the
+snapshot isolation this file layout approximates.
 """
 
 from __future__ import annotations
