@@ -140,7 +140,50 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("info")
     common(sp)
+
+    sp = sub.add_parser(
+        "inspect",
+        help="decode any engine data file (reference `sybil inspect`, "
+             "src/cmd/cmd_inspect.go): parquet → footer schema, row "
+             "groups, per-column stats; meta.json → pretty registry")
+    sp.add_argument("-file", required=True, dest="file")
     return p
+
+
+def run_inspect(path: str) -> dict:
+    """Footer/metadata facts for one file — no data scan."""
+    import json as _json
+    if path.endswith(".json"):
+        with open(path) as f:
+            return _json.load(f)
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    out = {
+        "file": path, "num_rows": md.num_rows,
+        "num_row_groups": md.num_row_groups,
+        "created_by": md.created_by,
+        "schema": {f.name: str(f.physical_type)
+                   for f in pf.schema},
+        "columns": {},
+    }
+    for i in range(md.num_columns if md.num_row_groups else 0):
+        name = md.row_group(0).column(i).path_in_schema
+        info = {"compression": md.row_group(0).column(i).compression,
+                "encodings": list(md.row_group(0).column(i).encodings)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            try:
+                info["min"], info["max"] = min(mins), max(maxs)
+            except TypeError:
+                pass
+        out["columns"][name] = info
+    return out
 
 
 def _filters(q, args) -> None:
@@ -199,6 +242,11 @@ def run_query(spark: SparkSession, args) -> "DataFrame":
 def main(argv: list[str] | None = None,
          spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "inspect":
+        # pure-metadata command: no SparkSession needed
+        import json as _json
+        print(_json.dumps(run_inspect(args.file), indent=2, default=str))
+        return 0
     own_session = spark is None
     if spark is None:
         from sybil_spark.session import get_spark

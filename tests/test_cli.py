@@ -153,3 +153,20 @@ def test_cli_hist_summary(capsys, spark, db):
         assert k in r, r
     # pings are 40..59 roughly uniform; the median bucket is sane
     assert 40 <= r["p50"] <= 60
+
+
+def test_cli_inspect(capsys, spark, db):
+    import os
+    from sybil_spark.table import Table
+    t = Table(db, "uptime")
+    block = next(os.path.join(t.blocks_path, f)
+                 for f in sorted(os.listdir(t.blocks_path))
+                 if f.endswith(".parquet"))
+    assert main(["inspect", "-file", block]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["num_rows"] > 0
+    assert "time" in out["columns"]
+    assert "min" in out["columns"]["time"]     # zone-map stats surfaced
+    assert main(["inspect", "-file", t.meta_path]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["key_types"]["ping"] == "int"
