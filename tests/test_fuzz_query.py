@@ -231,3 +231,54 @@ def test_weighted_agg_matches_duckdb(fuzz_spark, rows, grouped):
                     f"{c}: {x} != {y}"
             else:
                 assert x == y, f"{c}: {x} != {y}"
+
+
+set_rows_st = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]),
+                 min_size=0, max_size=4),                    # tags
+        st.integers(min_value=-50, max_value=50),            # a
+    ),
+    min_size=1, max_size=40)
+
+
+@given(rows=set_rows_st,
+       set_f=st.one_of(st.none(),
+                       st.tuples(st.sampled_from(["in", "nin"]),
+                                 st.sampled_from(["p", "q", "zz"]))),
+       group_elems=st.booleans())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_set_columns_match_duckdb(fuzz_spark, rows, set_f, group_elems):
+    """Set-column semantics: in/nin membership filters see the whole
+    array; group_by_set explodes AFTER filters, one contribution per
+    element occurrence — vs DuckDB list_contains/unnest."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        [(list(tags), int(a)) for tags, a in rows],
+        schema="tags array<string>, a long")
+    q = Query.table(sdf).limit(None)
+    where = ""
+    if set_f:
+        op, val = set_f
+        q = q.set_filter("tags", op, val)
+        neg = "" if op == "in" else "not "
+        where = f"where {neg}list_contains(tags, '{val}')"
+    if group_elems:
+        q = q.group_by_set("tags", "tag")
+        sql = (f"select tag, count(*) as count from "
+               f"(select unnest(tags) as tag from t {where}) e group by 1")
+    else:
+        sql = f"select count(*) as count from t {where}"
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        [(list(tags), int(a)) for tags, a in rows], columns=["tags", "a"]))
+    oracle = con.execute(sql).df()
+    got = q.execute(spark).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (tuple(r) for r in df[sorted(df.columns)]
+         .itertuples(index=False, name=None)),
+        key=lambda tt: tuple(str(x) for x in tt))
+    assert sorted(got.columns) == sorted(oracle.columns)
+    assert key(got) == key(oracle)
