@@ -215,7 +215,10 @@ def _prepare_blocks(df: DataFrame, id_col: str, vec_col: str,
     - One count() job runs only when `n_rows` isn't passed, on a
       persisted narrow projection, so the job that sizes the plan also
       materializes the cache the main job reads (callers at scale pass
-      n_rows — e.g. from table metadata — and no extra job runs).
+      n_rows — e.g. from table metadata — and no extra job runs). The
+      cache entry is left to Spark's LRU eviction — repeated sizing
+      calls in one session reuse it; long-lived sessions can
+      `spark.catalog.clearCache()` between pipelines.
     - Un-bucketed inputs above `auto_block_threshold` rows get a
       deterministic hyperplane-LSH `grp` automatically: comparisons
       then happen only within co-bucketed rows. Near-identical vectors

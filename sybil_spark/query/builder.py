@@ -354,8 +354,11 @@ class Query:
         unavoidable cost of an exact percentile and Spark spills it),
         then a grouped min over threshold-crossing values. Weights
         accumulate in decimal, so the CDF is order-exact and
-        bit-matches a SQL window oracle. The mergeable scale path is
-        the histogram CDF (hist_summary / rollup)."""
+        bit-matches a SQL window oracle. UNGROUPED, the window is a
+        single partition — the same memory envelope as Spark's own
+        exact `percentile` buffer, acceptable only at modest row
+        counts. The mergeable scale path either way is the histogram
+        CDF (hist_summary / rollup)."""
         from pyspark.sql import Window
 
         names = self._group_names(df)
