@@ -62,3 +62,45 @@ def test_typing_invariants(spark, tmp_path_factory, recs):
     # arrays deduped
     for r in out:
         assert r["arr"] is None or len(r["arr"]) == len(set(r["arr"]))
+
+
+lifecycle_batches = st.lists(
+    st.lists(st.tuples(st.sampled_from(["h0", "h1", "h2"]),
+                       st.integers(min_value=-100, max_value=100),
+                       st.integers(min_value=0, max_value=10_000)),
+             min_size=1, max_size=12),
+    min_size=1, max_size=4)
+
+
+@given(batches=lifecycle_batches,
+       digests=st.lists(st.booleans(), min_size=4, max_size=4))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_ingest_digest_lifecycle_equivalence(spark, tmp_path_factory,
+                                             batches, digests):
+    """Any interleaving of ingest batches and digests yields the same
+    queryable contents as the raw records — the reference's
+    steady-ingest/digest stress (scripts/stress_ingest_digest.sh)
+    as a property: digest moves data, never changes it."""
+    from pyspark.sql import Row
+    from sybil_spark.sources import compact
+    from sybil_spark.sources.ingest import ingest_df
+    from sybil_spark.table import Table
+
+    d = tmp_path_factory.mktemp("lifecycle")
+    t = Table(str(d / "db"), "lc")
+    expect = []
+    for i, batch in enumerate(batches):
+        rows = [Row(host=h, ping=p, time=tm) for h, p, tm in batch]
+        expect += batch
+        ingest_df(spark.createDataFrame(rows), t, time_col="time",
+                  auto_digest=False)
+        if digests[i % len(digests)]:
+            compact.digest(spark, t, time_col="time")
+    got = sorted((r["host"], r["ping"], r["time"])
+                 for r in t.read(spark, read_log=True).collect())
+    assert got == sorted(expect)
+    # registry count matches lifetime rows whenever a digest ran
+    meta = t.load_meta()
+    assert meta.row_count == len(expect)
