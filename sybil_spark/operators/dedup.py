@@ -230,7 +230,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     interpreted array lambda is ever built."""
     if exact:
         max_posting = None
-    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    # persist: the shingle frame feeds the size aggregate AND both
+    # sides of the pair join — without it Spark re-runs the whole
+    # token/window pipeline per consumer (plans are trees, common
+    # subplans don't dedupe). Narrow (16 B/shingle), spills to disk,
+    # LRU-evicted under pressure.
+    sh = shingle_hashes(df, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is None and max_posting is None:
