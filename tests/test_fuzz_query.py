@@ -57,6 +57,9 @@ def test_query_builder_matches_duckdb(fuzz_spark, rows, int_f, str_f,
                                       grouped, aggs):
     spark = fuzz_spark
     pdf = pd.DataFrame(rows, columns=["a", "v", "g"])
+    # pin dtypes: an all-null hypothesis column would register into
+    # DuckDB as `object` and get a non-double type inferred
+    pdf["v"] = pdf["v"].astype("float64")
     sdf = spark.createDataFrame(
         [(int(a), None if v is None else float(v), g) for a, v, g in rows],
         schema="a long, v double, g string")
@@ -146,6 +149,7 @@ def test_time_bucket_matches_duckdb(fuzz_spark, rows, bucket, distinct):
     timestamps included) and count-distinct, vs DuckDB."""
     spark = fuzz_spark
     pdf = pd.DataFrame(rows, columns=["t", "v", "u"])
+    pdf["v"] = pdf["v"].astype("float64")
     sdf = spark.createDataFrame(
         [(int(t), None if v is None else float(v), u) for t, v, u in rows],
         schema="t long, v double, u string")
@@ -197,6 +201,8 @@ def test_weighted_agg_matches_duckdb(fuzz_spark, rows, grouped):
     non-null) vs DuckDB."""
     spark = fuzz_spark
     pdf = pd.DataFrame(rows, columns=["v", "w", "g"])
+    pdf["v"] = pdf["v"].astype("float64")
+    pdf["w"] = pdf["w"].astype("Int64")
     sdf = spark.createDataFrame(
         [(None if v is None else float(v),
           None if w is None else int(w), g) for v, w, g in rows],
