@@ -172,3 +172,30 @@ def pack_by_budget(df: DataFrame, id_col: str, size_col: str,
 
     return (base.groupBy("grp")
                 .applyInPandas(pack, schema="id long, batch long"))
+
+
+def materialize_batches(df: DataFrame, packed: DataFrame, id_col: str,
+                        size_col: str, text_col: str,
+                        sep: str = "\n\n") -> DataFrame:
+    """Turn pack_by_budget assignments into actual training sequences:
+    one row per batch with the member documents concatenated in the
+    deterministic FFD placement order (size desc, id asc) — the final
+    packing step that writes model-ready sequences without padding
+    waste.
+
+    Output: batch, text, n_docs, n_tokens. One join + one grouped
+    sort-collect; a batch holds at most budget worth of tokens, so the
+    per-group array is bounded by construction."""
+    rows = packed.join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(size_col).cast("long").alias("__sz"),
+                  F.col(text_col).alias("__txt")), "id")
+    entries = F.array_sort(F.collect_list(F.struct(
+        (-F.col("__sz")).alias("nsz"), F.col("id").alias("id"),
+        F.col("__txt").alias("txt"))))
+    return (rows.groupBy("batch")
+                .agg(F.array_join(
+                        F.transform(entries, lambda e: e["txt"]), sep)
+                     .alias("text"),
+                     F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("__sz").alias("n_tokens")))

@@ -619,3 +619,24 @@ def test_ivf_kmeans_centroids(spark, emb):
                                  nprobe=1, centroids=cents).collect()
     ids = {r["vec_id"] for r in probe1}
     assert 0 in ids and 50 in ids        # colinear pair shares the cell
+
+
+def test_materialize_batches(spark):
+    """Packed batches materialize into one sequence each, members in
+    FFD order (size desc, id asc), token budget respected."""
+    from sybil_spark.operators import sampling
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc{i} " + "tok " * (10 + i),
+             n_tokens=11 + i) for i in range(20)])
+    packed = sampling.pack_by_budget(d, "doc_id", "n_tokens",
+                                     budget=64, partitions=2)
+    seqs = sampling.materialize_batches(d, packed, "doc_id", "n_tokens",
+                                        "text").collect()
+    assert sum(r["n_docs"] for r in seqs) == 20
+    for r in seqs:
+        assert r["n_tokens"] <= 64
+        assert r["text"].count("doc") == r["n_docs"]
+    # determinism
+    again = sampling.materialize_batches(d, packed, "doc_id", "n_tokens",
+                                         "text").collect()
+    assert sorted(r["text"] for r in seqs) == sorted(r["text"] for r in again)
