@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from sybil_spark.query.builder import Query
 from sybil_spark.functions import text as T
-from sybil_spark.functions.vectors import cosine_to_const
 from sybil_spark.operators import dedup, similarity
 
 QUERIES: dict = {}

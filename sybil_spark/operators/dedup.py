@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sybil_spark.functions.text import shingles, tokens
+from sybil_spark.functions.text import tokens
 from sybil_spark.operators._util import spread
 
 
