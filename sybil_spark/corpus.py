@@ -1403,6 +1403,36 @@ def q_dedup_best(spark, sf):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+@_q("time_hist", f"""
+    select time - time % 21600 as tbucket,
+           cast(floor((value - 0.0)/50.0)*50.0 + 0.0 as double) as bucket,
+           count(*) as count
+    from {EV} where value is not null group by 1, 2""")
+def q_time_hist(spark, sf):
+    """Histogram per time bucket — hist() composes with the rollup's
+    tbucket grouping (reference -op hist -time)."""
+    return (Query.table(_events(spark, sf)).time_col("time", 21600)
+            .limit(None).hist(spark, "value", bucket=50.0, min_val=0.0))
+
+
+#: an intentionally non-aligned filter value; the builder must floor
+#: it to the 21600 s bucket boundary (reference filter.go:86-95)
+_T_RAW = 1_705_400_999  # mid-range of the events table, non-aligned
+_T_ALIGNED = _T_RAW - _T_RAW % 21600
+
+
+@_q("time_filter_aligned", f"""
+    select time - time % 21600 as tbucket, count(*) as count
+    from {EV} where time >= {_T_ALIGNED} group by 1""")
+def q_time_filter_aligned(spark, sf):
+    """Time filters align to the bucket boundary when rollup is
+    active: the Spark side filters on the RAW value and must floor it
+    (builder._predicate); the oracle uses the pre-floored literal."""
+    return (Query.table(_events(spark, sf)).time_col("time", 21600)
+            .int_filter("time", "ge", _T_RAW)
+            .limit(None).execute(spark))
+
+
 @_q("tpch_q7", f"""
     select supp_nation, cust_nation, l_year,
            {_dsum('volume')} as revenue
@@ -1636,7 +1666,8 @@ _DRIVER_FIRST = [
     "hist_summary", "weighted_percentile", "decontaminate",
     "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
     "url_domains", "dedup_best", "weighted_hist_summary", "tpch_q7",
-    "tpch_q8", "weighted_loghist", "weighted_stddev_sum",
+    "tpch_q8", "weighted_loghist", "weighted_stddev_sum", "time_hist",
+    "time_filter_aligned",
 ]
 
 
