@@ -256,3 +256,18 @@ def test_resample_mixture_single_shuffle(spark, sf_dir):
     from sybil_spark.corpus import QUERIES
     q = QUERIES["resample_mixture"](spark, sf_dir)
     assert I.shuffle_exchange_count(q) <= 1, I.formatted_plan(q)
+
+
+def test_new_aggregate_shapes(spark, sf_dir):
+    """Shuffle budgets for the round-2 aggregate paths: hist_summary
+    pays per-bucket agg + per-group merge (+ a sort of the tiny
+    aggregated set); weighted percentile pays window + group; the
+    weighted moment aggregates stay single-shuffle."""
+    from sybil_spark.corpus import QUERIES
+    budgets = {"hist_summary": 3, "weighted_hist_summary": 3,
+               "weighted_stddev_sum": 1, "weighted_percentile": 2,
+               "time_hist": 2, "pii_scrub": 1}
+    for name, budget in budgets.items():
+        q = QUERIES[name](spark, sf_dir)
+        got = I.shuffle_exchange_count(q)
+        assert got <= budget, (name, got, I.formatted_plan(q))
