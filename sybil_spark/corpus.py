@@ -1654,20 +1654,27 @@ def q_weighted_hist_summary(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
-    # (a) no CORRECTNESS_r01 row (registered past the 50-row cap):
-    "loghist_group", "samples", "token_freq", "rollup_counts", "icc",
-    "distinct_limit", "topk_per_group", "sessionize", "hash_sample",
-    "stratified_sample", "assign_splits", "pack_batches", "asof_join",
-    "range_join", "embedding_dup", "ivf_topk", "rollup_serve",
-    "rollup_distinct", "media_meta",
-    # (b) changed this round (red row fixed / defaults made scale-safe)
-    # or new this round:
-    "text_stats", "ngram_jaccard", "ann_pairs_topk", "dedup_keep_first",
-    "hist_summary", "weighted_percentile", "decontaminate",
-    "resample_mixture", "tpch_q14", "tpch_q18", "pii_scrub",
-    "url_domains", "dedup_best", "weighted_hist_summary", "tpch_q7",
-    "tpch_q8", "weighted_loghist", "weighted_stddev_sum", "time_hist",
-    "time_filter_aligned",
+    # Round-3 rotation (driver records only the first ~50 rows).
+    # (a) the 35 queries whose only green row is CORRECTNESS_r01 —
+    # their verification predates round-2 changes to shared builder /
+    # shingle code, so they go first to refresh at HEAD:
+    "group2_count", "group2_avg", "distinct_approx",
+    "time_group_avg_limit", "filter_eq_avg", "filter_gt_count",
+    "total_row", "filter_sweep", "set_filter_nin", "distinct_multi",
+    "str_replace_group", "percentiles", "stddev", "sum_min_max",
+    "weighted_count", "weighted_hist", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q6", "tpch_q10", "join_geo", "orders_priority", "dedup_exact",
+    "dedup_clusters", "minhash_lsh", "simhash_dup", "ann_topk",
+    "lsh_topk", "text_quality", "lang_id", "repetition", "fingerprint",
+    "set_filter", "loghist",
+    # (b) changed this round (new deterministic oracle variants, the
+    # jaccard hot-shingle fast path, contamination sentinel fix,
+    # OR-amplified auto-bucketing, hist_summary empty guard,
+    # weighted-percentile guard, media header parsing):
+    "distinct_limit", "ivf_topk", "ngram_jaccard", "decontaminate",
+    "embedding_dup", "ann_pairs_topk", "media_meta", "hist_summary",
+    "weighted_hist_summary", "weighted_percentile", "dedup_keep_first",
+    "dedup_best", "tpch_q14", "samples", "token_freq",
 ]
 
 

@@ -4,8 +4,10 @@ Scale notes (the whole point of these designs):
 
 - Exact dedup is one hash-shuffle on the dedup key. At 100 TB we
   group on `xxhash64(text)` (8 bytes) rather than the full text, so
-  the shuffle carries hashes + ids, not documents; the fully-correct
-  variant re-checks the text only within hash-collision groups.
+  the shuffle carries hashes + ids, not documents; `exact_keep_first`
+  then RE-CHECKS the real key columns within hash-collision groups
+  (see its second grouped pass, below at the `multi_rows` join), so a
+  64-bit collision can never drop a unique row.
 - MinHash/LSH is the classic banding scheme: candidate generation is
   an equi-join on (band_id, band_hash) — a co-partitioned shuffle
   whose fan-out is controlled by band width, never an O(n²) cross
@@ -82,12 +84,20 @@ def _mix64(*parts: int) -> int:
 
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
-                   shingle_n: int = 3, distinct: bool = True) -> DataFrame:
+                   shingle_n: int = 3, distinct: bool = True,
+                   full_only: bool = False) -> DataFrame:
     """(id, h): one row per DISTINCT word-shingle per document, with
     the shingle as a 64-bit hash — never as a string. Pass
     distinct=False to keep one row per position (MinHash doesn't need
     the dedup — min over the multiset equals min over the set — and
     skipping it saves an aggregation on its hottest path).
+
+    `full_only=True` drops the sentinel-padded pos-0 row that keeps
+    sub-n-token documents representable for MinHash: set-overlap
+    consumers (contamination) must see NO shingles for short docs —
+    matching functions.text.shingles and any SQL oracle — or a
+    2-token corpus doc sharing leading tokens with a short benchmark
+    doc would count as overlap.
 
     This is the codegen-fast shingle pipeline shared by MinHash and
     Jaccard: split → posexplode → xxhash64 per token, then a window
@@ -120,8 +130,10 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     sh_hash = F.xxhash64(*[
         F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
         for j in range(shingle_n)])
+    keep = last.isNotNull() if full_only \
+        else (last.isNotNull() | (F.col("pos") == 0))
     out = (stitched
-           .where(last.isNotNull() | (F.col("pos") == 0))
+           .where(keep)
            .select("id", sh_hash.alias("h")))
     return out.distinct() if distinct else out
 
@@ -230,17 +242,35 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     interpreted array lambda is ever built."""
     if exact:
         max_posting = None
-    # persist: the shingle frame feeds the size aggregate AND both
-    # sides of the pair join — without it Spark re-runs the whole
-    # token/window pipeline per consumer (plans are trees, common
-    # subplans don't dedupe). Narrow (16 B/shingle), spills to disk,
-    # LRU-evicted under pressure.
-    sh = shingle_hashes(df, id_col, text_col, shingle_n).persist()
+    # localCheckpoint (eager): the shingle frame feeds the size
+    # aggregate AND both sides of the pair join — without
+    # materialization Spark re-runs the whole token/window pipeline
+    # per consumer (plans are trees, common subplans don't dedupe).
+    # Narrow (16 B/shingle), MEMORY_AND_DISK; unlike persist(), the
+    # blocks are released by the ContextCleaner when the returned
+    # plan's RDDs are garbage-collected, so repeated calls in a
+    # long-lived session don't accumulate storage-memory entries.
+    sh = shingle_hashes(df, id_col, text_col, shingle_n) \
+        .localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
+    if candidates is None and max_posting is not None:
+        # Short-circuit the skew guard when no posting exceeds the
+        # cap (the common case): one cheap aggregate over the
+        # checkpointed shingle frame decides at plan time, so the
+        # benign case runs the plain self-join below — genuinely the
+        # same cost as exact=True — instead of paying an always-on
+        # anti-join + hot-correction subtree.
+        hot = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+                 .where(F.col("df") > max_posting).select("h"))
+        if hot.limit(1).count() == 0:
+            max_posting = None
+
     if candidates is None and max_posting is None:
-        # fully exhaustive: direct posting self-join (the oracle /
-        # auditing path — quadratic in the hottest posting)
+        # fully exhaustive: direct posting self-join (exact=True, the
+        # oracle/auditing path — quadratic in the hottest posting; or
+        # the capped default when the probe found no hot postings, in
+        # which case it is NOT quadratic by construction)
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (a.join(b, [F.col("a.h") == F.col("b.h"),
@@ -267,14 +297,13 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # max_posting^2 per shingle. The cold self-join counts the
         # cold part of each pair's intersection directly; the hot
         # part is added back by a pair-restricted join against just
-        # the hot postings — empty work when no posting exceeds the
-        # cap, so the benign case costs the same as exact=True. Every
+        # the hot postings. Every
         # returned jaccard is exact; the only approximation is that
         # pairs whose ENTIRE overlap is hot shingles are never found
         # (near-dups share rare shingles; boilerplate-only matches
-        # are the pairs the cap exists to avoid).
-        hot = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-                 .where(F.col("df") > max_posting).select("h"))
+        # are the pairs the cap exists to avoid). `hot` comes from
+        # the short-circuit probe above — nonempty, or we wouldn't
+        # be on this branch.
         cold = sh.join(hot, "h", "left_anti")
         ca = cold.alias("a")
         cb = cold.alias("b")
@@ -323,9 +352,17 @@ def contamination(df: DataFrame, id_col: str, text_col: str,
     (eval sets are thousands of documents), so it broadcasts and the
     corpus side is one scan + codegen semi-join + groupBy — linear in
     corpus size, no shuffle of text. Set broadcast_bench=False for an
-    unusually large benchmark (falls back to a shuffle semi-join)."""
-    sh = shingle_hashes(df, id_col, text_col, shingle_n)
-    bh = (shingle_hashes(bench, bench_id_col, bench_text_col, shingle_n)
+    unusually large benchmark (falls back to a shuffle semi-join).
+
+    Documents shorter than shingle_n tokens contribute NO shingles on
+    either side (full_only) — set-overlap semantics match
+    functions.text.shingles and the SQL oracle; without this, the
+    sentinel-padded pos-0 row MinHash needs would make a 1-2-token
+    corpus doc sharing leading tokens with a short benchmark doc
+    count as contamination."""
+    sh = shingle_hashes(df, id_col, text_col, shingle_n, full_only=True)
+    bh = (shingle_hashes(bench, bench_id_col, bench_text_col, shingle_n,
+                         full_only=True)
           .select("h").distinct())
     if broadcast_bench:
         bh = F.broadcast(bh)

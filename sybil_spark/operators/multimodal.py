@@ -56,6 +56,52 @@ def _image_codec():
         return None
 
 
+def _parse_image_header(buf: bytes) -> dict | None:
+    """Dependency-free width/height/channels from PNG IHDR or JPEG
+    SOF headers — pure stdlib struct reads, so media METADATA is real
+    for real files even when no codec (Pillow) is importable; full
+    pixel decode still requires the codec.
+
+    PNG (ISO/IEC 15948 §5.2, §11.2.2): 8-byte signature, then the
+    IHDR chunk — width/height big-endian u32 at offsets 16/20, colour
+    type at 25 (0 grey=1ch, 2 rgb=3, 3 palette=1, 4 grey+a=2,
+    6 rgba=4).
+
+    JPEG (ITU T.81 §B.2.2): scan markers for a start-of-frame
+    SOFn (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC); the frame
+    header carries height/width as big-endian u16 and the component
+    count (1 grey, 3 YCbCr)."""
+    import struct
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(buf) >= 26 and buf[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", buf[16:24])
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(buf[25])
+            if channels and 0 < w and 0 < h:
+                return {"width": w, "height": h, "channels": channels}
+        return None
+    if buf[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(buf):
+            if buf[i] != 0xFF:
+                i += 1
+                continue
+            marker = buf[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2          # standalone marker, no length field
+                continue
+            (seglen,) = struct.unpack(">H", buf[i + 2:i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                h, w = struct.unpack(">HH", buf[i + 5:i + 9])
+                ncomp = buf[i + 9]
+                if 0 < w and 0 < h and 0 < ncomp <= 4:
+                    return {"width": w, "height": h, "channels": ncomp}
+                return None
+            i += 2 + seglen
+        return None
+    return None
+
+
 def _fake_decode(buf: bytes) -> dict:
     """Deterministic fake decode: stable pseudo-dimensions derived
     from the content, so downstream plumbing (schema, grouping,
@@ -67,11 +113,13 @@ def _fake_decode(buf: bytes) -> dict:
 
 
 def _decode_image_bytes(buf: bytes) -> dict:
-    """Real decode via PIL when available, deterministic fake
-    otherwise. Content that is not a decodable image (e.g. the
-    documents_as_media harness, whose 'images' are utf-8 bytes) also
-    falls back to the fake, so results are stable whether or not a
-    codec is installed."""
+    """Real metadata whenever possible, deterministic fake otherwise:
+    PIL decode when importable, else a dependency-free PNG/JPEG
+    header parse (_parse_image_header) — so width/height/channels are
+    REAL for real image files even in codec-less environments.
+    Content that is neither (e.g. the documents_as_media harness,
+    whose 'images' are utf-8 bytes) falls back to the fake, so
+    results are stable whether or not a codec is installed."""
     Image = _image_codec()
     if Image is not None:
         import io
@@ -81,6 +129,12 @@ def _decode_image_bytes(buf: bytes) -> dict:
                         "channels": len(im.getbands())}
         except Exception:
             pass
+    try:
+        meta = _parse_image_header(buf)
+        if meta is not None:
+            return meta
+    except Exception:
+        pass    # truncated/corrupt header — fall through to the fake
     return _fake_decode(buf)
 
 
@@ -142,8 +196,8 @@ def resize(df: DataFrame, width: int, height: int,
         import pandas as pd
         for pdf in batches:
             rows = []
-            for mid, kind, content in zip(pdf.media_id, pdf.kind,
-                                          pdf.content):
+            for mid, kind, fmt0, content in zip(pdf.media_id, pdf.kind,
+                                                pdf["format"], pdf.content):
                 buf = bytes(content)
                 try:
                     with Image.open(io.BytesIO(buf)) as im:
@@ -153,12 +207,14 @@ def resize(df: DataFrame, width: int, height: int,
                         buf = out.getvalue()
                         fmt = out_format
                 except Exception:
-                    fmt = None   # pass through un-decodable content
-                rows.append((mid, kind, fmt or "unknown", buf, len(buf)))
+                    # pass through un-decodable content UNCHANGED,
+                    # original format label included
+                    fmt = fmt0
+                rows.append((mid, kind, fmt, buf, len(buf)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "format",
                                               "content", "n_bytes"])
 
-    return (df.select("media_id", "kind", "content")
+    return (df.select("media_id", "kind", "format", "content")
               .mapInPandas(gen, schema))
 
 

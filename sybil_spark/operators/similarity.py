@@ -48,14 +48,18 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
 
 
 def random_hyperplane_bucket(vec_col: Column, dim: int,
-                             num_planes: int = 8) -> Column:
+                             num_planes: int = 8,
+                             plane_offset: int = 0) -> Column:
     """LSH bucket id in [0, 2^num_planes): bit p = sign(vec · plane_p).
 
     All dot products are JVM fold expressions over literal plane
-    arrays — one pass per plane, no Python."""
+    arrays — one pass per plane, no Python. `plane_offset` selects an
+    independent plane family (planes plane_offset..plane_offset+n-1),
+    the knob behind OR-amplification: T independent tables use
+    offsets 0, n, 2n, ... so their bucketings are uncorrelated."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.lit(_plane(dim, p)).cast("array<double>")
+        plane = F.lit(_plane(dim, plane_offset + p)).cast("array<double>")
         bit = F.when(dot(vec_col, plane) > 0,
                      F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0))
         bucket = bucket.bitwiseOR(bit)
@@ -196,11 +200,27 @@ def ivf_topk(df: DataFrame, vec_col: str, query: list[float], k: int = 10,
 #: bucket column automatically instead of running O(n²) blocked BLAS.
 AUTO_BLOCK_THRESHOLD = 200_000
 
+#: independent hyperplane tables for auto-bucketing (OR-amplified
+#: sign-LSH): a pair is a candidate if it co-buckets in ANY table.
+#: One table at p planes recalls (1-θ/π)^p of pairs at angle θ —
+#: only ~0.34 at cos 0.9 with 7 planes; OR across T tables lifts
+#: that to 1-(1-q)^T (~0.81 at T=4). Cost is ×T row replication into
+#: the block machinery, the standard LSH recall/cost trade.
+DEFAULT_OR_TABLES = 4
+
 
 def _auto_planes(n_rows: int, block_rows: int) -> int:
     """Hyperplane count sizing buckets to ~4 blocks each: 2^planes ≈
     n/(4·block_rows), clamped to [4, 16] (16..65536 buckets)."""
     return max(4, min(16, (n_rows // (4 * block_rows)).bit_length()))
+
+
+def _auto_recall(planes: int, tables: int, cos: float = 0.9) -> float:
+    """Expected candidate recall of OR-amplified sign-LSH for a pair
+    at the given cosine: 1 - (1 - (1-θ/π)^planes)^tables."""
+    import math
+    q = (1.0 - math.acos(max(-1.0, min(1.0, cos))) / math.pi) ** planes
+    return 1.0 - (1.0 - q) ** tables
 
 
 def _prepare_blocks(df: DataFrame, id_col: str, vec_col: str,

@@ -47,6 +47,13 @@ from pyspark.sql import functions as F
 
 #: sybil NUM_BUCKETS (reference: src/lib/hist.go:3)
 NUM_BUCKETS = 1000
+
+#: ungrouped EXACT weighted percentiles build a single-partition
+#: window (a global sort of (value, weight) on one executor); above
+#: this many rows that is a driver-visible scale hazard, so _wp_frame
+#: refuses and points at the mergeable histogram-CDF path
+#: (hist_summary / sources.rollup) instead of silently serializing.
+WP_UNGROUPED_MAX_ROWS = 2_000_000
 #: sybil default result limit (reference: src/lib/config.go:166-167)
 DEFAULT_LIMIT = 100
 
@@ -358,7 +365,9 @@ class Query:
         single partition — the same memory envelope as Spark's own
         exact `percentile` buffer, acceptable only at modest row
         counts. The mergeable scale path either way is the histogram
-        CDF (hist_summary / rollup)."""
+        CDF (hist_summary / rollup); above WP_UNGROUPED_MAX_ROWS the
+        ungrouped case REFUSES (one cheap count probe) rather than
+        silently building a one-partition sort."""
         from pyspark.sql import Window
 
         names = self._group_names(df)
@@ -367,6 +376,15 @@ class Query:
         proj = (df.select(*gexprs, F.col(a.col).alias("__v"),
                           w.cast(self._DEC).alias("__w"))
                   .where(F.col("__v").isNotNull()))
+        if not names:
+            n = proj.count()
+            if n > WP_UNGROUPED_MAX_ROWS:
+                raise ValueError(
+                    f"exact ungrouped weighted percentile over {n} rows "
+                    f"would build a single-partition window (limit "
+                    f"{WP_UNGROUPED_MAX_ROWS}); use the mergeable "
+                    f"histogram-CDF path instead — Query.hist_summary() "
+                    f"or sources.rollup — or add a group-by")
         part = Window.partitionBy(*[F.col(n) for n in names])
         cdf = part.orderBy("__v", "__w").rowsBetween(
             Window.unboundedPreceding, Window.currentRow)
@@ -514,6 +532,12 @@ class Query:
                 row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
                 min_val = row["mn"] if min_val is None else min_val
                 max_val = row["mx"] if max_val is None else max_val
+            if min_val is None or max_val is None:
+                # empty filtered input: min/max aggregate to NULL —
+                # degenerate to one unit bucket so the plan compiles
+                # and returns the (empty) result instead of a
+                # TypeError on None arithmetic
+                min_val, max_val = 0.0, 0.0
             bucket = max((max_val - min_val) / NUM_BUCKETS, 1)
         base = float(min_val) if min_val is not None else 0.0
 
@@ -586,6 +610,10 @@ class Query:
                              F.max(col).alias("mx")).first()
                 min_val = row["mn"] if min_val is None else min_val
                 max_val = row["mx"] if max_val is None else max_val
+            if min_val is None or max_val is None:
+                # empty filtered input — same degenerate bucket as
+                # hist(): no None arithmetic, empty/zero-count result
+                min_val, max_val = 0.0, 0.0
             bucket = max((max_val - min_val) / NUM_BUCKETS, 1)
         base = float(min_val) if min_val is not None else 0.0
 
@@ -704,15 +732,31 @@ class Query:
         return df.limit(n)
 
     def distinct_values(self, spark: SparkSession, cols: list[str],
-                        limit: int | None = None) -> DataFrame:
+                        limit: int | None = None,
+                        deterministic: bool = False) -> DataFrame:
         """Distinct tuples with an optional early-exit limit
         (reference `-distinct-limit`, src/lib/table_query.go:259-280).
-        Spark's limit short-circuits tasks once n rows are buffered —
-        the same cost-saving intent; WHICH n tuples return is
-        nondeterministic in both engines (SURVEY.md §7.5)."""
+
+        Default: Spark's limit short-circuits tasks once n rows are
+        buffered — the same cost-saving intent as the reference;
+        WHICH n tuples return is nondeterministic in both engines
+        (SURVEY.md §7.5).
+
+        `deterministic=True` keeps the early-exit COST shape but
+        makes the returned set reproducible: order by md5 of the
+        tuple (a uniform pseudo-random total order any engine can
+        replicate — `order by md5(...) limit n` in SQL) before the
+        limit. Compiles to TakeOrderedAndProject over the distinct
+        aggregate — per-partition top-n then a k-row merge, never a
+        full sort."""
         df = self._load(spark)
         pred = self._predicate(df)
         if pred is not None:
             df = df.where(pred)
         out = df.select(*cols).distinct()
+        if limit and deterministic:
+            tie = F.md5(F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in cols]))
+            out = out.orderBy(tie.asc_nulls_last(),
+                              *[F.col(c).asc_nulls_last() for c in cols])
         return out.limit(limit) if limit else out

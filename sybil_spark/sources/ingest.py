@@ -187,8 +187,14 @@ def ingest_df(df: DataFrame, table: Table, spec: IngestSpec | None = None,
     out = coerce(df, spec)
     meta = table.load_meta()
     out = _check_types(meta, out)
-    n = out.count()
+    # row count rides the write job via observe() — ONE scan of the
+    # batch, not a count() action followed by a second scan (at a
+    # steady 100 TB ingest a pre-count doubles the read cost)
+    from pyspark.sql import Observation
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     out.write.mode("append").parquet(table.ingest_path)
+    n = obs.get["n"]
     meta.row_count += n
     if time_col and not meta.time_col:
         meta.time_col = time_col
