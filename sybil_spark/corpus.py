@@ -63,11 +63,22 @@ def _conf(spark: SparkSession) -> None:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS); we read it as a long of
-    # nanoseconds and derive unix seconds.
+    # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as a
+    # long of nanoseconds under nanosAsLong) and as standard
+    # TIMESTAMP/TIMESTAMP_NTZ; derive unix seconds from whichever shape
+    # this sf dir has so `time` always matches the DuckDB oracle's
+    # floor(epoch(ts)).
     _conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("time", F.expr(f"ts div {NS}"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        time = F.expr(f"ts div {NS}")
+    else:
+        # NTZ → session-tz (UTC, set in _conf) timestamp → fractional
+        # epoch seconds → floor, mirroring DuckDB's floor(epoch(ts)).
+        time = F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double)) as bigint)")
+    return df.withColumn("time", time)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -679,8 +690,47 @@ def q_ann_pairs_topk(spark, sf):
                                     "embedding", "vec_id", k=20)
 
 
-@_q("lsh_topk")  # no oracle: approximate by construction; recall tested
+def _plane_sql(p: int, dim: int = 64) -> str:
+    """DuckDB DOUBLE[] literal for deterministic LSH plane p
+    (similarity._plane — pure integer mixing, no RNG, so the oracle
+    can inline the exact same plane the Spark plan folds over).
+    Elements are written in exponent form so DuckDB parses them as
+    DOUBLE directly (a plain decimal literal would round-trip through
+    DECIMAL and could drift a ulp)."""
+    from sybil_spark.operators.similarity import _plane
+
+    def lit(v: float) -> str:
+        r = repr(v)
+        return r if ("e" in r or "E" in r) else r + "e0"
+    return "[" + ", ".join(lit(v) for v in _plane(dim, p)) + "]"
+
+
+_LSH_BUCKET_COND = "\n        and ".join(
+    f"(list_dot_product(e.ev, {_plane_sql(p)}) > 0)"
+    f" = (list_dot_product(q.qv, {_plane_sql(p)}) > 0)"
+    for p in range(4))
+
+
+@_q("lsh_topk", f"""
+    with q as (select CAST(embedding AS DOUBLE[]) qv
+               from embeddings where vec_id = 0),
+         e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+               from embeddings)
+    select vec_id, cos from (
+      select e.vec_id,
+             list_dot_product(e.ev, q.qv)
+             / (sqrt(list_dot_product(e.ev, e.ev))
+                * sqrt(list_dot_product(q.qv, q.qv))) as cos
+      from e, q
+      where {_LSH_BUCKET_COND})
+    order by cos desc, vec_id asc limit 10""")
 def q_lsh_topk(spark, sf):
+    # Deterministic end-to-end: the planes are pure integer-mix
+    # pseudo-vectors (similarity._plane), so the bucket membership —
+    # sign(vec · plane_p) == sign(query · plane_p) for all p — is a
+    # total function of the data that the SQL oracle replicates with
+    # the same literal planes. "Approximate" here means approximate
+    # NEIGHBOR RECALL, not nondeterminism.
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
@@ -880,10 +930,17 @@ def q_icc(spark, sf):
     return icc(_events(spark, sf), "event_type", "value")
 
 
-@_q("distinct_limit")  # no oracle: WHICH n tuples return is
-def q_distinct_limit(spark, sf):  # nondeterministic (SURVEY.md §7.5)
+@_q("distinct_limit", f"""
+    select user_id from (select distinct user_id from {EV})
+    order by md5(cast(user_id as varchar)) asc, user_id asc limit 10""")
+def q_distinct_limit(spark, sf):
+    # deterministic=True keeps the early-exit cost shape
+    # (TakeOrderedAndProject) but fixes WHICH 10 tuples return —
+    # ordered by md5 of the tuple, a total order DuckDB replicates
+    # bit-for-bit (builder.py distinct_values docstring).
     return (Query.table(_events(spark, sf))
-            .distinct_values(spark, ["user_id"], limit=10))
+            .distinct_values(spark, ["user_id"], limit=10,
+                             deterministic=True))
 
 
 @_q("topk_per_group", f"""
@@ -1080,13 +1137,52 @@ def q_embedding_dup(spark, sf):
                                      "vec_id", "embedding", threshold=0.45)
 
 
-@_q("ivf_topk")  # no oracle: approximate by construction; recall tested
+_IVF_COS = ("list_dot_product({a}, {b})"
+            " / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+@_q("ivf_topk", f"""
+    with q as (select CAST(embedding AS DOUBLE[]) qv
+               from embeddings where vec_id = 0),
+         c as (select vec_id as cid, CAST(embedding AS DOUBLE[]) cv
+               from embeddings where vec_id < 16),
+         probes as (
+           select cid from c, q
+           order by {_IVF_COS.format(a='c.cv', b='q.qv')} desc, cid asc
+           limit 4),
+         e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+               from embeddings),
+         assign as (
+           select e.vec_id, e.ev,
+                  (select c.cid from c
+                   order by {_IVF_COS.format(a='e.ev', b='c.cv')} desc,
+                            c.cid asc
+                   limit 1) as cluster
+           from e)
+    select vec_id, cos from (
+      select a.vec_id, {_IVF_COS.format(a='a.ev', b='q.qv')} as cos
+      from assign a, q
+      where a.cluster in (select cid from probes))
+    order by cos desc, vec_id asc limit 10""")
 def q_ivf_topk(spark, sf):
+    # Deterministic end-to-end: explicit centroids (the embeddings of
+    # vec_id 0..15 — a fixed coarse-quantizer sample the oracle can
+    # reproduce with `where vec_id < 16`), JVM sequential-fold
+    # assignment (use_batch_assign=False) so per-centroid cosines
+    # bit-match list_dot_product, argmax ties → lowest centroid index
+    # in both engines. "Approximate" = recall, not nondeterminism.
+    # KMeans-trained centroids (ivf_centroids_kmeans) stay covered by
+    # unit/recall tests — Lloyd iterations aren't SQL-replicable.
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = [[float(x) for x in r[0]]
+             for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+                         .select("embedding").collect()]
     return similarity.ivf_topk(emb, "embedding", qvec, k=10,
-                               nlist=16, nprobe=4)
+                               nlist=16, nprobe=4, centroids=cents,
+                               use_batch_assign=False)
 
 
 @_q("rollup_serve", f"""
@@ -1654,27 +1750,29 @@ def q_weighted_hist_summary(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
-    # Round-3 rotation (driver records only the first ~50 rows).
-    # (a) the 35 queries whose only green row is CORRECTNESS_r01 —
-    # their verification predates round-2 changes to shared builder /
-    # shingle code, so they go first to refresh at HEAD:
-    "group2_count", "group2_avg", "distinct_approx",
-    "time_group_avg_limit", "filter_eq_avg", "filter_gt_count",
-    "total_row", "filter_sweep", "set_filter_nin", "distinct_multi",
-    "str_replace_group", "percentiles", "stddev", "sum_min_max",
-    "weighted_count", "weighted_hist", "tpch_q1", "tpch_q3", "tpch_q5",
-    "tpch_q6", "tpch_q10", "join_geo", "orders_priority", "dedup_exact",
-    "dedup_clusters", "minhash_lsh", "simhash_dup", "ann_topk",
-    "lsh_topk", "text_quality", "lang_id", "repetition", "fingerprint",
-    "set_filter", "loghist",
-    # (b) changed this round (new deterministic oracle variants, the
-    # jaccard hot-shingle fast path, contamination sentinel fix,
-    # OR-amplified auto-bucketing, hist_summary empty guard,
-    # weighted-percentile guard, media header parsing):
-    "distinct_limit", "ivf_topk", "ngram_jaccard", "decontaminate",
-    "embedding_dup", "ann_pairs_topk", "media_meta", "hist_summary",
-    "weighted_hist_summary", "weighted_percentile", "dedup_keep_first",
-    "dedup_best", "tpch_q14", "samples", "token_freq",
+    # Round-4 rotation (driver records only the first ~50 rows).
+    # The round-3 testdata regeneration changed events.ts from
+    # TIMESTAMP(NANOS)-as-long to standard TIMESTAMP, so every query
+    # that routes through _events() crashed in CORRECTNESS_r03 or ran
+    # against the old derivation — _events() is dtype-aware now and
+    # all 43 events-family queries must re-verify at HEAD. They go
+    # first (oracle-able ones before the two weak-by-nature ones),
+    # then the two newly-oracle-able similarity queries.
+    "count", "avg", "hist", "time_avg", "group_count", "distinct",
+    "time_distinct", "group_avg", "group_avg_limit", "group_hist",
+    "regex_avg", "group2_count", "group2_avg", "time_group_avg_limit",
+    "filter_eq_avg", "filter_gt_count", "total_row", "filter_sweep",
+    "distinct_multi", "str_replace_group", "percentiles", "stddev",
+    "sum_min_max", "loghist", "loghist_group", "samples",
+    "rollup_counts", "icc", "distinct_limit", "topk_per_group",
+    "sessionize", "hash_sample", "stratified_sample", "assign_splits",
+    "asof_join", "range_join", "rollup_serve", "hist_summary",
+    "resample_mixture", "time_hist", "time_filter_aligned",
+    # newly deterministic + oracle-able this round (literal LSH
+    # planes / explicit vec_id<16 centroids + JVM fold assignment):
+    "lsh_topk", "ivf_topk",
+    # weak-by-nature events queries (HLL estimate / mergeable sketch):
+    "distinct_approx", "rollup_distinct",
 ]
 
 

@@ -213,13 +213,24 @@ def test_topk_per_group_two_shuffles(spark, sf_dir):
 
 def test_jaccard_default_plan_has_posting_cap(spark, sf_dir):
     """The DEFAULT jaccard plan must route pair-finding through the
-    hot-shingle cap (left-anti join against over-long postings); the
-    uncapped posting self-join is opt-in (exact=True) only — it is
-    quadratic in the hottest posting and unsafe at 100 TB."""
+    hot-shingle cap (left-anti join against over-long postings)
+    WHENEVER a hot posting exists; when the probe finds none (benign
+    data, the common case) it short-circuits to the plain self-join —
+    cost parity with exact=True. The uncapped join on skewed data is
+    opt-in (exact=True) only — quadratic in the hottest posting and
+    unsafe at 100 TB."""
     from sybil_spark.operators import dedup
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sf documents have no posting > DEFAULT_MAX_POSTING: the probe
+    # short-circuits and the default plan == the exact plan
     q = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.1)
-    assert "LeftAnti" in I.formatted_plan(q), "default must be capped"
+    assert "LeftAnti" not in I.formatted_plan(q), \
+        "benign data must take the short-circuit (no cap subtree)"
+    # force hot postings with a tiny cap: the capped subtree (anti-join
+    # against hot postings + hot-correction) must appear
+    qh = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.1,
+                             max_posting=2)
+    assert "LeftAnti" in I.formatted_plan(qh), "skewed data must be capped"
     q2 = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.1, exact=True)
     assert "LeftAnti" not in I.formatted_plan(q2)
 
