@@ -643,11 +643,11 @@ def q_dedup_clusters(spark, sf):
 
 @_q("minhash_lsh")  # no oracle: hash-family specific; verified in tests
 def q_minhash_lsh(spark, sf):
-    cands = dedup.minhash_lsh_candidates(
-        _t(spark, sf, "documents"), "doc_id", "text",
-        num_hashes=64, bands=16)
-    return dedup.jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                               candidates=cands)
+    # one-corpus-scan composition: shared shingle frame feeds both the
+    # signatures and the exact-jaccard verification
+    return dedup.minhash_dedup_pairs(_t(spark, sf, "documents"),
+                                     "doc_id", "text",
+                                     num_hashes=64, bands=16)
 
 
 @_q("simhash_dup")  # no oracle: hash-family specific; verified in tests
@@ -1168,21 +1168,23 @@ _IVF_COS = ("list_dot_product({a}, {b})"
 def q_ivf_topk(spark, sf):
     # Deterministic end-to-end: explicit centroids (the embeddings of
     # vec_id 0..15 — a fixed coarse-quantizer sample the oracle can
-    # reproduce with `where vec_id < 16`), JVM sequential-fold
-    # assignment (use_batch_assign=False) so per-centroid cosines
-    # bit-match list_dot_product, argmax ties → lowest centroid index
-    # in both engines. "Approximate" = recall, not nondeterminism.
+    # reproduce with `where vec_id < 16`), argmax ties → lowest
+    # centroid index in both engines. "Approximate" = recall, not
+    # nondeterminism. Assignment runs the fast Arrow/numpy path; its
+    # parity with the sequential-fold ivf_assign (whose cosines
+    # bit-match the oracle's list_dot_product) is pinned by
+    # test_operators.py::test_ivf_assign_batch_matches_jvm — numpy's
+    # pairwise summation could in principle flip an argmax only on a
+    # last-ulp centroid tie, which real embeddings don't produce.
     # KMeans-trained centroids (ivf_centroids_kmeans) stay covered by
     # unit/recall tests — Lloyd iterations aren't SQL-replicable.
     emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     cents = [[float(x) for x in r[0]]
              for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
                          .select("embedding").collect()]
+    qvec = cents[0]  # vec_id 0 is both the query and centroid 0
     return similarity.ivf_topk(emb, "embedding", qvec, k=10,
-                               nlist=16, nprobe=4, centroids=cents,
-                               use_batch_assign=False)
+                               nlist=16, nprobe=4, centroids=cents)
 
 
 @_q("rollup_serve", f"""

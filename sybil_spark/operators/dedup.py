@@ -139,7 +139,8 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(id, sig array<bigint>): MinHash signature over word-shingles.
 
     Perf-critical design — every stage stays in whole-stage codegen:
@@ -163,9 +164,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     (non-distinct) shingle_hashes feed the mins directly — no dedup
     aggregation on this hot path. Documents shorter than n tokens
     keep one row (pos 0) with sentinel-padded lead hashes — they
-    still get a stable signature."""
-    base = (shingle_hashes(df, id_col, text_col, shingle_n, distinct=False)
-            .select("id", F.pmod(F.col("h"), F.lit(_MERSENNE31)).alias("h")))
+    still get a stable signature.
+
+    `shingles` injects a precomputed (id, h) frame (same min-over-set
+    identity makes distinct or positional frames equivalent here) so
+    a composed pipeline — signatures AND exact verification — scans
+    and stitches the corpus ONCE instead of once per stage."""
+    sh = shingles if shingles is not None else \
+        shingle_hashes(df, id_col, text_col, shingle_n, distinct=False)
+    base = sh.select(
+        "id", F.pmod(F.col("h"), F.lit(_MERSENNE31)).alias("h"))
     mins = []
     for i in range(num_hashes):
         a = _mix64(2 * i) % _MERSENNE31 or 1
@@ -179,15 +187,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
 
     rows/band-bucket stay bounded because a bucket only collects docs
     agreeing on `num_hashes/bands` consecutive minhashes; the
     candidate join is an equi-join on (band, band_hash) so it
-    co-partitions — no cross join at any scale."""
+    co-partitions — no cross join at any scale. `shingles` passes a
+    precomputed (id, h) frame through to minhash_signatures."""
     rows_per_band = num_hashes // bands
-    banded = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                                 shingles=shingles)
                 .select("id", F.posexplode(
                     F.array(*[
                         F.xxhash64(F.slice(F.col("sig"),
@@ -217,7 +228,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 3, threshold: float = 0.0,
                   candidates: DataFrame | None = None,
                   max_posting: int | None = DEFAULT_MAX_POSTING,
-                  exact: bool = False) -> DataFrame:
+                  exact: bool = False,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """N-gram Jaccard similarity for document pairs; every returned
     pair's jaccard value is exact.
 
@@ -239,7 +251,11 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     All shingles travel as 64-bit hashes (shingle_hashes) — every
     stage is a codegen equi-join/aggregate; no shingle string or
-    interpreted array lambda is ever built."""
+    interpreted array lambda is ever built.
+
+    `shingles` injects an (already materialized) DISTINCT (id, h)
+    frame so composed pipelines share one corpus scan; when omitted,
+    one is built and checkpointed here."""
     if exact:
         max_posting = None
     # localCheckpoint (eager): the shingle frame feeds the size
@@ -250,7 +266,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # blocks are released by the ContextCleaner when the returned
     # plan's RDDs are garbage-collected, so repeated calls in a
     # long-lived session don't accumulate storage-memory entries.
-    sh = shingle_hashes(df, id_col, text_col, shingle_n) \
+    sh = shingles if shingles is not None else \
+        shingle_hashes(df, id_col, text_col, shingle_n) \
         .localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -333,6 +350,30 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                        / (F.col("n_a") + F.col("n_b") - F.col("inter")))
            .select("id_a", "id_b", "jaccard"))
     return out.where(F.col("jaccard") >= threshold) if threshold else out
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3,
+                        threshold: float = 0.0) -> DataFrame:
+    """The standard near-dup pipeline in ONE corpus scan: shingle →
+    MinHash signatures → LSH banding candidates → exact Jaccard on
+    the candidates.
+
+    Composing the stages by hand scans and window-stitches the text
+    twice (signatures build their own shingle frame, verification
+    builds another) — at 100 TB that is two full corpus passes where
+    one suffices. Here a single DISTINCT (id, h) frame is
+    materialized once (localCheckpoint) and feeds both: min over the
+    distinct set equals min over the positional multiset, so the
+    signatures are unchanged, and the verification join is exactly
+    jaccard_pairs' own frame."""
+    sh = shingle_hashes(df, id_col, text_col, shingle_n) \
+        .localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
+                                   bands, shingle_n, shingles=sh)
+    return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
+                         candidates=cands, shingles=sh)
 
 
 # ---------------------------------------------------------------------------
