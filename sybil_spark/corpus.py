@@ -62,6 +62,14 @@ def _conf(spark: SparkSession) -> None:
             pass
 
 
+#: per-sf_dir cache of the events.ts physical type ("long" vs
+#: "timestamp"): the layout is a property of the files, not the
+#: session, and every events query calls _events(), so probing the
+#: schema (a footer read + an extra relation) once per dir — not once
+#: per query — keeps the corpus fast path allocation-free.
+_EVENTS_TS_TYPE: dict[str, str] = {}
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as a
     # long of nanoseconds under nanosAsLong) and as standard
@@ -70,14 +78,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor(epoch(ts)).
     _conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(df.dtypes)["ts"]
+    ts_type = _EVENTS_TS_TYPE.get(sf_dir)
+    if ts_type is None:
+        ts_type = dict(df.dtypes)["ts"]
+        _EVENTS_TS_TYPE[sf_dir] = ts_type
     if ts_type in ("bigint", "long"):
-        time = F.expr(f"ts div {NS}")
+        # FLOOR division (ts - pmod) div NS, not plain `div`: `div`
+        # truncates toward zero, so a pre-1970 sub-second nanosecond
+        # value would land one bucket high vs the oracle's
+        # floor(epoch(ts)). Pure integer ops — no double round-trip.
+        time = F.expr(f"(ts - pmod(ts, {NS})) div {NS}")
     else:
-        # NTZ → session-tz (UTC, set in _conf) timestamp → fractional
-        # epoch seconds → floor, mirroring DuckDB's floor(epoch(ts)).
-        time = F.expr(
-            "cast(floor(cast(cast(ts as timestamp) as double)) as bigint)")
+        # NTZ → session-tz (UTC, set in _conf) timestamp → long.
+        # Spark's timestamp→long cast is floorDiv(micros, 1e6)
+        # (MicrosToSeconds), i.e. floor(epoch seconds) exactly —
+        # integer arithmetic, matching DuckDB's floor(epoch(ts)) for
+        # negatives too, with no double cast in the per-row path.
+        time = F.expr("cast(cast(ts as timestamp) as long)")
     return df.withColumn("time", time)
 
 
