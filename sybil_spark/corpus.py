@@ -230,15 +230,32 @@ def q_group2_avg(spark, sf):
             .limit(None).execute(spark))
 
 
-@_q("distinct_approx")  # no oracle: HLL estimate (rsd-bounded;
-def q_distinct_approx(spark, sf):  # ±5% vs exact asserted in tests)
+@_q("distinct_approx", f"""
+    select event_type, count(distinct user_id) as exact_distinct,
+           true as within_bound
+    from {EV} group by 1""")
+def q_distinct_approx(spark, sf):
     """The scale path for COUNT DISTINCT: approx_count_distinct
     sketch per group (reference's LogLogBeta, query_spec.go:85-104)
-    — the exact variant is the oracle-checked `distinct` entry."""
-    return (Query.table(_events(spark, sf))
-            .group_by("event_type")
-            .distinct_cols("user_id", approx=True, rsd=0.02)
-            .limit(None).execute(spark))
+    — the exact variant is the oracle-checked `distinct` entry.
+    Oracle-ized per the r4 recipe: the HLL estimate itself is
+    engine-specific, so the query emits the exact count plus the
+    invariant the sketch must satisfy — |approx-exact|/exact <= 0.05
+    (the same ±5% bound the pytest asserts) — which a deterministic
+    oracle reproduces as `true`. A broken sketch (or a broken approx
+    plumbing path) flips the boolean and hash-mismatches."""
+    ap = (Query.table(_events(spark, sf))
+          .group_by("event_type")
+          .distinct_cols("user_id", approx=True, rsd=0.02)
+          .limit(None).execute(spark)
+          .select("event_type", F.col("distinct").alias("approx")))
+    ex = (_events(spark, sf).groupBy("event_type")
+          .agg(F.count_distinct("user_id").alias("exact_distinct")))
+    return (ex.join(ap, "event_type")
+            .select("event_type", "exact_distinct",
+                    (F.abs(F.col("approx") - F.col("exact_distinct"))
+                     <= 0.05 * F.col("exact_distinct"))
+                    .alias("within_bound")))
 
 
 @_q("time_group_avg_limit", f"""
@@ -658,18 +675,128 @@ def q_dedup_clusters(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
-@_q("minhash_lsh")  # no oracle: hash-family specific; verified in tests
+def _minhash_perm_values(num_hashes: int = 64) -> str:
+    """SQL VALUES rows (i, a, b) of the minhash permutation constants
+    — the same _mix64-derived family dedup.minhash_signatures folds
+    into its plan, inlined as literals so DuckDB computes identical
+    signatures (VERDICT r4's oracle-conversion recipe)."""
+    from sybil_spark.operators.dedup import _MERSENNE31, _mix64
+    rows = []
+    for i in range(num_hashes):
+        a = _mix64(2 * i) % _MERSENNE31 or 1
+        b = _mix64(2 * i + 1) % _MERSENNE31
+        rows.append(f"({i}, {a}, {b})")
+    return ", ".join(rows)
+
+
+#: Shared oracle CTEs: portable token hashes (top-60-bits-of-md5 mod
+#: 2^31-1) and sentinel-padded 3-shingles over `documents`, mirroring
+#: dedup.shingle_hashes(portable=True) constant-for-constant
+#: (_PORT_A=1000003, sentinels 1000000007/1000000009, M=2^31-1).
+_PORT_SHINGLES = """
+    toks as (
+      select doc_id as id, unnest(string_split(text, ' ')) as tok,
+             generate_subscripts(string_split(text, ' '), 1) as pos
+      from documents),
+    th as (
+      select id, pos,
+             cast(('0x' || substr(md5(tok), 1, 15)) as bigint)
+               % 2147483647 as h0
+      from toks),
+    st as (
+      select id, pos, h0,
+             lead(h0, 1) over w as h1, lead(h0, 2) over w as h2
+      from th window w as (partition by id order by pos)),
+    sh as (
+      select distinct id,
+             ((h0 * 1000003 + coalesce(h1, 1000000007)) % 2147483647
+               * 1000003 + coalesce(h2, 1000000009)) % 2147483647 as h
+      from st where h2 is not null or pos = 1)"""
+
+
+@_q("minhash_lsh", f"""
+    with {_PORT_SHINGLES},
+    perms(i, a, b) as (values {_minhash_perm_values(64)}),
+    sig as (
+      select id, i // 4 as band, i, min((a * h + b) % 2147483647) as m
+      from sh, perms group by id, i),
+    bh as (
+      select id, band, list(m order by i) as lm
+      from sig group by id, band),
+    bh2 as (
+      select id, band,
+             (((lm[1] * 1000003 + lm[2]) % 2147483647 * 1000003
+                + lm[3]) % 2147483647 * 1000003 + lm[4]) % 2147483647
+               as bhash
+      from bh),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from bh2 a join bh2 b
+        on a.band = b.band and a.bhash = b.bhash and a.id < b.id),
+    sizes as (select id, count(*) as n from sh group by id),
+    inter as (
+      select c.id_a, c.id_b, count(*) as i
+      from cand c
+      join sh sa on sa.id = c.id_a
+      join sh sb on sb.id = c.id_b and sb.h = sa.h
+      group by 1, 2)
+    select inter.id_a, inter.id_b,
+           cast(i as double) / (na.n + nb.n - i) as jaccard
+    from inter
+    join sizes na on na.id = inter.id_a
+    join sizes nb on nb.id = inter.id_b""")
 def q_minhash_lsh(spark, sf):
-    # one-corpus-scan composition: shared shingle frame feeds both the
-    # signatures and the exact-jaccard verification
+    """Full MinHash+LSH pipeline, bit-exact against the oracle: with
+    portable=True every hash — token (md5-60bit), shingle (mod-M
+    fold), permutation ((a·h+b) mod M), band (mod-M fold) — is
+    arithmetic DuckDB replicates with inlined literals, so the
+    candidate SET (not just verified survivors) and each pair's exact
+    jaccard hash-match. One shared shingle scan feeds signatures and
+    verification (minhash_dedup_pairs). The xxhash64 fast path stays
+    the library default, equivalence-tested in test_operators."""
     return dedup.minhash_dedup_pairs(_t(spark, sf, "documents"),
                                      "doc_id", "text",
-                                     num_hashes=64, bands=16)
+                                     num_hashes=64, bands=16,
+                                     portable=True)
 
 
-@_q("simhash_dup")  # no oracle: hash-family specific; verified in tests
+@_q("simhash_dup", f"""
+    with toks as (
+      select doc_id as id, unnest(string_split(text, ' ')) as tok
+      from documents),
+    th as (
+      select id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h
+      from toks),
+    bits as (select unnest(generate_series(0, 59)) as b),
+    votes as (
+      select id, b, sum(((h >> b) & 1) * 2 - 1) as v
+      from th, bits group by id, b),
+    sig as (
+      select id,
+             cast(sum(case when v > 0 then (1::bigint << b)
+                           else 0 end) as bigint) as sig
+      from votes group by id),
+    banded as (
+      select id, sig, band, (sig >> (band * 15)) & 32767 as bv
+      from sig, (select unnest(generate_series(0, 3)) as band)),
+    cand as (
+      select distinct a.id as id_a, a.sig as sa,
+                      b.id as id_b, b.sig as sb
+      from banded a join banded b
+        on a.band = b.band and a.bv = b.bv and a.id < b.id)
+    select id_a, id_b,
+           cast(bit_count(xor(sa, sb)) as integer) as hamming
+    from cand where bit_count(xor(sa, sb)) <= 8""")
 def q_simhash_dup(spark, sf):
-    c = dedup.simhash_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+    """SimHash near-dup pairs, bit-exact against the oracle: the
+    portable 60-bit md5 token hash makes per-bit votes, the packed
+    signature, the 4x15-bit banding, and the Hamming filter all
+    SQL-replicable — DuckDB computes the identical candidate pairs
+    and distances. The 64-bit xxhash64 path stays the library
+    default, covered by recall tests."""
+    c = dedup.simhash_candidates(_t(spark, sf, "documents"),
+                                 "doc_id", "text",
+                                 bands=4, bits=60, portable=True)
     return (c.withColumn("hamming", dedup.hamming64(F.col("sig_a"),
                                                     F.col("sig_b")))
              .where(F.col("hamming") <= 8)
@@ -949,7 +1076,8 @@ def q_icc(spark, sf):
 
 @_q("distinct_limit", f"""
     select user_id from (select distinct user_id from {EV})
-    order by md5(cast(user_id as varchar)) asc, user_id asc limit 10""")
+    order by md5(coalesce(cast(user_id as varchar), chr(0) || 'null')) asc,
+             user_id asc limit 10""")
 def q_distinct_limit(spark, sf):
     # deterministic=True keeps the early-exit cost shape
     # (TakeOrderedAndProject) but fixes WHICH 10 tuples return —
@@ -1061,20 +1189,43 @@ def q_assign_splits(spark, sf):
             .groupBy("split").agg(F.count(F.lit(1)).alias("count")))
 
 
-@_q("pack_batches")  # no oracle: greedy bin-packing is algorithmic,
-def q_pack_batches(spark, sf):  # invariants (budget, coverage) tested
+@_q("pack_batches", """
+    with d as (select doc_id, len(string_split(text, ' ')) as n_tokens
+               from documents)
+    select count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens,
+           true as within_budget, true as covered_once
+    from d""")
+def q_pack_batches(spark, sf):
     """Sequence packing: documents into <=8192-token batches via
-    parallel first-fit-decreasing (operators/sampling.pack_by_budget);
-    returns per-batch doc count + token load."""
+    parallel first-fit-decreasing (operators/sampling.pack_by_budget).
+    WHICH batch each doc lands in is algorithmic (hash grouping +
+    greedy FFD), so per the r4 recipe the query emits the packing's
+    INVARIANTS, each trivially reproducible by the oracle: every doc
+    packed exactly once (n_docs + covered_once), token mass conserved
+    (total_tokens), and no multi-doc batch over budget
+    (within_budget — oversized singletons are allowed by contract).
+    A packer that drops/duplicates a doc or overfills a batch flips
+    a value and hash-mismatches; batch-shape specifics stay covered
+    by the pytest invariant suite."""
     from sybil_spark.operators import sampling
     d = _t(spark, sf, "documents").withColumn(
         "n_tokens", F.size(F.split("text", " ")))
     packed = sampling.pack_by_budget(d, "doc_id", "n_tokens", budget=8192)
     sizes = d.select(F.col("doc_id").alias("id"), "n_tokens")
-    return (packed.join(sizes, "id")
-            .groupBy("batch").agg(F.count(F.lit(1)).alias("n_docs"),
-                                  F.sum("n_tokens").alias("tokens"))
-            .orderBy("batch"))
+    j = packed.join(sizes, "id")
+    per_batch = j.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"))
+    summary = per_batch.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.bool_and((F.col("tokens") <= 8192) | (F.col("n_docs") == 1))
+         .alias("within_budget"))
+    coverage = j.agg(
+        (F.count(F.lit(1)) == F.count_distinct("id"))
+        .alias("covered_once"))
+    return summary.crossJoin(coverage)  # two 1-row frames
 
 
 # ===========================================================================
@@ -1200,8 +1351,15 @@ def q_ivf_topk(spark, sf):
              for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
                          .select("embedding").collect()]
     qvec = cents[0]  # vec_id 0 is both the query and centroid 0
+    # use_batch_assign=False: the oracle-compared plan uses the
+    # sequential-fold JVM assignment whose per-element summation
+    # order bit-matches DuckDB's list_dot_product — the numpy/BLAS
+    # batch path could in principle flip an argmax on a last-ulp
+    # centroid tie. Perf is irrelevant at oracle scale; the batch
+    # path stays covered by test_ivf_assign_batch_matches_jvm.
     return similarity.ivf_topk(emb, "embedding", qvec, k=10,
-                               nlist=16, nprobe=4, centroids=cents)
+                               nlist=16, nprobe=4, centroids=cents,
+                               use_batch_assign=False)
 
 
 @_q("rollup_serve", f"""
@@ -1222,13 +1380,30 @@ def q_rollup_serve(spark, sf):
                     "min_value", "max_value"))
 
 
-@_q("rollup_distinct")  # no oracle: HLL sketch estimate (approximate;
-def q_rollup_distinct(spark, sf):  # ±5% vs exact asserted in tests)
+@_q("rollup_distinct", f"""
+    select event_type, count(distinct user_id) as exact_distinct,
+           true as within_bound
+    from {EV} group by 1""")
+def q_rollup_distinct(spark, sf):
+    """Mergeable-HLL rollup path (build at 60 s granularity, union
+    the per-bucket sketches at serve time), oracle-ized like
+    distinct_approx: emit the exact per-group count plus the ±5%
+    invariant the merged estimate must satisfy. This exercises the
+    sketch MERGE (hll_union_agg across ~thousands of buckets), which
+    a raw approx_count_distinct never touches."""
     from sybil_spark.sources import rollup as R
     ev = _events(spark, sf)
     roll = R.build_rollup(ev, "time", 60, ["event_type"], [],
                           distinct_cols=["user_id"])
-    return R.serve(roll, ["event_type"], distinct=True)
+    ap = (R.serve(roll, ["event_type"], distinct=True)
+          .select("event_type", F.col("distinct").alias("approx")))
+    ex = (ev.groupBy("event_type")
+          .agg(F.count_distinct("user_id").alias("exact_distinct")))
+    return (ex.join(ap, "event_type")
+            .select("event_type", "exact_distinct",
+                    (F.abs(F.col("approx") - F.col("exact_distinct"))
+                     <= 0.05 * F.col("exact_distinct"))
+                    .alias("within_bound")))
 
 
 @_q("media_meta", """
@@ -1769,29 +1944,32 @@ def q_weighted_hist_summary(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
-    # Round-4 rotation (driver records only the first ~50 rows).
-    # The round-3 testdata regeneration changed events.ts from
-    # TIMESTAMP(NANOS)-as-long to standard TIMESTAMP, so every query
-    # that routes through _events() crashed in CORRECTNESS_r03 or ran
-    # against the old derivation — _events() is dtype-aware now and
-    # all 43 events-family queries must re-verify at HEAD. They go
-    # first (oracle-able ones before the two weak-by-nature ones),
-    # then the two newly-oracle-able similarity queries.
-    "count", "avg", "hist", "time_avg", "group_count", "distinct",
-    "time_distinct", "group_avg", "group_avg_limit", "group_hist",
-    "regex_avg", "group2_count", "group2_avg", "time_group_avg_limit",
-    "filter_eq_avg", "filter_gt_count", "total_row", "filter_sweep",
-    "distinct_multi", "str_replace_group", "percentiles", "stddev",
-    "sum_min_max", "loghist", "loghist_group", "samples",
-    "rollup_counts", "icc", "distinct_limit", "topk_per_group",
-    "sessionize", "hash_sample", "stratified_sample", "assign_splits",
-    "asof_join", "range_join", "rollup_serve", "hist_summary",
-    "resample_mixture", "time_hist", "time_filter_aligned",
-    # newly deterministic + oracle-able this round (literal LSH
-    # planes / explicit vec_id<16 centroids + JVM fold assignment):
-    "lsh_topk", "ivf_topk",
-    # weak-by-nature events queries (HLL estimate / mergeable sketch):
+    # Round-5 rotation (driver records only the first ~50 rows).
+    # (a) The five queries converted from no_oracle to bit-exact /
+    # invariant oracles this round — each needs its first green
+    # driver row:
+    "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
+    # (b) The 26 queries whose latest green row dates from r3 —
+    # dedup/tpch/text families predating the r4 shingle-sharing
+    # refactor (1679d97) — re-verify under HEAD per VERDICT r4 §4:
+    "dedup_exact", "dedup_keep_first", "dedup_best", "dedup_clusters",
+    "ngram_jaccard", "decontaminate", "embedding_dup",
+    "ann_topk", "ann_pairs_topk",
+    "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14", "join_geo",
+    "orders_priority", "set_filter", "token_freq",
+    "text_quality", "lang_id", "repetition", "fingerprint",
+    "media_meta", "weighted_hist_summary", "weighted_percentile",
+    # ...plus the queries whose latest row dates back to r1/r2:
+    "text_stats", "pii_scrub", "url_domains", "tpch_q7", "tpch_q8",
+    "tpch_q18", "weighted_loghist", "weighted_stddev_sum",
+    # (c) queries touched this round (events time derivation went
+    # integer-floor in both layouts; distinct_limit's NULL-sentinel
+    # tie; ivf_topk's sequential-fold assignment): representative
+    # re-verification — any events query exercises the shared
+    # _events() derivation.
+    "count", "time_avg", "time_hist", "time_filter_aligned",
+    "sessionize", "asof_join", "distinct_limit", "ivf_topk",
 ]
 
 

@@ -73,6 +73,39 @@ def exact_keep_first(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
+#: Portable-hash constants: the `portable=True` pipeline replaces
+#: xxhash64 with arithmetic any ANSI-SQL engine reproduces bit-for-bit
+#: (the DuckDB correctness oracle inlines these as literals). Token
+#: hash = top 60 bits of md5 (`conv(substr(md5(tok),1,15),16,10)` /
+#: `cast('0x'||substr(md5(tok),1,15) as bigint)`); multi-value
+#: combines fold with h = (h*A + x) % M, all intermediates < 2^62 so
+#: neither engine overflows ANSI bigint. xxhash64 stays the scale
+#: default — md5 costs ~2-3x per token but both are JVM codegen.
+_PORT_A = 1_000_003
+
+
+def _port_sentinel(j: int) -> int:
+    """Padding sentinel for a missing lead-j token hash (documents
+    shorter than shingle_n); distinct per position, mirrored as a
+    literal in the SQL oracle."""
+    return 1_000_000_007 + 2 * (j - 1)
+
+
+def _port_tok_hash(col: Column) -> Column:
+    """60-bit md5-derived token hash reduced mod 2^31-1 (positive, so
+    Spark pmod == SQL `%`)."""
+    h60 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.pmod(h60, F.lit(_MERSENNE31))
+
+
+def _port_fold(parts: list[Column]) -> Column:
+    """h = ((p0*A + p1) % M * A + p2) % M ... — the portable ordered
+    combine of already-reduced values."""
+    h = parts[0]
+    for p in parts[1:]:
+        h = F.pmod(h * F.lit(_PORT_A) + p, F.lit(_MERSENNE31))
+    return h
+
 
 def _mix64(*parts: int) -> int:
     """Deterministic splitmix-style integer mix (no runtime RNG)."""
@@ -85,7 +118,8 @@ def _mix64(*parts: int) -> int:
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
                    shingle_n: int = 3, distinct: bool = True,
-                   full_only: bool = False) -> DataFrame:
+                   full_only: bool = False,
+                   portable: bool = False) -> DataFrame:
     """(id, h): one row per DISTINCT word-shingle per document, with
     the shingle as a 64-bit hash — never as a string. Pass
     distinct=False to keep one row per position (MinHash doesn't need
@@ -107,7 +141,12 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     profile). Documents shorter than n tokens keep one row (pos 0)
     with sentinel-padded lead hashes. Distinct-shingle semantics
     match functions.text.shingles up to 64-bit hash collisions
-    (P ≈ m²/2⁶⁴ for m distinct shingles — negligible below ~10⁹)."""
+    (P ≈ m²/2⁶⁴ for m distinct shingles — negligible below ~10⁹).
+
+    `portable=True` swaps xxhash64 for the md5-derived mod-2³¹-1
+    arithmetic family (_port_tok_hash/_port_fold) that an ANSI-SQL
+    oracle reproduces bit-for-bit; the plan shape — one shuffle,
+    window stitch, codegen hashes — is identical."""
     from pyspark.sql import Window
 
     toks = spread(df).select(
@@ -120,16 +159,24 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     # and the window, the distinct, and callers' groupBy(id) all
     # reuse this partitioning (one shuffle end-to-end)
     npart = df.sparkSession.sparkContext.defaultParallelism
+    tok_hash = _port_tok_hash(F.col("tok")) if portable \
+        else F.xxhash64("tok")
     th = (toks.repartition(npart, "id")
-          .select("id", "pos", F.xxhash64("tok").alias("h0")))
+          .select("id", "pos", tok_hash.alias("h0")))
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("h0", j).over(w).alias(f"h{j}")
              for j in range(1, shingle_n)]
     stitched = th.select("id", "pos", "h0", *leads)
     last = F.col(f"h{shingle_n - 1}")
-    sh_hash = F.xxhash64(*[
-        F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
-        for j in range(shingle_n)])
+    if portable:
+        sh_hash = _port_fold(
+            [F.col("h0")] + [
+                F.coalesce(F.col(f"h{j}"), F.lit(_port_sentinel(j)))
+                for j in range(1, shingle_n)])
+    else:
+        sh_hash = F.xxhash64(*[
+            F.coalesce(F.col(f"h{j}"), F.lit(-(j + 1))).cast("long")
+            for j in range(shingle_n)])
     keep = last.isNotNull() if full_only \
         else (last.isNotNull() | (F.col("pos") == 0))
     out = (stitched
@@ -140,7 +187,8 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_n: int = 3,
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       shingles: DataFrame | None = None,
+                       portable: bool = False) -> DataFrame:
     """(id, sig array<bigint>): MinHash signature over word-shingles.
 
     Perf-critical design — every stage stays in whole-stage codegen:
@@ -171,7 +219,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     a composed pipeline — signatures AND exact verification — scans
     and stitches the corpus ONCE instead of once per stage."""
     sh = shingles if shingles is not None else \
-        shingle_hashes(df, id_col, text_col, shingle_n, distinct=False)
+        shingle_hashes(df, id_col, text_col, shingle_n, distinct=False,
+                       portable=portable)
     base = sh.select(
         "id", F.pmod(F.col("h"), F.lit(_MERSENNE31)).alias("h"))
     mins = []
@@ -188,23 +237,33 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_n: int = 3,
-                           shingles: DataFrame | None = None) -> DataFrame:
+                           shingles: DataFrame | None = None,
+                           portable: bool = False) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
 
     rows/band-bucket stay bounded because a bucket only collects docs
     agreeing on `num_hashes/bands` consecutive minhashes; the
     candidate join is an equi-join on (band, band_hash) so it
     co-partitions — no cross join at any scale. `shingles` passes a
-    precomputed (id, h) frame through to minhash_signatures."""
+    precomputed (id, h) frame through to minhash_signatures.
+    `portable=True` makes every hash (token, shingle, band) the
+    SQL-replicable arithmetic family — the candidate SET is then a
+    deterministic function an external oracle computes exactly."""
     rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> Column:
+        if portable:
+            return _port_fold([
+                F.element_at(F.col("sig"), b * rows_per_band + 1 + j)
+                for j in range(rows_per_band)])
+        return F.xxhash64(F.slice(F.col("sig"),
+                                  b * rows_per_band + 1,
+                                  rows_per_band))
+
     banded = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                                 shingles=shingles)
+                                 shingles=shingles, portable=portable)
                 .select("id", F.posexplode(
-                    F.array(*[
-                        F.xxhash64(F.slice(F.col("sig"),
-                                           b * rows_per_band + 1,
-                                           rows_per_band))
-                        for b in range(bands)]))
+                    F.array(*[band_hash(b) for b in range(bands)]))
                     .alias("band", "band_hash")))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -355,7 +414,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         num_hashes: int = 64, bands: int = 16,
                         shingle_n: int = 3,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        portable: bool = False) -> DataFrame:
     """The standard near-dup pipeline in ONE corpus scan: shingle →
     MinHash signatures → LSH banding candidates → exact Jaccard on
     the candidates.
@@ -367,11 +427,17 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     materialized once (localCheckpoint) and feeds both: min over the
     distinct set equals min over the positional multiset, so the
     signatures are unchanged, and the verification join is exactly
-    jaccard_pairs' own frame."""
-    sh = shingle_hashes(df, id_col, text_col, shingle_n) \
+    jaccard_pairs' own frame.
+
+    `portable=True` runs the whole pipeline on the SQL-replicable
+    hash family (shingle_hashes docstring) so an external oracle can
+    reproduce the exact output — candidates, jaccards, and all."""
+    sh = shingle_hashes(df, id_col, text_col, shingle_n,
+                        portable=portable) \
         .localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
-                                   bands, shingle_n, shingles=sh)
+                                   bands, shingle_n, shingles=sh,
+                                   portable=portable)
     return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
                          candidates=cands, shingles=sh)
 
@@ -430,7 +496,7 @@ def decontaminate(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str,
-               bits: int = 64) -> DataFrame:
+               bits: int = 64, portable: bool = False) -> DataFrame:
     """(id, sig): 64-bit SimHash of each document's token multiset.
 
     Per token t: h = xxhash64(t); bit b votes +1/-1 by (h>>b)&1; the
@@ -438,10 +504,20 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     tokens → one hash per row → single partial-aggregated groupBy with
     64 JVM sum expressions (shiftright needs a literal shift, so the
     bit loop unrolls in the plan, not per-row Python). One shuffle of
-    (id, 64 ints) regardless of document size."""
+    (id, 64 ints) regardless of document size.
+
+    `portable=True` hashes tokens with the 60-bit md5 family
+    (`cast('0x'||substr(md5(t),1,15) as bigint)` in SQL) so an
+    external oracle reproduces the signature bit-for-bit; pass
+    bits<=60 with it (only the hash's low `bits` bits vote)."""
+    if portable:
+        tok_hash = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10) \
+                    .cast("long")
+    else:
+        tok_hash = F.xxhash64("t")
     tok = (spread(df).select(F.col(id_col).alias("id"),
                              F.explode(tokens(F.col(text_col))).alias("t"))
-             .select("id", F.xxhash64("t").alias("h")))
+             .select("id", tok_hash.alias("h")))
     votes = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"v{b}")
@@ -457,13 +533,16 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4, bits: int = 64,
+                       portable: bool = False) -> DataFrame:
     """Near-dup candidates by SimHash banding: docs agreeing on any
-    16-bit band of their 64-bit signature (Hamming ≤ bands-1 is
-    guaranteed recalled; verify with `hamming64` afterwards)."""
-    width = 64 // bands
+    (bits/bands)-wide band of their signature (Hamming ≤ bands-1 is
+    guaranteed recalled; verify with `hamming64` afterwards).
+    `portable=True` (pair with bits=60) keeps every hash
+    SQL-replicable — see simhash_df."""
+    width = bits // bands
     mask = (1 << width) - 1
-    banded = (simhash_df(df, id_col, text_col)
+    banded = (simhash_df(df, id_col, text_col, bits, portable)
                 .select("id", "sig", F.posexplode(F.array(*[
                     F.shiftright(F.col("sig"), b * width)
                      .bitwiseAND(F.lit(mask))

@@ -745,8 +745,15 @@ class Query:
         `deterministic=True` keeps the early-exit COST shape but
         makes the returned set reproducible: order by md5 of the
         tuple (a uniform pseudo-random total order any engine can
-        replicate — `order by md5(...) limit n` in SQL) before the
-        limit. Compiles to TakeOrderedAndProject over the distinct
+        replicate) before the limit. NULLs are encoded with an
+        explicit sentinel so the order is well-defined for nullable
+        tuples too — the SQL equivalent is
+        `order by md5(concat_ws(chr(31),
+            coalesce(cast(c1 as varchar), chr(0) || 'null'), ...))
+         limit n`
+        (plain `md5(cast(col as varchar))` would yield NULL and sort
+        nulls-last, diverging from concat_ws's null-skipping).
+        Compiles to TakeOrderedAndProject over the distinct
         aggregate — per-partition top-n then a k-row merge, never a
         full sort."""
         df = self._load(spark)
@@ -756,7 +763,8 @@ class Query:
         out = df.select(*cols).distinct()
         if limit and deterministic:
             tie = F.md5(F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in cols]))
+                "\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                     F.lit("\x00null")) for c in cols]))
             out = out.orderBy(tie.asc_nulls_last(),
                               *[F.col(c).asc_nulls_last() for c in cols])
         return out.limit(limit) if limit else out

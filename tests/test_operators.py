@@ -71,6 +71,54 @@ def test_minhash_candidates_verified_jaccard(spark, docs):
         assert full[k] == v
 
 
+def test_minhash_dedup_pairs_matches_composed(spark, docs):
+    """The one-scan composition (minhash_dedup_pairs) must return
+    exactly what composing the stages by hand returns — the shared
+    shingle frame is a perf refactor, not a semantic change
+    (ADVICE r4)."""
+    composed = dedup.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5,
+        candidates=dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16))
+    oneshot = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+    a = {(r["id_a"], r["id_b"]): r["jaccard"] for r in composed.collect()}
+    b = {(r["id_a"], r["id_b"]): r["jaccard"] for r in oneshot.collect()}
+    assert a == b and a
+
+
+def test_portable_minhash_pipeline(spark, docs):
+    """portable=True (the SQL-replicable md5/mod-M hash family used
+    by the corpus oracle) preserves pipeline semantics: exact dups
+    always pair, unrelated docs don't, and every returned jaccard
+    equals the xxhash64 path's exact value for the same pair —
+    jaccard is a set statistic, invariant to the hash family."""
+    port = dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                     num_hashes=64, bands=16,
+                                     portable=True)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in port.collect()}
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    assert not any(102 in p for p in got)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(docs, "doc_id", "text",
+                                          exact=True).collect()}
+    for k, v in got.items():
+        assert exact[k] == v
+
+
+def test_portable_simhash(spark, docs):
+    sigs = {r["id"]: r["sig"]
+            for r in dedup.simhash_df(docs, "doc_id", "text", bits=60,
+                                      portable=True).collect()}
+    assert sigs[100] == sigs[101]
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    c = dedup.simhash_candidates(docs, "doc_id", "text", bands=4,
+                                 bits=60, portable=True)
+    ham = (c.withColumn("h", dedup.hamming64(F.col("sig_a"), F.col("sig_b")))
+            .where("id_a = 100 and id_b = 101").collect())
+    assert ham and ham[0]["h"] == 0
+
+
 def test_simhash(spark, docs):
     sigs = {r["id"]: r["sig"]
             for r in dedup.simhash_df(docs, "doc_id", "text").collect()}
