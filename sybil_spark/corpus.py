@@ -1406,6 +1406,32 @@ def q_rollup_distinct(spark, sf):
                     .alias("within_bound")))
 
 
+@_q("cached_query", f"""
+    select event_type, count(*) as count, {_dsum('value')} as sum_value,
+           min(value) as min_value, max(value) as max_value
+    from events where value >= 55.0 group by 1""")
+def q_cached_query(spark, sf):
+    """Per-block query cache end-to-end (sources/query_cache — the
+    reference CACHED_QUERIES analog, src/lib/query_cache.go:30-242):
+    a cold run computes + persists per-block mergeable partials, the
+    warm run answers purely from them, and the WARM answer is what
+    the oracle checks — proving cache-served results are bit-equal
+    to a direct scan. Sliding-window key relevance and invalidation
+    are pinned in tests/test_query_cache.py."""
+    import tempfile
+
+    from sybil_spark.sources import query_cache as QC
+    _conf(spark)
+    spec = QC.CacheSpec(group_cols=("event_type",), num_cols=("value",),
+                        filters=(("int", "ge", "value", 55.0),))
+    croot = tempfile.mkdtemp(prefix="sybil-qcache-")
+    files = [f"{sf}/events.parquet"]
+    QC.run(spark, files, spec, croot, cache_min_rows=1)   # cold: populate
+    warm = QC.run(spark, files, spec, croot, cache_min_rows=1)
+    return warm.select("event_type", "count", "sum_value",
+                       "min_value", "max_value")
+
+
 @_q("media_meta", """
     with m as (select doc_id as media_id,
                       octet_length(encode(text)) as n_bytes
@@ -1950,6 +1976,8 @@ _DRIVER_FIRST = [
     # driver row:
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
+    # ...and the round-5 per-block query cache (C1), brand new:
+    "cached_query",
     # (b) The 26 queries whose latest green row dates from r3 —
     # dedup/tpch/text families predating the r4 shingle-sharing
     # refactor (1679d97) — re-verify under HEAD per VERDICT r4 §4:

@@ -41,7 +41,7 @@ _DEC = "decimal(38,6)"
 _SEP = "\x1f"
 
 
-def build_rollup(df: DataFrame, time_col: str, bucket_s: int,
+def build_rollup(df: DataFrame, time_col: str | None, bucket_s: int | None,
                  group_cols: list[str], num_cols: list[str],
                  distinct_cols: list[str] | None = None,
                  hist_buckets: dict[str, float] | None = None) -> DataFrame:
@@ -53,12 +53,16 @@ def build_rollup(df: DataFrame, time_col: str, bucket_s: int,
     `-int-bucket`, src/lib/hist_basic.go:28-45); its counts land in a
     sum-mergeable map<bigint,bigint> via a second aggregate joined on
     the rollup key (the join is co-partitioned — both sides just
-    shuffled on the same key)."""
+    shuffled on the same key). `time_col=None` builds an untimed
+    partial (no tbucket column) — the per-block query-cache path for
+    queries with no time dimension."""
     # `t - t % bucket` (truncate toward zero), NOT pmod: the Query
     # builder (builder.py _group_cols) and the DuckDB oracles bucket
     # with %, and the rollup path must mirror the direct-scan path
     # bit-for-bit for ALL time values, negatives included
-    b = (F.col(time_col) - F.col(time_col) % F.lit(bucket_s))
+    tkeys = [] if time_col is None else \
+        [(F.col(time_col) - F.col(time_col) % F.lit(bucket_s))
+         .alias("tbucket")]
     aggs: list[Column] = [F.count(F.lit(1)).alias("samples")]
     for c in num_cols:
         col = F.col(c)
@@ -74,18 +78,19 @@ def build_rollup(df: DataFrame, time_col: str, bucket_s: int,
             F.concat_ws(_SEP, *[F.col(c).cast("string")
                                 for c in distinct_cols]))
             .alias("distinct__hll"))
-    out = df.groupBy(b.alias("tbucket"), *group_cols).agg(*aggs)
+    out = df.groupBy(*tkeys, *group_cols).agg(*aggs)
+    knames = (["tbucket"] if tkeys else []) + list(group_cols)
     for c, width in (hist_buckets or {}).items():
         hb = F.floor(F.col(c) / F.lit(width)).cast("long")
         hist = (df.where(F.col(c).isNotNull())
-                  .groupBy(b.alias("tbucket"), *group_cols, hb.alias("__hb"))
+                  .groupBy(*tkeys, *group_cols, hb.alias("__hb"))
                   .agg(F.count(F.lit(1)).alias("__hc"))
-                  .groupBy("tbucket", *group_cols)
+                  .groupBy(*knames)
                   .agg(F.map_from_entries(
                       F.sort_array(F.collect_list(
                           F.struct(F.col("__hb"), F.col("__hc")))))
                       .alias(f"{c}__hist")))
-        out = out.join(hist, ["tbucket", *group_cols], "left")
+        out = out.join(hist, knames, "left")
     return out
 
 
