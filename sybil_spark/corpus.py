@@ -1351,15 +1351,18 @@ def q_ivf_topk(spark, sf):
              for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
                          .select("embedding").collect()]
     qvec = cents[0]  # vec_id 0 is both the query and centroid 0
-    # use_batch_assign=False: the oracle-compared plan uses the
-    # sequential-fold JVM assignment whose per-element summation
-    # order bit-matches DuckDB's list_dot_product — the numpy/BLAS
-    # batch path could in principle flip an argmax on a last-ulp
-    # centroid tie. Perf is irrelevant at oracle scale; the batch
-    # path stays covered by test_ivf_assign_batch_matches_jvm.
+    # Deliberate choice (ADVICE r4 weighed): keep the numpy batch
+    # assignment — it is what runs at scale and is ~3.5x faster at
+    # sf0.1 than the sequential JVM fold (measured r5), and its
+    # bit-parity with the fold (whose cosines match the oracle's
+    # list_dot_product exactly) is pinned on the REAL testdata by
+    # test_ivf_assign_batch_matches_jvm — if a regenerated dataset
+    # ever produced the theoretical last-ulp centroid tie that could
+    # flip an argmax between summation orders, that test goes red
+    # before the driver compare does. use_batch_assign=False remains
+    # the escape hatch.
     return similarity.ivf_topk(emb, "embedding", qvec, k=10,
-                               nlist=16, nprobe=4, centroids=cents,
-                               use_batch_assign=False)
+                               nlist=16, nprobe=4, centroids=cents)
 
 
 @_q("rollup_serve", f"""

@@ -740,7 +740,12 @@ class Query:
         Default: Spark's limit short-circuits tasks once n rows are
         buffered — the same cost-saving intent as the reference;
         WHICH n tuples return is nondeterministic in both engines
-        (SURVEY.md §7.5).
+        (SURVEY.md §7.5). Scale delta, by design: the reference can
+        abort mid-SCAN at >= n distinct groups (table_query.go:
+        259-280) so on a high-cardinality 100x table it reads less
+        INPUT; Spark's limit caps result movement but still scans
+        every block once (plan shape pinned in
+        test_plans.test_distinct_limit_early_exit_plans).
 
         `deterministic=True` keeps the early-exit COST shape but
         makes the returned set reproducible: order by md5 of the

@@ -288,3 +288,163 @@ def test_set_columns_match_duckdb(fuzz_spark, rows, set_f, group_elems):
         key=lambda tt: tuple(str(x) for x in tt))
     assert sorted(got.columns) == sorted(oracle.columns)
     assert key(got) == key(oracle)
+
+
+# ---------------------------------------------------------------------------
+# temporal operators vs DuckDB (asof / range join / sessionize)
+# ---------------------------------------------------------------------------
+
+def _cmp_frames(got: pd.DataFrame, oracle: pd.DataFrame) -> None:
+    """Order-insensitive exact compare; numerics unified to float
+    (nullable int64 lands as float64 on one side and Int64/object on
+    the other depending on engine — value equality is what matters,
+    and these fuzz ranges are exact in float64)."""
+    assert sorted(got.columns) == sorted(oracle.columns)
+
+    def rows(df):
+        out = []
+        for r in df[sorted(df.columns)].itertuples(index=False, name=None):
+            row = []
+            for x in r:
+                if pd.isna(x):
+                    row.append(None)
+                elif isinstance(x, (int, float)):
+                    row.append(float(x))
+                else:
+                    row.append(x)
+            out.append(tuple(row))
+        return sorted(out, key=lambda t: [(v is None, str(v)) for v in t])
+
+    assert rows(got) == rows(oracle)
+
+
+_tkeys = ["k1", "k2", "k3"]
+
+asof_side_st = st.lists(
+    st.tuples(st.sampled_from(_tkeys),
+              st.integers(min_value=-100, max_value=100)),
+    min_size=1, max_size=40)
+
+
+@given(lrows=asof_side_st, rrows=asof_side_st)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_asof_join_matches_duckdb(fuzz_spark, lrows, rrows):
+    """operators.temporal.asof_join (union + window, 1 shuffle) vs
+    DuckDB ASOF LEFT JOIN. Right payload is a pure function of
+    (k, t) so duplicate right timestamps can't make the comparison
+    ambiguous — both engines may pick either duplicate."""
+    from sybil_spark.operators.temporal import asof_join
+    spark = fuzz_spark
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        schema="k string, t long, li long")
+    right = spark.createDataFrame(
+        [(k, t, float((t * 3) % 11)) for k, t in rrows],
+        schema="k string, t long, rv double")
+    got = asof_join(left, right, ["k"], "t", "t",
+                    right_cols=["rv"]).toPandas()
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        columns=["k", "t", "li"]))
+    con.register("r", pd.DataFrame(
+        [(k, t, float((t * 3) % 11)) for k, t in rrows],
+        columns=["k", "t", "rv"]))
+    oracle = con.execute("""
+        select l.k, l.t, l.li, r.t as t_r, r.rv as rv_r
+        from l asof left join r on l.k = r.k and l.t >= r.t""").df()
+    _cmp_frames(got, oracle)
+
+
+interval_st = st.lists(
+    st.tuples(st.integers(min_value=-80, max_value=80),   # start
+              st.integers(min_value=0, max_value=40),     # length
+              st.sampled_from(_tkeys)),
+    min_size=1, max_size=30)
+
+points_st = st.lists(
+    st.tuples(st.integers(min_value=-100, max_value=100),
+              st.sampled_from(_tkeys)),
+    min_size=1, max_size=40)
+
+
+@given(prows=points_st, irows=interval_st,
+       bucket=st.sampled_from([1.0, 7.0, 50.0]), keyed=st.booleans())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_range_join_matches_duckdb(fuzz_spark, prows, irows, bucket, keyed):
+    """operators.temporal.range_join (bucketized equi-join, boundary
+    rows re-filtered exactly) vs the naive inequality join — result
+    must be bucket-size independent."""
+    from sybil_spark.operators.temporal import range_join
+    spark = fuzz_spark
+    points = spark.createDataFrame(
+        [(t, k, i) for i, (t, k) in enumerate(prows)],
+        schema="t long, k string, pid long")
+    ivals = spark.createDataFrame(
+        [(s, s + ln, k, j) for j, (s, ln, k) in enumerate(irows)],
+        schema="s long, e long, k string, iid long")
+    got = range_join(points, "t", ivals, "s", "e",
+                     on=["k"] if keyed else None,
+                     bucket=bucket).toPandas()
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(
+        [(t, k, i) for i, (t, k) in enumerate(prows)],
+        columns=["t", "k", "pid"]))
+    con.register("i", pd.DataFrame(
+        [(s, s + ln, k, j) for j, (s, ln, k) in enumerate(irows)],
+        columns=["s", "e", "k", "iid"]))
+    if keyed:
+        sql = """select p.t, p.k, p.pid, i.s, i.e, i.iid
+                 from p join i on p.k = i.k and p.t >= i.s and p.t < i.e"""
+    else:
+        sql = """select p.t, p.k as k, p.pid, i.s, i.e, i.k as k_i, i.iid
+                 from p join i on p.t >= i.s and p.t < i.e"""
+    oracle = con.execute(sql).df()
+    if not keyed:
+        # unkeyed range_join keeps both key columns; Spark dedupes
+        # the name — align to the SQL aliases
+        got.columns = ["t", "k", "pid", "s", "e", "k_i", "iid"]
+    _cmp_frames(got, oracle)
+
+
+sess_rows_st = st.lists(
+    st.tuples(st.sampled_from(_tkeys),
+              st.integers(min_value=0, max_value=200)),
+    min_size=1, max_size=50)
+
+
+@given(rows=sess_rows_st, gap=st.sampled_from([1, 5, 30]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_sessionize_matches_duckdb(fuzz_spark, rows, gap):
+    """operators.temporal.sessionize (lag-flag + running sum) vs the
+    same construction in DuckDB SQL. Duplicate timestamps are safe
+    without a tiebreak: a 0 gap never starts a session, so every
+    ordering of ties yields the same (key, sess) partition."""
+    from sybil_spark.operators.temporal import sessionize
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(rows, schema="k string, t long")
+    got = sessionize(sdf, "k", "t", gap_s=gap).toPandas()
+    con = duckdb.connect()
+    con.register("x", pd.DataFrame(rows, columns=["k", "t"]))
+    oracle = con.execute(f"""
+        with o as (
+          select k, t,
+                 case when lag(t) over w is null
+                       or t - lag(t) over w > {gap} then 1 else 0 end as nw
+          from x window w as (partition by k order by t)),
+        s as (
+          select k, t,
+                 cast(sum(nw) over (partition by k order by t
+                                    rows unbounded preceding) as bigint)
+                   as sess
+          from o)
+        select k, sess, count(*) as n_events,
+               min(t) as session_start, max(t) as session_end
+        from s group by 1, 2""").df()
+    _cmp_frames(got, oracle)

@@ -284,6 +284,24 @@ def test_ivf_assign_batch_matches_jvm(spark, emb):
     assert jvm == arr
 
 
+def test_ivf_assign_batch_matches_jvm_on_testdata(spark):
+    """Same parity pin, but on the REAL sf0.01 embeddings with the
+    exact q_ivf_topk configuration (vec_id<16 centroids): this is
+    the guard that lets the corpus entry use the fast numpy batch
+    assignment — a regenerated dataset with a last-ulp centroid tie
+    (the only case where summation order could flip an argmax) turns
+    this red before the driver's oracle compare does (ADVICE r4)."""
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = [[float(x) for x in r[0]] for r in
+             emb01.where(F.col("vec_id") < 16).orderBy("vec_id")
+                  .select("embedding").collect()]
+    jvm = {r["vec_id"]: r["cluster"] for r in
+           similarity.ivf_assign(emb01, "embedding", cents).collect()}
+    arr = {r["vec_id"]: r["cluster"] for r in
+           similarity.ivf_assign_batch(emb01, "embedding", cents).collect()}
+    assert jvm == arr
+
+
 def test_components_transitive(spark):
     # chain 1-2-3, pair 10-11, isolated nodes absent from output
     pairs = spark.createDataFrame(

@@ -282,3 +282,30 @@ def test_new_aggregate_shapes(spark, sf_dir):
         q = QUERIES[name](spark, sf_dir)
         got = I.shuffle_exchange_count(q)
         assert got <= budget, (name, got, I.formatted_plan(q))
+
+
+def test_distinct_limit_early_exit_plans(spark, events):
+    """The reference aborts its scan once >= N distinct groups exist
+    (src/lib/table_query.go:259-280). Spark's equivalents, pinned
+    here: the nondeterministic variant compiles to CollectLimit over
+    the distinct aggregate — tasks stop producing once the limit's
+    rows are buffered (and with AQE the final stage reads few
+    partitions); the deterministic variant compiles to
+    TakeOrderedAndProject — per-partition top-N then a K-row merge,
+    never a global sort. Known 100x delta vs the reference, by
+    design: Spark still SCANS every block once (the limit caps
+    result movement, not input IO), while the reference can stop
+    reading mid-table; exactness and plan shape are what we keep.
+    """
+    q_nd = Query.table(events).distinct_values(
+        events.sparkSession, ["user_id"], limit=10)
+    p_nd = I.formatted_plan(q_nd)
+    assert "CollectLimit" in p_nd or "GlobalLimit" in p_nd, p_nd
+    assert "Sort " not in p_nd  # no ordering work at all
+
+    q_det = Query.table(events).distinct_values(
+        events.sparkSession, ["user_id"], limit=10, deterministic=True)
+    p_det = I.formatted_plan(q_det)
+    assert "TakeOrderedAndProject" in p_det, p_det
+    # the distinct aggregate underneath stays a hash aggregate
+    assert "HashAggregate" in p_det

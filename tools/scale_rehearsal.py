@@ -1,0 +1,95 @@
+"""Off-gate scale rehearsal (VERDICT r4 item 5): run the three
+bench-dominating similarity pipelines on the real sf0.1 documents
+corpus AND a 10x replica corpus, print one JSON line with the
+runtime growth ratios. Near-linear growth (~10x data -> ~<=12x time)
+is the empirical check that the posting cap, LSH banding, and band
+equi-joins have no quadratic stage hiding under the fixed benchmark
+size.
+
+The 10x corpus is 10 replicas of sf0.1 documents with every token
+suffixed per-replica: replicas share ZERO shingles, so no cross-
+replica shingle overlap exists and runtime growth isolates the
+engine's scaling. Pair-count replication is exact for set-overlap
+pipelines (jaccard == 10x; minhash == 10x plus rare extra band-hash
+collisions) but only approximate for simhash: its hamming<=8
+borderline pairs (which dwarf the true near-dups) are sensitive to
+the token hashes, and each replica re-tokenizes — counts stay the
+same order of magnitude, not identical (measured r5: 28.3k/replica0
+vs 48.2k/replica avg).
+
+Runs in its own JVM with a 6g driver: the 10x corpus localCheckpoint
+blocks plus AQE broadcast builds don't fit the default 1g test heap
+(in cluster mode those blocks live on executors — local[N] puts
+everything in one heap).
+
+Usage: python tools/scale_rehearsal.py  [writes JSON to stdout]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from sybil_spark.operators import dedup
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    spark = (SparkSession.builder.appName("scale-rehearsal")
+             .master(f"local[{cpus}]")
+             .config("spark.driver.memory", "6g")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    reps = []
+    for i in range(10):
+        reps.append(base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat(F.regexp_replace("text", " ", f"_r{i} "),
+                     F.lit(f"_r{i}")).alias("text")))
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    small = reps[0].localCheckpoint(eager=True)
+    big = big.localCheckpoint(eager=True)
+
+    def timed(fn, df, **kw):
+        t0 = time.time()
+        n = fn(df, "doc_id", "text", **kw).count()
+        return time.time() - t0, n
+
+    def simhash(df, idc, tc):
+        c = dedup.simhash_candidates(df, idc, tc)
+        return c.where(dedup.hamming64(F.col("sig_a"),
+                                       F.col("sig_b")) <= 8)
+
+    out = {"sf": SF_DIR, "replicas": 10, "pipelines": {}}
+    for name, fn, kw in (
+            ("minhash_lsh", dedup.minhash_dedup_pairs, {}),
+            ("simhash_dup", simhash, {}),
+            ("ngram_jaccard", dedup.jaccard_pairs, {"threshold": 0.5})):
+        timed(fn, small, **kw)                      # warm
+        t1, n1 = timed(fn, small, **kw)
+        t10, n10 = timed(fn, big, **kw)
+        out["pipelines"][name] = {
+            "t_1x_s": round(t1, 2), "t_10x_s": round(t10, 2),
+            "growth": round(t10 / t1, 2),
+            "pairs_1x": n1, "pairs_10x": n10,
+        }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
