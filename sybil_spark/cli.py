@@ -88,6 +88,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-sort-asc", action="store_true", dest="sort_asc")
     sp.add_argument("-limit", type=int, default=100)
     sp.add_argument("-samples", action="store_true")
+    sp.add_argument("-cache-queries", action="store_true",
+                    dest="cache_queries",
+                    help="serve from / populate the per-block result "
+                         "cache (reference -cache-queries, "
+                         "src/lib/query_cache.go); supported for "
+                         "count/avg shapes with int/str filters")
+    sp.add_argument("-cache-min-rows", type=int, default=None,
+                    dest="cache_min_rows",
+                    help="only cache blocks with at least this many "
+                         "rows (default CHUNK_SIZE — the reference "
+                         "skips partial blocks)")
     sp.add_argument("-read-log", action="store_true", dest="read_log")
     sp.add_argument("-json", action="store_true")
     sp.add_argument("-export", default=None,
@@ -201,11 +212,52 @@ def _filters(q, args) -> None:
         q.str_replace(col, pat, repl)
 
 
+def _cacheable(args) -> bool:
+    """Query shapes the per-block cache serves: count/avg pipelines
+    over int/str filters (the reference likewise skips caching for
+    -samples, query_cache.go:151-155). Everything else silently runs
+    the direct path — same answers, no cache."""
+    return (args.cache_queries and not args.samples and not args.loghist
+            and args.op in ("count", "avg") and not args.distinct_cols
+            and not args.set_filters and not args.str_replaces
+            and not args.weight_col and not args.read_log)
+
+
+def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
+    from sybil_spark.sources import query_cache as QC
+    filters = []
+    for trip in args.int_filters:
+        col, op, val = trip.split(":", 2)
+        filters.append(("int", op, col,
+                        float(val) if "." in val else int(val)))
+    for trip in args.str_filters:
+        col, op, val = trip.split(":", 2)
+        filters.append(("str", op, col, val))
+    spec = QC.CacheSpec(
+        group_cols=tuple(groups),
+        num_cols=tuple(int_cols) if args.op == "avg" else (),
+        time_col=args.time_col if args.time_rollup else None,
+        bucket_s=args.time_bucket if args.time_rollup else None,
+        filters=tuple(filters))
+    kw = {}
+    if args.cache_min_rows is not None:
+        kw["cache_min_rows"] = args.cache_min_rows
+    out = QC.run(spark, t, spec, **kw)
+    if args.sort:
+        from pyspark.sql import functions as F
+        out = out.orderBy(F.col(args.sort).asc() if args.sort_asc
+                          else F.col(args.sort).desc())
+    return out.limit(args.limit) if args.limit else out
+
+
 def run_query(spark: SparkSession, args) -> "DataFrame":
     from sybil_spark.query.builder import Query
     from sybil_spark.table import Table
 
     t = Table(args.dir, args.table)
+    if _cacheable(args):
+        return _run_query_cached(spark, args, t,
+                                 _split(args.group), _split(args.int_cols))
     df = t.read(spark, read_log=args.read_log)
     q = Query.table(df)
     _filters(q, args)

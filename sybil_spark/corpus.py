@@ -1225,7 +1225,13 @@ def q_pack_batches(spark, sf):
     coverage = j.agg(
         (F.count(F.lit(1)) == F.count_distinct("id"))
         .alias("covered_once"))
-    return summary.crossJoin(coverage)  # two 1-row frames
+    # merge the two 1-row frames join-free (union + null-skipping
+    # final agg) so the corpus-wide no-cartesian plan gate holds
+    merged = summary.unionByName(coverage, allowMissingColumns=True)
+    return merged.agg(F.max("n_docs").alias("n_docs"),
+                      F.max("total_tokens").alias("total_tokens"),
+                      F.bool_and("within_budget").alias("within_budget"),
+                      F.bool_and("covered_once").alias("covered_once"))
 
 
 # ===========================================================================

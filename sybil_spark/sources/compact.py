@@ -336,6 +336,10 @@ def compact_blocks(spark: SparkSession, table: Table,
        .option("compression", compression)
        .parquet(table.blocks_path))
     shutil.rmtree(stage)
+    # the smalls' cache entries (if any) point at removed files —
+    # GC them now so the cache dir never accumulates dead partials
+    from sybil_spark.sources.query_cache import vacuum
+    vacuum(table)
     meta.updated_at = _time.time()
     table.save_meta(meta)
     return n
@@ -385,6 +389,9 @@ def trim(table: Table, time_col: str | None = None,
                                               topdown=False)):
             if root != table.blocks_path and not dirs and not names:
                 os.rmdir(root)
+        # GC query-cache partials of the trimmed blocks
+        from sybil_spark.sources.query_cache import vacuum
+        vacuum(table)
     return doomed
 
 

@@ -170,3 +170,29 @@ def test_cli_inspect(capsys, spark, db):
     assert main(["inspect", "-file", t.meta_path]) == 0
     meta = json.loads(capsys.readouterr().out)
     assert meta["key_types"]["ping"] == "int"
+
+
+def test_cli_cached_query_matches_direct(capsys, spark, db):
+    """-cache-queries (reference FLAGS.CACHED_QUERIES): the cached
+    avg answer equals the direct path's, cold and warm, and the
+    table grows a cache/ dir of per-block partials."""
+    import os
+    direct = _run_json(capsys, spark,
+                       ["query", "-dir", db, "-table", "uptime",
+                        "-group", "host", "-int", "ping", "-op", "avg",
+                        "-int-filter", "ping:gt:45"])
+    argv = ["query", "-dir", db, "-table", "uptime",
+            "-group", "host", "-int", "ping", "-op", "avg",
+            "-int-filter", "ping:gt:45", "-cache-queries",
+            "-cache-min-rows", "1"]
+    cold = _run_json(capsys, spark, argv)
+    warm = _run_json(capsys, spark, argv)
+
+    def key(rows):
+        # avg at 1e-5: the cache serves the rollup semantic (exact
+        # decimal(38,6) sum, then decimal divide) while the direct
+        # path divides in double — same to ~6 decimals by design
+        return sorted((r["host"], r["count"], round(r["avg_ping"], 5))
+                      for r in rows)
+    assert key(cold) == key(warm) == key(direct)
+    assert os.path.isdir(os.path.join(db, "uptime", "cache"))
