@@ -1613,6 +1613,81 @@ def q_tpch_q14(spark, sf):
                  .alias("promo_revenue"))
 
 
+@_q("tpch_q4", """
+    select o_orderpriority, count(*) as order_count
+    from orders o
+    where exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey
+                    and l.l_shipdate > o.o_orderdate)
+    group by 1 order by 1""")
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (EXISTS -> left-semi join with a non-equi
+    residual: shipped after the order date, standing in for the
+    commitdate column this dataset lacks). The semi-join hashes on
+    the equi key and applies the date comparison as the join
+    residual — no row explosion, orders each counted once no matter
+    how many matching lineitems."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(li, (o["o_orderkey"] == li["l_orderkey"])
+                  & (li["l_shipdate"] > o["o_orderdate"]), "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count"))
+                .orderBy("o_orderpriority"))
+
+
+@_q("tpch_q12", """
+    select l_returnflag,
+           cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                         then 1 else 0 end) as bigint) as high_line_count,
+           cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                         then 1 else 0 end) as bigint) as low_line_count
+    from orders join lineitem on o_orderkey = l_orderkey
+    where l_shipdate > o_orderdate
+    group by 1 order by 1""")
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (priority-split conditional counts over the
+    order/lineitem join; returnflag stands in for the shipmode
+    column this dataset lacks). One shuffle join + one agg; the
+    CASE sums are codegen'd conditional counts."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate",
+                                       "o_orderpriority")
+    li = _t(spark, sf, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (o.join(li, (F.col("o_orderkey") == F.col("l_orderkey"))
+                & (F.col("l_shipdate") > F.col("o_orderdate"))))
+    return (j.groupBy("l_returnflag")
+             .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                  F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+             .orderBy("l_returnflag"))
+
+
+@_q("tpch_q16", """
+    select p_brand, p_size, count(distinct l_suppkey) as supplier_cnt
+    from part join lineitem on p_partkey = l_partkey
+    where p_size in (1, 4, 7)
+      and p_partkey not in (select p_partkey from part
+                            where p_name like '%red%')
+    group by 1, 2
+    order by supplier_cnt desc, p_brand asc, p_size asc limit 10""")
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (supplier breadth per part group, NOT IN ->
+    left-anti join; p_name filter stands in for the excluded-
+    supplier subquery). The anti side is a filtered dim — broadcast;
+    the distinct count shuffles once on the group key."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    red = p.where(F.col("p_name").like("%red%")).select("p_partkey")
+    keep = (p.where(F.col("p_size").isin(1, 4, 7))
+             .join(F.broadcast(red), "p_partkey", "left_anti"))
+    j = li.join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+    return (j.groupBy("p_brand", "p_size")
+             .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+             .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                      F.asc("p_size"))
+             .limit(10))
+
+
 @_q("tpch_q18", f"""
     select c_name, c_custkey, o_orderkey, o_totalprice,
            {_dsum('l_quantity')} as sum_qty
@@ -1985,8 +2060,9 @@ _DRIVER_FIRST = [
     # driver row:
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
-    # ...and the round-5 per-block query cache (C1), brand new:
-    "cached_query",
+    # ...and the round-5 brand-new queries (C1 cache; TPC-H semi/
+    # anti/conditional join shapes):
+    "cached_query", "tpch_q4", "tpch_q12", "tpch_q16",
     # (b) The 26 queries whose latest green row dates from r3 —
     # dedup/tpch/text families predating the r4 shingle-sharing
     # refactor (1679d97) — re-verify under HEAD per VERDICT r4 §4:

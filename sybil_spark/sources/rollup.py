@@ -124,7 +124,12 @@ def serve(roll: DataFrame, group_cols: list[str],
         roll = roll.withColumn(
             "tbucket", F.col("tbucket") - F.col("tbucket") % F.lit(bucket_s))
         keys.insert(0, "tbucket")
-    aggs: list[Column] = [F.sum("samples").alias("count")]
+    # coalesce: an UNGROUPED serve over zero partial rows (a filter
+    # matched nothing anywhere) must answer count=0 like SQL
+    # count(*), not NULL (sum of an empty set) — caught by
+    # test_cached_equals_direct_fuzz
+    aggs: list[Column] = [
+        F.coalesce(F.sum("samples"), F.lit(0).cast("long")).alias("count")]
     for c in (num_cols or []):
         s = F.sum(f"{c}__sum")
         ss = F.sum(f"{c}__sumsq")

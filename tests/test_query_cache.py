@@ -175,3 +175,83 @@ def test_timed_spec_buckets(spark, blocks, tmp_path):
                    F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
                     .alias("s")).collect()}
     assert got == direct
+
+
+# ---------------------------------------------------------------------------
+# property-based: cached == direct for random specs and layouts
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def fuzz_blocks(spark, tmp_path_factory):
+    """Four blocks with overlapping, irregular t ranges (so filter
+    triviality differs per block) and nulls in v."""
+    d = tmp_path_factory.mktemp("qcfuzz")
+    ranges = [(0, 400), (300, 900), (850, 1300), (1250, 2000)]
+    paths = []
+    for i, (lo, hi) in enumerate(ranges):
+        n = 120 + i * 37
+        df = spark.range(n).select(
+            (F.col("id") * ((hi - lo) // n + 1) + lo).alias("t"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.when(F.col("id") % 11 == 0, None)
+             .otherwise(F.col("id") * 0.25 + i).alias("v"))
+        p = str(d / f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        paths.append(p)
+    return paths
+
+
+@given(op=st.sampled_from(["gt", "lt", "ge", "le", "eq", "neq"]),
+       val=st.integers(min_value=-100, max_value=2100),
+       grouped=st.booleans(),
+       second=st.one_of(st.none(),
+                        st.tuples(st.sampled_from(["gt", "lt"]),
+                                  st.integers(min_value=-100,
+                                              max_value=2100))))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_cached_equals_direct_fuzz(spark, fuzz_blocks, tmp_path_factory,
+                                   op, val, grouped, second):
+    """The cache's key-relevance logic (drop filters a block's
+    footer proves trivially true) must NEVER change an answer: for
+    random gt/lt/ge/le/eq/neq thresholds — some trivial on some
+    blocks, some not, some emptying blocks entirely — the cached
+    result equals the direct aggregation bit-for-bit, including on a
+    second run served purely from cache."""
+    croot = str(tmp_path_factory.mktemp("qc") / "cache")
+    filters = [("int", op, "t", val)]
+    if second:
+        op2, val2 = second
+        filters.append(("int", op2, "t", val2))
+    spec = CacheSpec(group_cols=("g",) if grouped else (),
+                     num_cols=("v",), filters=tuple(filters))
+
+    raw = spark.read.parquet(*fuzz_blocks)
+    pred = QC._compile(spec.filters)
+    raw = raw.where(pred)
+    gb = raw.groupBy("g") if grouped else raw.groupBy()
+    direct = {(r["g"] if grouped else None):
+              (r["n"], None if r["s"] is None else float(r["s"]))
+              for r in gb.agg(
+                  F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+                   .alias("s")).collect()}
+
+    def served(df):
+        return {(r["g"] if grouped else None):
+                (r["count"],
+                 None if r["sum_v"] is None else float(r["sum_v"]))
+                for r in df.collect()}
+
+    cold = served(QC.run(spark, fuzz_blocks, spec, croot,
+                         cache_min_rows=1))
+    warm = served(QC.run(spark, fuzz_blocks, spec, croot,
+                         cache_min_rows=1))
+    # empty-result edge: direct agg of zero rows still yields one
+    # row (count=0) for the ungrouped case; the cache path merges
+    # zero partial rows the same way
+    assert cold == warm == direct
