@@ -773,3 +773,45 @@ class Query:
             out = out.orderBy(tie.asc_nulls_last(),
                               *[F.col(c).asc_nulls_last() for c in cols])
         return out.limit(limit) if limit else out
+
+
+def distinct_values_early_stop(spark: SparkSession, blocks: list[str],
+                               cols: list[str], limit: int,
+                               batch_files: int = 8,
+                               predicate: Column | None = None) -> DataFrame:
+    """TRUE input-limiting distinct-limit: stop READING blocks once
+    >= `limit` distinct tuples exist — the reference's mid-scan abort
+    (src/lib/table_query.go:259-280), which Query.distinct_values
+    cannot reproduce because a DataFrame limit caps result movement,
+    not input IO (test_plans.test_distinct_limit_early_exit_plans).
+
+    Scans `batch_files` block files at a time, accumulating distinct
+    tuples; on a high-cardinality table the first batch usually
+    satisfies the limit and the remaining 99.9% of a 100x table is
+    never opened. Worst case (cardinality < limit) degrades to one
+    extra pass's worth of driver round-trips over the same data a
+    full scan reads anyway. Each batch collects at most `limit` rows
+    to the driver — bounded regardless of table size.
+
+    Like the reference, WHICH tuples return is scan-order dependent;
+    callers needing reproducibility use
+    Query.distinct_values(deterministic=True)."""
+    seen: list = []
+    seen_set = set()
+    for i in range(0, len(blocks), batch_files):
+        batch = blocks[i:i + batch_files]
+        df = spark.read.parquet(*batch)
+        if predicate is not None:
+            df = df.where(predicate)
+        rows = (df.select(*cols).distinct()
+                  .limit(limit).collect())
+        for r in rows:
+            t = tuple(r)
+            if t not in seen_set:
+                seen_set.add(t)
+                seen.append(r)
+        if len(seen) >= limit:
+            break
+    out_rows = seen[:limit]
+    schema = spark.read.parquet(*blocks[:1]).select(*cols).schema
+    return spark.createDataFrame(out_rows, schema=schema)

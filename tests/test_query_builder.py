@@ -343,3 +343,40 @@ def test_full_population_percentiles(spark):
     for p in (25, 50, 75):
         want = s[int(len(s) * p / 100)]
         assert abs(r[f"p{p}_v"] - want) <= 1
+
+
+def test_distinct_values_early_stop_limits_input(spark, tmp_path):
+    """The true input-limiting distinct-limit (reference mid-scan
+    abort, table_query.go:259-280): once the limit is satisfied,
+    later blocks are never OPENED — proven by placing a nonexistent
+    path after the satisfying blocks (a full scan would throw)."""
+    from pyspark.sql import functions as F
+
+    from sybil_spark.query.builder import distinct_values_early_stop
+
+    paths = []
+    for i in range(2):
+        (spark.range(100)
+         .select((F.col("id") % 50 + i * 1000).alias("u"))
+         .coalesce(1).write.parquet(str(tmp_path / f"b{i}")))
+        paths.append(str(tmp_path / f"b{i}"))
+    blocks = paths + [str(tmp_path / "never-read")]   # does not exist
+
+    out = distinct_values_early_stop(spark, blocks, ["u"], limit=30,
+                                     batch_files=1)
+    rows = [r["u"] for r in out.collect()]
+    assert len(rows) == len(set(rows)) == 30
+    assert all(0 <= u < 50 for u in rows)   # all from block 0
+
+    # cardinality below the limit: reads everything it was given
+    # (and would fail on the bogus path) -> only pass real blocks
+    out2 = distinct_values_early_stop(spark, paths, ["u"], limit=500,
+                                      batch_files=1)
+    assert out2.count() == 100  # 50 distinct per block, disjoint ranges
+
+    # with a predicate
+    out3 = distinct_values_early_stop(
+        spark, paths, ["u"], limit=10, batch_files=1,
+        predicate=F.col("u") >= 1000)
+    vals = [r["u"] for r in out3.collect()]
+    assert len(vals) == 10 and all(v >= 1000 for v in vals)
