@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-op", default="count",
                     choices=["count", "avg", "hist", "distinct"])
     sp.add_argument("-distinct", default="", dest="distinct_cols")
+    sp.add_argument("-distinct-limit", type=int, default=None,
+                    dest="distinct_limit",
+                    help="return up to N distinct tuples of -distinct "
+                         "cols, stopping the block scan early "
+                         "(reference -distinct-limit, "
+                         "src/cmd/cmd_query.go:62)")
     sp.add_argument("-int-filter", action="append", default=[],
                     dest="int_filters")
     sp.add_argument("-str-filter", action="append", default=[],
@@ -258,6 +264,19 @@ def run_query(spark: SparkSession, args) -> "DataFrame":
     if _cacheable(args):
         return _run_query_cached(spark, args, t,
                                  _split(args.group), _split(args.int_cols))
+    if args.distinct_limit and args.distinct_cols and not args.read_log:
+        # true input-limiting early stop over the block files
+        # (reference mid-scan abort); filters compile to the same
+        # predicate the direct path uses
+        from sybil_spark.query.builder import distinct_values_early_stop
+        from sybil_spark.sources.query_cache import _list_blocks
+        probe = Query.table(t.read(spark))
+        _filters(probe, args)
+        pred = probe._predicate(t.read(spark))
+        return distinct_values_early_stop(
+            spark, _list_blocks(t.blocks_path),
+            _split(args.distinct_cols), args.distinct_limit,
+            predicate=pred)
     df = t.read(spark, read_log=args.read_log)
     q = Query.table(df)
     _filters(q, args)

@@ -196,3 +196,15 @@ def test_cli_cached_query_matches_direct(capsys, spark, db):
                       for r in rows)
     assert key(cold) == key(warm) == key(direct)
     assert os.path.isdir(os.path.join(db, "uptime", "cache"))
+
+
+def test_cli_distinct_limit_early_stop(capsys, spark, db):
+    """-distinct-limit routes through the input-limiting block scan
+    (reference mid-scan abort): N distinct tuples, filters honored."""
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-distinct", "ping", "-distinct-limit", "7",
+                      "-int-filter", "ping:gt:45"])
+    vals = [r["ping"] for r in rows]
+    assert len(vals) == len(set(vals)) == 7
+    assert all(v > 45 for v in vals)
