@@ -60,6 +60,10 @@ from sybil_spark.sources import rollup as R
 
 CACHE_DIR = "cache"
 
+#: above this many missed files, the file->block-id mapping becomes a
+#: broadcast join instead of an inlined literal map (plan-size bound)
+INLINE_MAP_MAX = 200
+
 
 @dataclass(frozen=True)
 class CacheSpec:
@@ -252,12 +256,22 @@ def run(spark: SparkSession, source: Table | list[str], spec: CacheSpec,
         pred = _compile(spec.filters)
         if pred is not None:
             df = df.where(pred)
-        # normalize file:// URIs from input_file_name to plain paths
-        bid_map = F.create_map(*[
-            x for b in to_scan
-            for x in (F.lit(os.path.basename(b)), F.lit(pl.bid_of[b]))])
-        df = df.withColumn(
-            "_bid", bid_map[F.element_at(F.split("_path", "/"), -1)])
+        # basename of the file:// URI from input_file_name -> block id.
+        # Small scans inline a literal map (no join in the plan); big
+        # scans broadcast-join a mapping frame instead — a 100k-entry
+        # literal map would bloat the plan tree and codegen.
+        base = F.element_at(F.split("_path", "/"), -1)
+        if len(to_scan) <= INLINE_MAP_MAX:
+            bid_map = F.create_map(*[
+                x for b in to_scan
+                for x in (F.lit(os.path.basename(b)), F.lit(pl.bid_of[b]))])
+            df = df.withColumn("_bid", bid_map[base])
+        else:
+            mapping = spark.createDataFrame(
+                [(os.path.basename(b), pl.bid_of[b]) for b in to_scan],
+                schema="_base string, _bid string")
+            df = df.withColumn("_base", base) \
+                   .join(F.broadcast(mapping), "_base").drop("_base")
         partial = R.build_rollup(
             df, spec.time_col, spec.bucket_s,
             ["_bid", *spec.group_cols], list(spec.num_cols),

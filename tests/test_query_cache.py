@@ -255,3 +255,15 @@ def test_cached_equals_direct_fuzz(spark, fuzz_blocks, tmp_path_factory,
     # row (count=0) for the ungrouped case; the cache path merges
     # zero partial rows the same way
     assert cold == warm == direct
+
+
+def test_broadcast_mapping_branch(spark, blocks, tmp_path, monkeypatch):
+    """Above INLINE_MAP_MAX missed files the file->block-id mapping
+    is a broadcast join, not a literal map (plan-size bound at 100k
+    blocks); answers identical either way."""
+    monkeypatch.setattr(QC, "INLINE_MAP_MAX", 0)
+    croot = str(tmp_path / "cache")
+    spec = CacheSpec(group_cols=("g",), num_cols=("v",))
+    cold = _served(QC.run(spark, blocks, spec, croot, cache_min_rows=1))
+    warm = _served(QC.run(spark, blocks, spec, croot, cache_min_rows=1))
+    assert cold == warm == _direct(spark, blocks, -1)
