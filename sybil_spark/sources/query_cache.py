@@ -238,85 +238,98 @@ def run(spark: SparkSession, source: Table | list[str], spec: CacheSpec,
 
     pl = plan(blocks, spec, cache_root, cache_min_rows)
     parts: list[DataFrame] = []
+    pred = _compile(spec.filters)
+
+    def _partial(files: list[str], with_bid: bool) -> DataFrame:
+        """Mergeable partial over `files`, optionally grouped by
+        block id. Every filter is applied to every scanned block:
+        for blocks whose key dropped a filter, the drop was proven
+        trivially-true, so applying it is a no-op and the persisted
+        partial stays valid for any other value of that filter."""
+        df = spark.read.parquet(*files)
+        if with_bid:
+            df = df.withColumn("_path", F.input_file_name())
+        if pred is not None:
+            df = df.where(pred)
+        if with_bid:
+            # basename of the file:// URI -> block id. Small scans
+            # inline a literal map (no join in the plan); big scans
+            # broadcast-join a mapping frame — a 100k-entry literal
+            # map would bloat the plan tree and codegen.
+            base = F.element_at(F.split("_path", "/"), -1)
+            if len(files) <= INLINE_MAP_MAX:
+                bid_map = F.create_map(*[
+                    x for b in files
+                    for x in (F.lit(os.path.basename(b)),
+                              F.lit(pl.bid_of[b]))])
+                df = df.withColumn("_bid", bid_map[base])
+            else:
+                mapping = spark.createDataFrame(
+                    [(os.path.basename(b), pl.bid_of[b]) for b in files],
+                    schema="_base string, _bid string")
+                df = df.withColumn("_base", base) \
+                       .join(F.broadcast(mapping), "_base").drop("_base")
+            df = df.drop("_path")
+        gcols = (["_bid"] if with_bid else []) + list(spec.group_cols)
+        return R.build_rollup(
+            df, spec.time_col, spec.bucket_s, gcols,
+            list(spec.num_cols),
+            list(spec.distinct_cols) or None,
+            dict(spec.hist_buckets) or None)
 
     # 1. cached partials: KB-scale parquet, no raw-block IO
     for b in pl.hits:
         d = os.path.join(cache_root, pl.key_of[b], f"_bid={pl.bid_of[b]}")
         parts.append(spark.read.parquet(d))
 
-    # 2. one compute job over every block that needs scanning. Every
-    # filter is applied to every scanned block: for blocks whose key
-    # dropped a filter, the drop was proven trivially-true, so
-    # applying it is a no-op and the persisted partial stays valid
-    # for any other value of that filter.
-    to_scan = pl.misses + pl.uncached
-    if to_scan:
-        df = spark.read.parquet(*to_scan) \
-            .withColumn("_path", F.input_file_name())
-        pred = _compile(spec.filters)
-        if pred is not None:
-            df = df.where(pred)
-        # basename of the file:// URI from input_file_name -> block id.
-        # Small scans inline a literal map (no join in the plan); big
-        # scans broadcast-join a mapping frame instead — a 100k-entry
-        # literal map would bloat the plan tree and codegen.
-        base = F.element_at(F.split("_path", "/"), -1)
-        if len(to_scan) <= INLINE_MAP_MAX:
-            bid_map = F.create_map(*[
-                x for b in to_scan
-                for x in (F.lit(os.path.basename(b)), F.lit(pl.bid_of[b]))])
-            df = df.withColumn("_bid", bid_map[base])
-        else:
-            mapping = spark.createDataFrame(
-                [(os.path.basename(b), pl.bid_of[b]) for b in to_scan],
-                schema="_base string, _bid string")
-            df = df.withColumn("_base", base) \
-                   .join(F.broadcast(mapping), "_base").drop("_base")
-        partial = R.build_rollup(
-            df, spec.time_col, spec.bucket_s,
-            ["_bid", *spec.group_cols], list(spec.num_cols),
-            list(spec.distinct_cols) or None,
-            dict(spec.hist_buckets) or None)
+    # 2. missed blocks: ONE scan per key-class computes + persists
+    # the partials (distributed write, one partition dir per block;
+    # staged then renamed so a concurrent reader never sees a half-
+    # written partial — the reference's tempfile + rename,
+    # query_cache.go:229-240); the result then READS BACK the tiny
+    # written partials instead of re-scanning the raw blocks when
+    # the returned plan executes.
+    if pl.misses:
+        by_key: dict[str, list[str]] = {}
+        for b in pl.misses:
+            by_key.setdefault(pl.key_of[b], []).append(b)
+        for key, bs in by_key.items():
+            partial = _partial(bs, with_bid=True)
+            stage = os.path.join(cache_root, f"_stage-{os.getpid()}-{key}")
+            partial.write.mode("overwrite").partitionBy("_bid") \
+                   .parquet(stage)
+            kdir = os.path.join(cache_root, key)
+            os.makedirs(kdir, exist_ok=True)
+            empties = []
+            for b in bs:
+                bid = pl.bid_of[b]
+                src = os.path.join(stage, f"_bid={bid}")
+                dst = os.path.join(kdir, f"_bid={bid}")
+                if os.path.isdir(src):
+                    if not os.path.exists(dst):
+                        os.rename(src, dst)
+                else:
+                    # the filter emptied this block: an empty
+                    # partial is still a (very) valid cached answer
+                    # — persist a schema-only parquet so the block
+                    # HITS next run instead of re-scanning forever
+                    # (the reference caches empty QueryResults too)
+                    empties.append(dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            if empties:
+                empty = spark.createDataFrame(
+                    [], schema=partial.drop("_bid").schema).coalesce(1)
+                for dst in empties:
+                    if not os.path.exists(dst):
+                        empty.write.mode("overwrite").parquet(dst)
+            for b in bs:
+                parts.append(spark.read.parquet(os.path.join(
+                    kdir, f"_bid={pl.bid_of[b]}")))
 
-        cacheable_bids = {pl.bid_of[b] for b in pl.misses}
-        if cacheable_bids:
-            # distributed write of the new partials, one partition
-            # dir per block; staged then renamed so a concurrent
-            # reader never sees a half-written partial (the
-            # reference's tempfile + rename, query_cache.go:229-240)
-            by_key: dict[str, list[str]] = {}
-            for b in pl.misses:
-                by_key.setdefault(pl.key_of[b], []).append(pl.bid_of[b])
-            for key, bids in by_key.items():
-                stage = os.path.join(cache_root, f"_stage-{os.getpid()}-{key}")
-                (partial.where(F.col("_bid").isin(*bids))
-                        .write.mode("overwrite").partitionBy("_bid")
-                        .parquet(stage))
-                kdir = os.path.join(cache_root, key)
-                os.makedirs(kdir, exist_ok=True)
-                empties = []
-                for bid in bids:
-                    src = os.path.join(stage, f"_bid={bid}")
-                    dst = os.path.join(kdir, f"_bid={bid}")
-                    if os.path.isdir(src):
-                        if not os.path.exists(dst):
-                            os.rename(src, dst)
-                    else:
-                        # the filter emptied this block: an empty
-                        # partial is still a (very) valid cached
-                        # answer — persist a schema-only parquet so
-                        # the block HITS next run instead of
-                        # re-scanning forever (the reference caches
-                        # empty QueryResults the same way)
-                        empties.append(dst)
-                shutil.rmtree(stage, ignore_errors=True)
-                if empties:
-                    empty = (partial.drop("_bid")
-                             .where(F.lit(False)).repartition(1))
-                    for dst in empties:
-                        if not os.path.exists(dst):
-                            empty.write.mode("overwrite").parquet(dst)
-        parts.append(partial.drop("_bid", "_path"))
+    # 3. below-threshold blocks: computed live, never persisted
+    # (reference partial-block rule) — one scan at result time
+    if pl.uncached:
+        parts.append(_partial(pl.uncached, with_bid=False))
 
     merged = parts[0]
     for p in parts[1:]:
