@@ -1463,6 +1463,41 @@ def q_media_meta(spark, sf):
                      F.sum("height").alias("sum_height"))
 
 
+@_q("media_frames", """
+    with m as (select doc_id as media_id,
+                      octet_length(encode(text)) as L
+               from documents),
+    p as (select media_id, L,
+                 least(8, greatest(1, L // 30)) as n,
+                 greatest(1, L // least(8, greatest(1, L // 30))) as step
+          from m),
+    f as (select media_id, i,
+                 case when least(L, (i + 1) * step) - i * step <= 0
+                      then 1
+                      else least(L, (i + 1) * step) - i * step end as fb
+          from p, unnest(generate_series(0, n - 1)) as t(i))
+    select cast(count(*) as bigint) as n_frames,
+           cast(count(distinct media_id) as bigint) as n_media,
+           cast(sum(fb) as bigint) as sum_frame_bytes,
+           cast(max(i * 30) as integer) as max_frame_idx
+    from f""")
+def q_media_frames(spark, sf):
+    """Multimodal fan-out proof: one media item -> up to 8 frame
+    rows via mapInPandas (operators/multimodal.frame_sample). The
+    stub decode is a pure function of the content bytes (slice
+    arithmetic), so the oracle reproduces the exact frame counts,
+    byte loads, and indices in SQL — schema, Arrow batch fan-out,
+    and slice bookkeeping all verified end-to-end."""
+    from sybil_spark.operators import multimodal as M
+    media = M.documents_as_media(_t(spark, sf, "documents"))
+    frames = M.frame_sample(media, every_n=30, max_frames=8)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count_distinct("media_id").alias("n_media"),
+        F.sum("n_bytes").alias("sum_frame_bytes"),
+        F.max("frame_idx").alias("max_frame_idx"))
+
+
 @_q("hist_summary", f"""
     with h as (
       select event_type,
@@ -2061,8 +2096,11 @@ _DRIVER_FIRST = [
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
     # ...and the round-5 brand-new queries (C1 cache; TPC-H semi/
-    # anti/conditional join shapes):
-    "cached_query", "tpch_q4", "tpch_q12", "tpch_q16",
+    # anti/conditional join shapes; multimodal frame fan-out), plus
+    # the two whose implementation changed this round (batch-assign
+    # rationale; NULL-sentinel tie):
+    "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
+    "ivf_topk", "distinct_limit",
     # (b) The 26 queries whose latest green row dates from r3 —
     # dedup/tpch/text families predating the r4 shingle-sharing
     # refactor (1679d97) — re-verify under HEAD per VERDICT r4 §4:
@@ -2076,13 +2114,11 @@ _DRIVER_FIRST = [
     # ...plus the queries whose latest row dates back to r1/r2:
     "text_stats", "pii_scrub", "url_domains", "tpch_q7", "tpch_q8",
     "tpch_q18", "weighted_loghist", "weighted_stddev_sum",
-    # (c) queries touched this round (events time derivation went
-    # integer-floor in both layouts; distinct_limit's NULL-sentinel
-    # tie; ivf_topk's sequential-fold assignment): representative
-    # re-verification — any events query exercises the shared
-    # _events() derivation.
+    # (c) events-family representatives (the time derivation went
+    # integer-floor in both layouts; any events query exercises the
+    # shared _events() path).
     "count", "time_avg", "time_hist", "time_filter_aligned",
-    "sessionize", "asof_join", "distinct_limit", "ivf_topk",
+    "sessionize", "asof_join",
 ]
 
 
