@@ -448,3 +448,47 @@ def test_sessionize_matches_duckdb(fuzz_spark, rows, gap):
                min(t) as session_start, max(t) as session_end
         from s group by 1, 2""").df()
     _cmp_frames(got, oracle)
+
+
+# ---------------------------------------------------------------------------
+# histogram bucket math vs DuckDB (negative values, fractional widths)
+# ---------------------------------------------------------------------------
+
+hist_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=-500, max_value=500)
+          .map(lambda x: x / 4.0),                           # v
+        st.sampled_from(["red", "green", "blue"]),           # g
+    ),
+    min_size=1, max_size=60)
+
+
+@given(rows=hist_rows_st, bucket=st.sampled_from([0.5, 3.0, 25.0]),
+       base=st.sampled_from([0.0, -100.0, 7.5]),
+       grouped=st.booleans())
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_hist_bucket_math_matches_duckdb(fuzz_spark, rows, bucket, base,
+                                         grouped):
+    """Query.hist bucket quantization — floor((v-base)/w)*w+base —
+    against the identical SQL formula, over negative values and
+    fractional widths/bases (where floor-vs-truncate bugs live)."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        [(float(v), g) for v, g in rows], schema="v double, g string")
+    q = Query.table(sdf)
+    if grouped:
+        q = q.group_by("g")
+    got = q.hist(spark, "v", bucket=bucket, min_val=base).toPandas()
+    gsel = "g, " if grouped else ""
+    sql = f"""
+        select {gsel}
+               cast(floor((v - ({base}))/{bucket})*{bucket} + ({base})
+                    as double) as bucket,
+               count(*) as count
+        from t where v is not null group by {'1, 2' if grouped else '1'}"""
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        [(float(v), g) for v, g in rows], columns=["v", "g"]))
+    _cmp_frames(got, con.execute(sql).df())
