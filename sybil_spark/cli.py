@@ -230,12 +230,19 @@ def _cacheable(args) -> bool:
 
 
 def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
+    """Cached count/avg execution. Returns None when the spec can't
+    be served from block files (e.g. it references a partition-dir
+    column) — the caller falls back to the direct path."""
     from sybil_spark.sources import query_cache as QC
     filters = []
     for trip in args.int_filters:
         col, op, val = trip.split(":", 2)
-        filters.append(("int", op, col,
-                        float(val) if "." in val else int(val)))
+        val = float(val) if "." in val else int(val)
+        if args.time_rollup and col == args.time_col:
+            # same bucket alignment the direct path applies to time
+            # filters (builder._predicate; reference filter.go:86-95)
+            val = int(val) - int(val) % args.time_bucket
+        filters.append(("int", op, col, val))
     for trip in args.str_filters:
         col, op, val = trip.split(":", 2)
         filters.append(("str", op, col, val))
@@ -248,7 +255,20 @@ def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
     kw = {}
     if args.cache_min_rows is not None:
         kw["cache_min_rows"] = args.cache_min_rows
-    out = QC.run(spark, t, spec, **kw)
+    try:
+        out = QC.run(spark, t, spec, **kw)
+    except ValueError:
+        return None  # non-cacheable column set -> direct path
+    # project to the direct path's output schema: serve() emits the
+    # whole mergeable surface (sum/min/max/stddev), but -op avg/count
+    # consumers must see the same columns with or without the flag
+    keep = list(groups)
+    if args.time_rollup:
+        keep.insert(0, "tbucket")
+    keep.append("count")
+    if args.op == "avg":
+        keep += [f"avg_{c}" for c in int_cols]
+    out = out.select(*keep)
     if args.sort:
         from pyspark.sql import functions as F
         out = out.orderBy(F.col(args.sort).asc() if args.sort_asc
@@ -262,9 +282,12 @@ def run_query(spark: SparkSession, args) -> "DataFrame":
 
     t = Table(args.dir, args.table)
     if _cacheable(args):
-        return _run_query_cached(spark, args, t,
-                                 _split(args.group), _split(args.int_cols))
-    if args.distinct_limit and args.distinct_cols and not args.read_log:
+        out = _run_query_cached(spark, args, t,
+                                _split(args.group), _split(args.int_cols))
+        if out is not None:
+            return out
+    if args.distinct_limit and args.distinct_cols and not args.read_log \
+            and not args.str_replaces:
         # true input-limiting early stop over the block files
         # (reference mid-scan abort); filters compile to the same
         # predicate the direct path uses

@@ -1429,11 +1429,17 @@ def q_cached_query(spark, sf):
     are pinned in tests/test_query_cache.py."""
     import tempfile
 
+    import atexit
+    import shutil
+
     from sybil_spark.sources import query_cache as QC
     _conf(spark)
     spec = QC.CacheSpec(group_cols=("event_type",), num_cols=("value",),
                         filters=(("int", "ge", "value", 55.0),))
+    # cleaned at interpreter exit, not here: the returned DataFrame
+    # is lazy and reads the warm partials when the caller collects
     croot = tempfile.mkdtemp(prefix="sybil-qcache-")
+    atexit.register(shutil.rmtree, croot, ignore_errors=True)
     files = [f"{sf}/events.parquet"]
     QC.run(spark, files, spec, croot, cache_min_rows=1)   # cold: populate
     warm = QC.run(spark, files, spec, croot, cache_min_rows=1)

@@ -805,8 +805,20 @@ def distinct_values_early_stop(spark: SparkSession, blocks: list[str],
             df = df.where(predicate)
         rows = (df.select(*cols).distinct()
                   .limit(limit).collect())
+
+        def _hashable(v):
+            # array/set columns collect as Python lists (unhashable);
+            # map columns as dicts — normalize recursively so the
+            # seen-set works for every distinct-able column type
+            if isinstance(v, list):
+                return tuple(_hashable(x) for x in v)
+            if isinstance(v, dict):
+                return tuple(sorted((k, _hashable(x))
+                                    for k, x in v.items()))
+            return v
+
         for r in rows:
-            t = tuple(r)
+            t = tuple(_hashable(v) for v in r)
             if t not in seen_set:
                 seen_set.add(t)
                 seen.append(r)

@@ -121,16 +121,41 @@ def _list_blocks(root: str) -> list[str]:
     return sorted(out)
 
 
+def _block_key(path: str) -> str:
+    """parent-dir/basename — unique within one table for both the
+    flat layout (unique part-file names) and the day-partitioned
+    layout (same basename can recur across day= dirs; the parent
+    disambiguates). Deeper partitioning would need the full
+    relpath — single-level day= is the only layout digest writes."""
+    return os.path.join(os.path.basename(os.path.dirname(path)),
+                        os.path.basename(path))
+
+
 def _block_id(path: str) -> str:
     sz = os.path.getsize(path)
-    return hashlib.sha1(f"{os.path.basename(path)}:{sz}".encode()) \
+    return hashlib.sha1(f"{_block_key(path)}:{sz}".encode()) \
                   .hexdigest()[:16]
 
 
+#: per-process footer-stats cache keyed by (path, size): block files
+#: are immutable once written (digest renames, never rewrites in
+#: place), so a dashboard's repeated queries skip the O(num_blocks)
+#: driver-side footer reads — the reference's block-info cache (C2)
+#: applied to the query-cache planner.
+_FOOTER_CACHE: dict[tuple[str, int], tuple[int, dict]] = {}
+
+
 def _footer_stats(path: str) -> tuple[int, dict]:
-    """(num_rows, {col: (min, max, null_count)}) from the parquet
-    footer only — the zone-map read (reference LoadBlockInfo)."""
+    """(num_rows, {col: (min, max, null_count) | None}) from the
+    parquet footer only — the zone-map read (reference
+    LoadBlockInfo). Every physical column appears as a key; the
+    value is None when any row group lacks min/max stats (such a
+    column can never prove a filter trivial)."""
     import pyarrow.parquet as pq
+    ck = (path, os.path.getsize(path))
+    hit = _FOOTER_CACHE.get(ck)
+    if hit is not None:
+        return hit
     md = pq.ParquetFile(path).metadata
     cols: dict = {}
     for i in range(md.num_columns if md.num_row_groups else 0):
@@ -146,8 +171,8 @@ def _footer_stats(path: str) -> tuple[int, dict]:
             mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
             nulls += st.null_count or 0
-        if ok:
-            cols[name] = (mn, mx, nulls)
+        cols[name] = (mn, mx, nulls) if ok else None
+    _FOOTER_CACHE[ck] = (md.num_rows, cols)
     return md.num_rows, cols
 
 
@@ -246,26 +271,30 @@ def run(spark: SparkSession, source: Table | list[str], spec: CacheSpec,
         for blocks whose key dropped a filter, the drop was proven
         trivially-true, so applying it is a no-op and the persisted
         partial stays valid for any other value of that filter."""
-        df = spark.read.parquet(*files)
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
         if with_bid:
             df = df.withColumn("_path", F.input_file_name())
         if pred is not None:
             df = df.where(pred)
         if with_bid:
-            # basename of the file:// URI -> block id. Small scans
-            # inline a literal map (no join in the plan); big scans
+            # parent/basename of the file:// URI -> block id (the
+            # same key _block_key uses — basename alone collides
+            # across day= partition dirs). Small scans inline a
+            # literal map (no join in the plan); big scans
             # broadcast-join a mapping frame — a 100k-entry literal
             # map would bloat the plan tree and codegen.
-            base = F.element_at(F.split("_path", "/"), -1)
+            segs = F.split("_path", "/")
+            base = F.concat_ws("/", F.element_at(segs, -2),
+                               F.element_at(segs, -1))
             if len(files) <= INLINE_MAP_MAX:
                 bid_map = F.create_map(*[
                     x for b in files
-                    for x in (F.lit(os.path.basename(b)),
+                    for x in (F.lit(_block_key(b)),
                               F.lit(pl.bid_of[b]))])
                 df = df.withColumn("_bid", bid_map[base])
             else:
                 mapping = spark.createDataFrame(
-                    [(os.path.basename(b), pl.bid_of[b]) for b in files],
+                    [(_block_key(b), pl.bid_of[b]) for b in files],
                     schema="_base string, _bid string")
                 df = df.withColumn("_base", base) \
                        .join(F.broadcast(mapping), "_base").drop("_base")
@@ -277,10 +306,32 @@ def run(spark: SparkSession, source: Table | list[str], spec: CacheSpec,
             list(spec.distinct_cols) or None,
             dict(spec.hist_buckets) or None)
 
-    # 1. cached partials: KB-scale parquet, no raw-block IO
-    for b in pl.hits:
-        d = os.path.join(cache_root, pl.key_of[b], f"_bid={pl.bid_of[b]}")
-        parts.append(spark.read.parquet(d))
+    # referenced columns must exist in the block files themselves:
+    # the cache scans leaf parquet files directly, so directory-
+    # derived partition columns (day=) are not visible here — fail
+    # loudly up front (callers fall back to the direct path) instead
+    # of a mid-job AnalysisException or a silent null group.
+    _, cols0 = _footer_stats(blocks[0])
+    referenced = set(spec.group_cols) | set(spec.num_cols) \
+        | set(spec.distinct_cols) | {c for c, _w in spec.hist_buckets} \
+        | {c for _k, _o, c, _v in spec.filters} \
+        | ({spec.time_col} if spec.time_col else set())
+    missing_cols = referenced - set(cols0)
+    if missing_cols:
+        raise ValueError(
+            f"columns {sorted(missing_cols)} not present in block files "
+            "(partition-dir columns are not cacheable); use the direct "
+            "query path")
+
+    # 1. cached partials: KB-scale parquet, no raw-block IO. ONE
+    # multi-path relation for all hits (they share the spec's partial
+    # schema) — a per-dir relation chained through unions would grow
+    # the logical plan linearly with block count, the very plan-size
+    # hazard INLINE_MAP_MAX bounds on the compute side.
+    hit_dirs = [os.path.join(cache_root, pl.key_of[b],
+                             f"_bid={pl.bid_of[b]}") for b in pl.hits]
+    if hit_dirs:
+        parts.append(spark.read.parquet(*hit_dirs))
 
     # 2. missed blocks: ONE scan per key-class computes + persists
     # the partials (distributed write, one partition dir per block;
@@ -322,9 +373,8 @@ def run(spark: SparkSession, source: Table | list[str], spec: CacheSpec,
                 for dst in empties:
                     if not os.path.exists(dst):
                         empty.write.mode("overwrite").parquet(dst)
-            for b in bs:
-                parts.append(spark.read.parquet(os.path.join(
-                    kdir, f"_bid={pl.bid_of[b]}")))
+            parts.append(spark.read.parquet(*[
+                os.path.join(kdir, f"_bid={pl.bid_of[b]}") for b in bs]))
 
     # 3. below-threshold blocks: computed live, never persisted
     # (reference partial-block rule) — one scan at result time
@@ -356,6 +406,13 @@ def vacuum(source: Table | str, cache_root: str | None = None) -> int:
     for key in os.listdir(cache_root):
         kdir = os.path.join(cache_root, key)
         if not os.path.isdir(kdir):
+            continue
+        if key.startswith("_stage-"):
+            # leftover staging dir from a crashed run — transient by
+            # construction (live runs rmtree their stage immediately
+            # after the rename loop), so reclaim it whole
+            shutil.rmtree(kdir, ignore_errors=True)
+            removed += 1
             continue
         for d in os.listdir(kdir):
             if d.startswith("_bid=") and d[len("_bid="):] not in live:

@@ -267,3 +267,46 @@ def test_broadcast_mapping_branch(spark, blocks, tmp_path, monkeypatch):
     cold = _served(QC.run(spark, blocks, spec, croot, cache_min_rows=1))
     warm = _served(QC.run(spark, blocks, spec, croot, cache_min_rows=1))
     assert cold == warm == _direct(spark, blocks, -1)
+
+
+def test_day_partitioned_same_basename_blocks(spark, tmp_path):
+    """Dynamic-partition writes repeat part-file basenames across
+    day= dirs; the block key/id must disambiguate by parent dir or
+    two blocks share a mapping entry (double-counted partials)."""
+    import glob
+    import shutil as sh
+
+    base = tmp_path / "blocks"
+    for day, off in (("day=2020-01-01", 0), ("day=2020-01-02", 86400)):
+        d = base / day
+        (spark.range(200).select(
+            (F.col("id") + off).alias("t"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 0.5 + off).alias("v"))
+         .coalesce(1).write.parquet(str(d)))
+        f = glob.glob(str(d / "part-*.parquet"))[0]
+        sh.move(f, str(d / "part-00000.parquet"))  # force collision
+
+    files = QC._list_blocks(str(base))
+    assert len(files) == 2
+    assert QC._block_id(files[0]) != QC._block_id(files[1])
+
+    croot = str(tmp_path / "cache")
+    spec = CacheSpec(group_cols=("g",), num_cols=("v",))
+    cold = _served(QC.run(spark, [str(base)], spec, croot,
+                          cache_min_rows=1))
+    warm = _served(QC.run(spark, [str(base)], spec, croot,
+                          cache_min_rows=1))
+    direct = {(r["g"],): (r["n"], float(r["s"]))
+              for r in spark.read.parquet(str(base)).groupBy("g")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+                    .alias("s")).collect()}
+    assert cold == warm == direct
+
+    # a spec referencing the partition-dir column (not in the block
+    # files themselves) is rejected loudly -> CLI falls back direct
+    with pytest.raises(ValueError, match="not present in block files"):
+        QC.run(spark, [str(base)],
+               CacheSpec(group_cols=("day",), num_cols=("v",)),
+               croot, cache_min_rows=1)
