@@ -136,8 +136,13 @@ def serve(roll: DataFrame, group_cols: list[str],
         n = F.sum(f"{c}__n")
         aggs += [
             # try_divide: a group can hold only-null values (n = 0) —
-            # ANSI mode would raise; NULL is the correct answer
-            F.try_divide(s, n).cast("double").alias(f"avg_{c}"),
+            # ANSI mode would raise; NULL is the correct answer.
+            # Divide in DOUBLE after the exact decimal sum (not in
+            # decimal, which rounds at scale 6): this is the same
+            # formula every direct-path avg and SQL oracle uses
+            # (_dsum(x)/count), so rollup- and cache-served averages
+            # are bit-identical to the scan path.
+            F.try_divide(s.cast("double"), n).alias(f"avg_{c}"),
             s.cast("double").alias(f"sum_{c}"),
             F.min(f"{c}__min").alias(f"min_{c}"),
             F.max(f"{c}__max").alias(f"max_{c}"),

@@ -33,8 +33,14 @@ def _direct(events, bucket):
     return {tuple(r[:2]): r for r in
             events.groupBy(b.alias("tbucket"), "event_type")
                   .agg(F.count(F.lit(1)).alias("count"),
+                       # decimal-exact sum, then DOUBLE division —
+                       # the _dsum(x)/count convention every corpus
+                       # oracle and direct-path avg uses; serve()
+                       # must be bit-equal to this, not to a decimal
+                       # division (which rounds at scale 6)
                        (F.sum(F.col("value").cast("decimal(38,6)"))
-                        / F.count("value")).cast("double").alias("avg_value"),
+                        .cast("double")
+                        / F.count("value")).alias("avg_value"),
                        F.min("value").alias("min_value"),
                        F.max("value").alias("max_value"),
                        F.stddev_samp("value").alias("stddev_value"))
