@@ -64,6 +64,7 @@ def digest(spark: SparkSession, table: Table,
     time-range queries prune whole directories before reading a byte
     (PartitionFilters) and trim degenerates to partition drops. Off
     by default to keep small tables flat."""
+    recover_stages(table)
     if not os.path.exists(table.ingest_path):
         return 0
     meta = table.load_meta()
@@ -302,6 +303,7 @@ def compact_blocks(spark: SparkSession, table: Table,
     the next compaction (or digest recovery), never half-deleted in
     place. Returns rows rewritten."""
     import pyarrow.parquet as pq
+    recover_stages(table)
     if not os.path.exists(table.blocks_path):
         return 0
     meta = table.load_meta()
@@ -342,6 +344,43 @@ def compact_blocks(spark: SparkSession, table: Table,
     vacuum(table)
     meta.updated_at = _time.time()
     table.save_meta(meta)
+    return n
+
+
+def recover_stages(table: Table) -> int:
+    """Adopt files stranded in stomache-* staging dirs by a crashed
+    digest/compact_blocks back into the ingest log (the reference
+    re-reads leftover stomache dirs the same way,
+    src/lib/table_ingest.go:106-161). Runs at the start of every
+    digest/compaction, so one lifecycle pass after a crash restores
+    the rows; they re-digest into blocks on that same pass.
+
+    Semantics are AT-LEAST-ONCE: a crash in the narrow window after
+    the block write succeeded but before the stage dir was removed
+    re-ingests rows that already landed (the reference's protocol
+    has the same window). Single lifecycle writer assumed, like
+    every job here — do not run recovery concurrently with a live
+    digest."""
+    if not os.path.isdir(table.path):
+        return 0
+    n = 0
+    for d in sorted(os.listdir(table.path)):
+        if not d.startswith("stomache-"):
+            continue
+        sdir = os.path.join(table.path, d)
+        if not os.path.isdir(sdir):
+            continue
+        os.makedirs(table.ingest_path, exist_ok=True)
+        for f in sorted(os.listdir(sdir)):
+            src = os.path.join(sdir, f)
+            if f.startswith(("_", ".")) or not os.path.isfile(src):
+                # committer markers etc. — not data
+                continue
+            dst = os.path.join(table.ingest_path, f"recovered-{d[9:]}-{f}")
+            if not os.path.exists(dst):
+                os.rename(src, dst)
+                n += 1
+        shutil.rmtree(sdir, ignore_errors=True)
     return n
 
 

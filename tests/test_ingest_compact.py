@@ -361,3 +361,58 @@ def test_top_string_values_in_registry(spark, db, tmp_path):
     assert tv["h0"] == 25 and tv["h1"] == 20
     info = table_info(spark, db, "topvals")
     assert info["column_stats"]["host"]["top_values"]["h0"] == 25
+
+
+def test_crashed_digest_stage_recovered(spark, db, tmp_path):
+    """A digest that crashed after staging the ingest log into a
+    stomache-* dir must not lose rows: the next lifecycle pass
+    adopts the stranded files back into the log and digests them
+    (reference re-reads leftover stomache dirs,
+    table_ingest.go:106-161)."""
+    import shutil
+
+    p = _write_ndjson(tmp_path / "c.ndjson",
+                      [{"host": f"h{i}", "t": i} for i in range(40)])
+    t = Table(db, "crashy")
+    ingest.ingest_json(spark, p, t, ingest.IngestSpec(), time_col="t")
+
+    # simulate the crash: files staged away, no blocks written
+    stage = os.path.join(t.path, "stomache-deadbeef")
+    os.makedirs(stage)
+    for f in os.listdir(t.ingest_path):
+        src = os.path.join(t.ingest_path, f)
+        if f.startswith(("_", ".")):
+            shutil.rmtree(src) if os.path.isdir(src) else os.remove(src)
+        else:
+            os.rename(src, os.path.join(stage, f))
+    assert not any(not f.startswith(("_", "."))
+                   for f in os.listdir(t.ingest_path))
+
+    n = compact.digest(spark, t)
+    assert n == 40
+    assert not any(d.startswith("stomache-") for d in os.listdir(t.path))
+    assert t.read(spark).count() == 40
+
+
+def test_crashed_compact_stage_recovered(spark, db, tmp_path):
+    """Same protocol for compact_blocks: staged-away small BLOCK
+    files stranded by a crash re-enter via the ingest log and are
+    re-digested — no rows vanish from the queryable table."""
+    p = _write_ndjson(tmp_path / "c2.ndjson",
+                      [{"host": f"h{i}", "t": i} for i in range(30)])
+    t = Table(db, "crashy2")
+    ingest.ingest_json(spark, p, t, ingest.IngestSpec(), time_col="t")
+    compact.digest(spark, t)
+    blocks = [f for f in os.listdir(t.blocks_path)
+              if f.endswith(".parquet")]
+    assert blocks
+    # simulate compact_blocks dying after staging one block away
+    stage = os.path.join(t.path, "stomache-cafef00d")
+    os.makedirs(stage)
+    os.rename(os.path.join(t.blocks_path, blocks[0]),
+              os.path.join(stage, blocks[0]))
+
+    recovered = compact.recover_stages(t)
+    assert recovered == 1
+    compact.digest(spark, t)
+    assert t.read(spark).count() == 30
