@@ -310,3 +310,18 @@ def test_day_partitioned_same_basename_blocks(spark, tmp_path):
         QC.run(spark, [str(base)],
                CacheSpec(group_cols=("day",), num_cols=("v",)),
                croot, cache_min_rows=1)
+
+
+def test_warm_run_plan_reads_no_raw_blocks(spark, blocks, tmp_path):
+    """The warm path's PLAN must reference only cache partials — if
+    a raw block path appears in the scan relations, the cache is
+    decorative. (The cold path already proved answers correct.)"""
+    croot = str(tmp_path / "cache")
+    spec = CacheSpec(group_cols=("g",), num_cols=("v",))
+    QC.run(spark, blocks, spec, croot, cache_min_rows=1)
+    warm = QC.run(spark, blocks, spec, croot, cache_min_rows=1)
+    from sybil_spark.plans import inspect as I
+    plan = I.formatted_plan(warm)
+    assert "cache" in plan
+    assert "block0" not in plan and "block1" not in plan \
+        and "block2" not in plan, plan
