@@ -72,8 +72,11 @@ def digest(spark: SparkSession, table: Table,
 
     # Stage the log away first (the reference moves files into a
     # `stomache` dir, table_ingest.go:106-161) so concurrent ingests
-    # appending new files are not lost by the final cleanup.
-    stage = os.path.join(table.path, f"stomache-{uuid.uuid4().hex[:8]}")
+    # appending new files are not lost by the final cleanup. The
+    # `-d-` marks a digest-origin stage: its rows were never counted
+    # into the stats registry (vs `-c-` compact-origin stages, whose
+    # rows were counted by their original digest).
+    stage = os.path.join(table.path, f"stomache-d-{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     moved = False
     for f in os.listdir(table.ingest_path):
@@ -111,8 +114,19 @@ def digest(spark: SparkSession, table: Table,
                .option("compression", compression)
                .partitionBy("day"))
     w.parquet(table.blocks_path)
-    # stats read the staged files again — must run before the cleanup
-    _update_int_info(meta, df, skip_outliers)
+    # stats read the staged files again — must run before the
+    # cleanup. Files recovered from a COMPACT-origin crash were
+    # already counted into the registry by their original digest
+    # (recover_stages names them recovered-counted-*) — excluding
+    # them keeps int_info counts/top-values from double-counting.
+    fresh = [os.path.join(stage, f) for f in os.listdir(stage)
+             if not f.startswith(("_", "."))
+             and "recovered-counted-" not in f]
+    if fresh:
+        _update_int_info(
+            meta,
+            spark.read.option("mergeSchema", "true").parquet(*fresh),
+            skip_outliers)
     shutil.rmtree(stage)
 
     meta.updated_at = _time.time()
@@ -303,7 +317,12 @@ def compact_blocks(spark: SparkSession, table: Table,
     the next compaction (or digest recovery), never half-deleted in
     place. Returns rows rewritten."""
     import pyarrow.parquet as pq
-    recover_stages(table)
+    if recover_stages(table):
+        # adopted files sit in the ingest log; digest them NOW so
+        # rows that were queryable before the crash are queryable
+        # again after this pass (not only after some future digest)
+        digest(spark, table, time_col=time_col, chunk_size=chunk_size,
+               compression=compression)
     if not os.path.exists(table.blocks_path):
         return 0
     meta = table.load_meta()
@@ -321,7 +340,10 @@ def compact_blocks(spark: SparkSession, table: Table,
             smalls.append(p)
     if len(smalls) < 2:
         return 0
-    stage = os.path.join(table.path, f"stomache-{uuid.uuid4().hex[:8]}")
+    # `-c-`: compact-origin stage — these rows were already counted
+    # into the stats registry by their original digest, so a crash
+    # recovery must not re-count them (see recover_stages)
+    stage = os.path.join(table.path, f"stomache-c-{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     for p in smalls:
         os.rename(p, os.path.join(stage, os.path.basename(p)))
@@ -353,14 +375,23 @@ def recover_stages(table: Table) -> int:
     re-reads leftover stomache dirs the same way,
     src/lib/table_ingest.go:106-161). Runs at the start of every
     digest/compaction, so one lifecycle pass after a crash restores
-    the rows; they re-digest into blocks on that same pass.
+    the rows: digest stages them straight back into blocks;
+    compact_blocks triggers an immediate digest for the same effect.
+
+    Files from a compact-origin stage (`stomache-c-*`) are renamed
+    `recovered-counted-*`: their rows were already counted into the
+    stats registry by their original digest, and the re-digest skips
+    them when updating int_info — counts and top-values stay exact.
 
     Semantics are AT-LEAST-ONCE: a crash in the narrow window after
     the block write succeeded but before the stage dir was removed
     re-ingests rows that already landed (the reference's protocol
     has the same window). Single lifecycle writer assumed, like
-    every job here — do not run recovery concurrently with a live
-    digest."""
+    every job here (the reference serializes with pid lock files,
+    table_lock.go); defensively, a stage dir is only removed once
+    empty — a file that appears after the adoption loop (a live
+    writer racing this recovery, against the contract) is left in
+    place for the next pass rather than deleted."""
     if not os.path.isdir(table.path):
         return 0
     n = 0
@@ -370,17 +401,27 @@ def recover_stages(table: Table) -> int:
         sdir = os.path.join(table.path, d)
         if not os.path.isdir(sdir):
             continue
+        counted = d.startswith("stomache-c-")
+        prefix = "recovered-counted-" if counted else "recovered-"
         os.makedirs(table.ingest_path, exist_ok=True)
         for f in sorted(os.listdir(sdir)):
             src = os.path.join(sdir, f)
-            if f.startswith(("_", ".")) or not os.path.isfile(src):
-                # committer markers etc. — not data
+            if f.startswith(("_", ".")):
+                # committer markers etc. — not data; drop so they
+                # can't hold the dir non-empty forever
+                shutil.rmtree(src) if os.path.isdir(src) \
+                    else os.remove(src)
                 continue
-            dst = os.path.join(table.ingest_path, f"recovered-{d[9:]}-{f}")
+            if not os.path.isfile(src):
+                continue
+            dst = os.path.join(table.ingest_path, f"{prefix}{d[9:]}-{f}")
             if not os.path.exists(dst):
                 os.rename(src, dst)
                 n += 1
-        shutil.rmtree(sdir, ignore_errors=True)
+        try:
+            os.rmdir(sdir)  # only when empty — see docstring
+        except OSError:
+            pass
     return n
 
 

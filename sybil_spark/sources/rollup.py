@@ -146,9 +146,18 @@ def serve(roll: DataFrame, group_cols: list[str],
             s.cast("double").alias(f"sum_{c}"),
             F.min(f"{c}__min").alias(f"min_{c}"),
             F.max(f"{c}__max").alias(f"max_{c}"),
-            # unbiased sample stddev from mergeable moments
-            F.sqrt(F.try_divide((ss - F.try_divide(s * s, n)).cast("double"),
-                                (n - 1).cast("double")))
+            # unbiased sample stddev from mergeable moments. The
+            # m2 arithmetic runs in DOUBLE: a decimal s*s would
+            # overflow decimal(38,6)'s cap once |s| ~ 1e16 (1e9 rows
+            # of ~1e7 values — realistic at the 100 TB target),
+            # raising under ANSI mode; double trades last-ulp
+            # exactness (tests compare stddev at rel 1e-6) for
+            # unconditional availability
+            F.sqrt(F.try_divide(
+                ss.cast("double")
+                - F.try_divide(s.cast("double") * s.cast("double"),
+                               n.cast("double")),
+                (n - 1).cast("double")))
              .alias(f"stddev_{c}"),
         ]
     if distinct:

@@ -406,8 +406,11 @@ def test_crashed_compact_stage_recovered(spark, db, tmp_path):
     blocks = [f for f in os.listdir(t.blocks_path)
               if f.endswith(".parquet")]
     assert blocks
+    count_before = t.load_meta().int_info["t"]["count"]
     # simulate compact_blocks dying after staging one block away
-    stage = os.path.join(t.path, "stomache-cafef00d")
+    # (compact-origin stage name: its rows are already in the stats
+    # registry and must not be re-counted by the recovery digest)
+    stage = os.path.join(t.path, "stomache-c-cafef00d")
     os.makedirs(stage)
     os.rename(os.path.join(t.blocks_path, blocks[0]),
               os.path.join(stage, blocks[0]))
@@ -416,3 +419,6 @@ def test_crashed_compact_stage_recovered(spark, db, tmp_path):
     assert recovered == 1
     compact.digest(spark, t)
     assert t.read(spark).count() == 30
+    # registry counts unchanged: recovered-counted-* files are
+    # excluded from the re-digest's stats update
+    assert t.load_meta().int_info["t"]["count"] == count_before

@@ -68,9 +68,11 @@ def test_serve_coarser_bucket_matches_direct(events, roll):
 def test_serve_global_group_drop(events, roll):
     s = R.serve(roll, [], ["value"]).collect()[0]
     assert s["count"] == events.count()
+    # _dsum(x)/count convention: exact decimal sum, DOUBLE division
+    # (decimal division would round at scale 6 — not what serve does)
     exact = events.agg(
-        (F.sum(F.col("value").cast("decimal(38,6)")) / F.count("value"))
-        .cast("double")).collect()[0][0]
+        (F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+         / F.count("value"))).collect()[0][0]
     assert s["avg_value"] == exact
 
 
