@@ -2086,6 +2086,185 @@ def q_weighted_hist_summary(spark, sf):
 
 
 # ===========================================================================
+# 5b. Event-analytics extensions (windowed, funnel, cohort) + more
+#     TPC-H shapes — the dashboard queries sybil's snorkel frontend
+#     asks of event data, plus join/correlation shapes the TPC-H
+#     family didn't yet cover.
+# ===========================================================================
+
+@_q("moving_avg", f"""
+    select user_id, event_id,
+           cast(sum(cast(value as {_DEC})) over w as double)
+             / count(value) over w as mavg
+    from {EV}
+    window w as (partition by user_id order by time, event_id
+                 rows between 3 preceding and current row)""")
+def q_moving_avg(spark, sf):
+    """Sliding-frame window aggregate (4-event moving average per
+    user). The frame sum runs in decimal so both engines' frame
+    evaluation strategies (Spark re-accumulates per frame; DuckDB
+    may use segment trees) produce bit-identical sums regardless of
+    summation order; the divide happens once, in double."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("time", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    ev = _events(spark, sf)
+    return ev.select(
+        "user_id", "event_id",
+        (F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+         / F.count("value").over(w)).alias("mavg"))
+
+
+@_q("funnel", f"""
+    with v as (select user_id, min(time) as t1 from {EV}
+               where event_type = 'view' group by 1),
+    c as (select e.user_id, min(e.time) as t2 from {EV} e
+          join v on e.user_id = v.user_id and e.time > v.t1
+          where e.event_type = 'click' group by 1),
+    p as (select e.user_id, min(e.time) as t3 from {EV} e
+          join c on e.user_id = c.user_id and e.time > c.t2
+          where e.event_type = 'purchase' group by 1)
+    select cast((select count(*) from v) as bigint) as step_view,
+           cast((select count(*) from c) as bigint) as step_click,
+           cast((select count(*) from p) as bigint) as step_purchase""")
+def q_funnel(spark, sf):
+    """Ordered 3-step funnel (view -> later click -> later
+    purchase): each stage is a min-time aggregate joined on a
+    strict-inequality residual over the previous stage's
+    timestamps. Counts merged join-free (union + null-skipping agg,
+    same no-cartesian discipline as pack_batches)."""
+    ev = _events(spark, sf)
+
+    def stage(etype, prev=None, tcol=None):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("time") > F.col(tcol))
+        return e.groupBy("user_id").agg(F.min("time").alias(f"t_{etype}"))
+
+    v = stage("view")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    counts = [v.agg(F.count(F.lit(1)).alias("step_view")),
+              c.agg(F.count(F.lit(1)).alias("step_click")),
+              p.agg(F.count(F.lit(1)).alias("step_purchase"))]
+    merged = counts[0]
+    for x in counts[1:]:
+        merged = merged.unionByName(x, allowMissingColumns=True)
+    return merged.agg(F.max("step_view").alias("step_view"),
+                      F.max("step_click").alias("step_click"),
+                      F.max("step_purchase").alias("step_purchase"))
+
+
+@_q("retention", f"""
+    with f as (select user_id, min(time) // 604800 as w0
+               from {EV} group by 1),
+    a as (select distinct e.user_id,
+                 e.time // 604800 - f.w0 as weeks_since_first
+          from {EV} e join f on e.user_id = f.user_id)
+    select weeks_since_first, count(*) as users
+    from a group by 1 order by 1""")
+def q_retention(spark, sf):
+    """Cohort retention: per user, weeks-since-first-activity; per
+    offset, how many users were active. One agg for the cohort
+    anchor (broadcastable — one row per user), a co-partitioned
+    join back, distinct, count. Times are positive so integer `div`
+    equals the oracle's floor `//`."""
+    ev = _events(spark, sf)
+    f0 = ev.groupBy("user_id").agg(
+        F.expr("min(time) div 604800").alias("w0"))
+    a = (ev.join(f0, "user_id")
+           .select("user_id",
+                   (F.expr("time div 604800") - F.col("w0"))
+                   .alias("weeks_since_first"))
+           .distinct())
+    return (a.groupBy("weeks_since_first")
+             .agg(F.count(F.lit(1)).alias("users"))
+             .orderBy("weeks_since_first"))
+
+
+@_q("tpch_q13", """
+    select c_count, count(*) as custdist from (
+      select c_custkey, count(o_orderkey) as c_count
+      from customer left outer join orders
+        on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+      group by c_custkey) cc
+    group by 1 order by custdist desc, c_count desc""")
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join with an ON-clause residual (customers with no
+    qualifying orders count 0, not dropped), then a second-level
+    aggregation over the first's results."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    cc = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (cc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+              .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@_q("tpch_q17", f"""
+    with a as (
+      select l_partkey,
+             0.2 * (cast(sum(cast(l_quantity as {_DEC})) as double)
+                    / count(l_quantity)) as lim
+      from lineitem group by 1)
+    select {_dsum('l_extendedprice')} / 7.0 as avg_yearly
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    join a on a.l_partkey = l.l_partkey
+    where p.p_brand = 'Brand#13' and l.l_quantity < a.lim""")
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated
+    per-part average threshold decorrelated into an aggregate +
+    equi-join; the threshold uses the decimal-sum/double-divide
+    convention so both engines compare against the identical
+    double."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#13")
+    a = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum(F.col("l_quantity").cast(_DEC))
+                       .cast("double") / F.count("l_quantity")))
+        .alias("lim"))
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+           .join(a, "l_partkey")
+           .where(F.col("l_quantity") < F.col("lim")))
+    return j.agg((F.sum(F.col("l_extendedprice").cast(_DEC))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly"))
+
+
+@_q("tpch_q19", f"""
+    select {_dsum('l_extendedprice * (1 - l_discount)')} as revenue
+    from lineitem join part on p_partkey = l_partkey
+    where (p_brand = 'Brand#12' and p_size between 1 and 5
+           and l_quantity between 1 and 11)
+       or (p_brand = 'Brand#23' and p_size between 1 and 10
+           and l_quantity between 10 and 20)
+       or (p_brand = 'Brand#34' and p_size between 1 and 15
+           and l_quantity between 20 and 30)""")
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape (OR-of-ANDs over both join sides): the
+    disjunction spans part AND lineitem columns, so it can only
+    apply post-join — the per-side prunable parts (brand/size on
+    part) still push into the dim scan via the OR's common terms."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+
+    def arm(brand, smax, qlo, qhi):
+        return ((F.col("p_brand") == brand)
+                & F.col("p_size").between(1, smax)
+                & F.col("l_quantity").between(qlo, qhi))
+
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (j.where(arm("Brand#12", 5, 1, 11)
+                    | arm("Brand#23", 10, 10, 20)
+                    | arm("Brand#34", 15, 20, 30))
+             .agg(F.sum(disc.cast(_DEC)).cast("double").alias("revenue")))
+
+
+# ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
 # The grading driver checks queries in registration order and records at
@@ -2102,10 +2281,13 @@ _DRIVER_FIRST = [
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
     # ...and the round-5 brand-new queries (C1 cache; TPC-H semi/
-    # anti/conditional join shapes; multimodal frame fan-out), plus
-    # the two whose implementation changed this round (batch-assign
+    # anti/outer/correlated/disjunctive join shapes; multimodal frame
+    # fan-out; windowed/funnel/cohort event analytics), plus the two
+    # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
+    "moving_avg", "funnel", "retention",
+    "tpch_q13", "tpch_q17", "tpch_q19",
     "ivf_topk", "distinct_limit",
     # (b) The 26 queries whose latest green row dates from r3 —
     # dedup/tpch/text families predating the r4 shingle-sharing
@@ -2122,9 +2304,9 @@ _DRIVER_FIRST = [
     "tpch_q18", "weighted_loghist", "weighted_stddev_sum",
     # (c) events-family representatives (the time derivation went
     # integer-floor in both layouts; any events query exercises the
-    # shared _events() path).
-    "count", "time_avg", "time_hist", "time_filter_aligned",
-    "sessionize", "asof_join",
+    # shared _events() path — moving_avg/funnel/retention above also
+    # route through it).
+    "count", "time_avg",
 ]
 
 
