@@ -309,3 +309,25 @@ def test_distinct_limit_early_exit_plans(spark, events):
     assert "TakeOrderedAndProject" in p_det, p_det
     # the distinct aggregate underneath stays a hash aggregate
     assert "HashAggregate" in p_det
+
+
+def test_event_analytics_plan_shapes(spark, sf_dir):
+    """Scale shapes of the round-5 analytics family: the moving
+    average pays exactly ONE shuffle (window partitioning); cohort
+    retention joins its one-row-per-user anchor WITHOUT a broadcast
+    explosion of raw events (anchor join + distinct + count bounded
+    at 3 shuffles); the funnel's stage frames (<= |users| rows)
+    broadcast into the event scans."""
+    from sybil_spark.corpus import QUERIES
+    mavg = QUERIES["moving_avg"](spark, sf_dir)
+    assert I.shuffle_exchange_count(mavg) == 1, I.formatted_plan(mavg)
+
+    # retention: anchor agg, join-back, distinct, offset agg, output
+    # sort — five shuffles, but each over strictly shrinking data
+    # (events -> per-user -> per-(user,week) -> per-week); the bound
+    # pins that no stage re-shuffles the RAW events twice
+    ret = QUERIES["retention"](spark, sf_dir)
+    assert I.shuffle_exchange_count(ret) <= 5, I.formatted_plan(ret)
+
+    fun = QUERIES["funnel"](spark, sf_dir)
+    assert I.broadcast_join_count(fun) >= 2, I.formatted_plan(fun)
