@@ -208,3 +208,43 @@ def test_cli_distinct_limit_early_stop(capsys, spark, db):
     vals = [r["ping"] for r in rows]
     assert len(vals) == len(set(vals)) == 7
     assert all(v > 45 for v in vals)
+
+
+def test_cli_cached_query_day_partitioned(capsys, spark, tmp_path):
+    """-cache-queries over the day-partitioned 100TB layout: block
+    files live under day= dirs (colliding basenames), answers still
+    match the direct path, and a filter on the partition column
+    falls back to the direct path instead of failing."""
+    import json as _json
+    import os
+
+    d = tmp_path / "dp"
+    src = d / "e.ndjson"
+    os.makedirs(d)
+    with open(src, "w") as f:
+        for i in range(300):
+            f.write(_json.dumps({
+                "host": f"h{i % 3}", "ping": 40 + i % 20,
+                "time": 1_700_000_000 + i * 600}) + "\n")
+    db_dir = str(d / "db")
+    assert main(["ingest", "-dir", db_dir, "-table", "dp",
+                 "-time-col", "time", str(src)], spark=spark) == 0
+    assert main(["digest", "-dir", db_dir, "-table", "dp",
+                 "-day-partitions"], spark=spark) == 0
+
+    base = ["query", "-dir", db_dir, "-table", "dp",
+            "-group", "host", "-int", "ping", "-op", "avg",
+            "-int-filter", "time:gt:1700050000"]
+    direct = _run_json(capsys, spark, base)
+    cached = _run_json(capsys, spark,
+                       base + ["-cache-queries", "-cache-min-rows", "1"])
+    key = lambda rows: sorted(  # noqa: E731
+        (r["host"], r["count"], round(r["avg_ping"], 5)) for r in rows)
+    assert key(cached) == key(direct)
+
+    # partition-column filter: cached path refuses -> direct fallback
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db_dir, "-table", "dp",
+                      "-group", "day", "-cache-queries",
+                      "-cache-min-rows", "1"])
+    assert sum(r["count"] for r in rows) == 300
