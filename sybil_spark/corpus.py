@@ -2264,6 +2264,49 @@ def q_tpch_q19(spark, sf):
              .agg(F.sum(disc.cast(_DEC)).cast("double").alias("revenue")))
 
 
+@_q("tpch_q22", f"""
+    with pos as (
+      select cast(sum(cast(c_acctbal as {_DEC})) as double)
+               / count(c_acctbal) as avg_bal
+      from customer where c_acctbal > 0.0)
+    select n.n_name, cast(count(*) as bigint) as numcust,
+           {_dsum('c.c_acctbal')} as totacctbal
+    from customer c
+    join nation n on n.n_nationkey = c.c_nationkey, pos
+    where c.c_acctbal > pos.avg_bal
+      and not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_orderpriority = '1-URGENT')
+    group by 1 order by 1""")
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (rich customers with no URGENT order — at
+    this SF every customer has SOME order, so the urgency predicate
+    keeps the anti-join result non-trivial): scalar
+    above-average threshold (decimal-sum/double-divide so both
+    engines compare the identical double) + NOT EXISTS -> left-anti
+    join on the fact, nation dim broadcast. The anti join's build
+    side is the distinct custkey projection, not order rows."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = (_t(spark, sf, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+                .agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                      / F.count("c_acctbal")).alias("avg_bal"))
+                .first()[0])
+    rich = (c.where(F.col("c_acctbal") > avg_bal)
+             .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                   "left_anti")
+             .join(F.broadcast(n),
+                   F.col("n_nationkey") == F.col("c_nationkey")))
+    return (rich.groupBy("n_name")
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                      .alias("totacctbal"))
+                .orderBy("n_name"))
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -2287,7 +2330,7 @@ _DRIVER_FIRST = [
     # rationale; NULL-sentinel tie):
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention",
-    "tpch_q13", "tpch_q17", "tpch_q19",
+    "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q22",
     "ivf_topk", "distinct_limit",
     # (b) The 26 queries whose latest green row dates from r3 —
     # dedup/tpch/text families predating the r4 shingle-sharing
