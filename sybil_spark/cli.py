@@ -134,6 +134,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-distinct", default="", dest="distinct_cols")
 
     sp = sub.add_parser(
+        "rollup-refresh",
+        help="incrementally fold NEW blocks into a rollup dir "
+             "(manifest-tracked; per-refresh cost proportional to "
+             "new data — the continuous dashboard loop)")
+    common(sp)
+    sp.add_argument("-out", required=True, help="rollup dir")
+    sp.add_argument("-time-col", default="time", dest="time_col")
+    sp.add_argument("-bucket", type=int, default=60)
+    sp.add_argument("-group", default="")
+    sp.add_argument("-int", default="", dest="int_cols")
+    sp.add_argument("-distinct", default="", dest="distinct_cols")
+
+    sp = sub.add_parser(
         "rollup-compact",
         help="fold incrementally-appended rollup partials (stays "
              "mergeable; see sources/rollup.compact_rollup)")
@@ -397,6 +410,15 @@ def main(argv: list[str] | None = None,
                                   _split(args.distinct_cols) or None)
             R.write_rollup(roll, args.out)
             print(f"rollup written to {args.out}")
+        elif args.cmd == "rollup-refresh":
+            from sybil_spark.sources import rollup as R
+            t = Table(args.dir, args.table)
+            n = R.refresh_rollup(spark, t.blocks_path, args.out,
+                                 args.time_col, args.bucket,
+                                 _split(args.group),
+                                 _split(args.int_cols),
+                                 _split(args.distinct_cols) or None)
+            print(f"refreshed {n} new blocks into {args.out}")
         elif args.cmd == "rollup-compact":
             from sybil_spark.sources import rollup as R
             n = R.compact_rollup(spark, args.rollup, _split(args.group),

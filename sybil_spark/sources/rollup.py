@@ -264,3 +264,50 @@ def compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
+                   time_col: str, bucket_s: int,
+                   group_cols: list[str], num_cols: list[str],
+                   distinct_cols: list[str] | None = None,
+                   hist_buckets: dict[str, float] | None = None) -> int:
+    """Incrementally maintain a rollup: aggregate ONLY the table's
+    blocks that no previous refresh has processed and append their
+    partials (everything in the rollup is mergeable, so append IS
+    the merge — serve() finalizes across refreshes; run
+    compact_rollup periodically to fold the accumulated partials).
+
+    Processed blocks are tracked in `<path>/_manifest.json` by
+    content-stable block id (sources/query_cache._block_id —
+    parent/basename + size), so rewritten blocks count as new and a
+    digest between refreshes costs one incremental pass over just
+    the new data. This is the 100 TB dashboard loop: ingest →
+    digest → refresh_rollup → serve, with per-refresh cost
+    proportional to NEW data, never the table.
+
+    Returns the number of newly processed blocks."""
+    import json
+    import os
+
+    from sybil_spark.sources.query_cache import _block_id, _list_blocks
+
+    manifest_p = os.path.join(path, "_manifest.json")
+    seen: set[str] = set()
+    if os.path.exists(manifest_p):
+        with open(manifest_p) as f:
+            seen = set(json.load(f)["blocks"])
+    blocks = _list_blocks(blocks_root)
+    new = [b for b in blocks if _block_id(b) not in seen]
+    if not new:
+        return 0
+    df = spark.read.option("mergeSchema", "true").parquet(*new)
+    roll = build_rollup(df, time_col, bucket_s, group_cols, num_cols,
+                        distinct_cols, hist_buckets)
+    (roll.withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
+         .write.mode("append").partitionBy("__day").parquet(path))
+    seen |= {_block_id(b) for b in new}
+    tmp = manifest_p + ".partial"
+    with open(tmp, "w") as f:
+        json.dump({"blocks": sorted(seen)}, f)
+    os.replace(tmp, manifest_p)
+    return len(new)

@@ -248,3 +248,32 @@ def test_cli_cached_query_day_partitioned(capsys, spark, tmp_path):
                       "-group", "day", "-cache-queries",
                       "-cache-min-rows", "1"])
     assert sum(r["count"] for r in rows) == 300
+
+
+def test_cli_rollup_refresh(spark, tmp_path, capsys):
+    """ingest -> digest -> rollup-refresh (new blocks only) ->
+    rollup-serve: the CLI dashboard loop."""
+    import json as _json
+    db = str(tmp_path / "db")
+    src = str(tmp_path / "rr.ndjson")
+    with open(src, "w") as f:
+        for i in range(60):
+            f.write(_json.dumps({"host": f"h{i % 2}", "ping": 10 + i,
+                                 "time": 1_700_000_000 + i * 40}) + "\n")
+    assert main(["ingest", "-dir", db, "-table", "rr", "-time-col",
+                 "time", src], spark) == 0
+    assert main(["digest", "-dir", db, "-table", "rr"], spark) == 0
+    roll = str(tmp_path / "roll")
+    assert main(["rollup-refresh", "-dir", db, "-table", "rr",
+                 "-out", roll, "-bucket", "60", "-group", "host",
+                 "-int", "ping"], spark) == 0
+    assert "refreshed 1 new blocks" in capsys.readouterr().out
+    # second refresh: nothing new
+    assert main(["rollup-refresh", "-dir", db, "-table", "rr",
+                 "-out", roll, "-bucket", "60", "-group", "host",
+                 "-int", "ping"], spark) == 0
+    assert "refreshed 0 new blocks" in capsys.readouterr().out
+    assert main(["rollup-serve", "-rollup", roll, "-group", "host",
+                 "-int", "ping", "-json"], spark) == 0
+    rows = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["count"] for r in rows) == 60

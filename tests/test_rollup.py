@@ -192,3 +192,56 @@ def test_rollup_negative_times_match_direct_scan(spark):
               (Query.table(d).time_col("t", 3600).limit(None)
                .execute(spark).collect())}
     assert served == direct
+
+
+def test_refresh_rollup_incremental(spark, tmp_path):
+    """ingest -> digest -> refresh -> serve loop: each refresh
+    processes ONLY new blocks (manifest-tracked), appended partials
+    merge exactly, and the served answer always equals a direct
+    scan of everything so far."""
+    from pyspark.sql import functions as F
+
+    blocks = str(tmp_path / "blocks")
+    roll_dir = str(tmp_path / "roll")
+
+    def add_block(i):
+        (spark.range(200).select(
+            (F.col("id") * 30 + i * 6000).alias("time"),
+            (F.col("id") % 2).cast("string").alias("host"),
+            (F.col("id") * 1.0 + i).alias("ping"))
+         .coalesce(1).write.mode("append").parquet(blocks))
+
+    def direct():
+        return {(r["tbucket"], r["host"]): (r["n"], float(r["s"]))
+                for r in spark.read.parquet(blocks)
+                .groupBy((F.col("time") - F.col("time") % 3600)
+                         .alias("tbucket"), "host")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("ping").cast("decimal(38,6)"))
+                      .cast("double").alias("s")).collect()}
+
+    def served():
+        return {(r["tbucket"], r["host"]): (r["count"],
+                                            float(r["sum_ping"]))
+                for r in R.serve(R.read_rollup(spark, roll_dir),
+                                 ["host"], ["ping"],
+                                 bucket_s=3600).collect()}
+
+    add_block(0)
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 1
+    assert served() == direct()
+
+    add_block(1)
+    add_block(2)
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 2   # only the new
+    assert served() == direct()
+
+    # no new blocks -> no work
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 0
+
+    # compaction folds the appended partials; answers unchanged
+    R.compact_rollup(spark, roll_dir, ["host"], ["ping"])
+    assert served() == direct()
