@@ -2264,6 +2264,70 @@ def q_tpch_q19(spark, sf):
              .agg(F.sum(disc.cast(_DEC)).cast("double").alias("revenue")))
 
 
+@_q("lag_delta", f"""
+    select user_id, event_id,
+           value - lag(value) over (partition by user_id
+                                    order by time, event_id) as delta
+    from {EV}""")
+def q_lag_delta(spark, sf):
+    """Offset window function (event-over-event value delta per
+    user): lag over a (time, event_id)-ordered frame — event_id
+    breaks timestamp ties so both engines see one total order. A
+    single double subtraction per row, no accumulation, so the
+    values are bit-exact without decimal staging."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("time", "event_id")
+    ev = _events(spark, sf)
+    return ev.select("user_id", "event_id",
+                     (F.col("value") - F.lag("value").over(w))
+                     .alias("delta"))
+
+
+@_q("tpch_q21", """
+    with late as (
+      select distinct l.l_orderkey, l.l_suppkey
+      from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+      where l.l_shipdate > o.o_orderdate + interval 60 day),
+    multi as (
+      select l_orderkey from lineitem
+      group by 1 having count(distinct l_suppkey) > 1),
+    sole as (
+      select l_orderkey, min(l_suppkey) as l_suppkey
+      from late join multi using (l_orderkey)
+      group by l_orderkey having count(*) = 1)
+    select s.s_name, cast(count(*) as bigint) as numwait
+    from sole join supplier s on s.s_suppkey = sole.l_suppkey
+    group by 1 order by numwait desc, s_name asc limit 10""")
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting — sole late supplier per order; shipdate-vs-orderdate+60d
+    stands in for the receipt/commit columns this dataset lacks).
+    The EXISTS/NOT-EXISTS pair decorrelates into a distinct-count
+    HAVING semi-filter plus a late-count=1 group filter — joins and
+    aggregates only, no correlated subplan per row."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    late = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+              .where(F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("interval 60 days"))
+              .select("l_orderkey", "l_suppkey").distinct())
+    multi = (li.groupBy("l_orderkey")
+               .agg(F.count_distinct("l_suppkey").alias("ns"))
+               .where(F.col("ns") > 1).select("l_orderkey"))
+    sole = (late.join(multi, "l_orderkey")
+                .groupBy("l_orderkey")
+                .agg(F.count(F.lit(1)).alias("nl"),
+                     F.min("l_suppkey").alias("l_suppkey"))
+                .where(F.col("nl") == 1))
+    return (sole.join(F.broadcast(s),
+                      F.col("s_suppkey") == F.col("l_suppkey"))
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+                .orderBy(F.desc("numwait"), F.asc("s_name"))
+                .limit(10))
+
+
 @_q("tpch_q22", f"""
     with pos as (
       select cast(sum(cast(c_acctbal as {_DEC})) as double)
@@ -2329,8 +2393,8 @@ _DRIVER_FIRST = [
     # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
-    "moving_avg", "funnel", "retention",
-    "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q22",
+    "moving_avg", "funnel", "retention", "lag_delta",
+    "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     "ivf_topk", "distinct_limit",
     # (b) The 26 queries whose latest green row dates from r3 —
     # dedup/tpch/text families predating the r4 shingle-sharing
