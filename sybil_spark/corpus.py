@@ -1050,6 +1050,21 @@ def q_rollup_counts(spark, sf):
             .agg(F.count(F.lit(1)).alias("count")))
 
 
+@_q("cube_counts", f"""
+    select event_type, user_id, count(*) as count,
+           {_dsum('value')} as sum_value
+    from {EV} group by cube(event_type, user_id)""")
+def q_cube_counts(spark, sf):
+    """Full CUBE grouping sets (all four groupings in one pass —
+    Spark expands to a single Expand+aggregate, one shuffle), the
+    companion of rollup_counts. Decimal sums keep every subtotal
+    level bit-exact."""
+    return (_events(spark, sf).cube("event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double")
+                  .alias("sum_value")))
+
+
 @_q("icc", f"""
     with g as (
       select event_type, count(value) as n_j,
@@ -2393,7 +2408,7 @@ _DRIVER_FIRST = [
     # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
-    "moving_avg", "funnel", "retention", "lag_delta",
+    "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     "ivf_topk", "distinct_limit",
     # (b) The 26 queries whose latest green row dates from r3 —
