@@ -2182,14 +2182,16 @@ def q_retention(spark, sf):
     """Cohort retention: per user, weeks-since-first-activity; per
     offset, how many users were active. One agg for the cohort
     anchor (broadcastable — one row per user), a co-partitioned
-    join back, distinct, count. Times are positive so integer `div`
-    equals the oracle's floor `//`."""
-    ev = _events(spark, sf)
-    f0 = ev.groupBy("user_id").agg(
-        F.expr("min(time) div 604800").alias("w0"))
+    join back, distinct, count. Week derivation is FLOOR division
+    ((t - pmod) div), matching the oracle's `//` for negative
+    (pre-1970) times too — same rule as _events; min commutes with
+    the monotone floor-div, so min-of-weeks == week-of-min."""
+    ev = _events(spark, sf).withColumn(
+        "wk", F.expr("(time - pmod(time, 604800)) div 604800"))
+    f0 = ev.groupBy("user_id").agg(F.min("wk").alias("w0"))
     a = (ev.join(f0, "user_id")
            .select("user_id",
-                   (F.expr("time div 604800") - F.col("w0"))
+                   (F.col("wk") - F.col("w0"))
                    .alias("weeks_since_first"))
            .distinct())
     return (a.groupBy("weeks_since_first")

@@ -94,16 +94,23 @@ def build_rollup(df: DataFrame, time_col: str | None, bucket_s: int | None,
     return out
 
 
-def write_rollup(roll: DataFrame, path: str) -> None:
-    """Persist partitioned by day so retention (trim) and incremental
-    refresh are partition drops/appends, and time-range queries prune
-    partitions before reading a byte."""
+def write_rollup(roll: DataFrame, path: str, mode: str = "overwrite",
+                 inc: str = "base") -> None:
+    """Persist partitioned by (day, increment) so retention (trim)
+    and incremental refresh are partition drops/appends, and
+    time-range queries prune partitions before reading a byte. The
+    `__inc` level exists so refresh_rollup's increments are
+    individually addressable (its exactly-once recovery deletes a
+    half-committed increment's dirs); a plain build writes one
+    `__inc=base` level — every writer uses the same depth, which
+    Spark's partition discovery requires."""
     (roll.withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
-         .write.mode("overwrite").partitionBy("__day").parquet(path))
+         .withColumn("__inc", F.lit(inc))
+         .write.mode(mode).partitionBy("__day", "__inc").parquet(path))
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("__day")
+    return spark.read.parquet(path).drop("__day", "__inc")
 
 
 def serve(roll: DataFrame, group_cols: list[str],
@@ -258,12 +265,32 @@ def compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
                             num_cols, distinct, hist_cols)
     tmp = f"{path}__compact-{uuid.uuid4().hex[:8]}"
     write_rollup(merged, tmp)
+    # the refresh manifest must survive compaction, or the next
+    # refresh_rollup would see an un-manifested dir and re-aggregate
+    # every block on top of the folded partials
+    if os.path.exists(_manifest_path(path)):
+        shutil.copy(_manifest_path(path), _manifest_path(tmp))
     n = spark.read.parquet(tmp).count()
     old = f"{path}__old-{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def _manifest_path(path: str) -> str:
+    import os
+    return os.path.join(path, "_manifest.json")
+
+
+def _save_manifest(path: str, man: dict) -> None:
+    import json
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".partial"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, path)
 
 
 def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
@@ -275,39 +302,98 @@ def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
     blocks that no previous refresh has processed and append their
     partials (everything in the rollup is mergeable, so append IS
     the merge — serve() finalizes across refreshes; run
-    compact_rollup periodically to fold the accumulated partials).
+    compact_rollup periodically to fold the accumulated partials;
+    it preserves the manifest).
 
     Processed blocks are tracked in `<path>/_manifest.json` by
-    content-stable block id (sources/query_cache._block_id —
-    parent/basename + size), so rewritten blocks count as new and a
-    digest between refreshes costs one incremental pass over just
-    the new data. This is the 100 TB dashboard loop: ingest →
-    digest → refresh_rollup → serve, with per-refresh cost
-    proportional to NEW data, never the table.
+    content-stable block id (sources/query_cache._block_id). This is
+    the 100 TB dashboard loop: ingest → digest → refresh_rollup →
+    serve, with per-refresh cost proportional to NEW data — except
+    after table-block compaction or trim, which REWRITE/REMOVE
+    blocks whose old partials can't be subtracted from an
+    append-only rollup: refresh detects the vanished block ids and
+    falls back to one full rebuild (the rollup mirrors the CURRENT
+    table; keep a standalone build for keep-history-past-trim
+    dashboards).
 
-    Returns the number of newly processed blocks."""
+    Exactly-once increments: the manifest records a PENDING
+    increment id before the append, the appended partials land under
+    their own `__inc=<id>` partition dirs, and the manifest commits
+    afterwards — a crash at any point leaves either a pending record
+    whose partition dirs the next refresh deletes and re-processes,
+    or nothing. No crash window double-counts or drops rows.
+
+    Returns the number of blocks (re)processed."""
+    import glob
     import json
     import os
+    import shutil
+    import uuid
 
     from sybil_spark.sources.query_cache import _block_id, _list_blocks
 
-    manifest_p = os.path.join(path, "_manifest.json")
-    seen: set[str] = set()
+    manifest_p = _manifest_path(path)
+    man: dict = {"blocks": [], "pending": None}
     if os.path.exists(manifest_p):
         with open(manifest_p) as f:
-            seen = set(json.load(f)["blocks"])
+            man = json.load(f)
+    elif os.path.isdir(path) and any(
+            f.startswith("__day=") for f in os.listdir(path)):
+        raise ValueError(
+            f"{path} contains rollup data but no refresh manifest "
+            "(was it written by rollup-build?); refresh into a new "
+            "dir, or rebuild it with rollup-build and keep using "
+            "full builds")
+
+    # crash recovery: a pending increment may be absent, partial, or
+    # fully written but uncommitted — delete its partition dirs and
+    # re-process its blocks (they are still not in man['blocks'])
+    if man.get("pending"):
+        inc = man["pending"]["inc"]
+        for d in glob.glob(os.path.join(path, "__day=*", f"__inc={inc}")):
+            shutil.rmtree(d, ignore_errors=True)
+        man["pending"] = None
+        _save_manifest(manifest_p, man)
+
     blocks = _list_blocks(blocks_root)
-    new = [b for b in blocks if _block_id(b) not in seen]
+    ids = {_block_id(b): b for b in blocks}
+    seen = set(man["blocks"])
+
+    if seen - set(ids):
+        # manifested blocks vanished (compaction rewrote them / trim
+        # removed them): incremental append can't subtract their old
+        # partials — rebuild from the current table, swap atomically
+        df = (spark.read.option("mergeSchema", "true")
+              .option("basePath", blocks_root).parquet(*blocks))
+        roll = build_rollup(df, time_col, bucket_s, group_cols,
+                            num_cols, distinct_cols, hist_buckets)
+        tmp = f"{path}__rebuild-{uuid.uuid4().hex[:8]}"
+        write_rollup(roll, tmp)
+        _save_manifest(_manifest_path(tmp),
+                       {"blocks": sorted(ids), "pending": None})
+        old = f"{path}__old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return len(blocks)
+
+    new = [b for i, b in ids.items() if i not in seen]
     if not new:
         return 0
-    df = spark.read.option("mergeSchema", "true").parquet(*new)
+    inc = uuid.uuid4().hex[:8]
+    man["pending"] = {"inc": inc,
+                      "ids": sorted(_block_id(b) for b in new)}
+    _save_manifest(manifest_p, man)
+
+    # basePath keeps directory-derived partition columns (day=) of
+    # the 100 TB layout visible to the aggregation
+    df = (spark.read.option("mergeSchema", "true")
+          .option("basePath", blocks_root).parquet(*new))
     roll = build_rollup(df, time_col, bucket_s, group_cols, num_cols,
                         distinct_cols, hist_buckets)
-    (roll.withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
-         .write.mode("append").partitionBy("__day").parquet(path))
-    seen |= {_block_id(b) for b in new}
-    tmp = manifest_p + ".partial"
-    with open(tmp, "w") as f:
-        json.dump({"blocks": sorted(seen)}, f)
-    os.replace(tmp, manifest_p)
+    write_rollup(roll, path, mode="append", inc=inc)
+
+    man["blocks"] = sorted(seen | set(man["pending"]["ids"]))
+    man["pending"] = None
+    _save_manifest(manifest_p, man)
     return len(new)

@@ -242,6 +242,100 @@ def test_refresh_rollup_incremental(spark, tmp_path):
     assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
                             ["host"], ["ping"]) == 0
 
-    # compaction folds the appended partials; answers unchanged
+    # compaction folds the appended partials; answers unchanged AND
+    # the manifest survives, so a following refresh is still a no-op
+    # (a lost manifest would re-aggregate everything = 2x counts)
     R.compact_rollup(spark, roll_dir, ["host"], ["ping"])
     assert served() == direct()
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 0
+    assert served() == direct()
+
+
+def test_refresh_rollup_rebuilds_after_block_rewrite(spark, tmp_path):
+    """Table-block compaction/trim invalidates manifested blocks:
+    refresh detects the vanished ids and falls back to a full
+    rebuild instead of silently double-counting (append-only
+    partials can't subtract the stale ones)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    blocks = str(tmp_path / "blocks")
+    roll_dir = str(tmp_path / "roll")
+    for i in range(2):
+        (spark.range(100).select(
+            (F.col("id") * 60 + i * 6000).alias("time"),
+            F.lit("h").alias("host"),
+            (F.col("id") * 1.0).alias("ping"))
+         .coalesce(1).write.mode("append").parquet(blocks))
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 2
+    # simulate compaction: remove one block (its rows rewritten away)
+    os.remove(sorted(glob.glob(f"{blocks}/part-*.parquet"))[0])
+    n = R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                         ["host"], ["ping"])
+    assert n == 1  # full rebuild over the current single block
+    got = {r["tbucket"]: r["count"] for r in
+           R.serve(R.read_rollup(spark, roll_dir), ["host"], ["ping"],
+                   bucket_s=60).collect()}
+    direct = {r["tb"]: r["n"] for r in
+              spark.read.parquet(blocks)
+              .groupBy((F.col("time") - F.col("time") % 60).alias("tb"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == direct
+
+
+def test_refresh_rollup_crash_recovery_exactly_once(spark, tmp_path):
+    """A pending increment (crash between append and manifest
+    commit) is deleted and re-processed — no double count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    blocks = str(tmp_path / "blocks")
+    roll_dir = str(tmp_path / "roll")
+    (spark.range(100).select(
+        (F.col("id") * 60).alias("time"), F.lit("h").alias("host"),
+        (F.col("id") * 1.0).alias("ping"))
+     .coalesce(1).write.parquet(blocks))
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 1
+    # simulate the crash: mark the committed increment as pending
+    # again (as if the final manifest write never happened)
+    mp = os.path.join(roll_dir, "_manifest.json")
+    with open(mp) as f:
+        man = json.load(f)
+    import glob as _g
+    inc = os.path.basename(_g.glob(
+        f"{roll_dir}/__day=*/__inc=*")[0]).split("=", 1)[1]
+    man["pending"] = {"inc": inc, "ids": man["blocks"]}
+    man["blocks"] = []
+    with open(mp, "w") as f:
+        json.dump(man, f)
+
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 1  # re-processed
+    got = R.serve(R.read_rollup(spark, roll_dir), ["host"],
+                  ["ping"]).collect()[0]
+    assert got["count"] == 100  # not 200
+
+
+def test_refresh_refuses_unmanifested_dir(spark, tmp_path):
+    """rollup-build output has no manifest: refresh must refuse
+    loudly instead of appending a second full aggregation."""
+    from pyspark.sql import functions as F
+
+    blocks = str(tmp_path / "blocks")
+    roll_dir = str(tmp_path / "roll")
+    df = (spark.range(50).select(
+        (F.col("id") * 60).alias("time"), F.lit("h").alias("host"),
+        (F.col("id") * 1.0).alias("ping")))
+    df.coalesce(1).write.parquet(blocks)
+    R.write_rollup(R.build_rollup(df, "time", 60, ["host"], ["ping"]),
+                   roll_dir)
+    with pytest.raises(ValueError, match="no refresh manifest"):
+        R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                         ["host"], ["ping"])
