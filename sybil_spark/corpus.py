@@ -1051,18 +1051,25 @@ def q_rollup_counts(spark, sf):
 
 
 @_q("cube_counts", f"""
-    select event_type, user_id, count(*) as count,
-           {_dsum('value')} as sum_value
+    select event_type, user_id,
+           cast(grouping(event_type, user_id) as bigint) as gid,
+           count(*) as count, {_dsum('value')} as sum_value
     from {EV} group by cube(event_type, user_id)""")
 def q_cube_counts(spark, sf):
     """Full CUBE grouping sets (all four groupings in one pass —
     Spark expands to a single Expand+aggregate, one shuffle), the
-    companion of rollup_counts. Decimal sums keep every subtotal
-    level bit-exact."""
+    companion of rollup_counts. grouping_id disambiguates a NULL
+    group value from a subtotal row (same bit encoding in both
+    engines — verified: Spark grouping_id() == DuckDB
+    grouping(a,b)); decimal sums keep every subtotal level
+    bit-exact."""
     return (_events(spark, sf).cube("event_type", "user_id")
-            .agg(F.count(F.lit(1)).alias("count"),
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("count"),
                  F.sum(F.col("value").cast(_DEC)).cast("double")
-                  .alias("sum_value")))
+                  .alias("sum_value"))
+            .select("event_type", "user_id", "gid",
+                    "count", "sum_value"))
 
 
 @_q("icc", f"""
