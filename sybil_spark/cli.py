@@ -216,16 +216,31 @@ def run_inspect(path: str) -> dict:
     return out
 
 
+def _split_filter(spec: str, table: str) -> tuple | None:
+    """col:op:val[:table] — an optional 4th token scopes the filter
+    to one table (reference checkTable, src/lib/filter.go:15-21,
+    82-84: dashboard clients broadcast ONE filter spec to many
+    tables; non-matching filters are skipped, not errors)."""
+    parts = spec.split(":", 3)
+    if len(parts) == 4 and parts[3] != table:
+        return None
+    return tuple(parts[:3])
+
+
 def _filters(q, args) -> None:
     for trip in args.int_filters:
-        col, op, val = trip.split(":", 2)
-        q.int_filter(col, op, float(val) if "." in val else int(val))
+        f = _split_filter(trip, args.table)
+        if f:
+            col, op, val = f
+            q.int_filter(col, op, float(val) if "." in val else int(val))
     for trip in args.str_filters:
-        col, op, val = trip.split(":", 2)
-        q.str_filter(col, op, val)
+        f = _split_filter(trip, args.table)
+        if f:
+            q.str_filter(*f)
     for trip in args.set_filters:
-        col, op, val = trip.split(":", 2)
-        q.set_filter(col, op, val)
+        f = _split_filter(trip, args.table)
+        if f:
+            q.set_filter(*f)
     for trip in args.str_replaces:
         col, pat, repl = trip.split(":", 2)
         q.str_replace(col, pat, repl)
@@ -249,7 +264,10 @@ def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
     from sybil_spark.sources import query_cache as QC
     filters = []
     for trip in args.int_filters:
-        col, op, val = trip.split(":", 2)
+        f = _split_filter(trip, args.table)
+        if not f:
+            continue
+        col, op, val = f
         val = float(val) if "." in val else int(val)
         if args.time_rollup and col == args.time_col:
             # same bucket alignment the direct path applies to time
@@ -257,8 +275,10 @@ def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
             val = int(val) - int(val) % args.time_bucket
         filters.append(("int", op, col, val))
     for trip in args.str_filters:
-        col, op, val = trip.split(":", 2)
-        filters.append(("str", op, col, val))
+        f = _split_filter(trip, args.table)
+        if f:
+            col, op, val = f
+            filters.append(("str", op, col, val))
     spec = QC.CacheSpec(
         group_cols=tuple(groups),
         num_cols=tuple(int_cols) if args.op == "avg" else (),

@@ -277,3 +277,21 @@ def test_cli_rollup_refresh(spark, tmp_path, capsys):
                  "-int", "ping", "-json"], spark) == 0
     rows = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sum(r["count"] for r in rows) == 60
+
+
+def test_cli_per_table_filter_scoping(capsys, spark, db):
+    """P8: a 4th filter token scopes a filter to one table —
+    dashboard clients broadcast one filter spec to many tables
+    (reference checkTable, filter.go:15-21). Matching table applies;
+    non-matching is skipped, not an error."""
+    applied = _run_json(capsys, spark,
+                        ["query", "-dir", db, "-table", "uptime",
+                         "-int-filter", "ping:gt:50:uptime"])
+    skipped = _run_json(capsys, spark,
+                        ["query", "-dir", db, "-table", "uptime",
+                         "-int-filter", "ping:gt:50:othertable"])
+    none = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime"])
+    n = lambda rows: sum(r["count"] for r in rows)  # noqa: E731
+    assert n(applied) < n(none)
+    assert n(skipped) == n(none)
