@@ -216,29 +216,45 @@ def run_inspect(path: str) -> dict:
     return out
 
 
-def _split_filter(spec: str, table: str) -> tuple | None:
+def _split_filter(spec: str, table: str, db_dir: str,
+                  kind: str = "str") -> tuple | None:
     """col:op:val[:table] — an optional 4th token scopes the filter
     to one table (reference checkTable, src/lib/filter.go:15-21,
     82-84: dashboard clients broadcast ONE filter spec to many
-    tables; non-matching filters are skipped, not errors)."""
-    parts = spec.split(":", 3)
-    if len(parts) == 4 and parts[3] != table:
-        return None
-    return tuple(parts[:3])
+    tables; non-matching filters are skipped, not errors).
+
+    Values may themselves contain colons (regexes, URLs, HH:MM), so
+    the scope token is only recognized when it can't be value text:
+    for int filters the first colon after the value ends it (numbers
+    have no colons); for str/set filters the trailing token must
+    name the current table or an EXISTING sibling table — anything
+    else stays part of the value."""
+    col, op, rest = spec.split(":", 2)
+    if ":" in rest:
+        if kind == "int":
+            val, _, scope = rest.partition(":")
+            return (col, op, val) if scope == table else None
+        val, _, scope = rest.rpartition(":")
+        if scope == table:
+            return (col, op, val)
+        from sybil_spark.table import list_tables
+        if scope in list_tables(db_dir):
+            return None
+    return (col, op, rest)
 
 
 def _filters(q, args) -> None:
     for trip in args.int_filters:
-        f = _split_filter(trip, args.table)
+        f = _split_filter(trip, args.table, args.dir, kind="int")
         if f:
             col, op, val = f
             q.int_filter(col, op, float(val) if "." in val else int(val))
     for trip in args.str_filters:
-        f = _split_filter(trip, args.table)
+        f = _split_filter(trip, args.table, args.dir)
         if f:
             q.str_filter(*f)
     for trip in args.set_filters:
-        f = _split_filter(trip, args.table)
+        f = _split_filter(trip, args.table, args.dir)
         if f:
             q.set_filter(*f)
     for trip in args.str_replaces:
@@ -264,7 +280,7 @@ def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
     from sybil_spark.sources import query_cache as QC
     filters = []
     for trip in args.int_filters:
-        f = _split_filter(trip, args.table)
+        f = _split_filter(trip, args.table, args.dir, kind="int")
         if not f:
             continue
         col, op, val = f
@@ -275,7 +291,7 @@ def _run_query_cached(spark: SparkSession, args, t, groups, int_cols):
             val = int(val) - int(val) % args.time_bucket
         filters.append(("int", op, col, val))
     for trip in args.str_filters:
-        f = _split_filter(trip, args.table)
+        f = _split_filter(trip, args.table, args.dir)
         if f:
             col, op, val = f
             filters.append(("str", op, col, val))

@@ -2172,9 +2172,14 @@ def q_funnel(spark, sf):
     merged = counts[0]
     for x in counts[1:]:
         merged = merged.unionByName(x, allowMissingColumns=True)
-    return merged.agg(F.max("step_view").alias("step_view"),
-                      F.max("step_click").alias("step_click"),
-                      F.max("step_purchase").alias("step_purchase"))
+    # coalesce: a stage with NO qualifying users (e.g. no purchase
+    # after any click) must report 0 like the oracle's count(*),
+    # not the NULL a max over all-null rows yields
+    z = F.lit(0).cast("long")
+    return merged.agg(
+        F.coalesce(F.max("step_view"), z).alias("step_view"),
+        F.coalesce(F.max("step_click"), z).alias("step_click"),
+        F.coalesce(F.max("step_purchase"), z).alias("step_purchase"))
 
 
 @_q("retention", f"""
@@ -2189,12 +2194,14 @@ def q_retention(spark, sf):
     """Cohort retention: per user, weeks-since-first-activity; per
     offset, how many users were active. One agg for the cohort
     anchor (broadcastable — one row per user), a co-partitioned
-    join back, distinct, count. Week derivation is FLOOR division
-    ((t - pmod) div), matching the oracle's `//` for negative
-    (pre-1970) times too — same rule as _events; min commutes with
-    the monotone floor-div, so min-of-weeks == week-of-min."""
+    join back, distinct, count. Week derivation is TRUNCATING
+    integer division on BOTH sides: DuckDB's integer `//` truncates
+    toward zero exactly like Spark's `div` (verified:
+    -100 // 604800 = 0), so the engines agree for negative
+    (pre-1970) times too; both divisions are monotone, so
+    min-of-weeks == week-of-min."""
     ev = _events(spark, sf).withColumn(
-        "wk", F.expr("(time - pmod(time, 604800)) div 604800"))
+        "wk", F.expr("time div 604800"))
     f0 = ev.groupBy("user_id").agg(F.min("wk").alias("w0"))
     a = (ev.join(f0, "user_id")
            .select("user_id",

@@ -259,23 +259,73 @@ def compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
     compaction."""
     import os
     import shutil
-    import uuid
+
+    # recover a crashed refresh's UNCOMMITTED pending increment
+    # before folding: merging its orphaned __inc partials into
+    # __inc=base would make them undeletable, and the increment's
+    # blocks would be re-appended by the next refresh (double count)
+    _recover_pending(path)
+    # recovery may have deleted the only data (a rollup whose whole
+    # content was one uncommitted increment) — nothing to fold
+    if not any(files for _r, _d, files in os.walk(path)
+               if any(f.endswith(".parquet") for f in files)):
+        return 0
 
     merged = merge_partials(read_rollup(spark, path), group_cols,
                             num_cols, distinct, hist_cols)
-    tmp = f"{path}__compact-{uuid.uuid4().hex[:8]}"
-    write_rollup(merged, tmp)
-    # the refresh manifest must survive compaction, or the next
-    # refresh_rollup would see an un-manifested dir and re-aggregate
-    # every block on top of the folded partials
-    if os.path.exists(_manifest_path(path)):
-        shutil.copy(_manifest_path(path), _manifest_path(tmp))
-    n = spark.read.parquet(tmp).count()
+
+    def write(tmp: str) -> None:
+        write_rollup(merged, tmp)
+        # the refresh manifest must survive compaction, or the next
+        # refresh_rollup would see an un-manifested dir and
+        # re-aggregate every block on top of the folded partials
+        if os.path.exists(_manifest_path(path)):
+            shutil.copy(_manifest_path(path), _manifest_path(tmp))
+
+    _staged_swap(path, write)
+    return spark.read.parquet(path).count()
+
+
+def _staged_swap(path: str, write_fn) -> None:
+    """write_fn writes the replacement dir to a tmp path; then the
+    live dir is swapped out atomically-enough for single-writer
+    lifecycles (write new → rename old away → rename new in →
+    delete old) — the protocol compact_blocks and the reference's
+    .partial renames use."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}__stage-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
     old = f"{path}__old-{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return n
+
+
+def _recover_pending(path: str) -> None:
+    """Delete the partition dirs of a crashed refresh's uncommitted
+    increment and clear the pending record (its blocks are still
+    absent from the manifest, so the next refresh re-processes them
+    exactly once)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    manifest_p = _manifest_path(path)
+    if not os.path.exists(manifest_p):
+        return
+    with open(manifest_p) as f:
+        man = json.load(f)
+    if not man.get("pending"):
+        return
+    inc = man["pending"]["inc"]
+    for d in glob.glob(os.path.join(path, "__day=*", f"__inc={inc}")):
+        shutil.rmtree(d, ignore_errors=True)
+    man["pending"] = None
+    _save_manifest(manifest_p, man)
 
 
 def _manifest_path(path: str) -> str:
@@ -324,7 +374,6 @@ def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
     or nothing. No crash window double-counts or drops rows.
 
     Returns the number of blocks (re)processed."""
-    import glob
     import json
     import os
     import shutil
@@ -333,11 +382,7 @@ def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
     from sybil_spark.sources.query_cache import _block_id, _list_blocks
 
     manifest_p = _manifest_path(path)
-    man: dict = {"blocks": [], "pending": None}
-    if os.path.exists(manifest_p):
-        with open(manifest_p) as f:
-            man = json.load(f)
-    elif os.path.isdir(path) and any(
+    if not os.path.exists(manifest_p) and os.path.isdir(path) and any(
             f.startswith("__day=") for f in os.listdir(path)):
         raise ValueError(
             f"{path} contains rollup data but no refresh manifest "
@@ -347,13 +392,12 @@ def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
 
     # crash recovery: a pending increment may be absent, partial, or
     # fully written but uncommitted — delete its partition dirs and
-    # re-process its blocks (they are still not in man['blocks'])
-    if man.get("pending"):
-        inc = man["pending"]["inc"]
-        for d in glob.glob(os.path.join(path, "__day=*", f"__inc={inc}")):
-            shutil.rmtree(d, ignore_errors=True)
-        man["pending"] = None
-        _save_manifest(manifest_p, man)
+    # re-process its blocks (they are still not in the manifest)
+    _recover_pending(path)
+    man: dict = {"blocks": [], "pending": None}
+    if os.path.exists(manifest_p):
+        with open(manifest_p) as f:
+            man = json.load(f)
 
     blocks = _list_blocks(blocks_root)
     ids = {_block_id(b): b for b in blocks}
@@ -363,18 +407,25 @@ def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
         # manifested blocks vanished (compaction rewrote them / trim
         # removed them): incremental append can't subtract their old
         # partials — rebuild from the current table, swap atomically
+        if not blocks:
+            # trim removed EVERYTHING: the rollup mirrors the (now
+            # empty) table — drop the partials, keep an empty
+            # manifest so the next refresh starts clean
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+            _save_manifest(manifest_p, {"blocks": [], "pending": None})
+            return 0
         df = (spark.read.option("mergeSchema", "true")
               .option("basePath", blocks_root).parquet(*blocks))
         roll = build_rollup(df, time_col, bucket_s, group_cols,
                             num_cols, distinct_cols, hist_buckets)
-        tmp = f"{path}__rebuild-{uuid.uuid4().hex[:8]}"
-        write_rollup(roll, tmp)
-        _save_manifest(_manifest_path(tmp),
-                       {"blocks": sorted(ids), "pending": None})
-        old = f"{path}__old-{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+
+        def write(tmp: str) -> None:
+            write_rollup(roll, tmp)
+            _save_manifest(_manifest_path(tmp),
+                           {"blocks": sorted(ids), "pending": None})
+
+        _staged_swap(path, write)
         return len(blocks)
 
     new = [b for i, b in ids.items() if i not in seen]

@@ -166,15 +166,19 @@ def stream_rollup_partials(df: DataFrame, rollup_path: str,
     approximates with its per-block query cache
     (src/lib/query_cache.go) — but maintainable under continuous
     ingest and mergeable across any grouping of batches."""
-    from sybil_spark.sources.rollup import build_rollup
+    from sybil_spark.sources.rollup import build_rollup, write_rollup
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (build_rollup(batch_df, time_col, bucket_s, group_cols, num_cols,
-                      distinct_cols)
-         .withColumn("__day", F.to_date(F.timestamp_seconds("tbucket")))
-         .write.mode("append").partitionBy("__day").parquet(rollup_path))
+        # write through write_rollup so the partition depth
+        # (__day, __inc) matches every other rollup writer —
+        # mixing depths under one root breaks partition discovery
+        # after a compact_rollup rewrite
+        write_rollup(
+            build_rollup(batch_df, time_col, bucket_s, group_cols,
+                         num_cols, distinct_cols),
+            rollup_path, mode="append", inc=f"stream-{batch_id}")
 
     return (df.writeStream
             .foreachBatch(write_batch)

@@ -295,3 +295,13 @@ def test_cli_per_table_filter_scoping(capsys, spark, db):
     n = lambda rows: sum(r["count"] for r in rows)  # noqa: E731
     assert n(applied) < n(none)
     assert n(skipped) == n(none)
+    # colon-bearing str values survive (regex with ':'), and a
+    # trailing token is only a scope when it names a real table
+    colval = _run_json(capsys, spark,
+                       ["query", "-dir", db, "-table", "uptime",
+                        "-str-filter", "status:re:^(200|500):extra"])
+    assert n(colval) == 0  # value is the full '^(200|500):extra' regex
+    scoped = _run_json(capsys, spark,
+                       ["query", "-dir", db, "-table", "uptime",
+                        "-str-filter", "status:eq:200:uptime"])
+    assert 0 < n(scoped) < n(none)

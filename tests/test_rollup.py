@@ -339,3 +339,65 @@ def test_refresh_refuses_unmanifested_dir(spark, tmp_path):
     with pytest.raises(ValueError, match="no refresh manifest"):
         R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
                          ["host"], ["ping"])
+
+
+def test_compact_recovers_pending_increment(spark, tmp_path):
+    """compact_rollup must NOT fold a crashed refresh's uncommitted
+    increment into the base partials: it recovers (deletes) the
+    pending increment first, so the following refresh re-processes
+    those blocks exactly once — served counts never double."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    blocks = str(tmp_path / "blocks")
+    roll_dir = str(tmp_path / "roll")
+    (spark.range(200).select(
+        (F.col("id") * 60).alias("time"), F.lit("h").alias("host"),
+        (F.col("id") * 1.0).alias("ping"))
+     .coalesce(1).write.parquet(blocks))
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 1
+    # simulate the crash: increment written but manifest uncommitted
+    mp = os.path.join(roll_dir, "_manifest.json")
+    with open(mp) as f:
+        man = json.load(f)
+    inc = os.path.basename(glob.glob(
+        f"{roll_dir}/__day=*/__inc=*")[0]).split("=", 1)[1]
+    man["pending"] = {"inc": inc, "ids": man["blocks"]}
+    man["blocks"] = []
+    with open(mp, "w") as f:
+        json.dump(man, f)
+
+    R.compact_rollup(spark, roll_dir, ["host"], ["ping"])
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 1  # re-processed
+    got = R.serve(R.read_rollup(spark, roll_dir), ["host"],
+                  ["ping"]).collect()[0]
+    assert got["count"] == 200  # not 400
+
+
+def test_refresh_after_full_trim(spark, tmp_path):
+    """Every block trimmed away: refresh empties the rollup and
+    keeps a clean manifest instead of crashing on a zero-path read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    blocks = str(tmp_path / "blocks")
+    roll_dir = str(tmp_path / "roll")
+    (spark.range(50).select(
+        (F.col("id") * 60).alias("time"), F.lit("h").alias("host"),
+        (F.col("id") * 1.0).alias("ping"))
+     .coalesce(1).write.parquet(blocks))
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 1
+    shutil.rmtree(blocks)
+    os.makedirs(blocks)
+    assert R.refresh_rollup(spark, blocks, roll_dir, "time", 60,
+                            ["host"], ["ping"]) == 0
+    assert not [f for f in os.listdir(roll_dir)
+                if f.startswith("__day=")]
