@@ -2402,6 +2402,253 @@ def q_tpch_q22(spark, sf):
                 .orderBy("n_name"))
 
 
+@_q("tpch_q2", """
+    with ps as (select l_partkey as partkey, l_suppkey as suppkey,
+                       min(l_extendedprice / l_quantity) as supplycost
+                from lineitem group by 1, 2),
+    eu as (select s_suppkey, s_name, s_acctbal, n_name
+           from supplier join nation on s_nationkey = n_nationkey
+           join region on n_regionkey = r_regionkey
+           where r_name = 'EUROPE'),
+    j as (select p_partkey, p_name, s_name, s_acctbal, n_name, supplycost
+          from part join ps on p_partkey = partkey
+          join eu on suppkey = s_suppkey
+          where p_size = 15 and p_type = 'SMALL'),
+    m as (select p_partkey as mk, min(supplycost) as mc from j group by 1)
+    select s_acctbal, s_name, n_name, p_partkey, p_name
+    from j join m on p_partkey = mk and supplycost = mc
+    order by s_acctbal desc, n_name asc, s_name asc, p_partkey asc
+    limit 100""")
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier in a region): the correlated
+    `ps_supplycost = (select min ...)` subquery decorrelated into a
+    per-part MIN aggregate + equi-join back. This dataset has no
+    partsupp table, so the supplier-part relation is derived from
+    lineitem (distinct supplier x part with min observed unit price
+    as the supply cost) — same join topology, same decorrelation.
+    Scale: the ps aggregate is one shuffle on (partkey, suppkey);
+    part/supplier/nation/region dims all broadcast; the min-join is
+    a second shuffle on partkey only over already-aggregated rows.
+    The double equality (supplycost = mc) is safe because both sides
+    are MINs over the same IEEE doubles — order-independent."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    ps = (li.groupBy(F.col("l_partkey").alias("partkey"),
+                     F.col("l_suppkey").alias("suppkey"))
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("supplycost")))
+    eu = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    j = (ps.join(F.broadcast(p.where((F.col("p_size") == 15)
+                                     & (F.col("p_type") == "SMALL"))),
+                 F.col("partkey") == F.col("p_partkey"))
+           .join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+           .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+                   "supplycost"))
+    # Per-part MIN as a window, not a grouped-agg + self-join: the
+    # self-join shape plans TWO lineitem scans (no exchange reuse
+    # across the branches); the window reuses the single aggregated
+    # stream and its p_partkey partitioning — one fact scan total.
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey")
+    return (j.withColumn("mc", F.min("supplycost").over(w))
+             .where(F.col("supplycost") == F.col("mc"))
+             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+             .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                      F.asc("p_partkey"))
+             .limit(100))
+
+
+@_q("tpch_q9", f"""
+    select n_name as nation,
+           cast(year(o_orderdate) as bigint) as o_year,
+           {_dsum('l_extendedprice * (1 - l_discount)'
+                  ' - cast(0.1 as double) * p_retailprice * l_quantity')}
+             as sum_profit
+    from lineitem
+    join part on p_partkey = l_partkey
+    join supplier on s_suppkey = l_suppkey
+    join nation on s_nationkey = n_nationkey
+    join orders on o_orderkey = l_orderkey
+    where p_name like '%gear%'
+    group by 1, 2 order by nation asc, o_year desc""")
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 (product-type profit by nation and year): the profit
+    formula substitutes 0.1 * p_retailprice for ps_supplycost (no
+    partsupp table here) — same five-way join topology, same
+    like-pattern part filter, same nation x year rollup. Scale:
+    part/supplier/nation broadcast; lineitem-orders is the only
+    fact-fact shuffle (on orderkey); profit terms are computed in
+    double with identical association order in both engines, summed
+    in decimal for order-independence."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    p = _t(spark, sf, "part").where(F.col("p_name").like("%gear%"))
+    profit = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.select(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"),
+                     profit.alias("profit"))
+             .groupBy("nation", "o_year")
+             .agg(F.sum(F.col("profit").cast(_DEC)).cast("double")
+                   .alias("sum_profit"))
+             .orderBy(F.asc("nation"), F.desc("o_year")))
+
+
+@_q("tpch_q11", f"""
+    with base as (select l_partkey, l_extendedprice
+                  from lineitem join supplier on l_suppkey = s_suppkey
+                  join nation on s_nationkey = n_nationkey
+                  where n_name = 'NATION_3'),
+    pv as (select l_partkey, {_dsum('l_extendedprice')} as value
+           from base group by 1),
+    tot as (select {_dsum('l_extendedprice')} as total from base)
+    select l_partkey, value from pv, tot
+    where value > total * cast(0.001 as double)
+    order by value desc, l_partkey asc limit 50""")
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape (important stock: groups above a scalar
+    fraction of the global total). ps_supplycost*ps_availqty becomes
+    summed l_extendedprice restricted to one nation's suppliers —
+    same HAVING-vs-scalar-subquery decorrelation: one grouped
+    aggregate, one global aggregate, a 1-row broadcast-join, strict
+    > filter. Both aggregates are decimal-summed then cast to
+    double, so the threshold comparison sees bit-identical doubles
+    in both engines. Scale: the base relation is computed once and
+    feeds both aggregates (Spark reuses the scan); the global total
+    is a 1-row frame joined by literal — no driver round-trip."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_3")
+    base = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("l_partkey", "l_extendedprice"))
+    # ONE aggregation feeds both the per-part values and the global
+    # total: the total is a window-sum over the per-part DECIMAL sums
+    # (exact, so associativity makes it bit-identical to summing the
+    # base rows directly, which is what the oracle does). This scans
+    # lineitem once — the grouped-agg + global-agg + join shape plans
+    # two fact scans (no exchange reuse across branches) and its
+    # scalar attach is a nested-loop, which the corpus plan gate
+    # forbids. The unpartitioned window only ever sees the aggregated
+    # per-part rows (|parts|, not |lineitem|), bounded at any SF.
+    from pyspark.sql import Window
+    pv = (base.groupBy("l_partkey")
+              .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
+                    .alias("vdec")))
+    tot = F.sum("vdec").over(Window.partitionBy())
+    return (pv.select("l_partkey",
+                      F.col("vdec").cast("double").alias("value"),
+                      tot.cast("double").alias("total"))
+              .where(F.col("value") > F.col("total") * F.lit(0.001))
+              .select("l_partkey", "value")
+              .orderBy(F.desc("value"), F.asc("l_partkey"))
+              .limit(50))
+
+
+@_q("tpch_q15", f"""
+    with rev as (select l_suppkey as supplier_no,
+                        {_dsum('l_extendedprice * (1 - l_discount)')}
+                          as total_revenue
+                 from lineitem
+                 where l_shipdate >= timestamp '1996-01-01 00:00:00'
+                   and l_shipdate <  timestamp '1996-04-01 00:00:00'
+                 group by 1)
+    select s_suppkey, s_name, total_revenue
+    from supplier join rev on s_suppkey = supplier_no
+    where total_revenue = (select max(total_revenue) from rev)
+    order by s_suppkey asc""")
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier: revenue view + scalar MAX): the view
+    is a quarter-filtered grouped aggregate; the MAX-equality
+    subquery becomes a 1-row broadcast join. The double equality is
+    safe — both sides derive from the same decimal-exact sums, and
+    MAX is order-independent. Scale: shipdate range pushes into the
+    parquet scan; one shuffle on suppkey (100 groups); supplier dim
+    broadcast."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = (li.where((F.col("l_shipdate")
+                     >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+                    & (F.col("l_shipdate")
+                       < F.to_timestamp(F.lit("1996-04-01 00:00:00"))))
+             .groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(F.sum(disc.cast(_DEC)).cast("double")
+                   .alias("total_revenue")))
+    # Scalar MAX as an unpartitioned window over the aggregated rev
+    # rows (|suppliers|, not |lineitem|): the agg-then-join shape
+    # plans TWO fact scans (no exchange reuse across branches); the
+    # window reuses the single aggregated stream. MAX over doubles is
+    # order-independent, so the equality is bit-safe.
+    from pyspark.sql import Window
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    return (rev.withColumn("mx", mx)
+               .where(F.col("total_revenue") == F.col("mx"))
+               .join(F.broadcast(s),
+                     F.col("s_suppkey") == F.col("supplier_no"))
+               .select("s_suppkey", "s_name", "total_revenue")
+               .orderBy(F.asc("s_suppkey")))
+
+
+@_q("tpch_q20", f"""
+    with px as (select p_partkey from part where p_name like 'small%'),
+    agg as (select l_suppkey, l_partkey,
+                   sum(cast(l_quantity as {_DEC})) as qty
+            from lineitem join px on l_partkey = p_partkey
+            where l_shipdate >= timestamp '1997-01-01 00:00:00'
+              and l_shipdate <  timestamp '1998-01-01 00:00:00'
+            group by 1, 2)
+    select s_suppkey, s_name
+    from supplier join nation on s_nationkey = n_nationkey
+    where n_name = 'NATION_5'
+      and s_suppkey in (select l_suppkey from agg where qty > 40)
+    order by s_name asc, s_suppkey asc""")
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape (potential part promotion: nested IN-subquery
+    chain). The availqty > half-year-shipments correlation becomes a
+    per-(supplier, part) shipped-quantity threshold over name-
+    filtered parts (no partsupp here) — preserving the three-level
+    nesting: part-name filter -> quantity aggregate with threshold
+    -> supplier semi-join -> nation filter. The threshold compares
+    an exact decimal sum to an integer literal: bit-safe (40
+    keeps the result non-empty at every test SF). Scale:
+    px broadcast into the fact scan (shipdate range pushed), one
+    shuffle on (suppkey, partkey), then a broadcast LEFT SEMI onto
+    the 100-row supplier dim."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_5")
+    px = p.where(F.col("p_name").like("small%")).select("p_partkey")
+    agg = (li.where((F.col("l_shipdate")
+                     >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+                    & (F.col("l_shipdate")
+                       < F.to_timestamp(F.lit("1998-01-01 00:00:00"))))
+             .join(F.broadcast(px), F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty")))
+    good = (agg.where(F.col("qty") > 40)
+               .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(n),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(F.broadcast(good),
+                   F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+             .select("s_suppkey", "s_name")
+             .orderBy(F.asc("s_name"), F.asc("s_suppkey")))
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -2423,6 +2670,7 @@ _DRIVER_FIRST = [
     # fan-out; windowed/funnel/cohort event analytics), plus the two
     # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
