@@ -542,12 +542,20 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     SQL-replicable — see simhash_df."""
     width = bits // bands
     mask = (1 << width) - 1
-    banded = (simhash_df(df, id_col, text_col, bits, portable)
-                .select("id", "sig", F.posexplode(F.array(*[
+    # Materialize the signatures ONCE before the self-join: the two
+    # join branches are separate subtrees to Spark (no exchange reuse
+    # fires), so without this the token explode + 64-sum vote
+    # aggregation — the whole cost of SimHash — would run twice per
+    # query. The checkpoint is |docs| narrow (id, sig) rows; the
+    # banding re-derived on each side is a handful of codegen'd bit
+    # ops over that.
+    sig = (simhash_df(df, id_col, text_col, bits, portable)
+           .localCheckpoint(eager=True))
+    banded = sig.select("id", "sig", F.posexplode(F.array(*[
                     F.shiftright(F.col("sig"), b * width)
                      .bitwiseAND(F.lit(mask))
                     for b in range(bands)]))
-                    .alias("band", "band_val")))
+                    .alias("band", "band_val"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
