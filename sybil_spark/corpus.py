@@ -821,6 +821,40 @@ def q_ann_topk(spark, sf):
     return similarity.brute_force_topk(emb, "embedding", qvec, k=10)
 
 
+@_q("quantize_topk", """
+    with s as (
+      select vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) / 127.0
+               as scale
+      from embeddings),
+    qv as (
+      select vec_id, scale,
+             list_transform(embedding,
+               x -> case when scale = 0 then 0
+                         else cast(floor(x / scale + 0.5) as int) end) as q
+      from s),
+    qq as (select q from qv where vec_id = 0)
+    select v.vec_id,
+           list_dot_product(v.q::double[], qq.q::double[]) /
+           (sqrt(list_dot_product(v.q::double[], v.q::double[]))
+            * sqrt(list_dot_product(qq.q::double[], qq.q::double[])))
+             as qcos
+    from qv v, qq
+    order by qcos desc, v.vec_id asc limit 10""")
+def q_quantize_topk(spark, sf):
+    """int8-quantize the embedding column (symmetric absmax/127,
+    floor(x/s + 0.5) codes — floor, not round, so engines with
+    different round-half rules produce identical codes), then exact
+    top-k by cosine over the CODES: every product/partial sum is an
+    integer < 2^53, so the cosine doubles are bit-exact and
+    order-independent in both engines. This is the
+    quantized-storage + similarity-serving leg of an embedding
+    pipeline: 4-8x less embedding bandwidth, same plan shape as the
+    float brute force (scan -> project -> TakeOrderedAndProject)."""
+    return similarity.quantized_topk(_t(spark, sf, "embeddings"),
+                                     "embedding", k=10, query_id=0)
+
+
 @_q("ann_pairs_topk", """
     with e as (select vec_id, CAST(embedding AS DOUBLE[]) emb from embeddings)
     select a.vec_id as id_a, b.vec_id as id_b,
@@ -2671,6 +2705,7 @@ _DRIVER_FIRST = [
     # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
+    "quantize_topk",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",

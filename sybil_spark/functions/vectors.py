@@ -44,3 +44,38 @@ def cosine_to_const(a: Column, q: list[float]) -> Column:
     qn = math.sqrt(sum(float(v) * float(v) for v in q))
     ql = F.lit([float(v) for v in q]).cast("array<double>")
     return dot(a, ql) / (F.sqrt(norm_sq(a)) * F.lit(qn))
+
+
+def absmax(a: Column) -> Column:
+    """max_i |a_i|, double precision — the symmetric-quantization
+    range statistic. A sequential GREATEST fold returns the same
+    value as any engine's list-max-of-abs (max is order-free)."""
+    return F.aggregate(a, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc,
+                                                 F.abs(x.cast("double"))))
+
+
+def int8_quantize(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(a_i/scale + 0.5).
+
+    floor(x + 0.5) instead of round(x): engines disagree on
+    round-half semantics (HALF_UP vs half-even) but floor is floor
+    everywhere, so the quantized codes are bit-identical across
+    engines. With scale = absmax/127 the codes land in [-127, 127]
+    by construction — no clamp needed (|a_i|/scale <= 127, and
+    floor(±127 + 0.5) stays in range). A zero vector (scale = 0)
+    quantizes to zeros rather than dividing by zero."""
+    return F.transform(
+        a, lambda x: F.when(scale == F.lit(0.0), F.lit(0))
+                      .otherwise(F.floor(x.cast("double") / scale
+                                         + F.lit(0.5)).cast("int")))
+
+
+def int_cosine(a: Column, b: Column) -> Column:
+    """Cosine over int-code vectors. Every product and partial sum is
+    an integer far below 2^53, so the double arithmetic is EXACT and
+    order-independent — any engine computing dot/(sqrt·sqrt) over the
+    same codes produces the bit-identical double. (The per-vector
+    quantization scales cancel out of the cosine, which is why the
+    codes alone suffice.)"""
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))

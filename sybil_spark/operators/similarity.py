@@ -372,3 +372,51 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
                  .orderBy(F.desc("cos"), F.col("id_a").asc(),
                           F.col("id_b").asc())
                  .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — storage/bandwidth path for embedding columns
+# ---------------------------------------------------------------------------
+
+def quantize_int8(df: DataFrame, vec_col: str,
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, scale, qvec array<int>): symmetric per-vector int8
+    quantization, scale = absmax/127.
+
+    This is the storage/bandwidth leg of a 100 TB embedding pipeline:
+    the codes are 4-8x smaller than the float vectors (int8 payload;
+    Parquet's int packing takes it the rest of the way), dequantize as
+    q_i * scale with max error scale/2, and — because cosine is
+    scale-invariant — feed similarity search directly with no
+    dequantization at all. Pure JVM higher-order functions; one scan,
+    no shuffle, no UDF."""
+    from sybil_spark.functions.vectors import absmax, int8_quantize
+    v = F.col(vec_col)
+    return (df.select(F.col(id_col).alias("id"),
+                      (absmax(v) / F.lit(127.0)).alias("scale"), v)
+              .select("id", "scale",
+                      int8_quantize(v, F.col("scale")).alias("qvec")))
+
+
+def quantized_topk(df: DataFrame, vec_col: str, k: int = 10,
+                   id_col: str = "vec_id",
+                   query_id: int = 0) -> DataFrame:
+    """Exact top-k by cosine over int8-quantized vectors.
+
+    Same plan shape as brute_force_topk — scan → project(cosine) →
+    TakeOrderedAndProject — but each row touches 64 ints instead of 64
+    doubles. Because every product/partial sum is an integer < 2^53,
+    the cosine doubles are exact: identical across engines and across
+    partitionings. The query vector is quantized by the same rule and
+    collected driver-side (one row — same pattern as ivf's centroid
+    fetch)."""
+    from sybil_spark.functions.vectors import int_cosine
+    q = quantize_int8(df, vec_col, id_col)
+    qrow = q.where(F.col("id") == query_id).select("qvec").first()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
+    ql = F.lit(list(qrow[0])).cast("array<int>")
+    return (q.select(F.col("id").alias(id_col),
+                     int_cosine(F.col("qvec"), ql).alias("qcos"))
+             .orderBy(F.desc("qcos"), F.col(id_col).asc())
+             .limit(k))

@@ -706,3 +706,33 @@ def test_materialize_batches(spark):
     again = sampling.materialize_batches(d, packed, "doc_id", "n_tokens",
                                          "text").collect()
     assert sorted(r["text"] for r in seqs) == sorted(r["text"] for r in again)
+
+
+def test_quantize_int8_reconstruction(spark, emb):
+    """Codes stay in [-127,127]; dequantized values reconstruct the
+    original within scale/2 (the symmetric-quantization error bound);
+    cosine over codes approximates float cosine."""
+    q = similarity.quantize_int8(emb, "embedding")
+    joined = (q.join(emb, q["id"] == emb["vec_id"])
+                .select("id", "scale", "qvec", "embedding"))
+    rows = joined.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        for c, x in zip(r["qvec"], r["embedding"]):
+            assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+
+
+def test_quantized_topk_matches_float_neighbors(spark, emb):
+    """The planted same-direction (50) and near-dup (51) vectors must
+    survive int8 quantization as the top neighbors of vector 0."""
+    top = similarity.quantized_topk(emb, "embedding", k=3,
+                                    query_id=0).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] in (0, 50)  # cos==1.0 tie between 0 and 2*X[0]
+    assert set(ids) >= {0, 50}
+    assert top[0]["qcos"] == pytest.approx(1.0, abs=5e-3)
+    # zero-vector safety: all-zero embedding quantizes to zero codes
+    zero = spark.createDataFrame([Row(vec_id=0, embedding=[0.0] * 4)])
+    zq = similarity.quantize_int8(zero, "embedding").first()
+    assert zq["scale"] == 0.0 and list(zq["qvec"]) == [0, 0, 0, 0]
