@@ -2646,7 +2646,7 @@ def q_tpch_q15(spark, sf):
             group by 1, 2)
     select s_suppkey, s_name
     from supplier join nation on s_nationkey = n_nationkey
-    where n_name = 'NATION_5'
+    where n_name = 'NATION_18'
       and s_suppkey in (select l_suppkey from agg where qty > 40)
     order by s_name asc, s_suppkey asc""")
 def q_tpch_q20(spark, sf):
@@ -2656,15 +2656,17 @@ def q_tpch_q20(spark, sf):
     filtered parts (no partsupp here) — preserving the three-level
     nesting: part-name filter -> quantity aggregate with threshold
     -> supplier semi-join -> nation filter. The threshold compares
-    an exact decimal sum to an integer literal: bit-safe (40
-    keeps the result non-empty at every test SF). Scale:
+    an exact decimal sum to an integer literal: bit-safe. The 40
+    threshold and NATION_18 were chosen so the result is non-empty
+    at sf0.001, sf0.01 AND sf0.1 — an empty result would make the
+    oracle compare vacuous. Scale:
     px broadcast into the fact scan (shipdate range pushed), one
     shuffle on (suppkey, partkey), then a broadcast LEFT SEMI onto
     the 100-row supplier dim."""
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part")
     s = _t(spark, sf, "supplier")
-    n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_5")
+    n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_18")
     px = p.where(F.col("p_name").like("small%")).select("p_partkey")
     agg = (li.where((F.col("l_shipdate")
                      >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))

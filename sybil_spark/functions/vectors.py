@@ -69,13 +69,3 @@ def int8_quantize(a: Column, scale: Column) -> Column:
         a, lambda x: F.when(scale == F.lit(0.0), F.lit(0))
                       .otherwise(F.floor(x.cast("double") / scale
                                          + F.lit(0.5)).cast("int")))
-
-
-def int_cosine(a: Column, b: Column) -> Column:
-    """Cosine over int-code vectors. Every product and partial sum is
-    an integer far below 2^53, so the double arithmetic is EXACT and
-    order-independent — any engine computing dot/(sqrt·sqrt) over the
-    same codes produces the bit-identical double. (The per-vector
-    quantization scales cancel out of the cosine, which is why the
-    codes alone suffice.)"""
-    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))

@@ -548,7 +548,10 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     # aggregation — the whole cost of SimHash — would run twice per
     # query. The checkpoint is |docs| narrow (id, sig) rows; the
     # banding re-derived on each side is a handful of codegen'd bit
-    # ops over that.
+    # ops over that. Trade-off (same as minhash_dedup_pairs): the
+    # call is EAGER — it runs the signature job immediately and pins
+    # non-replicated blocks, so lost executors mean rerunning the
+    # call rather than lineage recompute.
     sig = (simhash_df(df, id_col, text_col, bits, portable)
            .localCheckpoint(eager=True))
     banded = sig.select("id", "sig", F.posexplode(F.array(*[

@@ -405,18 +405,22 @@ def quantized_topk(df: DataFrame, vec_col: str, k: int = 10,
 
     Same plan shape as brute_force_topk — scan → project(cosine) →
     TakeOrderedAndProject — but each row touches 64 ints instead of 64
-    doubles. Because every product/partial sum is an integer < 2^53,
-    the cosine doubles are exact: identical across engines and across
+    doubles, and the constant query-side norm is folded into one
+    literal (cosine_to_const) rather than re-folded per row. Because
+    every code product/partial sum is an integer < 2^53, the dot and
+    row-norm doubles are exact — and the driver-side math.sqrt of the
+    exact integer query norm is the same IEEE sqrt any engine
+    computes — so the cosines are bit-identical across engines and
     partitionings. The query vector is quantized by the same rule and
     collected driver-side (one row — same pattern as ivf's centroid
     fetch)."""
-    from sybil_spark.functions.vectors import int_cosine
     q = quantize_int8(df, vec_col, id_col)
     qrow = q.where(F.col("id") == query_id).select("qvec").first()
     if qrow is None:
         raise ValueError(f"query_id {query_id} not found")
-    ql = F.lit(list(qrow[0])).cast("array<int>")
     return (q.select(F.col("id").alias(id_col),
-                     int_cosine(F.col("qvec"), ql).alias("qcos"))
+                     cosine_to_const(F.col("qvec"),
+                                     [float(c) for c in qrow[0]])
+                     .alias("qcos"))
              .orderBy(F.desc("qcos"), F.col(id_col).asc())
              .limit(k))

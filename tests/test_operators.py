@@ -729,8 +729,9 @@ def test_quantized_topk_matches_float_neighbors(spark, emb):
     top = similarity.quantized_topk(emb, "embedding", k=3,
                                     query_id=0).collect()
     ids = [r["vec_id"] for r in top]
-    assert ids[0] in (0, 50)  # cos==1.0 tie between 0 and 2*X[0]
-    assert set(ids) >= {0, 50}
+    # 0 and 50 (= 2*X[0], identical codes) tie at qcos 1.0 exactly;
+    # the vec_id-asc tie-break must put 0 first.
+    assert ids[:2] == [0, 50]
     assert top[0]["qcos"] == pytest.approx(1.0, abs=5e-3)
     # zero-vector safety: all-zero embedding quantizes to zero codes
     zero = spark.createDataFrame([Row(vec_id=0, embedding=[0.0] * 4)])
