@@ -1084,6 +1084,34 @@ def q_rollup_counts(spark, sf):
             .agg(F.count(F.lit(1)).alias("count")))
 
 
+@_q("pivot_daily_avg", f"""
+    select time - time % 86400 as day,
+           {" , ".join(
+               f"cast(sum(case when event_type = '{t}' then "
+               f"cast(value as {_DEC}) end) as double)"
+               f" / count(case when event_type = '{t}' then value end)"
+               f" as {t}"
+               for t in ("click", "error", "purchase", "signup", "view"))}
+    from {EV} group by 1 order by day""")
+def q_pivot_daily_avg(spark, sf):
+    """PIVOT: day x event_type matrix of average value — Spark's
+    groupBy().pivot() with an EXPLICIT value list (an implicit list
+    would add a driver-side distinct scan and make the column set
+    data-dependent; explicit values keep the plan one shuffle, same
+    as any groupBy). The oracle is the equivalent conditional
+    aggregation; each cell divides the decimal-exact cell sum by the
+    cell count, and empty cells are NULL in both engines (null
+    numerator propagates)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf)
+    return (ev.groupBy((F.col("time") - F.col("time") % 86400)
+                       .alias("day"))
+              .pivot("event_type", types)
+              .agg(F.sum(F.col("value").cast(_DEC)).cast("double")
+                   / F.count("value"))
+              .orderBy("day"))
+
+
 @_q("cube_counts", f"""
     select event_type, user_id,
            cast(grouping(event_type, user_id) as bigint) as gid,
@@ -2707,7 +2735,7 @@ _DRIVER_FIRST = [
     # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
-    "quantize_topk",
+    "quantize_topk", "pivot_daily_avg",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
