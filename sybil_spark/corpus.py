@@ -1112,6 +1112,28 @@ def q_pivot_daily_avg(spark, sf):
               .orderBy("day"))
 
 
+@_q("unpivot_daily_avg", f"""
+    select time - time % 86400 as day, event_type,
+           {_dsum('value')} / count(value) as avg_value
+    from {EV} group by 1, 2 order by day, event_type""")
+def q_unpivot_daily_avg(spark, sf):
+    """UNPIVOT (melt): the wide day x event_type matrix back to long
+    (day, event_type, avg_value) — pivot and unpivot are exact
+    inverses, which the oracle proves by computing the long form
+    directly from the raw events. Unpivot emits every value column
+    per row, so cells for (day, type) pairs with no events surface
+    as NULLs; the isNotNull filter restores the group-by semantics
+    (a group exists iff at least one row fed it). Values are
+    untouched by both reshapes — the same bit-exact decimal-average
+    doubles flow through."""
+    piv = QUERIES["pivot_daily_avg"](spark, sf)
+    return (piv.unpivot(
+                "day", ["click", "error", "purchase", "signup", "view"],
+                "event_type", "avg_value")
+               .where(F.col("avg_value").isNotNull())
+               .orderBy("day", "event_type"))
+
+
 @_q("cube_counts", f"""
     select event_type, user_id,
            cast(grouping(event_type, user_id) as bigint) as gid,
@@ -2735,7 +2757,7 @@ _DRIVER_FIRST = [
     # whose implementation changed this round (batch-assign
     # rationale; NULL-sentinel tie):
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
-    "quantize_topk", "pivot_daily_avg",
+    "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
