@@ -247,3 +247,40 @@ def stream_dedup(df: DataFrame, key_cols: list[str], time_col: str,
               .withWatermark("__ts", watermark)
               .dropDuplicatesWithinWatermark(key_cols)
               .drop("__ts"))
+
+
+def stream_join(left: DataFrame, right: DataFrame, key_cols: list[str],
+                left_time: str, right_time: str,
+                max_delay_seconds: int = 3600,
+                watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream inner join (e.g. impression ->
+    click attribution): a right event joins a left event with the
+    same keys whose time precedes it by at most `max_delay_seconds`.
+
+    Both sides carry event-time watermarks AND the join condition
+    bounds right-time to [left-time, left-time + max_delay], which is
+    what lets Spark evict join state — without the time bound the
+    state store would hold every left row forever. State is
+    O(events per watermark window) per key range, not O(stream).
+    Output columns: keys..., left_time, right_time, delay_seconds
+    (all unix seconds — same convention as the batch asof/range
+    joins this operator is the continuous analog of)."""
+    l = (left.select(*key_cols,
+                     F.col(left_time).cast("long").alias("left_time"))
+             .withColumn("__lts", F.col("left_time").cast("timestamp"))
+             .withWatermark("__lts", watermark))
+    r = (right.select(*[F.col(k).alias(f"__r_{k}") for k in key_cols],
+                      F.col(right_time).cast("long").alias("right_time"))
+              .withColumn("__rts", F.col("right_time").cast("timestamp"))
+              .withWatermark("__rts", watermark))
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    cond = (cond
+            & (F.col("__rts") >= F.col("__lts"))
+            & (F.col("__rts") <= F.col("__lts")
+               + F.expr(f"interval {int(max_delay_seconds)} seconds")))
+    return (l.join(r, cond)
+             .select(*key_cols, "left_time", "right_time",
+                     (F.col("right_time") - F.col("left_time"))
+                     .alias("delay_seconds")))

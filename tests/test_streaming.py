@@ -255,3 +255,36 @@ def test_stream_dedup_against_index(spark, tmp_path):
     rows = {r["host"]: r["ping"]
             for r in spark.read.parquet(out_path).collect()}
     assert rows == {"a": 1, "b": 5}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Impression->click attribution: clicks join impressions with the
+    same user within the delay bound; clicks outside it don't."""
+    from sybil_spark.streaming.ingest_stream import stream_join
+    imp_dir = tmp_path / "imp"
+    clk_dir = tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    t0 = 1_700_000_000
+    _write_batch(imp_dir, "i.ndjson",
+                 [{"host": "u1", "ping": 0, "time": t0},
+                  {"host": "u2", "ping": 0, "time": t0 + 10}])
+    _write_batch(clk_dir, "c.ndjson",
+                 [{"host": "u1", "ping": 0, "time": t0 + 60},     # joins
+                  {"host": "u1", "ping": 0, "time": t0 + 7200},   # too late
+                  {"host": "u3", "ping": 0, "time": t0 + 30}])    # no imp
+    imp = spark.readStream.schema(SCHEMA).json(str(imp_dir))
+    clk = spark.readStream.schema(SCHEMA).json(str(clk_dir))
+    joined = stream_join(imp, clk, ["host"], "time", "time",
+                         max_delay_seconds=600)
+    q = (joined.writeStream.format("memory").queryName("ssjoin")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from ssjoin").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["host"], r["left_time"], r["right_time"],
+            r["delay_seconds"]) == ("u1", t0, t0 + 60, 60)
