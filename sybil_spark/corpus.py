@@ -1084,54 +1084,70 @@ def q_rollup_counts(spark, sf):
             .agg(F.count(F.lit(1)).alias("count")))
 
 
+#: the pivoted event-type value list — ONE definition feeding the
+#: Spark pivot, the unpivot column list, and both oracles (a copy
+#: drifting in any one of them would silently desynchronize the
+#: Spark query from its oracle until gate time).
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_daily(spark, sf) -> DataFrame:
+    """Unordered day x event_type pivot body shared by the pivot and
+    unpivot queries (each registered query applies its own final
+    orderBy — embedding it here would leave a redundant inner
+    sort+range-exchange under the unpivot's Expand)."""
+    ev = _events(spark, sf)
+    return (ev.groupBy((F.col("time") - F.col("time") % 86400)
+                       .alias("day"))
+              .pivot("event_type", list(_EVENT_TYPES))
+              .agg(F.sum(F.col("value").cast(_DEC)).cast("double")
+                   / F.count("value")))
+
+
 @_q("pivot_daily_avg", f"""
     select time - time % 86400 as day,
            {" , ".join(
-               f"cast(sum(case when event_type = '{t}' then "
-               f"cast(value as {_DEC}) end) as double)"
-               f" / count(case when event_type = '{t}' then value end)"
-               f" as {t}"
-               for t in ("click", "error", "purchase", "signup", "view"))}
+               _dsum(f"case when event_type = '{t}' then value end")
+               + f" / count(case when event_type = '{t}' then value end)"
+               + f" as {t}"
+               for t in _EVENT_TYPES)}
     from {EV} group by 1 order by day""")
 def q_pivot_daily_avg(spark, sf):
     """PIVOT: day x event_type matrix of average value — Spark's
     groupBy().pivot() with an EXPLICIT value list (an implicit list
     would add a driver-side distinct scan and make the column set
-    data-dependent; explicit values keep the plan one shuffle, same
-    as any groupBy). The oracle is the equivalent conditional
-    aggregation; each cell divides the decimal-exact cell sum by the
-    cell count, and empty cells are NULL in both engines (null
-    numerator propagates)."""
-    types = ["click", "error", "purchase", "signup", "view"]
-    ev = _events(spark, sf)
-    return (ev.groupBy((F.col("time") - F.col("time") % 86400)
-                       .alias("day"))
-              .pivot("event_type", types)
-              .agg(F.sum(F.col("value").cast(_DEC)).cast("double")
-                   / F.count("value"))
-              .orderBy("day"))
+    data-dependent). The plan is TWO hash aggregations — a partial
+    by (day, event_type) then a PivotFirst by day — i.e. two
+    exchanges, the second over already-aggregated rows. The oracle
+    is the equivalent conditional aggregation; each cell divides the
+    decimal-exact cell sum by the cell count, and empty cells are
+    NULL in both engines (null numerator propagates)."""
+    return _pivot_daily(spark, sf).orderBy("day")
 
 
 @_q("unpivot_daily_avg", f"""
     select time - time % 86400 as day, event_type,
            {_dsum('value')} / count(value) as avg_value
-    from {EV} group by 1, 2 order by day, event_type""")
+    from {EV}
+    where event_type in {str(_EVENT_TYPES)}
+    group by 1, 2 having count(value) > 0
+    order by day, event_type""")
 def q_unpivot_daily_avg(spark, sf):
     """UNPIVOT (melt): the wide day x event_type matrix back to long
     (day, event_type, avg_value) — pivot and unpivot are exact
     inverses, which the oracle proves by computing the long form
     directly from the raw events. Unpivot emits every value column
-    per row, so cells for (day, type) pairs with no events surface
-    as NULLs; the isNotNull filter restores the group-by semantics
-    (a group exists iff at least one row fed it). Values are
+    per row, so (day, type) cells with no non-NULL value surface as
+    NULLs; the isNotNull filter keeps exactly the groups with at
+    least one non-NULL value, which is what the oracle's
+    `having count(value) > 0` (plus the event-type IN-list, in case
+    regenerated data ever grows a sixth type) selects. Values are
     untouched by both reshapes — the same bit-exact decimal-average
     doubles flow through."""
-    piv = QUERIES["pivot_daily_avg"](spark, sf)
-    return (piv.unpivot(
-                "day", ["click", "error", "purchase", "signup", "view"],
-                "event_type", "avg_value")
-               .where(F.col("avg_value").isNotNull())
-               .orderBy("day", "event_type"))
+    return (_pivot_daily(spark, sf)
+            .unpivot("day", list(_EVENT_TYPES), "event_type", "avg_value")
+            .where(F.col("avg_value").isNotNull())
+            .orderBy("day", "event_type"))
 
 
 @_q("cube_counts", f"""
