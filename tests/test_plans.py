@@ -331,3 +331,32 @@ def test_event_analytics_plan_shapes(spark, sf_dir):
 
     fun = QUERIES["funnel"](spark, sf_dir)
     assert I.broadcast_join_count(fun) >= 2, I.formatted_plan(fun)
+
+
+def test_pivot_unpivot_plan_shapes(spark, sf_dir):
+    """Pivot = exactly two hash-agg exchanges ((day,type) partial then
+    PivotFirst by day) + the final sort; the unpivot reuses the
+    UNORDERED pivot body, so no redundant inner sort survives under
+    its Expand — exactly one Sort (the outer day,event_type one)."""
+    from sybil_spark.corpus import QUERIES
+    piv = QUERIES["pivot_daily_avg"](spark, sf_dir)
+    # 2 hash-partitioning shuffles + 1 range (orderBy)
+    assert I.shuffle_exchange_count(piv) == 3, I.formatted_plan(piv)
+    unp = QUERIES["unpivot_daily_avg"](spark, sf_dir)
+    p = I.formatted_plan(unp)
+    assert p.count("Expand") >= 1, p
+    sorts = [ln for ln in p.splitlines() if ln.strip().startswith("(")
+             and ") Sort" in ln]
+    assert len(sorts) == 1, p
+
+
+def test_quantized_topk_plan(spark):
+    """quantized_topk keeps the brute-force contract: the cosine is a
+    projection and the top-k compiles to TakeOrderedAndProject — no
+    shuffle of vectors, no join."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from sybil_spark.operators import similarity
+    q = similarity.quantized_topk(emb, "embedding", k=5, query_id=0)
+    p = I.formatted_plan(q)
+    assert "TakeOrderedAndProject" in p, p
+    assert I.shuffle_exchange_count(q) == 0, p
