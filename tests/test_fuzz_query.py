@@ -8,6 +8,7 @@ so any mismatch is a real semantics bug, not float noise."""
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from sybil_spark.query.builder import Query
@@ -492,3 +493,120 @@ def test_hist_bucket_math_matches_duckdb(fuzz_spark, rows, bucket, base,
     con.register("t", pd.DataFrame(
         [(float(v), g) for v, g in rows], columns=["v", "g"]))
     _cmp_frames(got, con.execute(sql).df())
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot vs DuckDB conditional aggregation (NULL values and
+# out-of-list event types included — the fixture data has neither)
+# ---------------------------------------------------------------------------
+
+_PIV_TYPES = ["click", "error", "view"]
+
+pivot_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1000),            # t (long)
+        st.sampled_from(_PIV_TYPES + ["other"]),             # type
+        st.one_of(st.none(),
+                  st.integers(min_value=-1000, max_value=1000)
+                    .map(lambda x: x / 8.0)),                # v (double|null)
+    ),
+    min_size=1, max_size=60)
+
+
+@given(rows=pivot_rows_st, unpivot=st.booleans())
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_pivot_unpivot_matches_duckdb(fuzz_spark, rows, unpivot):
+    """groupBy().pivot(explicit list) and its unpivot inverse vs the
+    conditional-aggregation SQL, over NULL values (cells whose rows
+    are all-NULL must stay NULL / be dropped identically) and a type
+    OUTSIDE the pivot list (contributes a day group but no cell)."""
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        [(int(t), ty, None if v is None else float(v))
+         for t, ty, v in rows],
+        schema="time long, event_type string, value double")
+    piv = (sdf.groupBy((F.col("time") - F.col("time") % 100)
+                       .alias("day"))
+              .pivot("event_type", _PIV_TYPES)
+              .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                    .cast("double") / F.count("value")))
+    pdf = pd.DataFrame(
+        [(int(t), ty, None if v is None else float(v))
+         for t, ty, v in rows],
+        columns=["time", "event_type", "value"])
+    pdf["value"] = pdf["value"].astype("float64")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    cell_sql = " , ".join(
+        _dsum(f"case when event_type = '{ty}' then value end")
+        + f" / count(case when event_type = '{ty}' then value end)"
+        + f" as {ty}" for ty in _PIV_TYPES)
+    if not unpivot:
+        got = piv.toPandas()
+        oracle = con.execute(
+            f"select time - time % 100 as day, {cell_sql} "
+            f"from t group by 1").df()
+    else:
+        got = (piv.unpivot("day", _PIV_TYPES, "event_type", "avg_value")
+                  .where(F.col("avg_value").isNotNull()).toPandas())
+        types_in = ", ".join(f"'{ty}'" for ty in _PIV_TYPES)
+        oracle = con.execute(
+            f"select time - time % 100 as day, event_type, "
+            f"{_dsum('value')} / count(value) as avg_value "
+            f"from t where event_type in ({types_in}) "
+            f"group by 1, 2 having count(value) > 0").df()
+    _cmp_frames(got, oracle)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization vs DuckDB (zero vectors, negatives, absmax elements)
+# ---------------------------------------------------------------------------
+
+vec_st = st.lists(
+    st.lists(st.integers(min_value=-4000, max_value=4000)
+               .map(lambda x: x / 16.0),
+             min_size=1, max_size=8),
+    min_size=1, max_size=20).map(
+        # pad to uniform dim (ragged lists aren't a vector column)
+        lambda vs: [v + [0.0] * (max(len(x) for x in vs) - len(v))
+                    for v in vs])
+
+
+@given(vecs=vec_st)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_quantize_int8_matches_duckdb(fuzz_spark, vecs):
+    """quantize_int8 (scale + codes) vs the corpus oracle formula —
+    including all-zero vectors (scale 0 -> zero codes, no division)
+    and exact-absmax elements (codes must land on ±127, not ±128)."""
+    from sybil_spark.operators import similarity
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<double>")
+    got = (similarity.quantize_int8(sdf, "embedding")
+           .toPandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(vecs)],
+        columns=["vec_id", "embedding"]))
+    oracle = con.execute("""
+        select vec_id as id, s as scale,
+               list_transform(embedding,
+                 x -> case when s = 0 then 0
+                           else cast(floor(x / s + 0.5) as int) end) as qvec
+        from (select vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x)))/127.0
+                       as s
+              from t)
+        order by id""").df().reset_index(drop=True)
+    assert len(got) == len(oracle)
+    for grow, orow in zip(got.itertuples(), oracle.itertuples()):
+        assert grow.id == orow.id
+        assert float(grow.scale) == float(orow.scale)
+        gq, oq = list(grow.qvec), list(orow.qvec)
+        assert gq == oq, f"id {grow.id}: {gq} != {oq}"
+        assert all(-127 <= c <= 127 for c in gq)
