@@ -77,7 +77,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this sf dir has so `time` always matches the DuckDB oracle's
     # floor(epoch(ts)).
     _conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _t(spark, sf_dir, "events")
     ts_type = _EVENTS_TS_TYPE.get(sf_dir)
     if ts_type is None:
         ts_type = dict(df.dtypes)["ts"]
@@ -98,9 +98,25 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("time", time)
 
 
+#: per-(session, dir, table) DataFrame cache: every `spark.read
+#: .parquet` call pays ~100-350 ms of driver-side file listing +
+#: footer schema read, and a 45-query bench touches the same ten
+#: immutable testdata files ~100 times — reusing the (lazy,
+#: immutable) DataFrame plan removes that entirely. Keyed by
+#: applicationId so a stopped/recreated session never sees another
+#: session's plans. The testdata dirs are read-only, so a cached
+#: FileIndex can't go stale.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _dsum(sql_expr: str) -> str:
