@@ -2430,6 +2430,30 @@ def q_lag_delta(spark, sf):
                      .alias("delta"))
 
 
+@_q("rank_distribution", f"""
+    select event_id, event_type,
+           ntile(4) over w as quartile,
+           percent_rank() over w as pct_rank,
+           cume_dist() over w as cdist
+    from {EV}
+    window w as (partition by event_type order by value, event_id)""")
+def q_rank_distribution(spark, sf):
+    """Ranking-window breadth: ntile / percent_rank / cume_dist in
+    one pass over a per-event-type frame. event_id breaks value ties
+    so both engines rank the same total order; percent_rank
+    ((rank-1)/(n-1)) and cume_dist (rows<=current / n) divide the
+    SAME integers in both engines, so the doubles are bit-exact.
+    One shuffle on event_type; all three functions share the single
+    sorted window frame."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = _events(spark, sf)
+    return ev.select("event_id", "event_type",
+                     F.ntile(4).over(w).alias("quartile"),
+                     F.percent_rank().over(w).alias("pct_rank"),
+                     F.cume_dist().over(w).alias("cdist"))
+
+
 @_q("tpch_q21", """
     with late as (
       select distinct l.l_orderkey, l.l_suppkey
@@ -2790,6 +2814,7 @@ _DRIVER_FIRST = [
     # rationale; NULL-sentinel tie):
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
+    "rank_distribution",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
