@@ -2454,6 +2454,42 @@ def q_rank_distribution(spark, sf):
                      F.cume_dist().over(w).alias("cdist"))
 
 
+@_q("user_journeys", f"""
+    with j as (
+      select user_id,
+             array_to_string(
+               (list(event_type order by time, event_id))[1:5],
+               '>') as journey
+      from {EV} group by 1)
+    select journey, count(*) as n_users
+    from j group by 1
+    order by n_users desc, journey asc limit 20""")
+def q_user_journeys(spark, sf):
+    """Path analysis: each user's first five event types as an
+    ordered journey string, then the top journeys by user count.
+    Ordered-sequence aggregation is where engines usually diverge —
+    Spark's collect_list has NO intra-group order guarantee — so the
+    order is imposed deterministically: collect structs of
+    (time, event_id, event_type) and sort_array them (lexicographic
+    struct compare == ORDER BY time, event_id; event_id is unique so
+    the trailing field never decides). One shuffle per aggregation
+    level, sequences truncated to 5 BEFORE the journey re-group, so
+    the second shuffle carries short strings, not event lists."""
+    from pyspark.sql import functions as Fx
+    ev = _events(spark, sf)
+    seq = Fx.slice(
+        Fx.sort_array(Fx.collect_list(
+            Fx.struct("time", "event_id", "event_type"))), 1, 5)
+    journey = Fx.concat_ws(
+        ">", Fx.transform(seq, lambda s: s["event_type"]))
+    return (ev.groupBy("user_id")
+              .agg(journey.alias("journey"))
+              .groupBy("journey")
+              .agg(Fx.count(Fx.lit(1)).alias("n_users"))
+              .orderBy(Fx.desc("n_users"), Fx.asc("journey"))
+              .limit(20))
+
+
 @_q("tpch_q21", """
     with late as (
       select distinct l.l_orderkey, l.l_suppkey
@@ -2814,7 +2850,7 @@ _DRIVER_FIRST = [
     # rationale; NULL-sentinel tie):
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
-    "rank_distribution",
+    "rank_distribution", "user_journeys",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
