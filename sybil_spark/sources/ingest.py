@@ -241,3 +241,27 @@ def ingest_csv(spark: SparkSession, path: str, table: Table,
     (reference src/cmd/cmd_ingest.go:95-143)."""
     df = spark.read.csv(path, header=True, inferSchema=True)
     return ingest_df(df, table, spec or IngestSpec(), time_col)
+
+
+def ingest_parquet(spark: SparkSession, path: str, table: Table,
+                   spec: IngestSpec | None = None,
+                   time_col: str | None = None) -> int:
+    """Re-ingest an existing Parquet dataset (the most common
+    onboarding path for a table that already lives in a lake) through
+    the same typing rules as JSON/CSV — floats truncate to long,
+    bools to 0/1, nested structs flatten, arrays become string sets —
+    so downstream query semantics can't depend on which source format
+    a row arrived through. The reference has no columnar re-ingest
+    (JSON/CSV stdin only, src/cmd/cmd_ingest.go:229-311); with Spark
+    the reader is free."""
+    df = spark.read.parquet(path)
+    return ingest_df(df, table, spec or IngestSpec(), time_col)
+
+
+def ingest_orc(spark: SparkSession, path: str, table: Table,
+               spec: IngestSpec | None = None,
+               time_col: str | None = None) -> int:
+    """ORC dataset through the same typing rules — see
+    ingest_parquet. Spark's native ORC reader; no extra packages."""
+    df = spark.read.orc(path)
+    return ingest_df(df, table, spec or IngestSpec(), time_col)

@@ -422,3 +422,31 @@ def test_crashed_compact_stage_recovered(spark, db, tmp_path):
     # registry counts unchanged: recovered-counted-* files are
     # excluded from the re-digest's stats update
     assert t.load_meta().int_info["t"]["count"] == count_before
+
+
+def test_ingest_parquet_and_orc_match_json_typing(spark, tmp_path):
+    """Columnar re-ingest goes through the SAME coercions as JSON:
+    floats truncate to long, bools to 0/1, structs flatten, arrays
+    become string sets — source format must not leak into the
+    table's types."""
+    from sybil_spark.sources.ingest import ingest_orc, ingest_parquet
+    src = spark.createDataFrame(
+        [(1, 3.9, True, ("x", 7), ["a", "b", "a"]),
+         (2, -1.2, False, ("y", 8), ["c"])],
+        "id long, score double, ok boolean, "
+        "nest struct<tag:string, n:long>, tags array<string>")
+    pq = str(tmp_path / "src_pq")
+    oc = str(tmp_path / "src_orc")
+    src.write.parquet(pq)
+    src.write.orc(oc)
+    db = str(tmp_path / "db")
+    for name, fn, path in [("t_pq", ingest_parquet, pq),
+                           ("t_orc", ingest_orc, oc)]:
+        t = Table(db, name)
+        fn(spark, path, t)
+        got = (spark.read.parquet(t.ingest_path)
+                    .orderBy("id").collect())
+        assert [r["score"] for r in got] == [3, -1]      # float → long
+        assert [r["ok"] for r in got] == [1, 0]          # bool → 0/1
+        assert got[0]["nest_tag"] == "x"                 # flattened
+        assert sorted(got[0]["tags"]) == ["a", "b"]      # set semantics
