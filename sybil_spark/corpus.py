@@ -2454,6 +2454,23 @@ def q_rank_distribution(spark, sf):
                      F.cume_dist().over(w).alias("cdist"))
 
 
+@_q("lossy_topk", f"""
+    select event_type, count(*) as count
+    from {EV} group by 1
+    order by count desc, event_type asc limit 3""")
+def q_lossy_topk(spark, sf):
+    """The reference's O3 lossy per-block prune (opt-in —
+    operators/prune.lossy_group_topk; the engine default stays
+    exact): per-partition partial counts truncated to the local
+    top-min(limit*10, 1000) before the merge shuffle. On this query
+    the prune provably never truncates (5 event types << keep=30 in
+    every partition), so the lossy plan is bit-identical to the
+    exact oracle — the heavy-hitter regime where truncation CAN drop
+    rare groups is pinned by the skew test in test_operators."""
+    from sybil_spark.operators.prune import lossy_group_topk
+    return lossy_group_topk(_events(spark, sf), ["event_type"], limit=3)
+
+
 @_q("user_journeys", f"""
     with j as (
       select user_id,
@@ -2850,7 +2867,7 @@ _DRIVER_FIRST = [
     # rationale; NULL-sentinel tie):
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
-    "rank_distribution", "user_journeys",
+    "rank_distribution", "user_journeys", "lossy_topk",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",

@@ -737,3 +737,43 @@ def test_quantized_topk_matches_float_neighbors(spark, emb):
     zero = spark.createDataFrame([Row(vec_id=0, embedding=[0.0] * 4)])
     zq = similarity.quantize_int8(zero, "embedding").first()
     assert zq["scale"] == 0.0 and list(zq["qvec"]) == [0, 0, 0, 0]
+
+
+def test_lossy_group_topk_exact_when_under_cap(spark):
+    """Cardinality <= keep in every partition -> bit-identical to the
+    exact aggregation (the reference O3 contract)."""
+    from sybil_spark.operators.prune import lossy_group_topk
+    df = spark.createDataFrame(
+        [(f"g{i % 7}", i) for i in range(1000)], "g string, x long")
+    got = {(r["g"], r["count"])
+           for r in lossy_group_topk(df, ["g"], limit=3).collect()}
+    exact = {(r["g"], r["cnt"]) for r in
+             (df.groupBy("g").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("g")).limit(3).collect())}
+    assert got == exact
+
+
+def test_lossy_group_topk_keeps_heavy_hitters_under_truncation(spark):
+    """Lossy regime: 5000 distinct groups vs keep=20 — the prune
+    truncates hard, but the 5 planted heavy hitters (each 100x any
+    tail group) must all survive with exact counts; weighted variant
+    honors null-weight -> 1."""
+    from sybil_spark.operators.prune import lossy_group_topk
+    rows = [(f"hot{i % 5}", None if i % 3 else 2) for i in range(5000)]
+    rows += [(f"cold{i}", 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, w long").repartition(8)
+    got = lossy_group_topk(df, ["g"], limit=5, factor=4).collect()
+    assert [r["g"] for r in got] == [f"hot{i}" for i in range(5)]
+    assert all(r["count"] == 1000 for r in got)
+    wgot = [(r["g"], r["count"]) for r in
+            lossy_group_topk(df, ["g"], limit=5, factor=4,
+                             weight_col="w").collect()]
+    wexact = [(r["g"], r["cnt"]) for r in
+              (df.groupBy("g")
+                 .agg(F.sum(F.coalesce(F.col("w"), F.lit(1)))
+                       .alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.asc("g")).limit(5).collect())]
+    # the 5 hot groups dwarf the tail, so the lossy weighted head
+    # must equal the exact weighted head, order and counts included
+    assert wgot == wexact
+    assert {g for g, _ in wgot} == {f"hot{i}" for i in range(5)}
