@@ -32,10 +32,11 @@ Semantics preserved from the reference:
 - The TOTAL row across all groups (src/lib/aggregate.go:414-459) is
   available via `.total_row()` as a grand-total union.
 
-Deliberately NOT replicated: the lossy per-batch top-k prune
-(src/lib/aggregate.go:469-495) — Spark's TakeOrderedAndProject is
-exact within the same memory envelope, so `prune_sort` is an alias of
-`sort`.
+The lossy per-batch top-k prune (src/lib/aggregate.go:469-495) is NOT
+the default here — Spark's TakeOrderedAndProject is exact within the
+same memory envelope, so `prune_sort` is an alias of `sort`. The
+faithful lossy behavior exists as an explicit OPT-IN for
+ultra-high-cardinality heads: operators/prune.lossy_group_topk.
 """
 
 from __future__ import annotations
