@@ -111,9 +111,19 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _conf(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # evict other sessions' entries on miss: a long-lived process
+        # that starts/stops many SparkSessions (repeated harness runs)
+        # would otherwise pin dead plans + py4j refs forever. Only one
+        # session is ever live per process in this repo's harnesses,
+        # so cross-session thrash isn't a concern — and a wrongly
+        # evicted entry only costs a re-read.
+        stale = [k for k in _TABLE_CACHE if k[0] != app]
+        for k in stale:
+            del _TABLE_CACHE[k]
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
     return df
@@ -2492,18 +2502,17 @@ def q_user_journeys(spark, sf):
     the trailing field never decides). One shuffle per aggregation
     level, sequences truncated to 5 BEFORE the journey re-group, so
     the second shuffle carries short strings, not event lists."""
-    from pyspark.sql import functions as Fx
     ev = _events(spark, sf)
-    seq = Fx.slice(
-        Fx.sort_array(Fx.collect_list(
-            Fx.struct("time", "event_id", "event_type"))), 1, 5)
-    journey = Fx.concat_ws(
-        ">", Fx.transform(seq, lambda s: s["event_type"]))
+    seq = F.slice(
+        F.sort_array(F.collect_list(
+            F.struct("time", "event_id", "event_type"))), 1, 5)
+    journey = F.concat_ws(
+        ">", F.transform(seq, lambda s: s["event_type"]))
     return (ev.groupBy("user_id")
               .agg(journey.alias("journey"))
               .groupBy("journey")
-              .agg(Fx.count(Fx.lit(1)).alias("n_users"))
-              .orderBy(Fx.desc("n_users"), Fx.asc("journey"))
+              .agg(F.count(F.lit(1)).alias("n_users"))
+              .orderBy(F.desc("n_users"), F.asc("journey"))
               .limit(20))
 
 

@@ -45,22 +45,56 @@ def lossy_group_topk(df: DataFrame, group_cols: list[str], limit: int,
     counts and keeps only the local head, so the single shuffle
     carries at most ``keep × partitions`` rows no matter how many
     distinct groups the data holds — the exact plan would shuffle one
-    partial row per (partition × distinct group). Counts are integer
-    partial sums, so whenever the prune never truncates (cardinality
-    <= keep per partition) the result is bit-identical to the exact
-    aggregation; ties on the final sort break by group value for a
-    deterministic head."""
+    partial row per (partition × distinct group). Unweighted counts
+    are integer partial sums; a ``weight_col`` is summed in double
+    (count becomes a double column, exactly as ``sum(coalesce(w,1))``
+    would type it). Whenever the prune never truncates (cardinality
+    <= keep per partition) the result matches the exact aggregation —
+    bit-identical for unweighted/integer weights; ties on the final
+    sort break by group value for a deterministic head. NULL group
+    values are first-class: they accumulate as one group (pandas'
+    NaN group labels don't merge across batches, so keys are
+    normalized to None before accumulating) and come back as NULL
+    rows, same as the exact path."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     keep = min(limit * factor, cap)
+    if "partial_count" in group_cols or "count" in group_cols:
+        raise ValueError("group_cols may not contain 'count' or "
+                         "'partial_count' (reserved output names)")
     cols = list(group_cols) + ([weight_col] if weight_col else [])
     proj = df.select(*cols)
     gtypes = dict(proj.dtypes)
-    schema = ", ".join([f"{c} {gtypes[c]}" for c in group_cols]
-                       + ["partial_count bigint"])
+    count_type = "double" if weight_col else "bigint"
+    schema = ", ".join([f"`{c}` {gtypes[c]}" for c in group_cols]
+                       + [f"partial_count {count_type}"])
+    #: integer-typed group cols: pandas promotes them to float64 when
+    #: nulls appear — their key values are cast back before emission
+    int_cols = [i for i, c in enumerate(group_cols)
+                if gtypes[c] in ("bigint", "int", "smallint", "tinyint")]
 
     wc = weight_col
     gcols = list(group_cols)
+
+    def _norm_key(k, idx_int):
+        # tuple of group values with EVERY null form (None, NaN, NaT)
+        # collapsed to None — dict-mergeable across batches and
+        # type-stable for the tie-break sort
+        out = []
+        for i, v in enumerate(k if isinstance(k, tuple) else (k,)):
+            if v is None or v != v:
+                out.append(None)
+            elif i in idx_int:
+                out.append(int(v))
+            else:
+                out.append(v)
+        return tuple(out)
+
+    def _sort_key(kv):
+        # count desc, then group values asc with None first —
+        # total order over mixed None/str/int without type errors
+        return (-kv[1],
+                tuple((v is not None, str(v)) for v in kv[0]))
 
     def partial(batches):
         import pandas as pd
@@ -72,18 +106,17 @@ def lossy_group_topk(df: DataFrame, group_cols: list[str], limit: int,
             else:
                 g = pdf.groupby(gcols, dropna=False).size()
             for k, v in g.items():
-                key = k if isinstance(k, tuple) else (k,)
-                acc[key] = acc.get(key, 0) + int(v)
+                key = _norm_key(k, int_cols)
+                acc[key] = acc.get(key, 0) + (float(v) if wc else int(v))
             # mid-stream truncation at the reference's per-scan hard
             # cap (INTERNAL_RESULT_LIMIT, aggregate.go:15): partial
             # state stays bounded even on an adversarial partition —
             # this is the entire point of the lossy mode.
             if len(acc) > 100_000:
-                acc = dict(sorted(acc.items(),
-                                  key=lambda kv: (-kv[1], kv[0]))[:keep])
+                acc = dict(sorted(acc.items(), key=_sort_key)[:keep])
         if not acc:
             return
-        items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:keep]
+        items = sorted(acc.items(), key=_sort_key)[:keep]
         out = pd.DataFrame([list(k) + [v] for k, v in items],
                            columns=gcols + ["partial_count"])
         yield out

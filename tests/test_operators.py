@@ -777,3 +777,25 @@ def test_lossy_group_topk_keeps_heavy_hitters_under_truncation(spark):
     # must equal the exact weighted head, order and counts included
     assert wgot == wexact
     assert {g for g, _ in wgot} == {f"hot{i}" for i in range(5)}
+
+
+def test_lossy_group_topk_null_groups_and_float_weights(spark):
+    """NULL group values merge into ONE group across Arrow batches
+    (pandas labels them NaN, which never dict-merges) and survive
+    count ties against string groups without type errors; fractional
+    weights sum in double, not truncated per batch."""
+    from sybil_spark.operators.prune import lossy_group_topk
+    rows = ([("a", 0.5)] * 4 + [(None, 0.5)] * 4 + [("b", 0.25)] * 2)
+    df = spark.createDataFrame(rows, "g string, w double").repartition(3)
+    got = {(r["g"], r["count"])
+           for r in lossy_group_topk(df, ["g"], limit=3).collect()}
+    assert got == {("a", 4), (None, 4), ("b", 2)}
+    wgot = {(r["g"], r["count"])
+            for r in lossy_group_topk(df, ["g"], limit=3,
+                                      weight_col="w").collect()}
+    assert wgot == {("a", 2.0), (None, 2.0), ("b", 0.5)}
+    # int group col with nulls keeps its type through the prune
+    df2 = spark.createDataFrame([(1,), (1,), (None,)], "k bigint")
+    got2 = {(r["k"], r["count"])
+            for r in lossy_group_topk(df2, ["k"], limit=3).collect()}
+    assert got2 == {(1, 2), (None, 1)}

@@ -350,11 +350,11 @@ def test_pivot_unpivot_plan_shapes(spark, sf_dir):
     assert len(sorts) == 1, p
 
 
-def test_quantized_topk_plan(spark):
+def test_quantized_topk_plan(spark, sf_dir):
     """quantized_topk keeps the brute-force contract: the cosine is a
     projection and the top-k compiles to TakeOrderedAndProject — no
     shuffle of vectors, no join."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from sybil_spark.operators import similarity
     q = similarity.quantized_topk(emb, "embedding", k=5, query_id=0)
     p = I.formatted_plan(q)
