@@ -2464,6 +2464,72 @@ def q_rank_distribution(spark, sf):
                      F.cume_dist().over(w).alias("cdist"))
 
 
+@_q("set_ops_users", f"""
+    with c as (select distinct user_id from {EV}
+               where event_type = 'click'),
+    p as (select distinct user_id from {EV}
+          where event_type = 'purchase')
+    select 'click_only' as segment,
+           (select count(*) from (select * from c except
+                                  select * from p)) as n_users
+    union all
+    select 'both',
+           (select count(*) from (select * from c intersect
+                                  select * from p))
+    union all
+    select 'purchase_only',
+           (select count(*) from (select * from p except
+                                  select * from c))
+    order by segment""")
+def q_set_ops_users(spark, sf):
+    """Native set operators (J2): EXCEPT / INTERSECT on distinct user
+    sets — who clicked but never purchased, both, purchased without
+    clicking. Spark's subtract/intersect compile to left-anti /
+    left-semi over distinct inputs, so each segment is one
+    hash-aggregate + one broadcast-able join, not a full outer
+    reconciliation. The three 1-row counts union into one frame."""
+    ev = _events(spark, sf)
+
+    def users(t):
+        return (ev.where(F.col("event_type") == t)
+                  .select("user_id").distinct())
+
+    c, p = users("click"), users("purchase")
+    seg = [("click_only", c.subtract(p)),
+           ("both", c.intersect(p)),
+           ("purchase_only", p.subtract(c))]
+    outs = [s.agg(F.count(F.lit(1)).alias("n_users"))
+             .select(F.lit(name).alias("segment"), "n_users")
+            for name, s in seg]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("segment")
+
+
+@_q("orders_reconciliation", """
+    select coalesce(c.c_custkey, o.o_custkey) as custkey,
+           c.c_acctbal, count(o.o_orderkey) as n_orders
+    from customer c full outer join orders o on c.c_custkey = o.o_custkey
+    group by 1, 2
+    order by n_orders desc, custkey asc limit 25""")
+def q_orders_reconciliation(spark, sf):
+    """FULL OUTER join (the one join type the TPC-H family doesn't
+    exercise): customers with zero orders keep a NULL-count row,
+    orders with no customer row keep a NULL-acctbal row — the
+    standard reconciliation shape. COUNT(o_orderkey) (not COUNT(*))
+    makes the order-less side count 0 identically in both engines."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return (j.groupBy(F.coalesce(F.col("c_custkey"), F.col("o_custkey"))
+                       .alias("custkey"),
+                      F.col("c_acctbal"))
+             .agg(F.count("o_orderkey").alias("n_orders"))
+             .orderBy(F.desc("n_orders"), F.asc("custkey"))
+             .limit(25))
+
+
 @_q("lossy_topk", f"""
     select event_type, count(*) as count
     from {EV} group by 1
@@ -2877,6 +2943,7 @@ _DRIVER_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
     "rank_distribution", "user_journeys", "lossy_topk",
+    "set_ops_users", "orders_reconciliation",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
