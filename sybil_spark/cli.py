@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-day-partitions", action="store_true",
                     dest="day_partitions",
                     help="write blocks under day=YYYY-MM-DD partitions")
+    sp.add_argument("-cluster", default="", dest="cluster",
+                    help="comma-separated int columns to Z-ORDER "
+                         "blocks by (multi-column zone-map skipping) "
+                         "instead of the default time sort")
 
     sp = sub.add_parser("query")
     common(sp)
@@ -414,7 +418,10 @@ def main(argv: list[str] | None = None,
         elif args.cmd == "digest":
             n = compact.digest(spark, Table(args.dir, args.table),
                                time_col=args.time_col,
-                               day_partitions=args.day_partitions)
+                               day_partitions=args.day_partitions,
+                               cluster_cols=[c for c in
+                                             args.cluster.split(",") if c]
+                               or None)
             print(f"digested {n} records")
         elif args.cmd == "query":
             from sybil_spark.query import printer

@@ -49,7 +49,8 @@ def digest(spark: SparkSession, table: Table,
            chunk_size: int = CHUNK_SIZE,
            compression: str = "zstd",
            day_partitions: bool = False,
-           skip_outliers: bool = True) -> int:
+           skip_outliers: bool = True,
+           cluster_cols: list[str] | None = None) -> int:
     """Compact the row log into time-sorted blocks. Returns rows
     digested (0 = nothing to do).
 
@@ -63,7 +64,16 @@ def digest(spark: SparkSession, table: Table,
     day=YYYY-MM-DD directories derived from the time column, so
     time-range queries prune whole directories before reading a byte
     (PartitionFilters) and trim degenerates to partition drops. Off
-    by default to keep small tables flat."""
+    by default to keep small tables flat.
+
+    `cluster_cols` (2-3 int columns) switches the block layout from
+    time-sorted to Z-ORDERED (functions/zorder.py): blocks are
+    range-partitioned and sorted by the Morton interleave of the
+    named columns, so parquet footer min/max prunes files for
+    filters on ANY clustered column instead of only the time column.
+    Column bounds come from one agg over the staged log — the data
+    is already in memory for the row count. Off by default: the
+    reference layout (and the trim contract) is time-sorted."""
     recover_stages(table)
     if not os.path.exists(table.ingest_path):
         return 0
@@ -98,7 +108,20 @@ def digest(spark: SparkSession, table: Table,
     df = spark.read.option("mergeSchema", "true").parquet(stage)
     n = df.count()
     npart = max(1, -(-n // chunk_size))
-    if time_col and time_col in df.columns:
+    if cluster_cols:
+        from sybil_spark.functions.zorder import zorder_key
+        stats = df.agg(*[f for c in cluster_cols
+                         for f in (F.min(c).alias(f"lo_{c}"),
+                                   F.max(c).alias(f"hi_{c}"))]).first()
+        zk = zorder_key([(F.col(c),
+                          float(stats[f"lo_{c}"] or 0),
+                          float(stats[f"hi_{c}"] or 0))
+                         for c in cluster_cols])
+        df = (df.withColumn("__zk", zk)
+                .repartitionByRange(npart, F.col("__zk"))
+                .sortWithinPartitions("__zk")
+                .drop("__zk"))
+    elif time_col and time_col in df.columns:
         df = (df.repartitionByRange(npart, F.col(time_col))
                 .sortWithinPartitions(time_col))
     else:

@@ -9,7 +9,7 @@ from pyspark.sql import Row, functions as F
 
 from sybil_spark.query.builder import Query
 from sybil_spark.sources import compact, ingest
-from sybil_spark.table import Table, list_tables, table_info
+from sybil_spark.table import Table, TableMeta, list_tables, table_info
 
 
 @pytest.fixture()
@@ -450,3 +450,49 @@ def test_ingest_parquet_and_orc_match_json_typing(spark, tmp_path):
         assert [r["ok"] for r in got] == [1, 0]          # bool → 0/1
         assert got[0]["nest_tag"] == "x"                 # flattened
         assert sorted(got[0]["tags"]) == ["a", "b"]      # set semantics
+
+
+def test_zorder_digest_narrows_zone_maps_on_both_dims(spark, tmp_path):
+    """Z-ordered blocks: every file's footer min/max must cover a
+    SMALL fraction of both clustered columns' ranges (multi-dim
+    skipping), where the time-sorted layout leaves the second
+    column's zone maps useless (~full range per file)."""
+    import pyarrow.parquet as pq
+
+    n = 20_000
+    rows = [(i * 2654435761 % 100_000, (i * 40503) % 100_000, i)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, time long")
+
+    def spans(tdir, **digest_kw):
+        from sybil_spark.sources import compact as C
+        t = Table(str(tdir), "zorder")
+        os.makedirs(t.ingest_path, exist_ok=True)
+        df.coalesce(2).write.mode("append").parquet(t.ingest_path)
+        t.save_meta(TableMeta(name="zorder", time_col="time"))
+        C.digest(spark, t, chunk_size=2000, **digest_kw)
+        out = {}
+        files = [f for f in os.listdir(t.blocks_path)
+                 if f.endswith(".parquet")]
+        assert len(files) >= 8
+        for col in ("x", "y"):
+            tot = 0.0
+            for f in files:
+                md = pq.read_metadata(os.path.join(t.blocks_path, f))
+                lo = min(md.row_group(i).column(
+                    md.schema.names.index(col)).statistics.min
+                    for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(
+                    md.schema.names.index(col)).statistics.max
+                    for i in range(md.num_row_groups))
+                tot += (hi - lo) / 100_000
+            out[col] = tot / len(files)
+        return out
+
+    z = spans(tmp_path / "z", cluster_cols=["x", "y"])
+    t = spans(tmp_path / "t")
+    # time-sorted: x and y are uncorrelated with time -> each file
+    # spans ~the full range of both
+    assert t["x"] > 0.8 and t["y"] > 0.8
+    # z-ordered: every file covers a small rectangle in (x, y)
+    assert z["x"] < 0.5 and z["y"] < 0.5, z
