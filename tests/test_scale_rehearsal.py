@@ -49,3 +49,24 @@ def test_similarity_pipelines_scale_linearly():
     # pairs re-tokenized per replica — see tools/scale_rehearsal.py)
     sh = p["simhash_dup"]
     assert 3 * sh["pairs_1x"] <= sh["pairs_10x"] <= 30 * sh["pairs_1x"], sh
+
+
+def test_100x_curve_subquadratic():
+    """tools/scale_rehearsal_100x.py: minhash at 100x data must stay
+    far under quadratic (linear = 100x; a quadratic stage would show
+    >= 1000x), and the Catalyst TPC-H path near-linear at 10x. The
+    corpus queries are measured verbatim via cache-injected
+    replicated frames."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(root, "tools", "scale_rehearsal_100x.py")],
+        capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    mh = out["pipelines"]["minhash_lsh"]
+    assert mh["growth_100x"] <= 120.0, mh
+    assert 100 * mh["pairs_1x"] <= mh["pairs_100x"] \
+        <= int(100 * mh["pairs_1x"] * 1.02) + 100, mh
+    for q in ("tpch_q1", "tpch_q3"):
+        assert out["pipelines"][q]["growth_10x"] <= 12.0, out["pipelines"][q]
