@@ -2530,6 +2530,49 @@ def q_orders_reconciliation(spark, sf):
              .limit(25))
 
 
+@_q("quality_cascade", f"""
+    with w as (select source, string_split(text, ' ') as t
+               from documents),
+    s as (select source, len(t) as tc,
+                 cast(len(list_filter(t,
+                      x -> x in ('the','a','of','and','in','to','is',
+                                 'it','that','for'))) as double)
+                   / len(t) as swr,
+                 list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' '
+                           || t[i+2]) as ng
+          from w),
+    r as (select source,
+                 case
+                   when tc < 25 then 'too_short'
+                   when swr <= 0.03 then 'non_english'
+                   when 1.0 - cast(len(list_distinct(ng)) as double)
+                              / len(ng) > 0.005 then 'repetitive'
+                   when (cast(least(tc, 100) as double) / 100.0)
+                        * (case when swr > 0.01 then 1.0 else 0.5 end)
+                        < 0.35 then 'low_quality'
+                   else 'kept'
+                 end as reason
+          from s)
+    select reason, source, count(*) as count
+    from r group by 1, 2 order by reason, source""")
+def q_quality_cascade(spark, sf):
+    """Quality-filter cascade audit (functions/text.rejection_reason):
+    every document labeled with the FIRST rule that rejects it —
+    length, language-ID, n-gram repetition, composite quality — or
+    'kept', then counted per (reason, source). The audit shape every
+    corpus filter needs: the rejection mix per source, not just a
+    survivor count. Pure column expressions, one scan, one shuffle;
+    CASE short-circuits identically in both engines, so the 3-gram
+    ratio never divides by zero on short docs."""
+    d = _t(spark, sf, "documents")
+    return (d.select("source",
+                     T.rejection_reason(F.col("text")).alias("reason"))
+             .groupBy("reason", "source")
+             .agg(F.count(F.lit(1)).alias("count"))
+             .orderBy("reason", "source"))
+
+
 @_q("lossy_topk", f"""
     select event_type, count(*) as count
     from {EV} group by 1
@@ -2943,7 +2986,7 @@ _DRIVER_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q20",
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
     "rank_distribution", "user_journeys", "lossy_topk",
-    "set_ops_users", "orders_reconciliation",
+    "set_ops_users", "orders_reconciliation", "quality_cascade",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",

@@ -132,3 +132,25 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     g = ngrams(col, n)
     return (F.lit(1.0) - F.size(F.array_distinct(g)).cast("double")
             / F.size(g).cast("double"))
+
+
+def rejection_reason(col: Column, min_tokens: int = 25,
+                     lang_threshold: float = 0.03,
+                     max_repetition: float = 0.005,
+                     min_quality: float = 0.35) -> Column:
+    """First failing rule of the standard quality cascade, or 'kept'.
+
+    The data-audit shape every large corpus filter needs: not just a
+    keep/drop bit but WHY each document was dropped, so the pipeline
+    owner can see the rejection mix shift when a crawl or a threshold
+    changes. Rules short-circuit in order (CASE semantics in both
+    Spark and SQL), which also guarantees the n-gram repetition ratio
+    is never evaluated on docs too short to have 3-grams."""
+    return (F.when(token_count(col) < min_tokens, F.lit("too_short"))
+             .when(lang_id(col, lang_threshold) != "en",
+                   F.lit("non_english"))
+             .when(repetition_ratio(col) > max_repetition,
+                   F.lit("repetitive"))
+             .when(quality_score(col) < min_quality,
+                   F.lit("low_quality"))
+             .otherwise(F.lit("kept")))
