@@ -56,9 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="day_partitions",
                     help="write blocks under day=YYYY-MM-DD partitions")
     sp.add_argument("-cluster", default="", dest="cluster",
-                    help="comma-separated int columns to Z-ORDER "
+                    help="comma-separated numeric columns to Z-ORDER "
                          "blocks by (multi-column zone-map skipping) "
-                         "instead of the default time sort")
+                         "instead of the default time sort; sticky — "
+                         "saved to table meta so later digests/"
+                         "compactions keep the layout; time-based "
+                         "trim matches nothing on z-ordered blocks")
 
     sp = sub.add_parser("query")
     common(sp)
@@ -419,8 +422,9 @@ def main(argv: list[str] | None = None,
             n = compact.digest(spark, Table(args.dir, args.table),
                                time_col=args.time_col,
                                day_partitions=args.day_partitions,
-                               cluster_cols=[c for c in
-                                             args.cluster.split(",") if c]
+                               cluster_cols=[c.strip() for c in
+                                             args.cluster.split(",")
+                                             if c.strip()]
                                or None)
             print(f"digested {n} records")
         elif args.cmd == "query":

@@ -2544,7 +2544,7 @@ def q_orders_reconciliation(spark, sf):
           from w),
     r as (select source,
                  case
-                   when tc < 25 then 'too_short'
+                   when tc is null or tc < 25 then 'too_short'
                    when swr <= 0.03 then 'non_english'
                    when 1.0 - cast(len(list_distinct(ng)) as double)
                               / len(ng) > 0.005 then 'repetitive'

@@ -17,21 +17,27 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: bits per dimension: 2 cols -> 42-bit keys, 3 cols -> 63-bit keys.
+#: bits per dimension: 2 cols -> 62-bit keys, 3 cols -> 63-bit keys.
 DEFAULT_BITS = {1: 63, 2: 31, 3: 21}
 
 
 def _scale(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Map [lo, hi] -> integer rank in [0, 2^bits); constant columns
-    (hi == lo) collapse to rank 0 rather than dividing by zero."""
+    (hi == lo) collapse to rank 0 rather than dividing by zero. A
+    NULL value ranks 0 (edge of the curve) instead of propagating —
+    a NULL in one dimension must not null the whole Morton key and
+    collapse the row into the first range partition regardless of
+    its OTHER dimensions' values."""
     if hi <= lo:
         return F.lit(0).cast("long")
     span = float(hi) - float(lo)
     scaled = ((col.cast("double") - F.lit(float(lo))) / F.lit(span)
               * F.lit(float((1 << bits) - 1)))
-    return (F.greatest(F.lit(0.0), F.least(scaled,
-                                           F.lit(float((1 << bits) - 1))))
-             .cast("long"))
+    return F.coalesce(
+        F.greatest(F.lit(0.0), F.least(scaled,
+                                       F.lit(float((1 << bits) - 1))))
+         .cast("long"),
+        F.lit(0).cast("long"))
 
 
 def zorder_key(bounds: list[tuple[Column, float, float]],
@@ -42,9 +48,12 @@ def zorder_key(bounds: list[tuple[Column, float, float]],
     then ranks are bit-interleaved (dimension i owns bit positions
     ``b*k + i``). Values outside the advertised bounds clamp to the
     edge rank — they sort to the hyper-rectangle boundary instead of
-    corrupting the key. The bounds come for free from the table
-    stats registry (TableMeta.int_info min/max), so no extra scan is
-    needed at digest time."""
+    corrupting the key — and NULLs rank 0 per dimension, preserving
+    the other dimensions' locality. Callers supply the bounds; the
+    digest path computes exact ones with one agg over the
+    (threshold-bounded) staged log rather than trusting the
+    registry's outlier-suppressed min/max, which would mis-scale
+    exactly the outlier-heavy digests that most need spreading."""
     k = len(bounds)
     if not 1 <= k <= 3:
         raise ValueError("zorder_key supports 1-3 columns")

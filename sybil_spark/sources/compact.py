@@ -66,19 +66,53 @@ def digest(spark: SparkSession, table: Table,
     (PartitionFilters) and trim degenerates to partition drops. Off
     by default to keep small tables flat.
 
-    `cluster_cols` (2-3 int columns) switches the block layout from
-    time-sorted to Z-ORDERED (functions/zorder.py): blocks are
+    `cluster_cols` (2-3 numeric columns) switches the block layout
+    from time-sorted to Z-ORDERED (functions/zorder.py): blocks are
     range-partitioned and sorted by the Morton interleave of the
     named columns, so parquet footer min/max prunes files for
     filters on ANY clustered column instead of only the time column.
-    Column bounds come from one agg over the staged log — the data
-    is already in memory for the row count. Off by default: the
-    reference layout (and the trim contract) is time-sorted."""
+    Bounds cost one extra agg over the (threshold-bounded) staged
+    log. STICKY: the spec persists in TableMeta.cluster_cols and
+    later digests/compactions keep the layout without re-passing the
+    flag. Incompatible with `day_partitions` (the z-key scatters
+    days across every range partition — tiny-file explosion), and
+    time-based trim retention matches nothing on z-ordered blocks
+    (see trim). Off by default: the reference layout is
+    time-sorted."""
     recover_stages(table)
     if not os.path.exists(table.ingest_path):
         return 0
     meta = table.load_meta()
     time_col = time_col or meta.time_col
+    # A clustered table STAYS clustered: the layout is table state
+    # (TableMeta.cluster_cols), not a per-call flag, so auto-digests
+    # and compactions that never heard of -cluster keep the layout
+    # instead of silently eroding it back to time-sorted.
+    cluster_cols = cluster_cols or meta.cluster_cols
+    if cluster_cols:
+        cluster_cols = [c.strip() for c in cluster_cols if c.strip()]
+        if day_partitions:
+            raise ValueError(
+                "cluster_cols + day_partitions is not supported: the "
+                "z-key scatters days uniformly across every range "
+                "partition, so partitionBy('day') would explode into "
+                "npart x ndays tiny files")
+        # Validate BEFORE staging the log away: a failure after the
+        # move would leave rows dark (in neither ingest/ nor blocks/)
+        # until a later recovery pass.
+        probe = spark.read.option("mergeSchema", "true") \
+                     .parquet(table.ingest_path)
+        ptypes = dict(probe.dtypes)
+        numeric = ("bigint", "int", "smallint", "tinyint",
+                   "double", "float", "decimal")
+        for c in cluster_cols:
+            if c not in ptypes:
+                raise ValueError(f"cluster column {c!r} not in the "
+                                 f"ingest log ({sorted(ptypes)})")
+            if not ptypes[c].startswith(numeric):
+                raise ValueError(f"cluster column {c!r} is "
+                                 f"{ptypes[c]}; z-ordering needs a "
+                                 "numeric column")
 
     # Stage the log away first (the reference moves files into a
     # `stomache` dir, table_ingest.go:106-161) so concurrent ingests
@@ -110,6 +144,11 @@ def digest(spark: SparkSession, table: Table,
     npart = max(1, -(-n // chunk_size))
     if cluster_cols:
         from sybil_spark.functions.zorder import zorder_key
+        # one extra agg over the staged log for exact bounds — the
+        # log is bounded small by the auto-digest thresholds (256
+        # files / 2 MB), so this is noise next to the write; the
+        # registry's outlier-suppressed min/max would mis-scale the
+        # very values an outlier-heavy digest most needs spread out
         stats = df.agg(*[f for c in cluster_cols
                          for f in (F.min(c).alias(f"lo_{c}"),
                                    F.max(c).alias(f"hi_{c}"))]).first()
@@ -153,6 +192,8 @@ def digest(spark: SparkSession, table: Table,
     shutil.rmtree(stage)
 
     meta.updated_at = _time.time()
+    if cluster_cols:
+        meta.cluster_cols = list(cluster_cols)
     table.save_meta(meta)
     return n
 
@@ -373,7 +414,23 @@ def compact_blocks(spark: SparkSession, table: Table,
     df = spark.read.option("mergeSchema", "true").parquet(stage)
     n = df.count()
     npart = max(1, -(-n // chunk_size))
-    if time_col and time_col in df.columns:
+    ccols = [c for c in (meta.cluster_cols or []) if c in df.columns]
+    if ccols:
+        # a z-ordered table stays z-ordered through compaction —
+        # rewriting smalls time-sorted would erode the layout
+        from sybil_spark.functions.zorder import zorder_key
+        stats = df.agg(*[f for c in ccols
+                         for f in (F.min(c).alias(f"lo_{c}"),
+                                   F.max(c).alias(f"hi_{c}"))]).first()
+        zk = zorder_key([(F.col(c),
+                          float(stats[f"lo_{c}"] or 0),
+                          float(stats[f"hi_{c}"] or 0))
+                         for c in ccols])
+        df = (df.withColumn("__zk", zk)
+                .repartitionByRange(npart, F.col("__zk"))
+                .sortWithinPartitions("__zk")
+                .drop("__zk"))
+    elif time_col and time_col in df.columns:
         df = (df.repartitionByRange(npart, F.col(time_col))
                 .sortWithinPartitions(time_col))
     else:
@@ -456,7 +513,12 @@ def trim(table: Table, time_col: str | None = None,
 
     A block is trimmed when its footer max(time) < `before`, or —
     newest-first by max(time) — once cumulative size exceeds
-    `size_budget_mb`. Only footer metadata is read."""
+    `size_budget_mb`. Only footer metadata is read.
+
+    Z-ordered tables (TableMeta.cluster_cols): every block spans
+    ~the full time range by construction, so time-based `before`
+    retention matches nothing — use `size_budget_mb` (footer sizes
+    are layout-independent) or re-digest time-sorted first."""
     if not os.path.exists(table.blocks_path):
         return []
     time_col = time_col or table.load_meta().time_col

@@ -52,12 +52,18 @@ class TableMeta:
     time_col: str | None = None
     row_count: int = 0
     updated_at: float = 0.0
+    #: Z-order layout spec: once a digest clusters blocks by these
+    #: columns, every later lifecycle pass (auto-digest,
+    #: compact_blocks) must keep the same layout — a one-shot flag
+    #: would silently erode back to time-sorted blocks.
+    cluster_cols: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps({
             "name": self.name, "key_types": self.key_types,
             "int_info": self.int_info, "time_col": self.time_col,
             "row_count": self.row_count, "updated_at": self.updated_at,
+            "cluster_cols": self.cluster_cols,
         }, indent=2)
 
     @classmethod
@@ -66,7 +72,8 @@ class TableMeta:
         return cls(name=d["name"], key_types=d.get("key_types", {}),
                    int_info=d.get("int_info", {}), time_col=d.get("time_col"),
                    row_count=d.get("row_count", 0),
-                   updated_at=d.get("updated_at", 0.0))
+                   updated_at=d.get("updated_at", 0.0),
+                   cluster_cols=d.get("cluster_cols"))
 
 
 class Table:

@@ -496,3 +496,53 @@ def test_zorder_digest_narrows_zone_maps_on_both_dims(spark, tmp_path):
     assert t["x"] > 0.8 and t["y"] > 0.8
     # z-ordered: every file covers a small rectangle in (x, y)
     assert z["x"] < 0.5 and z["y"] < 0.5, z
+
+
+def test_zorder_layout_is_sticky_and_guarded(spark, tmp_path):
+    """cluster_cols persists in TableMeta: a later digest WITHOUT the
+    flag keeps the z-order layout; bad columns fail BEFORE the log is
+    staged away (no dark rows); day_partitions+cluster is rejected;
+    NULLs in one dimension keep the other dimension's locality."""
+    from sybil_spark.sources import compact as C
+    t = Table(str(tmp_path / "db"), "zs")
+    os.makedirs(t.ingest_path, exist_ok=True)
+    rows = [(i * 2654435761 % 1000, (i * 40503) % 1000, i)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long, time long")
+    df.write.mode("append").parquet(t.ingest_path)
+    t.save_meta(TableMeta(name="zs", time_col="time"))
+
+    # bad column: raises, and the ingest log is still intact
+    with pytest.raises(ValueError, match="not in the ingest log"):
+        C.digest(spark, t, cluster_cols=["x", "nope"])
+    with pytest.raises(ValueError, match="day_partitions"):
+        C.digest(spark, t, cluster_cols=["x", "y"], day_partitions=True)
+    assert spark.read.parquet(t.ingest_path).count() == 4000
+
+    assert C.digest(spark, t, chunk_size=1000,
+                    cluster_cols=["x", "y"]) == 4000
+    assert t.load_meta().cluster_cols == ["x", "y"]
+
+    # second digest with NO flag: layout must stay clustered
+    df.write.mode("append").parquet(t.ingest_path)
+    assert C.digest(spark, t, chunk_size=1000) == 4000
+    import pyarrow.parquet as pq
+    spans = []
+    files = [f for f in os.listdir(t.blocks_path)
+             if f.endswith(".parquet")]
+    for f in files:
+        md = pq.read_metadata(os.path.join(t.blocks_path, f))
+        for colname in ("x", "y"):
+            i = md.schema.names.index(colname)
+            st = md.row_group(0).column(i).statistics
+            spans.append((st.max - st.min) / 1000)
+    assert sum(spans) / len(spans) < 0.6, spans
+
+    # NULL in one dim: key still varies with the other dim
+    from sybil_spark.functions.zorder import zorder_key
+    nd = spark.createDataFrame([(None, 10), (None, 900)],
+                               "a bigint, b bigint")
+    ks = [r["k"] for r in nd.select(zorder_key(
+        [(F.col("a"), 0, 1000), (F.col("b"), 0, 1000)]).alias("k"))
+        .collect()]
+    assert ks[0] is not None and ks[0] != ks[1]

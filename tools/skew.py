@@ -25,8 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if args and os.path.isdir(args[0]):
+    if args and os.sep in args[0]:
+        # path-looking first arg IS the sf dir — fail loudly on a
+        # typo instead of re-parsing it as a table.column spec
         sf_dir = args.pop(0)
+        if not os.path.isdir(sf_dir):
+            sys.exit(f"sf dir not found: {sf_dir}")
     if not args:
         print(__doc__)
         return
