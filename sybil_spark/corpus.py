@@ -2530,6 +2530,60 @@ def q_orders_reconciliation(spark, sf):
              .limit(25))
 
 
+@_q("corr_exact", """
+    with d as (select l_returnflag,
+                      cast(l_quantity as decimal(18,2)) as xd,
+                      cast(l_extendedprice as decimal(18,2)) as yd
+               from lineitem),
+    m as (select l_returnflag,
+                 count(*) as n,
+                 cast(cast(sum(xd) as varchar) as double) as sx,
+                 cast(cast(sum(yd) as varchar) as double) as sy,
+                 cast(cast(sum(xd * yd) as varchar) as double) as sxy,
+                 cast(cast(sum(xd * xd) as varchar) as double) as sxx,
+                 cast(cast(sum(yd * yd) as varchar) as double) as syy
+          from d group by 1)
+    select l_returnflag, n,
+           (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) as r
+    from m order by l_returnflag""")
+def q_corr_exact(spark, sf):
+    """Exact Pearson correlation per group — NOT the built-in corr()
+    (both engines implement it with incremental/Welford updates whose
+    float error differs), but the explicit moment formula over
+    decimal-exact sums: every Σ is order-independent, the final
+    arithmetic is the same double expression tree in both engines,
+    so r is bit-identical. The stats-family companion of the exact
+    stddev (A9): one scan, one shuffle, five exact-decimal sums
+    sharing the aggregation."""
+    li = _t(spark, sf, "lineitem")
+    # operands go to decimal(18,2) BEFORE any multiply: the stored
+    # doubles are 2-decimal values, so this cast is tie-free and
+    # identical in both engines, and decimal x decimal products/sums
+    # are exact — squaring in double first and casting the product
+    # to decimal(38,6) rounds the 6th decimal differently across
+    # engines (observed one-ulp syy divergence). The oracle's
+    # decimal->double casts go through varchar: DuckDB's direct cast
+    # divides an int128 by 10^scale in floating point and can be one
+    # ulp off the correctly-rounded value at 16+ significant digits
+    # (verified: 7096786968835.8685 -> .869 direct, .868 via string,
+    # and Spark's BigDecimal.doubleValue gives .868)
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    dsum = lambda c: F.sum(c).cast("double")  # noqa: E731
+    m = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                dsum(xd).alias("sx"), dsum(yd).alias("sy"),
+                dsum(xd * yd).alias("sxy"), dsum(xd * xd).alias("sxx"),
+                dsum(yd * yd).alias("syy")))
+    n = F.col("n")
+    r = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return (m.select("l_returnflag", "n", r.alias("r"))
+             .orderBy("l_returnflag"))
+
+
 @_q("quality_cascade", f"""
     with w as (select source, string_split(text, ' ') as t
                from documents),
@@ -2987,6 +3041,7 @@ _DRIVER_FIRST = [
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
     "rank_distribution", "user_journeys", "lossy_topk",
     "set_ops_users", "orders_reconciliation", "quality_cascade",
+    "corr_exact",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
