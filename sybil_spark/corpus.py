@@ -130,7 +130,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dsum(sql_expr: str) -> str:
-    return f"cast(sum(cast({sql_expr} as {_DEC})) as double)"
+    """Decimal-exact sum rendered to double, via varchar: DuckDB's
+    direct decimal->double cast divides an int128 by 10^scale in
+    floating point and can land one ulp off the correctly-rounded
+    value at 16+ significant digits (observed live on corr_exact's
+    sum of squares: ...835.8685 -> .869 direct, .868 via string).
+    Spark's Decimal.toDouble is BigDecimal-correct, so the string
+    round-trip — exact decimal text, correctly-rounded parse — makes
+    the oracle agree with Spark in ALL cases, not just away from
+    half-ulp boundaries. On today's testdata both forms hash-match
+    every query; this guards the regenerated-data case."""
+    return (f"cast(cast(sum(cast({sql_expr} as {_DEC})) as varchar) "
+            "as double)")
 
 
 # ===========================================================================
@@ -423,9 +434,9 @@ def q_sum_min_max(spark, sf):
            {_dsum('coalesce(cast(l_quantity as double), 1.0)')} as count,
            count(*) as samples,
            {_dsum('l_extendedprice * coalesce(cast(l_quantity as double), 1.0)')}
-           / cast(sum(cast(case when l_extendedprice is not null
+           / cast(cast(sum(cast(case when l_extendedprice is not null
                  then coalesce(cast(l_quantity as double), 1.0) end
-                 as {_DEC})) as double) as avg_l_extendedprice
+                 as {_DEC})) as varchar) as double) as avg_l_extendedprice
     from lineitem group by 1""")
 def q_weighted_count(spark, sf):
     return (Query.table(_t(spark, sf, "lineitem")).exact_mode()
@@ -1012,7 +1023,7 @@ def q_lang_id(spark, sf):
                        / cast(len(ng) as double) as rep
           from g)
     select lang, count(*) as count,
-           cast(sum(cast(rep as decimal(38,6))) as double)
+           cast(cast(sum(cast(rep as decimal(38,6))) as varchar) as double)
              / count(rep) as avg_repetition
     from r group by 1""")
 def q_repetition(spark, sf):
@@ -2137,8 +2148,8 @@ def q_tpch_q8(spark, sf):
                 then power(2.0, length(bin(cast(floor(l_extendedprice)
                                                as bigint))) - 1)
                 else 0.0 end as bucket,
-           cast(sum(cast(coalesce(cast(l_quantity as double), 1.0)
-                         as {_DEC})) as double) as count,
+           cast(cast(sum(cast(coalesce(cast(l_quantity as double), 1.0)
+                         as {_DEC})) as varchar) as double) as count,
            count(*) as samples
     from lineitem where l_extendedprice is not null group by 1""")
 def q_weighted_loghist(spark, sf):
@@ -2163,12 +2174,12 @@ def q_weighted_loghist(spark, sf):
                           " * coalesce(cast(l_quantity as double), 1.0)")}
                    * {_dsum("l_extendedprice"
                             " * coalesce(cast(l_quantity as double), 1.0)")}
-                   / cast(sum(cast(case when l_extendedprice is not null
+                   / cast(cast(sum(cast(case when l_extendedprice is not null
                          then coalesce(cast(l_quantity as double), 1.0) end
-                         as {_DEC})) as double))
-                / (cast(sum(cast(case when l_extendedprice is not null
+                         as {_DEC})) as varchar) as double))
+                / (cast(cast(sum(cast(case when l_extendedprice is not null
                        then coalesce(cast(l_quantity as double), 1.0) end
-                       as {_DEC})) as double) - 1.0))
+                       as {_DEC})) as varchar) as double) - 1.0))
              as stddev_l_extendedprice
     from lineitem group by 1""")
 def q_weighted_stddev_sum(spark, sf):
@@ -2242,7 +2253,7 @@ def q_weighted_hist_summary(spark, sf):
 
 @_q("moving_avg", f"""
     select user_id, event_id,
-           cast(sum(cast(value as {_DEC})) over w as double)
+           cast(cast(sum(cast(value as {_DEC})) over w as varchar) as double)
              / count(value) over w as mavg
     from {EV}
     window w as (partition by user_id order by time, event_id
@@ -2364,7 +2375,7 @@ def q_tpch_q13(spark, sf):
 @_q("tpch_q17", f"""
     with a as (
       select l_partkey,
-             0.2 * (cast(sum(cast(l_quantity as {_DEC})) as double)
+             0.2 * (cast(cast(sum(cast(l_quantity as {_DEC})) as varchar) as double)
                     / count(l_quantity)) as lim
       from lineitem group by 1)
     select {_dsum('l_extendedprice')} / 7.0 as avg_yearly
@@ -2726,7 +2737,7 @@ def q_tpch_q21(spark, sf):
 
 @_q("tpch_q22", f"""
     with pos as (
-      select cast(sum(cast(c_acctbal as {_DEC})) as double)
+      select cast(cast(sum(cast(c_acctbal as {_DEC})) as varchar) as double)
                / count(c_acctbal) as avg_bal
       from customer where c_acctbal > 0.0)
     select n.n_name, cast(count(*) as bigint) as numcust,
