@@ -17,7 +17,12 @@ _DEC = "decimal(38,6)"
 
 
 def _dsum(expr: str) -> str:
-    return f"cast(sum(cast({expr} as {_DEC})) as double)"
+    # mirrors corpus._dsum incl. the varchar round-trip: DuckDB's
+    # direct decimal->double cast can be one ulp off correct rounding
+    # at 16+ significant digits — keep the fuzz oracle identical to
+    # the corpus oracle so widened value ranges can't reintroduce it
+    return (f"cast(cast(sum(cast({expr} as {_DEC})) as varchar) "
+            "as double)")
 
 
 rows_st = st.lists(
@@ -213,8 +218,9 @@ def test_weighted_agg_matches_duckdb(fuzz_spark, rows, grouped):
     wexpr = "coalesce(cast(w as double), 1.0)"
     sels = [f"{_dsum(wexpr)} as count", "count(*) as samples",
             f"{_dsum(f'v * {wexpr}')}"
-            f" / cast(sum(cast(case when v is not null then {wexpr} end"
-            f" as {_DEC})) as double) as avg_v"]
+            f" / cast(cast(sum(cast(case when v is not null"
+            f" then {wexpr} end as {_DEC})) as varchar)"
+            f" as double) as avg_v"]
     cols = []
     if grouped:
         q = q.group_by("g")

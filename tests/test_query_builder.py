@@ -380,3 +380,25 @@ def test_distinct_values_early_stop_limits_input(spark, tmp_path):
         predicate=F.col("u") >= 1000)
     vals = [r["u"] for r in out3.collect()]
     assert len(vals) == 10 and all(v >= 1000 for v in vals)
+
+
+def test_oracles_render_decimal_sums_via_varchar():
+    """Invariant scan: no corpus oracle may cast a decimal SUM
+    straight to double — DuckDB's direct conversion can be one ulp
+    off correct rounding at 16+ significant digits (observed live),
+    while Spark's Decimal.toDouble is BigDecimal-correct. Every
+    render must round-trip through varchar (corpus._dsum). This scan
+    is what keeps the hand-wrapped inline sites from silently losing
+    the hardening on the next edit."""
+    import re
+    from sybil_spark.corpus import ORACLES
+    bad = []
+    for name, sql in ORACLES.items():
+        low = " ".join(sql.lower().split())
+        for m in re.finditer(r"cast\(sum\(", low):
+            seg = low[m.start():m.start() + 160]
+            head = seg.split("as double)")[0]
+            if ("as double)" in seg and "as varchar)" not in seg
+                    and "as bigint)" not in head[-40:]):
+                bad.append((name, seg[:90]))
+    assert not bad, bad
