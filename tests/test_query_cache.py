@@ -325,3 +325,43 @@ def test_warm_run_plan_reads_no_raw_blocks(spark, blocks, tmp_path):
     assert "cache" in plan
     assert "block0" not in plan and "block1" not in plan \
         and "block2" not in plan, plan
+
+
+def test_zorder_layout_widens_cache_reuse(spark, tmp_path):
+    """Round-5 feature interplay: on a Z-ORDERED table, a filter on
+    the SECOND clustered column is provably trivial for most blocks
+    (their footer b-range sits wholly above the cut), so those
+    blocks' cache keys drop the filter and survive a filter-value
+    change — the sliding-window effect on a non-time dimension. The
+    time-sorted layout leaves every file spanning ~the full b-range:
+    no block drops the filter, every key changes, zero reuse."""
+    from sybil_spark.sources import compact as C
+    from sybil_spark.table import Table, TableMeta
+
+    def build(name, **kw):
+        t = Table(str(tmp_path / name), name)
+        os.makedirs(t.ingest_path, exist_ok=True)
+        df = spark.createDataFrame(
+            [(i * 2654435761 % 10_000, (i * 40503) % 10_000, i, 1.0)
+             for i in range(8000)], "a long, b long, time long, v double")
+        df.coalesce(2).write.mode("append").parquet(t.ingest_path)
+        t.save_meta(TableMeta(name=name, time_col="time"))
+        C.digest(spark, t, chunk_size=1000, **kw)
+        return QC._list_blocks(t.blocks_path)
+
+    def stable_keys(blocks):
+        """Blocks whose cache key is IDENTICAL for two different
+        filter cut values (i.e. the filter was dropped from both)."""
+        out = []
+        for cut in (500, 700):
+            spec = CacheSpec(group_cols=("a",), num_cols=("v",),
+                             filters=(("int", "ge", "b", cut),))
+            p = QC.plan(blocks, spec, str(tmp_path / "cr"))
+            out.append(dict(p.key_of))
+        return sum(1 for b in out[0] if out[0][b] == out[1].get(b))
+
+    z = build("zc", cluster_cols=["a", "b"])
+    t = build("tc")
+    assert len(z) >= 6 and len(t) >= 6
+    assert stable_keys(t) == 0
+    assert stable_keys(z) >= len(z) // 3, (stable_keys(z), len(z))
