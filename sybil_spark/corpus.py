@@ -3074,7 +3074,8 @@ _DRIVER_FIRST = [
     "corr_exact",
     # oracles changed by the varchar decimal->double hardening:
     "repetition", "weighted_loghist", "weighted_stddev_sum",
-    "weighted_count",
+    "weighted_count", "hist_summary", "weighted_hist_summary",
+    "weighted_percentile",
     "cached_query", "tpch_q4", "tpch_q12", "tpch_q16", "media_frames",
     "moving_avg", "funnel", "retention", "lag_delta", "cube_counts",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
@@ -3089,8 +3090,7 @@ _DRIVER_FIRST = [
     "dedup_exact", "dedup_keep_first", "dedup_best", "dedup_clusters",
     "ngram_jaccard", "decontaminate", "embedding_dup",
     "ann_topk", "ann_pairs_topk",
-    "media_meta", "weighted_percentile", "weighted_hist_summary",
-    "tpch_q5", "tpch_q10", "tpch_q14",
+    "media_meta", "tpch_q5", "tpch_q10", "tpch_q14",
     # (c) Below the ~50-row recording window (deliberate — these are
     # plain column-expression queries, untouched for rounds, green in
     # r1-r3, and re-proven this session by tools/check.py 113/113 at
