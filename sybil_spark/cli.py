@@ -172,6 +172,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-distinct", action="store_true")
     sp.add_argument("-json", action="store_true")
 
+    sp = sub.add_parser(
+        "aggregate",
+        help="stitch partial results from MULTIPLE rollup dirs into "
+             "one answer (reference `sybil aggregate`, scatter-gather "
+             "across shards: src/cmd/cmd_aggregate.go:7-35 / VTable."
+             "StitchResults — partials union, merge, finalize once)")
+    sp.add_argument("rollups", nargs="+", help="rollup dirs to stitch")
+    sp.add_argument("-group", default="")
+    sp.add_argument("-int", default="", dest="int_cols")
+    sp.add_argument("-time-bucket", type=int, default=None,
+                    dest="time_bucket")
+    sp.add_argument("-distinct", action="store_true")
+    sp.add_argument("-json", action="store_true")
+
     sp = sub.add_parser("tables")
     sp.add_argument("-dir", default="./db", dest="dir")
 
@@ -477,6 +491,21 @@ def main(argv: list[str] | None = None,
             from sybil_spark.sources import rollup as R
             served = R.serve(R.read_rollup(spark, args.rollup),
                              _split(args.group), _split(args.int_cols),
+                             bucket_s=args.time_bucket,
+                             distinct=args.distinct)
+            if args.json:
+                printer.print_json(served, _split(args.group))
+            else:
+                printer.print_table(served, _split(args.group))
+        elif args.cmd == "aggregate":
+            from sybil_spark.query import printer
+            from sybil_spark.sources import rollup as R
+            parts = [R.read_rollup(spark, p) for p in args.rollups]
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p, allowMissingColumns=True)
+            served = R.serve(union, _split(args.group),
+                             _split(args.int_cols),
                              bucket_s=args.time_bucket,
                              distinct=args.distinct)
             if args.json:

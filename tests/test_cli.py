@@ -305,3 +305,44 @@ def test_cli_per_table_filter_scoping(capsys, spark, db):
                        ["query", "-dir", db, "-table", "uptime",
                         "-str-filter", "status:eq:200:uptime"])
     assert 0 < n(scoped) < n(none)
+
+
+def test_cli_aggregate_stitches_shards(capsys, spark, tmp_path):
+    """`aggregate dir1 dir2` — reference `sybil aggregate`
+    (cmd_aggregate.go:7-35): rollup partials from two independently
+    built shards union + merge + finalize into exactly the answer a
+    single rollup over all the data gives (mergeable partials:
+    decimal sums, min/max, moment pairs)."""
+    db = str(tmp_path / "db")
+    rolls = []
+    allrows = []
+    for shard in (0, 1):
+        src = str(tmp_path / f"s{shard}.ndjson")
+        rows = [{"host": f"h{i % 2}", "ping": 10 + i + shard * 100,
+                 "time": 1_700_000_000 + (shard * 50 + i) * 40}
+                for i in range(50)]
+        allrows += rows
+        with open(src, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        tname = f"sh{shard}"
+        assert main(["ingest", "-dir", db, "-table", tname,
+                     "-time-col", "time", src], spark) == 0
+        assert main(["digest", "-dir", db, "-table", tname], spark) == 0
+        roll = str(tmp_path / f"roll{shard}")
+        assert main(["rollup-build", "-dir", db, "-table", tname,
+                     "-out", roll, "-bucket", "60",
+                     "-group", "host", "-int", "ping"], spark) == 0
+        rolls.append(roll)
+    capsys.readouterr()
+    assert main(["aggregate", *rolls, "-group", "host",
+                 "-int", "ping", "-json"], spark) == 0
+    got = {r["host"]: r for r in
+           json.loads(capsys.readouterr().out)}
+    import statistics
+    for h in ("h0", "h1"):
+        mine = [r["ping"] for r in allrows if r["host"] == h]
+        assert got[h]["count"] == len(mine)
+        assert got[h]["avg_ping"] == statistics.mean(mine)
+        assert got[h]["min_ping"] == min(mine)
+        assert got[h]["max_ping"] == max(mine)
