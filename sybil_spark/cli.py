@@ -186,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-distinct", action="store_true")
     sp.add_argument("-json", action="store_true")
 
+    sub.add_parser("version", help="engine + Spark versions "
+                   "(reference `sybil version`, cmd_version.go)")
+
     sp = sub.add_parser("tables")
     sp.add_argument("-dir", default="./db", dest="dir")
 
@@ -497,6 +500,10 @@ def main(argv: list[str] | None = None,
                 printer.print_json(served, _split(args.group))
             else:
                 printer.print_table(served, _split(args.group))
+        elif args.cmd == "version":
+            import pyspark
+            print(f"sybil_spark 0.5.0 (round 5) / "
+                  f"pyspark {pyspark.__version__}")
         elif args.cmd == "aggregate":
             from sybil_spark.query import printer
             from sybil_spark.sources import rollup as R
