@@ -2504,7 +2504,14 @@ def q_set_ops_users(spark, sf):
     clicking. Spark's subtract/intersect compile to left-anti /
     left-semi over distinct inputs, so each segment is one
     hash-aggregate + one broadcast-able join, not a full outer
-    reconciliation. The three 1-row counts union into one frame."""
+    reconciliation. The three 1-row counts union into one frame.
+
+    Scale note: this query EXISTS to exercise the set operators; a
+    production segment count at 100 TB should instead do ONE pass —
+    groupBy(user).agg(max(type='click'), max(type='purchase')) then a
+    CASE into segments — one scan and one shuffle where the set-op
+    form scans the fact three times (segment frames are independent
+    subtrees; no exchange reuse)."""
     ev = _events(spark, sf)
 
     def users(t):
