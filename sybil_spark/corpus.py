@@ -2554,6 +2554,57 @@ def q_orders_reconciliation(spark, sf):
              .limit(25))
 
 
+@_q("split_leakage", """
+    with sp as (select doc_id, text,
+             case when cast(concat('0x',
+                      substr(md5(cast(doc_id as varchar)), 1, 4))
+                      as bigint) < 58982 then 'train'
+                  when cast(concat('0x',
+                      substr(md5(cast(doc_id as varchar)), 1, 4))
+                      as bigint) < 62259 then 'val'
+                  else 'test' end as split
+          from documents),
+    toks as (select doc_id, split, string_split(text, ' ') t from sp),
+    s as (select doc_id, split, unnest(list_distinct(list_transform(
+             generate_series(1, len(t)-2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh
+          from toks),
+    tr as (select distinct sh from s where split = 'train'),
+    hits as (select s.doc_id, count(*) c from s join tr on s.sh = tr.sh
+             where s.split <> 'train' group by 1),
+    l as (select doc_id from hits where c >= 5)
+    select split, count(*) as n_docs,
+           count(case when sp.doc_id in (select doc_id from l)
+                      then 1 end) as n_leaked
+    from sp where split <> 'train' group by 1 order by split""")
+def q_split_leakage(spark, sf):
+    """Eval-hygiene audit composing two pipeline operators: assign
+    deterministic 90/5/5 splits over doc_id (sampling.assign_splits)
+    then count val/test documents sharing >=5 distinct trigram
+    shingles with ANY train document (dedup.contamination with the
+    train side as the 'benchmark') — the leakage a split-then-train
+    pipeline must prove is zero-ish before the val metrics mean
+    anything. Train is the big side, so broadcast_bench=False: the
+    overlap join shuffles on the shingle hash instead of trying to
+    broadcast 90% of the corpus."""
+    from sybil_spark.operators import sampling
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    sp = sampling.assign_splits(d, "doc_id")
+    train = sp.where(F.col("split") == "train")
+    ev = sp.where(F.col("split") != "train")
+    hits = dedup.contamination(ev, "doc_id", "text",
+                               train, "doc_id", "text", shingle_n=3,
+                               broadcast_bench=False)
+    leaked = (hits.where(F.col("n_overlap") >= 5)
+                  .select(F.col("id").alias("doc_id"),
+                          F.lit(1).alias("leak")))
+    return (ev.join(leaked, "doc_id", "left")
+              .groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.count("leak").alias("n_leaked"))
+              .orderBy("split"))
+
+
 @_q("corr_exact", """
     with d as (select l_returnflag,
                       cast(l_quantity as decimal(18,2)) as xd,
@@ -3078,7 +3129,7 @@ _DRIVER_FIRST = [
     "quantize_topk", "pivot_daily_avg", "unpivot_daily_avg",
     "rank_distribution", "user_journeys", "lossy_topk",
     "set_ops_users", "orders_reconciliation", "quality_cascade",
-    "corr_exact",
+    "corr_exact", "split_leakage",
     # oracles changed by the varchar decimal->double hardening:
     "repetition", "weighted_loghist", "weighted_stddev_sum",
     "weighted_count", "hist_summary", "weighted_hist_summary",
