@@ -501,10 +501,20 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
 
     Per token t: h = xxhash64(t); bit b votes +1/-1 by (h>>b)&1; the
     signature sets bit b iff the vote sum is positive. Shape: explode
-    tokens → one hash per row → single partial-aggregated groupBy with
-    64 JVM sum expressions (shiftright needs a literal shift, so the
-    bit loop unrolls in the plan, not per-row Python). One shuffle of
-    (id, 64 ints) regardless of document size.
+    tokens → one hash per row → posexplode an array of `bits` ±1
+    votes (cheap shift/and projections) → groupBy(id, b) sum →
+    groupBy(id) packs `if(v>0, 1<<b, 0)` sums into the signature.
+
+    Why two narrow aggregations instead of one 64-column-wide one: a
+    single groupBy(id) with 64 sum buffers plus a 64-term bitwiseOR
+    packing chain generates a janino method large enough that codegen
+    compilation alone cost ~4 s per fresh JVM (measured r5); the
+    exploded shape compiles in milliseconds and runs FASTER warm too
+    (1.6 s vs 2.7 s at sf0.1) because the generator and both
+    hash-aggs stay in one whole-stage-codegen span. Both aggs
+    partial-aggregate map-side, so the only shuffle carries
+    (id, b, partial-sum) at ≤ bits rows per doc per partition —
+    still independent of document size.
 
     `portable=True` hashes tokens with the 60-bit md5 family
     (`cast('0x'||substr(md5(t),1,15) as bigint)` in SQL) so an
@@ -518,18 +528,20 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     tok = (spread(df).select(F.col(id_col).alias("id"),
                              F.explode(tokens(F.col(text_col))).alias("t"))
              .select("id", tok_hash.alias("h")))
-    votes = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"v{b}")
-        for b in range(bits)]
-    voted = tok.groupBy("id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), b))
-             .otherwise(F.lit(0).cast("long")))
-    return voted.select("id", sig.alias("sig"))
+    # Array elements are bare shift/and (0/1) — NOT the ±1 vote
+    # (bit*2-1): the extra checked multiply/subtract inside the
+    # generator input measured 3x slower end-to-end (5.5 s vs 1.9 s
+    # at sf0.1), so the ±1 recentering is done on the aggregated
+    # side instead: vote sum v = 2*s - n > 0 ⟺ 2*s > n.
+    bit_arr = F.array(*[
+        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long")
+        for b in range(bits)])
+    votes = (tok.select("id", F.posexplode(bit_arr).alias("b", "bit"))
+                .groupBy("id", "b")
+                .agg(F.sum("bit").alias("s"), F.count(F.lit(1)).alias("n")))
+    return votes.groupBy("id").agg(
+        F.sum(F.expr("if(2*s > n, shiftleft(1L, cast(b as int)), 0L)"))
+         .alias("sig"))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
