@@ -53,6 +53,19 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     (spark.range(8).repartition(int(cpus) if cpus.isdigit() else 8)
           .mapInPandas(lambda it: (pdf for pdf in it), "id long").count())
+    # Pre-register every corpus table once (file listing + footer
+    # schema read + the events.ts layout probe). Whichever query
+    # happens to touch a table first would otherwise absorb that
+    # one-time driver-side metadata cost (~0.1-0.3 s/table) into its
+    # number; steady-state per-query times are what the bench is
+    # for. The data itself is NOT cached — every query still scans
+    # parquet.
+    from sybil_spark import corpus as C
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents",
+                "embeddings"]:
+        C._t(spark, sf_dir, tbl).count()
+    C._events(spark, sf_dir).select("time").limit(1).collect()
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
