@@ -195,6 +195,22 @@ def test_no_cartesian_or_nested_loop_in_corpus(spark):
     assert not bad, bad
 
 
+def test_no_row_python_udf_in_corpus(spark):
+    """Global plan-smell gate #2: no corpus query may plan a
+    BatchEvalPython node — the row-at-a-time Python UDF evaluator
+    that serializes one row per round-trip (10-100x slower than the
+    Arrow-batched forms). Python on the hot path must be
+    ArrowEvalPython (pandas_udf), MapInPandas, or
+    FlatMapGroupsInPandas, all of which move Arrow record batches.
+    Guards every future operator against a casual F.udf() sneaking
+    into the corpus."""
+    from sybil_spark.corpus import QUERIES
+    sf = "/root/testdata/sf0.001"
+    bad = [name for name, fn in QUERIES.items()
+           if "BatchEvalPython" in I.formatted_plan(fn(spark, sf))]
+    assert not bad, bad
+
+
 def test_sessionize_single_shuffle(spark, events):
     from sybil_spark.operators.temporal import sessionize
     q = sessionize(events, "user_id", "time", tiebreak="event_id")
