@@ -234,6 +234,36 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 64, bands: int = 16,
+                  shingle_n: int = 3,
+                  shingles: DataFrame | None = None,
+                  portable: bool = False) -> DataFrame:
+    """(id, band, band_hash): each document's LSH band fingerprints —
+    `bands` rows per doc, each hashing `num_hashes/bands` consecutive
+    minhashes. Two docs sharing ANY (band, band_hash) row are LSH
+    candidates; this frame is the joinable/persistable form of that
+    relation (minhash_lsh_candidates self-joins it; the streaming
+    near-dup index appends it per batch and equi-joins new batches
+    against it)."""
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> Column:
+        if portable:
+            return _port_fold([
+                F.element_at(F.col("sig"), b * rows_per_band + 1 + j)
+                for j in range(rows_per_band)])
+        return F.xxhash64(F.slice(F.col("sig"),
+                                  b * rows_per_band + 1,
+                                  rows_per_band))
+
+    return (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                               shingles=shingles, portable=portable)
+              .select("id", F.posexplode(
+                  F.array(*[band_hash(b) for b in range(bands)]))
+                  .alias("band", "band_hash")))
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_n: int = 3,
@@ -249,22 +279,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     `portable=True` makes every hash (token, shingle, band) the
     SQL-replicable arithmetic family — the candidate SET is then a
     deterministic function an external oracle computes exactly."""
-    rows_per_band = num_hashes // bands
-
-    def band_hash(b: int) -> Column:
-        if portable:
-            return _port_fold([
-                F.element_at(F.col("sig"), b * rows_per_band + 1 + j)
-                for j in range(rows_per_band)])
-        return F.xxhash64(F.slice(F.col("sig"),
-                                  b * rows_per_band + 1,
-                                  rows_per_band))
-
-    banded = (minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                                 shingles=shingles, portable=portable)
-                .select("id", F.posexplode(
-                    F.array(*[band_hash(b) for b in range(bands)]))
-                    .alias("band", "band_hash")))
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands,
+                           shingle_n, shingles=shingles, portable=portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),

@@ -232,6 +232,84 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
             .outputMode("append").start())
 
 
+def stream_near_dedup_against_index(df: DataFrame, id_col: str,
+                                    text_col: str, out_path: str,
+                                    index_path: str,
+                                    num_hashes: int = 64,
+                                    bands: int = 16,
+                                    shingle_n: int = 3,
+                                    checkpoint: str | None = None
+                                    ) -> StreamingQuery:
+    """Continuous corpus-level NEAR-dup filtering: the streaming
+    analog of the batch minhash_dedup_pairs pipeline. Each
+    micro-batch:
+
+    1. computes every document's MinHash LSH band fingerprints
+       (operators.dedup.minhash_bands — `bands` narrow rows per doc);
+    2. drops within-batch near-dups: any doc that is the larger id
+       of a band-collision pair loses (keep-min-id, the same keeper
+       rule as the batch clusters corpus query);
+    3. drops docs sharing ANY (band, band_hash) with the PERSISTED
+       band index — i.e. LSH-similar to something seen in an earlier
+       batch or in the historical corpus the index was bootstrapped
+       from (write minhash_bands of the corpus to `index_path`);
+    4. appends survivors to `out_path` and their bands to the index.
+
+    State is the parquet band index: `bands` rows x ~24 bytes per
+    document ever kept — ~2.4 GB per 100M documents at the 16-band
+    default, partition-prunable and shared across restarts, where
+    the state-store alternative would pin signatures in executor
+    memory. The index filter is an anti-join on (band, band_hash) —
+    an equi-join that co-partitions at any scale, same shape as the
+    batch candidate join.
+
+    Semantics note: band collision is the LSH *candidate* relation —
+    the standard scalable training-corpus filter (drop likely dups;
+    tune precision with bands/num_hashes: fewer bands = wider rows
+    per band = fewer false drops). Exact-Jaccard verification needs
+    the matched docs' TEXT, which the index deliberately does not
+    carry; run the batch jaccard_pairs over `out_path` for an audit
+    pass. At-least-once on crash-replayed batches (appends are not
+    transactional across the two dirs), like
+    stream_dedup_against_index."""
+    from sybil_spark.operators.dedup import minhash_bands
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.localCheckpoint()  # one snapshot for all uses
+        bnd = minhash_bands(docs, id_col, text_col, num_hashes,
+                            bands, shingle_n).localCheckpoint()
+        # 2. within-batch: losers = larger id of any colliding pair
+        a, b = bnd.alias("a"), bnd.alias("b")
+        losers = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                             F.col("a.band_hash") == F.col("b.band_hash"),
+                             F.col("a.id") > F.col("b.id")])
+                    .select(F.col("a.id").alias("id")).distinct())
+        keep_bnd = bnd.join(losers, "id", "left_anti")
+        # 3. against the persisted index
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:
+            idx = None
+        if idx is not None:
+            hit = (keep_bnd.join(idx, ["band", "band_hash"], "left_semi")
+                           .select("id").distinct())
+            keep_bnd = keep_bnd.join(hit, "id", "left_anti")
+        keep_bnd = keep_bnd.localCheckpoint()  # snapshot before writes
+        survivors = docs.join(
+            keep_bnd.select("id").distinct()
+                    .withColumnRenamed("id", id_col), id_col, "left_semi")
+        survivors.write.mode("append").parquet(out_path)
+        keep_bnd.write.mode("append").parquet(index_path)
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or out_path + "_checkpoint")
+            .outputMode("append").start())
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], time_col: str,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: emit only the first event per key,

@@ -616,3 +616,78 @@ def test_quantize_int8_matches_duckdb(fuzz_spark, vecs):
         gq, oq = list(grow.qvec), list(orow.qvec)
         assert gq == oq, f"id {grow.id}: {gq} != {oq}"
         assert all(-127 <= c <= 127 for c in gq)
+
+
+# ---------------------------------------------------------------------------
+# portable-hash dedup family: random corpora vs the corpus oracles
+# ---------------------------------------------------------------------------
+
+_vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+          "theta"]
+
+#: documents built from a tiny vocab so shingle collisions are dense;
+#: 1-2-token docs exercise the sentinel-padded short-doc path. Empty
+#: strings are excluded on purpose: both engines tokenize '' as one
+#: empty token, which no real tokenizer would emit — the dedup
+#: pipelines define their contract for non-empty text only.
+docs_st = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=10)
+      .map(" ".join),
+    min_size=1, max_size=12)
+
+
+def _register_docs(texts):
+    pdf = pd.DataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return pdf, con
+
+
+@given(texts=docs_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_minhash_lsh_matches_duckdb(fuzz_spark, texts):
+    """The FULL portable MinHash+LSH pipeline (token md5 hash →
+    shingle fold → 64 permutations → 16-band fold → candidate join →
+    exact Jaccard) on random corpora must equal the corpus oracle
+    SQL run on the same documents — the corpus gate generalized from
+    one fixed table to the doc-corpus space (dup clusters, short
+    docs, repeated texts)."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    got = dedup.minhash_dedup_pairs(sdf, "doc_id", "text",
+                                    num_hashes=64, bands=16,
+                                    portable=True).toPandas()
+    oracle = con.execute(ORACLES["minhash_lsh"]).df()
+    _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_simhash_matches_duckdb(fuzz_spark, texts):
+    """Portable SimHash (md5 token hash → per-bit votes → packed
+    60-bit signature → 4x15-bit banding → Hamming filter) on random
+    corpora vs the corpus oracle SQL — pins the restructured
+    two-stage vote aggregation to the engine-independent definition
+    for tie votes, repeated tokens, and single-token docs."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    c = dedup.simhash_candidates(sdf, "doc_id", "text",
+                                 bands=4, bits=60, portable=True)
+    got = (c.withColumn("hamming", dedup.hamming64(F.col("sig_a"),
+                                                   F.col("sig_b")))
+            .where(F.col("hamming") <= 8)
+            .select("id_a", "id_b", "hamming").toPandas())
+    oracle = con.execute(ORACLES["simhash_dup"]).df()
+    _cmp_frames(got, oracle)

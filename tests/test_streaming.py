@@ -257,6 +257,63 @@ def test_stream_dedup_against_index(spark, tmp_path):
     assert rows == {"a": 1, "b": 5}
 
 
+def test_stream_near_dedup_against_index(spark, tmp_path):
+    """Cross-batch NEAR-dup filtering via the persisted MinHash band
+    index: a doc LSH-similar to one kept in an earlier batch (or in
+    the bootstrap corpus) never re-emits; unique docs pass."""
+    from sybil_spark.operators import dedup
+    from sybil_spark.streaming.ingest_stream import (
+        stream_near_dedup_against_index)
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain falls gently on the quiet village roofs tonight")
+    hist_text = ("four score and seven years ago our fathers brought "
+                 "forth on this continent a new nation conceived in "
+                 "liberty and dedicated to a proposition")
+
+    def mutate(text, word):
+        toks = text.split()
+        toks[5] = word
+        return " ".join(toks)
+
+    idx_path = str(tmp_path / "bidx")
+    out_path = str(tmp_path / "bout")
+    hist = spark.createDataFrame([("H", hist_text)],
+                                 schema="doc_id string, text string")
+    dedup.minhash_bands(hist, "doc_id", "text",
+                        bands=32).write.parquet(idx_path)
+
+    src = tmp_path / "nd-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [
+        {"doc_id": "A", "text": base},
+        {"doc_id": "B", "text": mutate(base, "leaps")},       # in-batch dup
+        {"doc_id": "E", "text": mutate(hist_text, "months")}, # vs bootstrap
+    ])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_near_dedup_against_index(stream, "doc_id", "text",
+                                        out_path, idx_path, bands=32)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", [
+            {"doc_id": "C", "text": mutate(base, "hops")},    # cross-batch
+            {"doc_id": "D", "text": ("completely different content "
+                                     "about spark shuffle partitions "
+                                     "and columnar parquet readers "
+                                     "running wide aggregations")},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert kept == {"A", "D"}
+    # the index grew by exactly the survivors' bands
+    idx = spark.read.parquet(idx_path)
+    assert {r["id"] for r in idx.select("id").distinct().collect()} \
+        == {"H", "A", "D"}
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Impression->click attribution: clicks join impressions with the
     same user within the delay bound; clicks outside it don't."""
