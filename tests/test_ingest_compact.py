@@ -546,3 +546,51 @@ def test_zorder_layout_is_sticky_and_guarded(spark, tmp_path):
         [(F.col("a"), 0, 1000), (F.col("b"), 0, 1000)]).alias("k"))
         .collect()]
     assert ks[0] is not None and ks[0] != ks[1]
+
+
+def test_schema_evolution_across_digests(spark, db, tmp_path):
+    """The reference's data model is schema-on-ingest: any record may
+    introduce a new column at any time (per-record typed cells,
+    src/lib/column_info.go) — so blocks digested before a column
+    existed must coexist with blocks that carry it. Spark side:
+    every block read goes through mergeSchema=true (table.read,
+    digest staging), so old blocks surface the new column as NULL
+    and queries on it work across the whole table."""
+    t = Table(db, "evolve")
+    p1 = _write_ndjson(tmp_path / "b1.ndjson", [
+        {"host": "a", "ping": 10, "time": 1_700_000_000},
+        {"host": "b", "ping": 20, "time": 1_700_000_060},
+    ])
+    ingest.ingest_json(spark, p1, t)
+    assert compact.digest(spark, t, time_col="time") == 2
+
+    p2 = _write_ndjson(tmp_path / "b2.ndjson", [
+        {"host": "a", "ping": 30, "time": 1_700_000_120,
+         "region": "eu"},                       # new column appears
+        {"host": "c", "ping": 40, "time": 1_700_000_180,
+         "region": "us"},
+    ])
+    ingest.ingest_json(spark, p2, t)
+    assert compact.digest(spark, t, time_col="time") == 2
+
+    df = t.read(spark)
+    assert df.count() == 4
+    rows = {r["host"]: r for r in df.collect()}
+    assert rows["a"]["region"] is None or rows["a"]["ping"] == 30
+    # pre-evolution rows read NULL region
+    assert rows["b"]["region"] is None
+    assert rows["c"]["region"] == "us"
+    # filters and grouping on the late column span the whole table
+    got = (Query.table(df).str_filter("region", "eq", "eu")
+                .group_by("host").limit(None).execute(spark).collect())
+    assert len(got) == 1
+    assert got[0]["host"] == "a" and got[0]["count"] == 1
+    grouped = {r["region"]: r["count"]
+               for r in Query.table(df).group_by("region")
+                             .limit(None).execute(spark).collect()}
+    assert grouped == {"eu": 1, "us": 1, None: 2}
+    # a later compaction unifies mixed-schema blocks without loss
+    compact.compact_blocks(spark, t)
+    df2 = t.read(spark)
+    assert df2.count() == 4
+    assert dict(df2.dtypes)["region"] == "string"
