@@ -594,3 +594,27 @@ def test_schema_evolution_across_digests(spark, db, tmp_path):
     df2 = t.read(spark)
     assert df2.count() == 4
     assert dict(df2.dtypes)["region"] == "string"
+
+
+def test_type_conflict_drops_column_from_batch(spark, db, tmp_path):
+    """A column arriving with a different type than the table
+    registered is dropped from that batch with a warning — the
+    reference's failed field write (src/lib/table.go:155-170). The
+    table keeps its registered type; later digests of the conflicted
+    batch still merge cleanly (no mixed-type parquet in the log)."""
+    t = Table(db, "conflict")
+    p1 = _write_ndjson(tmp_path / "c1.ndjson",
+                       [{"host": "a", "ping": 10, "time": 1}])
+    ingest.ingest_json(spark, p1, t)
+    assert compact.digest(spark, t, time_col="time") == 1
+
+    p2 = _write_ndjson(tmp_path / "c2.ndjson",
+                       [{"host": "b", "ping": "fast", "time": 2}])
+    with pytest.warns(UserWarning, match="ping.*conflicts"):
+        ingest.ingest_json(spark, p2, t)
+    assert compact.digest(spark, t, time_col="time") == 1
+
+    df = t.read(spark)
+    assert dict(df.dtypes)["ping"] == "bigint"   # registered type wins
+    rows = {r["host"]: r["ping"] for r in df.collect()}
+    assert rows == {"a": 10, "b": None}          # conflicted cell dark
