@@ -261,6 +261,28 @@ def test_ivf_assign_deterministic(spark, emb):
     assert {r["cluster"] for r in a1} <= set(range(8))
 
 
+def test_ivf_index_persisted_matches_adhoc(spark, emb, tmp_path):
+    """build_ivf_index → ivf_index_topk answers exactly what the
+    ad-hoc ivf_topk answers with the same centroids (pure-JVM
+    assignment both sides), and the probe scan is PARTITION-PRUNED:
+    the cluster filter lands in PartitionFilters, so non-probed
+    inverted lists are dropped at file listing, before any read."""
+    from sybil_spark.plans.inspect import formatted_plan
+    idx = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, "embedding", idx, nlist=8)
+    assert len(cents) == 8
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    served = similarity.ivf_index_topk(spark, idx, q, k=5, nprobe=2)
+    adhoc = similarity.ivf_topk(emb, "embedding", q, k=5, nlist=8,
+                                nprobe=2, centroids=cents,
+                                use_batch_assign=False)
+    assert [(r["vec_id"], r["cos"]) for r in served.collect()] \
+        == [(r["vec_id"], r["cos"]) for r in adhoc.collect()]
+    import re
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
+                     formatted_plan(served))
+
+
 def test_salted_join_equals_plain(spark):
     from sybil_spark.operators._util import salted_join
     # one hot key (90% of rows) + a long tail
