@@ -905,6 +905,33 @@ def q_ann_pairs_topk(spark, sf):
                                     "embedding", "vec_id", k=20)
 
 
+@_q("cross_topk", """
+    with q as (select vec_id as q_id, CAST(embedding AS DOUBLE[]) qv
+               from embeddings where vec_id < 8),
+         e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+               from embeddings),
+         s as (select q.q_id, e.vec_id,
+                      list_dot_product(q.qv, e.ev)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(e.ev, e.ev))) as cos
+               from q, e),
+         r as (select *, row_number() over
+                  (partition by q_id order by cos desc, vec_id asc) rn
+               from s)
+    select q_id, vec_id, cos from r where rn <= 3
+    order by q_id, cos desc, vec_id asc""")
+def q_cross_topk(spark, sf):
+    """Batched retrieval: exact top-3 corpus vectors per query-set
+    row in ONE corpus scan (similarity.cross_topk — broadcast query
+    matrix, per-Arrow-batch matmul candidates, JVM fold re-score).
+    The sequential-fold cosine makes the final values bit-match the
+    oracle's list_dot_product; ties break on vec_id in both
+    engines."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.cross_topk(emb.where(F.col("vec_id") < 8), emb,
+                                 "embedding", k=3)
+
+
 def _plane_sql(p: int, dim: int = 64) -> str:
     """DuckDB DOUBLE[] literal for deterministic LSH plane p
     (similarity._plane — pure integer mixing, no RNG, so the oracle
@@ -3120,6 +3147,8 @@ _DRIVER_FIRST = [
     # driver row:
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
+    # second-session round-5 addition (brand new, needs its first row):
+    "cross_topk",
     # ...and the round-5 brand-new queries (C1 cache; TPC-H semi/
     # anti/outer/correlated/disjunctive join shapes; multimodal frame
     # fan-out; windowed/funnel/cohort event analytics), plus the two

@@ -437,6 +437,84 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
                  .limit(k))
 
 
+def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
+               k: int = 10, q_id_col: str = "vec_id",
+               id_col: str = "vec_id", margin: int = 32) -> DataFrame:
+    """(q_id, id, cos): exact top-k corpus rows per QUERY-SET row —
+    batched retrieval (eval-probe search, hard-negative mining,
+    embedding-dedup audits), where running brute_force_topk per
+    query would rescan the corpus Q times.
+
+    Scale shape — one corpus scan, queries on the broadcast side:
+    1. the query matrix is collected and normalized ONCE
+       (Q x d float64 — the documented bound: queries are the small
+       side; 100k x 256d is ~200 MB, fine to broadcast; for
+       corpus-sized query sets use pairwise_topk or swap roles);
+    2. every Arrow batch of the corpus computes X_norm @ Q_normᵀ in
+       one numpy matmul and keeps only the local top (k+margin)
+       corpus rows PER QUERY — the only data leaving the scan is
+       (q_id, id) candidates, never vectors;
+    3. candidates are re-scored with the sequential-fold JVM cosine
+       (bit-deterministic, oracle-matching — BLAS summation order
+       never leaks into results) and a per-query window keeps the
+       final k. The re-score joins are broadcast (queries) and a
+       co-partitioned candidate-to-corpus equi-join.
+
+    Exactness: per-batch local top-(k+margin) selection under BLAS
+    float noise is exact as long as the true k-th and
+    (k+margin)-th cosines differ by more than ~1e-12 — same margin
+    contract as pairwise_topk."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sybil_spark.functions.vectors import cosine
+
+    qrows = queries.select(q_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+
+    q_t = dict(queries.dtypes)[q_id_col]
+    c_t = dict(corpus.dtypes)[id_col]
+    take = k + margin
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            if len(X) == 0:
+                continue
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (X / n) @ Qn.T                      # (batch, Q)
+            t = min(take, sims.shape[0])
+            # top-t corpus rows per query column, one argpartition
+            idx = np.argpartition(sims, -t, axis=0)[-t:]   # (t, Q)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "q_id": np.repeat(qids[None, :], t, axis=0).ravel(),
+                id_col: ids[idx].ravel()})
+
+    cands = (corpus.select(id_col, vec_col)
+                   .mapInPandas(gen, f"q_id {q_t}, {id_col} {c_t}")
+                   .dropDuplicates(["q_id", id_col]))
+    qdf = queries.select(F.col(q_id_col).alias("q_id"),
+                         F.col(vec_col).alias("__qv"))
+    rescored = (cands.join(corpus.select(id_col, vec_col), id_col)
+                     .join(F.broadcast(qdf), "q_id")
+                     .select("q_id", id_col,
+                             cosine(F.col("__qv"),
+                                    F.col(vec_col)).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                           F.col(id_col).asc())
+    return (rescored.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= k).drop("__rn")
+                    .orderBy("q_id", F.desc("cos"), F.col(id_col).asc()))
+
+
 # ---------------------------------------------------------------------------
 # int8 quantization — storage/bandwidth path for embedding columns
 # ---------------------------------------------------------------------------

@@ -283,6 +283,22 @@ def test_ivf_index_persisted_matches_adhoc(spark, emb, tmp_path):
                      formatted_plan(served))
 
 
+def test_cross_topk_equals_per_query_bruteforce(spark, emb):
+    """One-scan batched retrieval must return exactly what running
+    brute_force_topk once per query returns — ids AND cosines."""
+    queries = emb.where("vec_id < 5")
+    got = similarity.cross_topk(queries, emb, "embedding", k=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cos"]))
+    for qr in queries.collect():
+        q = [float(x) for x in qr["embedding"]]
+        want = [(r["vec_id"], r["cos"]) for r in
+                similarity.brute_force_topk(emb, "embedding", q,
+                                            k=4).collect()]
+        assert by_q[qr["vec_id"]] == want
+
+
 def test_salted_join_equals_plain(spark):
     from sybil_spark.operators._util import salted_join
     # one hot key (90% of rows) + a long tail
