@@ -515,6 +515,68 @@ def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
                     .orderBy("q_id", F.desc("cos"), F.col(id_col).asc()))
 
 
+def cross_topk_ivf(spark, queries: DataFrame, index_path: str,
+                   k: int = 10, nprobe: int = 4,
+                   q_id_col: str = "vec_id") -> DataFrame:
+    """Batched retrieval against a PERSISTED IVF index
+    (build_ivf_index): the 100 TB shape of cross_topk. Each query is
+    assigned its `nprobe` nearest centroids on the driver (Q x nlist
+    float ops), producing a tiny (q_id, cluster) probe frame that
+    broadcasts; joining it to the index on `cluster` touches only
+    probed partitions — with all queries' probe sets unioned into
+    one IN-list partition filter, so the corpus scan reads
+    |∪probes|/nlist of the data ONCE for the whole query batch, not
+    per query. Scoring is the sequential-fold JVM cosine (exact on
+    everything scanned; approximate only in the IVF sense of not
+    probing far lists), then a per-query top-k window.
+
+    vs cross_topk: that is exact-over-everything (full corpus scan,
+    matmul candidates); this trades recall for scanning only probed
+    inverted lists. Equivalence when nprobe == nlist is pinned by
+    test_cross_topk_ivf_full_probe."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from sybil_spark.functions.vectors import cosine
+
+    with open(os.path.join(index_path, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    qrows = queries.select(q_id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = Cn @ (q / qn if qn else q)
+        # stable nprobe selection: by (-sim, index), ties → lower index
+        order = sorted(range(len(C)), key=lambda i: (-sims[i], i))
+        probe_rows += [(r[0], int(c)) for c in order[:nprobe]]
+    probes = spark.createDataFrame(
+        probe_rows, schema=f"q_id {dict(queries.dtypes)[q_id_col]}, "
+                           "cluster int")
+    all_clusters = sorted({c for _, c in probe_rows})
+    vecs = (spark.read.parquet(os.path.join(index_path, "vectors"))
+                 .where(F.col("cluster").isin(all_clusters)))
+    qdf = queries.select(F.col(q_id_col).alias("q_id"),
+                         F.col(vec_col).alias("__qv"))
+    scored = (vecs.join(F.broadcast(probes), "cluster")
+                  .join(F.broadcast(qdf), "q_id")
+                  .select("q_id", id_col,
+                          cosine(F.col("__qv"),
+                                 F.col(vec_col)).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                           F.col(id_col).asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") <= k).drop("__rn")
+                  .orderBy("q_id", F.desc("cos"), F.col(id_col).asc()))
+
+
 # ---------------------------------------------------------------------------
 # int8 quantization — storage/bandwidth path for embedding columns
 # ---------------------------------------------------------------------------

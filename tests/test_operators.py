@@ -299,6 +299,26 @@ def test_cross_topk_equals_per_query_bruteforce(spark, emb):
         assert by_q[qr["vec_id"]] == want
 
 
+def test_cross_topk_ivf_full_probe(spark, emb, tmp_path):
+    """IVF-batched retrieval with nprobe == nlist scans every
+    inverted list → must equal the exact one-scan cross_topk for
+    every query, ids and cosines. With nprobe < nlist each query's
+    own cluster is probed first, so self-retrieval still works."""
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "embedding", idx, nlist=8)
+    queries = emb.where("vec_id < 5")
+    full = similarity.cross_topk_ivf(spark, queries, idx, k=4, nprobe=8)
+    exact = similarity.cross_topk(queries, emb, "embedding", k=4)
+    assert [(r["q_id"], r["vec_id"], r["cos"]) for r in full.collect()] \
+        == [(r["q_id"], r["vec_id"], r["cos"]) for r in exact.collect()]
+    probed = similarity.cross_topk_ivf(spark, queries, idx, k=4, nprobe=2)
+    by_q = {}
+    for r in probed.collect():
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qid, ids in by_q.items():
+        assert qid in ids   # own cluster always probed → finds itself
+
+
 def test_salted_join_equals_plain(spark):
     from sybil_spark.operators._util import salted_join
     # one hot key (90% of rows) + a long tail
