@@ -606,6 +606,28 @@ def hamming64(a: Column, b: Column) -> Column:
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
+def embedding_buckets(df: DataFrame, id_col: str, vec_col: str,
+                      dim: int, num_planes: int = 8,
+                      tables: int = 4) -> DataFrame:
+    """(id, table, bucket): OR-amplified sign-LSH bucketing of an
+    embedding column — `tables` independent hyperplane families
+    (similarity.random_hyperplane_bucket with offsets 0, p, 2p, ...),
+    one row per (row, table). Two vectors are JOIN candidates if they
+    share a bucket in ANY table; recall for a pair at cosine c is
+    1-(1-(1-θ/π)^planes)^tables (similarity._auto_recall). All
+    bucket bits are JVM fold expressions over literal planes — the
+    frame is cheap to persist and equi-joinable, which is what the
+    streaming embedding-dedup index stores."""
+    from sybil_spark.operators import similarity as S
+
+    buckets = F.array(*[
+        S.random_hyperplane_bucket(F.col(vec_col), dim, num_planes,
+                                   plane_offset=t * num_planes)
+        for t in range(tables)])
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(buckets).alias("table", "bucket")))
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float, block_on: str | None = None,
                         block_rows: int = 2048, n_rows: int | None = None,

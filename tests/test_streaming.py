@@ -314,6 +314,46 @@ def test_stream_near_dedup_against_index(spark, tmp_path):
         == {"H", "A", "D"}
 
 
+def test_stream_embedding_dedup_against_index(spark, tmp_path):
+    """Cross-batch embedding-cosine near-dup: a vector
+    cosine-similar (>= threshold) to one kept in an earlier batch
+    never re-emits; dissimilar vectors pass. Verification is exact
+    cosine — bucket collisions alone never drop anything."""
+    from sybil_spark.streaming.ingest_stream import (
+        stream_embedding_dedup_against_index)
+    from pyspark.sql.types import ArrayType, DoubleType
+    idx_path = str(tmp_path / "eidx")
+    out_path = str(tmp_path / "eout")
+    src = tmp_path / "e-in"
+    src.mkdir()
+    schema = StructType([
+        StructField("vid", StringType()),
+        StructField("emb", ArrayType(DoubleType()))])
+    _write_batch(src, "b1.ndjson", [
+        {"vid": "A", "emb": [1.0, 0.01, 0.0, 0.0]},
+        {"vid": "B", "emb": [1.0, 0.0, 0.01, 0.0]},  # ~A: in-batch dup
+        {"vid": "C", "emb": [0.0, 1.0, 0.0, 0.0]},   # orthogonal: keep
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_embedding_dedup_against_index(
+        stream, "vid", "emb", dim=4, out_path=out_path,
+        index_path=idx_path, threshold=0.95)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", [
+            {"vid": "D", "emb": [1.0, 0.005, 0.005, 0.0]},  # ~A: cross
+            {"vid": "E", "emb": [0.0, 0.0, 1.0, 0.0]},      # new: keep
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["vid"] for r in spark.read.parquet(out_path).collect()}
+    assert kept == {"A", "C", "E"}
+    idx_ids = {r["id"] for r in
+               spark.read.parquet(idx_path + "/vectors").collect()}
+    assert idx_ids == {"A", "C", "E"}
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Impression->click attribution: clicks join impressions with the
     same user within the delay bound; clicks outside it don't."""
