@@ -49,11 +49,11 @@ from pyspark.sql import functions as F
 #: sybil NUM_BUCKETS (reference: src/lib/hist.go:3)
 NUM_BUCKETS = 1000
 
-#: ungrouped EXACT weighted percentiles build a single-partition
-#: window (a global sort of (value, weight) on one executor); above
-#: this many rows that is a driver-visible scale hazard, so _wp_frame
-#: refuses and points at the mergeable histogram-CDF path
-#: (hist_summary / sources.rollup) instead of silently serializing.
+#: ungrouped EXACT weighted percentiles: at or below this many rows a
+#: single-partition window is cheapest; above it _wp_frame switches
+#: to the distributed two-pass CDF (range-partition by value,
+#: per-partition prefix offsets, windowed partials) — same exact
+#: answer, parallel sort, no single-executor envelope.
 WP_UNGROUPED_MAX_ROWS = 2_000_000
 #: sybil default result limit (reference: src/lib/config.go:166-167)
 DEFAULT_LIMIT = 100
@@ -362,13 +362,12 @@ class Query:
         unavoidable cost of an exact percentile and Spark spills it),
         then a grouped min over threshold-crossing values. Weights
         accumulate in decimal, so the CDF is order-exact and
-        bit-matches a SQL window oracle. UNGROUPED, the window is a
-        single partition — the same memory envelope as Spark's own
-        exact `percentile` buffer, acceptable only at modest row
-        counts. The mergeable scale path either way is the histogram
-        CDF (hist_summary / rollup); above WP_UNGROUPED_MAX_ROWS the
-        ungrouped case REFUSES (one cheap count probe) rather than
-        silently building a one-partition sort."""
+        bit-matches a SQL window oracle. UNGROUPED at modest row
+        counts the window is a single partition (cheapest); above
+        WP_UNGROUPED_MAX_ROWS it switches to _wp_ungrouped_distributed
+        — same exact answer, parallel sort. The mergeable
+        constant-size path either way remains the histogram CDF
+        (hist_summary / rollup)."""
         from pyspark.sql import Window
 
         names = self._group_names(df)
@@ -380,12 +379,7 @@ class Query:
         if not names:
             n = proj.count()
             if n > WP_UNGROUPED_MAX_ROWS:
-                raise ValueError(
-                    f"exact ungrouped weighted percentile over {n} rows "
-                    f"would build a single-partition window (limit "
-                    f"{WP_UNGROUPED_MAX_ROWS}); use the mergeable "
-                    f"histogram-CDF path instead — Query.hist_summary() "
-                    f"or sources.rollup — or add a group-by")
+                return self._wp_ungrouped_distributed(proj, a)
         part = Window.partitionBy(*[F.col(n) for n in names])
         cdf = part.orderBy("__v", "__w").rowsBetween(
             Window.unboundedPreceding, Window.currentRow)
@@ -401,6 +395,65 @@ class Query:
             aggs.append(F.min(hit).cast("double")
                         .alias(a.alias or f"p{int(p * 100)}_{a.col}"))
         return proj.groupBy(*names).agg(*aggs) if names else proj.agg(*aggs)
+
+    def _wp_ungrouped_distributed(self, proj: DataFrame,
+                                  a: "_Agg") -> DataFrame:
+        """Exact UNGROUPED weighted percentiles without a global
+        one-partition sort — the distributed prefix-sum CDF:
+
+        1. range-partition (__v) so partition i holds values below
+           partition i+1's, and PIN the sampled range boundaries with
+           a localCheckpoint (the offsets pass and the final pass
+           must see the SAME partition assignment — re-running the
+           range sampler between two jobs could move rows);
+        2. one tiny aggregation collects per-partition weight sums
+           (≤ numPartitions decimal rows to the driver) and turns
+           them into exclusive prefix offsets;
+        3. each partition windows ONLY its own rows (parallel,
+           spillable) and adds its offset — the global decimal-exact
+           cumulative weight — then the usual min-over-crossing
+           finishes per percentile.
+
+        Equal values straddling a range boundary can interleave
+        differently than the single-window (__v, __w) order, but the
+        answer — the smallest VALUE whose cumulative weight reaches
+        p·total — is invariant to ordering among ties, so this
+        bit-matches the single-window path (pinned by
+        test_weighted_percentile_distributed_matches_window)."""
+        from decimal import Decimal
+
+        from pyspark.sql import Window
+
+        spark = proj.sparkSession
+        npart = spark.sparkContext.defaultParallelism
+        part = (proj.repartitionByRange(npart, "__v")
+                    .withColumn("__pid", F.spark_partition_id())
+                    .localCheckpoint())
+        offs = (part.groupBy("__pid").agg(F.sum("__w").alias("pw"))
+                    .orderBy("__pid").collect())
+        run = Decimal(0)
+        pairs: list[Column] = []
+        for r in offs:
+            pairs += [F.lit(int(r["__pid"])),
+                      F.lit(str(run)).cast(self._DEC)]
+            run += r["pw"]
+        total = run
+        off_col = F.element_at(F.create_map(*pairs), F.col("__pid")) \
+            if pairs else F.lit(0).cast(self._DEC)
+        w_in = Window.partitionBy("__pid").orderBy("__v", "__w") \
+                     .rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+        cdf = part.select(
+            "__v", (F.sum("__w").over(w_in) + off_col).alias("__cw"))
+        pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
+        aggs = []
+        for p in pcts:
+            hit = F.when(F.col("__cw").cast("double")
+                         >= F.lit(float(p) * float(total)),
+                         F.col("__v"))
+            aggs.append(F.min(hit).cast("double")
+                        .alias(a.alias or f"p{int(p * 100)}_{a.col}"))
+        return cdf.agg(*aggs)
 
     def _group_cols(self, df: DataFrame) -> list[Column]:
         cols = [F.col(g) for g in self._groups]

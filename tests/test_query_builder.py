@@ -402,3 +402,27 @@ def test_oracles_render_decimal_sums_via_varchar():
                     and "as bigint)" not in head[-40:]):
                 bad.append((name, seg[:90]))
     assert not bad, bad
+
+
+def test_weighted_percentile_distributed_matches_window(spark, monkeypatch):
+    """Above WP_UNGROUPED_MAX_ROWS the ungrouped exact weighted
+    percentile switches to the distributed prefix-sum CDF
+    (range-partition + per-partition offsets) instead of one global
+    single-partition window. Forcing the switch at a tiny threshold
+    must yield bit-identical results to the single-window path,
+    including heavy ties straddling range boundaries."""
+    import random
+
+    from sybil_spark.query import builder as B
+
+    rnd = random.Random(11)
+    rows = [Row(v=float(rnd.choice([1, 2, 2, 3, 5, 8])),
+                w=rnd.randint(1, 9)) for _ in range(5000)]
+    d = spark.createDataFrame(rows).repartition(16)
+    q = lambda: (Query.table(d).weight_col("w")
+                 .agg("v", "percentile", percentiles=[0.1, 0.5, 0.9])
+                 .limit(None).execute(spark).collect()[0])
+    single = q()
+    monkeypatch.setattr(B, "WP_UNGROUPED_MAX_ROWS", 10)
+    dist = q()
+    assert dist.asDict() == single.asDict()
