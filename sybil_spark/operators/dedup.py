@@ -330,7 +330,14 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     `shingles` injects an (already materialized) DISTINCT (id, h)
     frame so composed pipelines share one corpus scan; when omitted,
-    one is built and checkpointed here."""
+    one is built and checkpointed here with full_only=True — true
+    n-gram set semantics: a document shorter than `shingle_n` tokens
+    has NO shingles and never pairs (surfaced by the random-corpus
+    fuzz: two identical 1-token docs scored 1.0 through MinHash's
+    sentinel-padded row while the SQL oracle correctly returned no
+    pair). The minhash_dedup_pairs composition deliberately passes
+    its sentinel-padded frame instead, where short identical docs DO
+    pair — matching ITS oracle's replicated sentinel arithmetic."""
     if exact:
         max_posting = None
     # localCheckpoint (eager): the shingle frame feeds the size
@@ -342,7 +349,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # plan's RDDs are garbage-collected, so repeated calls in a
     # long-lived session don't accumulate storage-memory entries.
     sh = shingles if shingles is not None else \
-        shingle_hashes(df, id_col, text_col, shingle_n) \
+        shingle_hashes(df, id_col, text_col, shingle_n,
+                       full_only=True) \
         .localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -691,3 +691,25 @@ def test_simhash_matches_duckdb(fuzz_spark, texts):
             .select("id_a", "id_b", "hamming").toPandas())
     oracle = con.execute(ORACLES["simhash_dup"]).df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_ngram_jaccard_matches_duckdb(fuzz_spark, texts):
+    """Exact n-gram Jaccard on random corpora vs the corpus oracle:
+    the posting-list join + hash-set intersection must produce the
+    identical pair set AND identical double-precision jaccard values
+    as DuckDB's string-shingle join — including duplicate texts
+    (jaccard 1.0) and sub-shingle-length docs (no shingles, no
+    pairs)."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    got = dedup.jaccard_pairs(sdf, "doc_id", "text", shingle_n=3,
+                              threshold=0.1).toPandas()
+    oracle = con.execute(ORACLES["ngram_jaccard"]).df()
+    _cmp_frames(got, oracle)
