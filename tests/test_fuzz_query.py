@@ -713,3 +713,92 @@ def test_ngram_jaccard_matches_duckdb(fuzz_spark, texts):
                               threshold=0.1).toPandas()
     oracle = con.execute(ORACLES["ngram_jaccard"]).df()
     _cmp_frames(got, oracle)
+
+
+@given(corpus=docs_st, bench=docs_st,
+       min_overlap=st.sampled_from([1, 2, 4]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_decontaminate_matches_duckdb(fuzz_spark, corpus, bench,
+                                      min_overlap):
+    """Benchmark decontamination on random (corpus, bench) pairs vs
+    a DuckDB set-overlap oracle: a corpus doc survives iff it shares
+    fewer than min_overlap DISTINCT trigram shingles with the bench
+    set — sub-shingle-length docs on either side contribute nothing
+    (full_only semantics both engines)."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    cpdf = pd.DataFrame([(f"c{i}", t) for i, t in enumerate(corpus)],
+                        columns=["doc_id", "text"])
+    bpdf = pd.DataFrame([(f"b{i}", t) for i, t in enumerate(bench)],
+                        columns=["doc_id", "text"])
+    csdf, bsdf = spark.createDataFrame(cpdf), spark.createDataFrame(bpdf)
+    got = (dedup.decontaminate(csdf, "doc_id", "text", bsdf, "doc_id",
+                               "text", min_overlap=min_overlap)
+           .select("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("corpus", cpdf)
+    con.register("bench", bpdf)
+    oracle = con.execute(f"""
+        with cs as (select doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t)-2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh
+                    from (select doc_id, string_split(text, ' ') t
+                          from corpus)),
+        bs as (select distinct unnest(list_distinct(list_transform(
+                      generate_series(1, len(t)-2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh
+               from (select string_split(text, ' ') t from bench)),
+        hits as (select cs.doc_id, count(*) c
+                 from cs join bs on cs.sh = bs.sh group by 1)
+        select doc_id from corpus
+        where doc_id not in
+              (select doc_id from hits where c >= {min_overlap})
+        """).df()
+    _cmp_frames(got, oracle)
+
+
+#: adventurous text: punctuation stuck to tokens, case variation,
+#: unicode, digits — the shapes real web text throws at tokenizers.
+#: Single-space joined (the reference's set/token separator).
+_words = ["the", "The", "a,b", "of.", "Spark!", "naïve", "x9",
+          "CAFÉ", "--", "(it)", "l'eau", "日本語"]
+
+texty_st = st.lists(
+    st.lists(st.sampled_from(_words), min_size=1, max_size=12)
+      .map(" ".join),
+    min_size=1, max_size=10)
+
+
+@given(texts=texty_st)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_text_primitives_match_duckdb(fuzz_spark, texts):
+    """Token counting, char counts, stopword ratios, and md5
+    fingerprints on punctuation/unicode/case-noisy text vs DuckDB —
+    pins that the whitespace tokenizer, length semantics (characters,
+    not bytes), and hex casing agree across engines on text the
+    clean synthetic corpus never exercises."""
+    from sybil_spark.functions import text as T
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.char_count(F.col("text")).alias("n_chars"),
+        T.stopword_count(F.col("text")).alias("n_stop"),
+        T.fingerprint(F.col("text"), 4).alias("fp"),
+    ).toPandas()
+    oracle = con.execute("""
+        select doc_id,
+               cast(len(string_split(text, ' ')) as int) as n_tok,
+               cast(length(text) as int) as n_chars,
+               cast(len(list_filter(string_split(text, ' '),
+                    x -> x in ('the','a','of','and','in','to','is',
+                               'it','that','for'))) as int) as n_stop,
+               substr(md5(text), 1, 4) as fp
+        from documents""").df()
+    _cmp_frames(got, oracle)
