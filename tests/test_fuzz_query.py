@@ -802,3 +802,37 @@ def test_text_primitives_match_duckdb(fuzz_spark, texts):
                substr(md5(text), 1, 4) as fp
         from documents""").df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["spam", "ham", "eggs"]),
+             min_size=3, max_size=14).map(" ".join),
+    min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_repetition_ratio_matches_duckdb(fuzz_spark, texts):
+    """1 - distinct/total trigram ratio on a 3-word alphabet (dense
+    repeats by construction) must match DuckDB's list arithmetic
+    double-for-double — the division operand order and the
+    distinct-count semantics are the parts that could drift."""
+    from sybil_spark.functions import text as T
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.select(
+        "doc_id", T.repetition_ratio(F.col("text")).alias("rep")
+    ).toPandas()
+    oracle = con.execute("""
+        with g as (select doc_id,
+                          list_transform(generate_series(1,
+                              len(string_split(text, ' ')) - 2),
+                              i -> string_split(text, ' ')[i] || ' '
+                                   || string_split(text, ' ')[i+1] || ' '
+                                   || string_split(text, ' ')[i+2]) as ng
+                   from documents)
+        select doc_id,
+               1.0 - cast(len(list_distinct(ng)) as double)
+                     / cast(len(ng) as double) as rep
+        from g""").df()
+    _cmp_frames(got, oracle)
