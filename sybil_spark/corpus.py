@@ -3147,8 +3147,11 @@ _DRIVER_FIRST = [
     # driver row:
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
-    # second-session round-5 addition (brand new, needs its first row):
-    "cross_topk",
+    # second-session round-5: brand new (cross_topk needs its first
+    # row) and behavior-changed (jaccard_pairs full_only fix means
+    # ngram_jaccard's sub-shingle-doc semantics changed — re-verify
+    # first per this file's policy):
+    "cross_topk", "ngram_jaccard",
     # ...and the round-5 brand-new queries (C1 cache; TPC-H semi/
     # anti/outer/correlated/disjunctive join shapes; multimodal frame
     # fan-out; windowed/funnel/cohort event analytics), plus the two

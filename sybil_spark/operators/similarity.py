@@ -190,14 +190,7 @@ def ivf_topk(df: DataFrame, vec_col: str, query: list[float], k: int = 10,
     bit-match a SQL oracle's `list_dot_product` (numpy's pairwise/BLAS
     summation can flip an argmax on a near-exact centroid tie)."""
     cents = centroids or ivf_centroids(df, vec_col, id_col, nlist)
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return num / den if den else 0.0
-
-    probes = sorted(range(len(cents)),
-                    key=lambda i: (-_cos(query, cents[i]), i))[:nprobe]
+    probes = _rank_probes(cents, query, nprobe)
     assign = ivf_assign_batch if use_batch_assign else ivf_assign
     assigned = assign(df, vec_col, cents)
     return brute_force_topk(assigned.where(F.col("cluster").isin(probes)),
@@ -239,6 +232,24 @@ def build_ivf_index(df: DataFrame, vec_col: str, index_path: str,
     return cents
 
 
+def _seq_cos(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential-sum cosine — index-order summation, the
+    same fold order as the JVM/oracle cosines. ONE definition shared
+    by every probe-ranking path (ivf_topk, ivf_index_topk) so the
+    ad-hoc and persisted forms can never rank probes differently."""
+    num = sum(x * y for x, y in zip(a, b))
+    den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+    return num / den if den else 0.0
+
+
+def _rank_probes(cents: list[list[float]], query: list[float],
+                 nprobe: int) -> list[int]:
+    """nprobe nearest centroid indices by _seq_cos, ties → lower
+    index — the single probe-selection rule."""
+    return sorted(range(len(cents)),
+                  key=lambda i: (-_seq_cos(query, cents[i]), i))[:nprobe]
+
+
 def ivf_index_topk(spark, index_path: str, query: list[float],
                    k: int = 10, nprobe: int = 4) -> DataFrame:
     """Query a persisted IVF index (build_ivf_index): rank centroids
@@ -252,15 +263,7 @@ def ivf_index_topk(spark, index_path: str, query: list[float],
 
     with open(os.path.join(index_path, "ivf_meta.json")) as f:
         meta = json.load(f)
-    cents = meta["centroids"]
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return num / den if den else 0.0
-
-    probes = sorted(range(len(cents)),
-                    key=lambda i: (-_cos(query, cents[i]), i))[:nprobe]
+    probes = _rank_probes(meta["centroids"], query, nprobe)
     vecs = (spark.read.parquet(os.path.join(index_path, "vectors"))
                  .where(F.col("cluster").isin(probes)))
     return brute_force_topk(vecs, meta["vec_col"], query, k,
@@ -460,47 +463,63 @@ def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
        final k. The re-score joins are broadcast (queries) and a
        co-partitioned candidate-to-corpus equi-join.
 
-    Exactness: per-batch local top-(k+margin) selection under BLAS
-    float noise is exact as long as the true k-th and
-    (k+margin)-th cosines differ by more than ~1e-12 — same margin
-    contract as pairwise_topk."""
+    Exactness: per-batch selection orders by (-cos, id) with a
+    stable sort, so EXACT cosine ties (identical vectors) always
+    keep the lowest ids — the oracle's row_number order — no matter
+    how many tie; the margin only has to absorb BLAS float noise
+    between NEARLY-equal cosines straddling the take boundary
+    (~1e-15 relative), same contract as pairwise_topk."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
     from sybil_spark.functions.vectors import cosine
 
+    q_t = dict(queries.dtypes)[q_id_col]
+    c_t = dict(corpus.dtypes)[id_col]
     qrows = queries.select(q_id_col, vec_col).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], schema=f"q_id {q_t}, {id_col} {c_t}, cos double")
     qids = np.array([r[0] for r in qrows])
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     Qn = Q / qn
 
-    q_t = dict(queries.dtypes)[q_id_col]
-    c_t = dict(corpus.dtypes)[id_col]
     take = k + margin
 
     def gen(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # sort the batch by id so the STABLE sort below resolves
+            # cosine ties by ascending id — the same tie-break as the
+            # final window and the SQL oracle. A plain argpartition
+            # kept an arbitrary positional subset when more than
+            # `take` rows tied (e.g. many identical vectors in a
+            # dedup-audit corpus), which could exclude the very ids
+            # the oracle's row_number keeps.
+            pdf = pdf.sort_values(id_col, kind="mergesort",
+                                  ignore_index=True)
             X = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
-            if len(X) == 0:
-                continue
             n = np.linalg.norm(X, axis=1, keepdims=True)
             n[n == 0] = 1.0
             sims = (X / n) @ Qn.T                      # (batch, Q)
             t = min(take, sims.shape[0])
-            # top-t corpus rows per query column, one argpartition
-            idx = np.argpartition(sims, -t, axis=0)[-t:]   # (t, Q)
+            # top-t per query column by (-cos, id asc)
+            idx = np.argsort(-sims, axis=0, kind="stable")[:t]  # (t, Q)
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame({
                 "q_id": np.repeat(qids[None, :], t, axis=0).ravel(),
                 id_col: ids[idx].ravel()})
 
+    # (q_id, id) pairs are unique by construction — each corpus row
+    # lives in exactly one Arrow batch and the per-column argsort
+    # emits distinct row indices — so no dedup shuffle is needed.
     cands = (corpus.select(id_col, vec_col)
-                   .mapInPandas(gen, f"q_id {q_t}, {id_col} {c_t}")
-                   .dropDuplicates(["q_id", id_col]))
+                   .mapInPandas(gen, f"q_id {q_t}, {id_col} {c_t}"))
     qdf = queries.select(F.col(q_id_col).alias("q_id"),
                          F.col(vec_col).alias("__qv"))
     rescored = (cands.join(corpus.select(id_col, vec_col), id_col)
@@ -554,7 +573,12 @@ def cross_topk_ivf(spark, queries: DataFrame, index_path: str,
         q = np.asarray(r[1], dtype=np.float64)
         qn = np.linalg.norm(q)
         sims = Cn @ (q / qn if qn else q)
-        # stable nprobe selection: by (-sim, index), ties → lower index
+        # stable nprobe selection: by (-sim, index), ties → lower
+        # index. Numpy dot, not _rank_probes' Python fold: per-query
+        # ranking over many queries must vectorize, and the two can
+        # differ only by last-ulp summation order on a near-exact
+        # centroid tie — probe CHOICE is approximate by design (the
+        # scanned lists are then scored exactly either way).
         order = sorted(range(len(C)), key=lambda i: (-sims[i], i))
         probe_rows += [(r[0], int(c)) for c in order[:nprobe]]
     probes = spark.createDataFrame(

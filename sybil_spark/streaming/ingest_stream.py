@@ -29,6 +29,61 @@ from sybil_spark.sources.ingest import IngestSpec, coerce
 from sybil_spark.table import Table
 
 
+def _read_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a persisted dedup-index parquet dir; None ONLY when the
+    index doesn't exist yet (first batch). Any other failure —
+    corrupt footer, transient FS error, permissions — raises: the
+    dedup streams must never silently skip history filtering (that
+    failure mode is duplicate leakage with no error anywhere)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            return None
+        raise
+
+
+def _meta_file(index_path: str) -> str:
+    import os
+    # underscore prefix: Spark's parquet reader ignores it inside a
+    # dataset directory, so the sidecar can live in the index dir
+    return os.path.join(index_path, "_index_meta.json")
+
+
+def _check_index_meta(index_path: str, params: dict) -> None:
+    """Raise if a persisted index was built with different structural
+    parameters than this stream is using — a mismatch (e.g. bands=16
+    index, bands=32 stream) makes the equi-join match nothing and
+    every historical dup re-emit, with no error anywhere."""
+    import json
+    import os
+
+    p = _meta_file(index_path)
+    if os.path.exists(p):
+        with open(p) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"index at {index_path} was built with {stored}, "
+                f"stream configured with {params} — rebuild the "
+                "index or match the parameters")
+
+
+def _write_index_meta(index_path: str, params: dict) -> None:
+    import json
+    import os
+
+    p = _meta_file(index_path)
+    if not os.path.exists(p):
+        os.makedirs(index_path, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(params, f)
+
+
 def stream_ingest(spark: SparkSession, source_dir: str, table: Table,
                   schema: StructType, spec: IngestSpec | None = None,
                   checkpoint: str | None = None,
@@ -216,10 +271,7 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
             return
         spark = batch_df.sparkSession
         fresh = exact_keep_first(batch_df, key_cols, id_col)
-        try:
-            idx = spark.read.parquet(index_path)
-        except Exception:
-            idx = None
+        idx = _read_index(spark, index_path)
         if idx is not None:
             fresh = filter_seen(fresh, key_cols, idx)
         fresh = fresh.localCheckpoint()   # both writes see one snapshot
@@ -230,6 +282,23 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
             .option("checkpointLocation",
                     checkpoint or out_path + "_checkpoint")
             .outputMode("append").start())
+
+
+def bootstrap_minhash_band_index(df: DataFrame, id_col: str,
+                                 text_col: str, index_path: str,
+                                 num_hashes: int = 64, bands: int = 16,
+                                 shingle_n: int = 3) -> None:
+    """Seed the stream_near_dedup_against_index band index from an
+    existing (historical) corpus — writes the band rows AND the
+    parameter sidecar, so a stream started with different hash
+    parameters fails fast instead of silently matching nothing."""
+    from sybil_spark.operators.dedup import minhash_bands
+
+    minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n) \
+        .write.mode("overwrite").parquet(index_path)
+    _write_index_meta(index_path, {"num_hashes": num_hashes,
+                                   "bands": bands,
+                                   "shingle_n": shingle_n})
 
 
 def stream_near_dedup_against_index(df: DataFrame, id_col: str,
@@ -269,15 +338,24 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
     per band = fewer false drops). Exact-Jaccard verification needs
     the matched docs' TEXT, which the index deliberately does not
     carry; run the batch jaccard_pairs over `out_path` for an audit
-    pass. At-least-once on crash-replayed batches (appends are not
+    pass. Rows with NULL text produce no bands and PASS THROUGH
+    (they duplicate nothing) — dedup must never lose records. The
+    index carries a `_index_meta.json` sidecar (hash parameters);
+    a stream started with different parameters than the index was
+    built with raises instead of silently matching nothing.
+    At-least-once on crash-replayed batches (appends are not
     transactional across the two dirs), like
     stream_dedup_against_index."""
     from sybil_spark.operators.dedup import minhash_bands
+
+    params = {"num_hashes": num_hashes, "bands": bands,
+              "shingle_n": shingle_n}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _check_index_meta(index_path, params)
         docs = batch_df.localCheckpoint()  # one snapshot for all uses
         bnd = minhash_bands(docs, id_col, text_col, num_hashes,
                             bands, shingle_n).localCheckpoint()
@@ -287,22 +365,27 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
                              F.col("a.band_hash") == F.col("b.band_hash"),
                              F.col("a.id") > F.col("b.id")])
                     .select(F.col("a.id").alias("id")).distinct())
+        dropped = losers
         keep_bnd = bnd.join(losers, "id", "left_anti")
-        # 3. against the persisted index
-        try:
-            idx = spark.read.parquet(index_path)
-        except Exception:
-            idx = None
+        # 3. against the persisted index. Only a MISSING index reads
+        # as "first batch"; any other read failure (corrupt footer,
+        # transient FS error) must raise — swallowing it would skip
+        # history filtering and leak near-dups silently.
+        idx = _read_index(spark, index_path)
         if idx is not None:
             hit = (keep_bnd.join(idx, ["band", "band_hash"], "left_semi")
                            .select("id").distinct())
             keep_bnd = keep_bnd.join(hit, "id", "left_anti")
+            dropped = dropped.unionByName(hit)
         keep_bnd = keep_bnd.localCheckpoint()  # snapshot before writes
+        dropped = dropped.localCheckpoint()
+        # survivors = everything NOT dropped — including docs with no
+        # bands at all (NULL/short text), which can't collide
         survivors = docs.join(
-            keep_bnd.select("id").distinct()
-                    .withColumnRenamed("id", id_col), id_col, "left_semi")
+            dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
         survivors.write.mode("append").parquet(out_path)
         keep_bnd.write.mode("append").parquet(index_path)
+        _write_index_meta(index_path, params)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -340,15 +423,22 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
     Recall follows the OR-amplified sign-LSH bound
     (similarity._auto_recall — e.g. ~0.98 at cos 0.95 with 8 planes
     x 4 tables); a pair colliding in no table is missed, the
-    standard LSH trade that keeps every join an equi-join.
+    standard LSH trade that keeps every join an equi-join. A row
+    only drops on a VERIFIED cosine match — NULL/odd vectors pass
+    through (their fold cosines are NULL, never >= threshold). The
+    index carries a `_index_meta.json` sidecar (dim/planes/tables);
+    parameter mismatches raise instead of silently matching nothing.
     At-least-once on crash-replayed batches, like its siblings."""
     from sybil_spark.functions.vectors import cosine
     from sybil_spark.operators.dedup import embedding_buckets
+
+    params = {"dim": dim, "num_planes": num_planes, "tables": tables}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _check_index_meta(index_path, params)
         docs = batch_df.localCheckpoint()
         bkt = embedding_buckets(docs, id_col, vec_col, dim,
                                 num_planes, tables).localCheckpoint()
@@ -368,15 +458,14 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
                       .where(cosine(F.col("__va"), F.col("__vb"))
                              >= threshold)
                       .select("id").distinct())
+        dropped = losers
         keep = vecs.join(losers, "id", "left_anti")
         keep_bkt = bkt.join(losers, "id", "left_anti")
         # 3. against the persisted index (bucket join, vector verify)
-        try:
-            idx_b = spark.read.parquet(index_path + "/buckets")
-            idx_v = spark.read.parquet(index_path + "/vectors")
-        except Exception:
-            idx_b = None
-        if idx_b is not None:
+        idx_b = _read_index(spark, index_path + "/buckets")
+        idx_v = _read_index(spark, index_path + "/vectors") \
+            if idx_b is not None else None
+        if idx_b is not None and idx_v is not None:
             hits = (keep_bkt.join(idx_b.withColumnRenamed("id", "old_id"),
                                   ["table", "bucket"])
                             .select("id", "old_id").distinct())
@@ -390,14 +479,18 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
                         .select("id").distinct())
             keep = keep.join(seen, "id", "left_anti")
             keep_bkt = keep_bkt.join(seen, "id", "left_anti")
+            dropped = dropped.unionByName(seen)
         keep = keep.localCheckpoint()       # snapshot before writes
         keep_bkt = keep_bkt.localCheckpoint()
+        dropped = dropped.localCheckpoint()
+        # survivors = everything NOT dropped — a row only drops on a
+        # verified cosine match, never for lacking buckets/vector
         survivors = docs.join(
-            keep.select("id").withColumnRenamed("id", id_col),
-            id_col, "left_semi")
+            dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
         survivors.write.mode("append").parquet(out_path)
         keep.write.mode("append").parquet(index_path + "/vectors")
         keep_bkt.write.mode("append").parquet(index_path + "/buckets")
+        _write_index_meta(index_path, params)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",

@@ -261,9 +261,8 @@ def test_stream_near_dedup_against_index(spark, tmp_path):
     """Cross-batch NEAR-dup filtering via the persisted MinHash band
     index: a doc LSH-similar to one kept in an earlier batch (or in
     the bootstrap corpus) never re-emits; unique docs pass."""
-    from sybil_spark.operators import dedup
     from sybil_spark.streaming.ingest_stream import (
-        stream_near_dedup_against_index)
+        bootstrap_minhash_band_index, stream_near_dedup_against_index)
     base = ("the quick brown fox jumps over the lazy dog while the "
             "rain falls gently on the quiet village roofs tonight")
     hist_text = ("four score and seven years ago our fathers brought "
@@ -279,8 +278,8 @@ def test_stream_near_dedup_against_index(spark, tmp_path):
     out_path = str(tmp_path / "bout")
     hist = spark.createDataFrame([("H", hist_text)],
                                  schema="doc_id string, text string")
-    dedup.minhash_bands(hist, "doc_id", "text",
-                        bands=32).write.parquet(idx_path)
+    bootstrap_minhash_band_index(hist, "doc_id", "text", idx_path,
+                                 bands=32)
 
     src = tmp_path / "nd-in"
     src.mkdir()
@@ -302,16 +301,29 @@ def test_stream_near_dedup_against_index(spark, tmp_path):
                                      "about spark shuffle partitions "
                                      "and columnar parquet readers "
                                      "running wide aggregations")},
+            {"doc_id": "N", "text": None},   # no bands -> passes through
         ])
         q.processAllAvailable()
     finally:
         q.stop()
     kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
-    assert kept == {"A", "D"}
-    # the index grew by exactly the survivors' bands
+    assert kept == {"A", "D", "N"}
+    # the index grew by exactly the banded survivors' bands
     idx = spark.read.parquet(idx_path)
     assert {r["id"] for r in idx.select("id").distinct().collect()} \
         == {"H", "A", "D"}
+    # a stream with mismatched hash parameters fails fast instead of
+    # silently matching nothing against the persisted index
+    _write_batch(src, "b3.ndjson",
+                 [{"doc_id": "Z", "text": base}])
+    q2 = stream_near_dedup_against_index(
+        stream, "doc_id", "text", str(tmp_path / "bout2"), idx_path,
+        bands=16, checkpoint=str(tmp_path / "ck2"))
+    try:
+        with pytest.raises(Exception, match="built with"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
 
 
 def test_stream_embedding_dedup_against_index(spark, tmp_path):
