@@ -319,6 +319,25 @@ def test_cross_topk_ivf_full_probe(spark, emb, tmp_path):
         assert qid in ids   # own cluster always probed → finds itself
 
 
+def test_cross_topk_mass_ties_and_empty_queries(spark):
+    """More identical vectors than k+margin in one batch: the
+    survivors must be the LOWEST ids (the oracle's row_number order),
+    not an arbitrary positional subset; and an empty query frame
+    returns an empty typed result instead of crashing."""
+    n = 60
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(n)],
+        schema="vec_id long, embedding array<double>").coalesce(1)
+    queries = corpus.where("vec_id = 0")
+    got = similarity.cross_topk(queries, corpus, "embedding",
+                                k=5, margin=10)
+    assert [r["vec_id"] for r in got.collect()] == [0, 1, 2, 3, 4]
+    empty = similarity.cross_topk(corpus.where("vec_id < 0"), corpus,
+                                  "embedding", k=5)
+    assert empty.collect() == []
+    assert empty.columns == ["q_id", "vec_id", "cos"]
+
+
 def test_salted_join_equals_plain(spark):
     from sybil_spark.operators._util import salted_join
     # one hot key (90% of rows) + a long tail
