@@ -215,6 +215,23 @@ def q_group_avg(spark, sf):
             .limit(None).execute(spark))
 
 
+@_q("having_avg", f"""
+    select event_type, count(*) as count,
+           {_dsum('value')}/count(value) as avg_value
+    from {EV} group by 1
+    having count(*) >= 100 and {_dsum('value')}/count(value) > 45.0""")
+def q_having_avg(spark, sf):
+    """Post-aggregation filtering (Query.having — extension; the
+    reference filters rows only): groups surviving BOTH a count
+    floor and an average threshold. The avg in the predicate is the
+    same decimal-exact expression as the projected column, so the
+    boundary decision bit-matches the oracle's HAVING."""
+    return (Query.table(_events(spark, sf)).exact_mode()
+            .group_by("event_type").agg("value", "avg")
+            .having("count >= 100").having("avg_value > 45.0")
+            .limit(None).execute(spark))
+
+
 @_q("group_avg_limit", f"""
     select user_id, count(*) as count,
            {_dsum('value')}/count(value) as avg_value
@@ -3151,7 +3168,7 @@ _DRIVER_FIRST = [
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify
     # first per this file's policy):
-    "cross_topk", "ngram_jaccard",
+    "cross_topk", "ngram_jaccard", "having_avg",
     # ...and the round-5 brand-new queries (C1 cache; TPC-H semi/
     # anti/outer/correlated/disjunctive join shapes; multimodal frame
     # fan-out; windowed/funnel/cohort event analytics), plus the two

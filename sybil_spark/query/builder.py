@@ -87,6 +87,7 @@ class Query:
         self._time_col: str | None = None
         self._time_bucket: int = 0
         self._sort: tuple[str, bool] | None = None  # (col, ascending)
+        self._having: list[str] = []
         self._limit: int | None = DEFAULT_LIMIT
         self._total_row = False
         self._read_log_df: DataFrame | None = None
@@ -167,6 +168,17 @@ class Query:
         src/lib/aggregate.go:145-183)."""
         self._time_col = col
         self._time_bucket = int(bucket)
+        return self
+
+    def having(self, expr: str) -> "Query":
+        """Post-aggregation filter (SQL HAVING) over RESULT columns —
+        a boolean SQL expression referencing aliases the query
+        produces (`count`, `avg_value`, group keys...). Extension
+        beyond the reference (sybil filters rows only, pre-agg);
+        applied before sort/limit like SQL, and evaluated on the
+        aggregated frame, so at scale it filters |groups| rows, not
+        input rows. Multiple calls AND together."""
+        self._having.append(expr)
         return self
 
     def sort(self, col: str, asc: bool = False) -> "Query":
@@ -500,6 +512,11 @@ class Query:
                 if gc not in total.columns:
                     total = total.withColumn(gc, F.lit(None))
             out = out.unionByName(total.select(out.columns))
+
+        for h in self._having:
+            # post-agg, pre-sort/limit (SQL HAVING position); the
+            # TOTAL row, if any, is subject to it like any other row
+            out = out.where(F.expr(h))
 
         # No explicit sort AND no limit → skip the output sort: the
         # result set is order-insensitive and the extra range-partition

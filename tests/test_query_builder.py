@@ -426,3 +426,22 @@ def test_weighted_percentile_distributed_matches_window(spark, monkeypatch):
     monkeypatch.setattr(B, "WP_UNGROUPED_MAX_ROWS", 10)
     dist = q()
     assert dist.asDict() == single.asDict()
+
+
+def test_having_filters_groups(spark, df):
+    """HAVING applies to aggregated rows before sort/limit; multiple
+    calls AND; result columns (aliases) are addressable."""
+    all_rows = {r["age_str"]: r for r in
+                (Query.table(df).group_by("age_str").agg("age", "avg")
+                 .limit(None).execute(spark).collect())}
+    floor = min(r["count"] for r in all_rows.values()) + 1
+    kept = (Query.table(df).group_by("age_str").agg("age", "avg")
+            .having(f"count >= {floor}")
+            .limit(None).execute(spark).collect())
+    assert {r["age_str"] for r in kept} \
+        == {c for c, r in all_rows.items() if r["count"] >= floor}
+    assert len(kept) < len(all_rows)
+    none = (Query.table(df).group_by("age_str").agg("age", "avg")
+            .having(f"count >= {floor}").having("avg_age < -1")
+            .limit(None).execute(spark).collect())
+    assert none == []
