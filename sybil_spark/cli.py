@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                          " reference's -op hist printout)")
     sp.add_argument("-sort", default=None)
     sp.add_argument("-sort-asc", action="store_true", dest="sort_asc")
+    sp.add_argument("-having", action="append", default=[],
+                    help="post-aggregation SQL predicate over result "
+                         "columns (count, avg_<col>, group keys); "
+                         "repeatable, ANDed (extension — the "
+                         "reference filters rows only)")
     sp.add_argument("-limit", type=int, default=100)
     sp.add_argument("-samples", action="store_true")
     sp.add_argument("-cache-queries", action="store_true",
@@ -385,6 +390,8 @@ def run_query(spark: SparkSession, args) -> "DataFrame":
         q.time_col(args.time_col, args.time_bucket)
     if args.sort:
         q.sort(args.sort, asc=args.sort_asc)
+    for h in args.having:
+        q.having(h)
     q.limit(args.limit)
 
     if args.samples:

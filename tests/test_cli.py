@@ -42,6 +42,20 @@ def test_cli_group_avg(capsys, spark, db):
     assert all("avg_ping" in r and "count" in r for r in rows)
 
 
+def test_cli_having(capsys, spark, db):
+    all_rows = _run_json(capsys, spark,
+                         ["query", "-dir", db, "-table", "uptime",
+                          "-group", "host", "-int", "ping", "-op", "avg"])
+    cut = sorted(r["avg_ping"] for r in all_rows)[1]
+    rows = _run_json(capsys, spark,
+                     ["query", "-dir", db, "-table", "uptime",
+                      "-group", "host", "-int", "ping", "-op", "avg",
+                      "-having", f"avg_ping >= {cut}"])
+    assert {r["host"] for r in rows} \
+        == {r["host"] for r in all_rows if r["avg_ping"] >= cut}
+    assert 0 < len(rows) < len(all_rows)
+
+
 def test_cli_filters(capsys, spark, db):
     rows = _run_json(capsys, spark,
                      ["query", "-dir", db, "-table", "uptime",
