@@ -689,6 +689,34 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("span_dedup", """
+    with w as (select doc_id, string_split(text, ' ') as t
+               from documents),
+    sp0 as (select doc_id, t,
+                   unnest(generate_series(0, (len(t)+4)//5 - 1)) as pos
+            from w),
+    sp as (select doc_id, pos,
+                  array_to_string(t[pos*5+1 : pos*5+5], ' ') as span
+           from sp0),
+    k as (select sp.*, row_number() over
+               (partition by span order by doc_id, pos) as rn
+          from sp)
+    select doc_id, count(*) as n_spans,
+           cast(sum(case when rn = 1 then 1 else 0 end) as bigint)
+             as n_kept,
+           coalesce(string_agg(case when rn = 1 then span end,
+                               ' ' order by pos), '') as dedup_text
+    from k group by doc_id""")
+def q_span_dedup(spark, sf):
+    """Span-level exact substring dedup (Lee et al. 2022 ExactSubstr,
+    aligned 5-word windows): first corpus-wide occurrence of each
+    exact span survives, later repeats are cut, documents reassemble
+    from their surviving spans. Oracle replicates the span split, the
+    global first-occurrence window, and the ordered reassembly."""
+    return dedup.span_dedup(_t(spark, sf, "documents"),
+                            "doc_id", "text", span_words=5)
+
+
 @_q("ngram_jaccard", """
     with toks as (select doc_id, string_split(text, ' ') t from documents),
     s as (select doc_id, unnest(list_distinct(list_transform(
@@ -1572,6 +1600,46 @@ def q_ivf_topk(spark, sf):
     # the escape hatch.
     return similarity.ivf_topk(emb, "embedding", qvec, k=10,
                                nlist=16, nprobe=4, centroids=cents)
+
+
+@_q("semantic_dedup", f"""
+    with e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+               from embeddings),
+         c as (select vec_id as cid, CAST(embedding AS DOUBLE[]) cv
+               from embeddings where vec_id < 16),
+         assign as (
+           select e.vec_id, e.ev,
+                  (select c.cid from c
+                   order by {_IVF_COS.format(a='e.ev', b='c.cv')} desc,
+                            c.cid asc
+                   limit 1) as cluster
+           from e),
+         losers as (
+           select distinct b.vec_id
+           from assign a join assign b
+             on a.cluster = b.cluster and a.vec_id < b.vec_id
+           where {_IVF_COS.format(a='a.ev', b='b.ev')} >= 0.45)
+    select vec_id, cluster from assign
+    where vec_id not in (select vec_id from losers)""")
+def q_semantic_dedup(spark, sf):
+    """SemDeDup: same fixed coarse quantizer as ivf_topk (embeddings
+    of vec_id 0..15 — explicit centroids the oracle reproduces), drop
+    any vector with a lower-id near-duplicate (cos >= 0.45) in ITS
+    cluster. The within-cluster restriction is the semantics under
+    test: cross-cluster near-dup pairs (which embedding_dup finds)
+    must survive here. Assignment runs the Arrow batch path; its
+    argmax parity with the oracle's sequential list_dot_product is
+    pinned by test_ivf_assign_batch_matches_jvm (see q_ivf_topk)."""
+    emb = _t(spark, sf, "embeddings")
+    cents = [[float(x) for x in r[0]]
+             for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+                         .select("embedding").collect()]
+    from sybil_spark.operators import similarity as S
+    assigned = S.ivf_assign_batch(emb, "embedding", cents)
+    survivors = dedup.semantic_dedup(emb, "vec_id", "embedding",
+                                     cents, threshold=0.45)
+    return (survivors.join(assigned.select("vec_id", "cluster"), "vec_id")
+                     .select("vec_id", "cluster"))
 
 
 @_q("rollup_serve", f"""
@@ -3164,6 +3232,9 @@ _DRIVER_FIRST = [
     # driver row:
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
+    # third-session round-5: brand-new operators (span-level exact
+    # substring dedup; SemDeDup) — first driver rows:
+    "span_dedup", "semantic_dedup",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

@@ -68,6 +68,61 @@ def exact_keep_first(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# span-level exact substring dedup
+# ---------------------------------------------------------------------------
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               span_words: int = 20) -> DataFrame:
+    """Exact substring dedup at span granularity (the ExactSubstr
+    policy of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", restricted to aligned windows): split
+    each document into consecutive non-overlapping `span_words`-word
+    spans (trailing partial span included), keep only the FIRST
+    corpus-wide occurrence of each exact span (earlier doc id wins;
+    within a doc, earlier position), and reassemble the surviving
+    spans in document order.
+
+    Returns (id_col, n_spans, n_kept, dedup_text) — one row per input
+    document; a fully-duplicated document comes back with n_kept = 0
+    and dedup_text = ''. Join back on id_col for the other columns.
+
+    Scale: span construction is pure array expressions (no shuffle);
+    first-occurrence is ONE window shuffle partitioned by the span
+    text (~span_words words/row — the same volume any tokenizing scan
+    moves), and reassembly is one groupBy on the doc id. At 100 TB
+    partition the window by `xxhash64(span)` instead and re-check
+    collision groups on the real span the way `exact_keep_first`
+    does; the aligned-window policy itself is what keeps this
+    join-free (a suffix-array ExactSubstr needs global sort order)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    # split() never yields an empty array ('' -> ['']), so the last
+    # span index (size-1) div span_words is always well-defined.
+    last = ((F.size(words) - F.lit(1)) - F.pmod(F.size(words) - F.lit(1),
+                                                F.lit(span_words))) \
+        / F.lit(span_words)
+    spans = F.transform(
+        F.sequence(F.lit(0), last.cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(words, i * span_words + 1,
+                                           span_words)))
+    ex = df.select(F.col(id_col).alias("__id"),
+                   F.posexplode(spans).alias("pos", "span"))
+    w = Window.partitionBy("span").orderBy("__id", "pos")
+    flagged = ex.withColumn("__rn", F.row_number().over(w))
+    kept = F.col("__rn") == 1
+    return (flagged.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(kept, F.struct(F.col("pos"),
+                                               F.col("span"))))),
+                     lambda s: s["span"])).alias("dedup_text"))
+            .withColumnRenamed("__id", id_col))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -706,6 +761,58 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                  .select("id_a", "id_b",
                          cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
                  .where(F.col("cos") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   centroids: list[list[float]], threshold: float,
+                   score_col: str | None = None,
+                   use_batch_assign: bool = True,
+                   block_rows: int = 2048) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a fixed coarse quantizer, then within each
+    cluster drop every row that has a higher-priority near-duplicate
+    (cosine ≥ threshold). Returns the surviving rows of `df`
+    unchanged (anti-join on loser ids — wide rows never shuffle).
+
+    Priority: with `score_col`, the higher score wins (keep the
+    best-quality copy; ties → lower id); without, lower id wins. The
+    drop rule is the greedy EXISTS form — a row is dropped when ANY
+    same-cluster neighbor at cosine ≥ threshold outranks it, whether
+    or not that neighbor itself survives — deterministic and
+    SQL-replicable with no iterative connected components. For the
+    transitive-cluster flavor, feed `embedding_dup_pairs` output to
+    `components` + `keep_cluster_representatives` instead.
+
+    Scale: assignment is one Arrow-batched matmul pass over the table
+    (`similarity.ivf_assign_batch`; `use_batch_assign=False` for the
+    pure-JVM sequential fold whose cosines bit-match a SQL oracle's
+    list_dot_product); candidate generation runs only within clusters
+    (`embedding_dup_pairs(block_on=cluster)`), so comparison volume
+    is Σ_c n_c² — the quantizer caps it, never corpus². This is the
+    whole point of SemDeDup vs all-pairs embedding dedup."""
+    from sybil_spark.operators import similarity as S
+
+    assign = S.ivf_assign_batch if use_batch_assign else S.ivf_assign
+    assigned = assign(df, vec_col, centroids, cluster_col="__sem_cluster")
+    pairs = embedding_dup_pairs(assigned, id_col, vec_col, threshold,
+                                block_on="__sem_cluster",
+                                block_rows=block_rows)
+    if score_col is None:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        sc = df.select(F.col(id_col).alias("__sid"),
+                       F.col(score_col).alias("__score"))
+        p = (pairs
+             .join(sc.select(F.col("__sid").alias("id_a"),
+                             F.col("__score").alias("__sa")), "id_a")
+             .join(sc.select(F.col("__sid").alias("id_b"),
+                             F.col("__score").alias("__sb")), "id_b"))
+        loser = F.when((F.col("__sa") > F.col("__sb"))
+                       | ((F.col("__sa") == F.col("__sb"))
+                          & (F.col("id_a") < F.col("id_b"))),
+                       F.col("id_b")).otherwise(F.col("id_a"))
+        losers = p.select(loser.alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

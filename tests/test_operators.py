@@ -876,3 +876,61 @@ def test_lossy_group_topk_null_groups_and_float_weights(spark):
     got2 = {(r["k"], r["count"])
             for r in lossy_group_topk(df2, ["k"], limit=3).collect()}
     assert got2 == {(1, 2), (None, 1)}
+
+
+def test_span_dedup_first_occurrence(spark):
+    """Span-level exact substring dedup: first corpus-wide occurrence
+    (lowest doc_id, then position) survives; later repeats are cut;
+    documents reassemble from surviving spans in order; a trailing
+    partial span is a span of its own."""
+    rows = [Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c x y z"),   # leading span repeats doc 1
+            Row(doc_id=3, text="a b c d e f"),   # full duplicate of doc 1
+            Row(doc_id=4, text="q r")]           # single short partial span
+    out = {r["doc_id"]: r for r in dedup.span_dedup(
+        spark.createDataFrame(rows), "doc_id", "text",
+        span_words=3).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == "a b c d e f"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "x y z"
+    assert out[3]["n_spans"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["dedup_text"] == ""
+    assert out[4]["n_spans"] == 1 and out[4]["dedup_text"] == "q r"
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    """A span repeated WITHIN one document is cut on its second
+    aligned occurrence too (position breaks the tie)."""
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b")])
+    r = dedup.span_dedup(df, "doc_id", "text", span_words=2).collect()[0]
+    assert (r["n_spans"], r["n_kept"], r["dedup_text"]) == (2, 1, "a b")
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """SemDeDup semantics: near-dups are dropped only when they share
+    a cluster; a cross-cluster pair at cosine ~1 must BOTH survive
+    (that recall loss is the documented SemDeDup trade)."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.999, 0.01]),   # same cluster as 0
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[0.70, 0.72]),    # cluster 1 ...
+            Row(vec_id=4, embedding=[0.72, 0.70])]    # ... cluster 0, cos~1
+    df = spark.createDataFrame(rows)
+    ids = {r["vec_id"] for r in dedup.semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.95).collect()}
+    assert ids == {0, 2, 3, 4}
+
+
+def test_semantic_dedup_score_priority(spark):
+    """With score_col the best-quality copy survives regardless of id
+    order; survivors keep their original columns."""
+    cents = [[1.0, 0.0]]
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0], quality=1.0),
+            Row(vec_id=1, embedding=[0.999, 0.01], quality=5.0),
+            Row(vec_id=2, embedding=[-1.0, 0.5], quality=0.0)]
+    df = spark.createDataFrame(rows)
+    out = dedup.semantic_dedup(df, "vec_id", "embedding", cents,
+                               threshold=0.95, score_col="quality")
+    got = {r["vec_id"]: r["quality"] for r in out.collect()}
+    assert got == {1: 5.0, 2: 0.0}
