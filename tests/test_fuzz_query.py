@@ -836,3 +836,49 @@ def test_repetition_ratio_matches_duckdb(fuzz_spark, texts):
                      / cast(len(ng) as double) as rep
         from g""").df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st, dup_first=st.booleans(),
+       span_words=st.sampled_from([2, 3, 5]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_span_dedup_matches_duckdb(fuzz_spark, texts, dup_first,
+                                   span_words):
+    """Span-level exact substring dedup on random tiny-vocab corpora
+    (dense aligned-span collisions; `dup_first` plants a whole-doc
+    duplicate so the n_kept=0 / dedup_text='' path fuzzes too) vs a
+    DuckDB split → first-occurrence-window → ordered-string_agg
+    oracle — pair set, counts, and the reassembled text all
+    bit-exact. Generalizes the fixed corpus oracle over span width."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    if dup_first:
+        texts = texts + [texts[0]]
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    got = dedup.span_dedup(sdf, "doc_id", "text",
+                           span_words=span_words).toPandas()
+    w = span_words
+    oracle = con.execute(f"""
+        with w as (select doc_id, string_split(text, ' ') as t
+                   from documents),
+        sp0 as (select doc_id, t,
+                       unnest(generate_series(0, (len(t)+{w-1})//{w} - 1))
+                         as pos
+                from w),
+        sp as (select doc_id, pos,
+                      array_to_string(t[pos*{w}+1 : pos*{w}+{w}], ' ')
+                        as span
+               from sp0),
+        k as (select sp.*, row_number() over
+                   (partition by span order by doc_id, pos) as rn
+              from sp)
+        select doc_id, count(*) as n_spans,
+               cast(sum(case when rn = 1 then 1 else 0 end) as bigint)
+                 as n_kept,
+               coalesce(string_agg(case when rn = 1 then span end,
+                                   ' ' order by pos), '') as dedup_text
+        from k group by doc_id
+        """).df()
+    _cmp_frames(got, oracle)
