@@ -689,6 +689,32 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("chunk_docs", """
+    with w as (select doc_id, string_split(text, ' ') as t
+               from documents),
+    c0 as (select doc_id, t,
+                  unnest(generate_series(
+                      0, (greatest(len(t)-12, 0) + 8)//9)) as chunk_id
+           from w),
+    sel as (select doc_id, chunk_id,
+                   t[chunk_id*9+1 : chunk_id*9+12] as wsel
+            from c0)
+    select doc_id, chunk_id,
+           array_to_string(wsel, ' ') as chunk_text,
+           cast(len(wsel) as int) as n_words
+    from sel""")
+def q_chunk_docs(spark, sf):
+    """Sliding-window document chunking (max 12 words, overlap 3 →
+    stride 9): every word covered, consecutive chunks share exactly
+    the overlap, short final chunk kept. Oracle replicates the chunk
+    count (1 + ceil(max(n-max,0)/stride)), the slices, and the
+    reassembled chunk text."""
+    from sybil_spark.operators import sampling
+    return sampling.chunk_documents(_t(spark, sf, "documents"),
+                                    "doc_id", "text",
+                                    max_words=12, overlap=3)
+
+
 @_q("span_dedup", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),

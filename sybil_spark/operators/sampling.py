@@ -199,3 +199,43 @@ def materialize_batches(df: DataFrame, packed: DataFrame, id_col: str,
                      .alias("text"),
                      F.count(F.lit(1)).alias("n_docs"),
                      F.sum("__sz").alias("n_tokens")))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    max_words: int = 100, overlap: int = 0) -> DataFrame:
+    """Split long documents into sliding token-window chunks — the
+    standard long-context preprocessing step between cleaning and
+    sequence packing: chunk i covers words [i·stride, i·stride +
+    max_words) with stride = max_words − overlap, and the last chunk
+    starts at the final stride boundary that still contains unseen
+    words, so every word lands in ≥1 chunk and consecutive chunks
+    share exactly `overlap` words (short final chunks are kept, not
+    padded or merged).
+
+    Output: (id_col, chunk_id, chunk_text, n_words) — one row per
+    chunk, chunk_id dense from 0 in document order. A document with
+    ≤ max_words words passes through as its own single chunk.
+
+    Scale: pure array expressions (split / sequence / slice) followed
+    by ONE posexplode — no shuffle at all; chunking then feeds
+    pack_by_budget for padding-free batches. Row width stays bounded
+    by max_words, so downstream shuffles never carry full documents."""
+    if overlap >= max_words:
+        raise ValueError("overlap must be < max_words")
+    stride = max_words - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # number of chunks = 1 + ceil(max(n - max_words, 0) / stride),
+    # in exact integer arithmetic (ceil via (x + stride-1) div stride)
+    extra = F.greatest(n - F.lit(max_words), F.lit(0))
+    n_chunks = F.lit(1) + ((extra + F.lit(stride - 1))
+                           - F.pmod(extra + F.lit(stride - 1),
+                                    F.lit(stride))) / F.lit(stride)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - F.lit(1)),
+        lambda i: F.slice(words, i * stride + 1, max_words))
+    ex = df.select(F.col(id_col),
+                   F.posexplode(chunks).alias("chunk_id", "__w"))
+    return ex.select(id_col, "chunk_id",
+                     F.concat_ws(" ", F.col("__w")).alias("chunk_text"),
+                     F.size("__w").alias("n_words"))

@@ -882,3 +882,38 @@ def test_span_dedup_matches_duckdb(fuzz_spark, texts, dup_first,
         from k group by doc_id
         """).df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st,
+       spec=st.sampled_from([(4, 0), (4, 1), (5, 2), (3, 2)]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_chunk_documents_matches_duckdb(fuzz_spark, texts, spec):
+    """Sliding-window chunking on random corpora vs a DuckDB
+    generate_series + list-slice oracle across (max_words, overlap)
+    shapes — chunk ids, texts, and word counts bit-exact."""
+    from sybil_spark.operators.sampling import chunk_documents
+    spark = fuzz_spark
+    mx, ov = spec
+    stride = mx - ov
+    pdf, con = _register_docs(texts)
+    got = chunk_documents(spark.createDataFrame(pdf), "doc_id", "text",
+                          max_words=mx, overlap=ov).toPandas()
+    oracle = con.execute(f"""
+        with w as (select doc_id, string_split(text, ' ') as t
+                   from documents),
+        c0 as (select doc_id, t,
+                      unnest(generate_series(
+                          0, (greatest(len(t)-{mx}, 0) + {stride - 1})
+                             //{stride})) as chunk_id
+               from w),
+        sel as (select doc_id, chunk_id,
+                       t[chunk_id*{stride}+1 : chunk_id*{stride}+{mx}]
+                         as wsel
+                from c0)
+        select doc_id, chunk_id,
+               array_to_string(wsel, ' ') as chunk_text,
+               cast(len(wsel) as int) as n_words
+        from sel""").df()
+    _cmp_frames(got, oracle)

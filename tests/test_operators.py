@@ -934,3 +934,33 @@ def test_semantic_dedup_score_priority(spark):
                                threshold=0.95, score_col="quality")
     got = {r["vec_id"]: r["quality"] for r in out.collect()}
     assert got == {1: 5.0, 2: 0.0}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every word lands in >=1 chunk; consecutive chunks share exactly
+    `overlap` words; a short doc passes through as one chunk; the
+    short final chunk is kept unpadded; overlap >= max_words raises."""
+    from sybil_spark.operators.sampling import chunk_documents
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text),
+                                Row(doc_id=2, text="a b c")])
+    out = chunk_documents(df, "doc_id", "text", max_words=4, overlap=1)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_text"] for r in d1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r["n_words"] for r in d1] == [4, 4, 4]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c" \
+        and d2[0]["n_words"] == 3
+    # ragged tail: 11 words, stride 3 -> last chunk short but present
+    df3 = spark.createDataFrame(
+        [Row(doc_id=3, text=" ".join(f"x{i}" for i in range(11)))])
+    d3 = sorted(chunk_documents(df3, "doc_id", "text", max_words=4,
+                                overlap=1).collect(),
+                key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in d3][-1] == "x9 x10"
+    covered = [w for r in d3 for w in r["chunk_text"].split(" ")]
+    assert set(covered) == {f"x{i}" for i in range(11)}
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", max_words=4, overlap=4)
