@@ -689,6 +689,32 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("doc_logprob", """
+    with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                  from documents),
+    m as (select tok, count(*) as cnt from toks group by 1),
+    tot as (select cast(sum(cnt) as double) as d from m),
+    lp as (select t.doc_id,
+                  cast(ln(cast(m.cnt as double) / (select d from tot))
+                       as decimal(38,6)) as v
+           from toks t join m using (tok))
+    select doc_id, count(*) as n_tokens,
+           cast(cast(sum(v) as varchar) as double) as sum_logprob,
+           cast(cast(sum(v) as varchar) as double) / count(*)
+             as mean_logprob
+    from lp group by doc_id""")
+def q_doc_logprob(spark, sf):
+    """CCNet-shaped quality score: mean token log-probability under
+    the corpus's own unigram model (operators/quality.py). Per-token
+    logprobs quantize to decimal(38,6) before summing, so the
+    aggregate is order-independent and the oracle replicates it
+    bit-for-bit (ln on identical doubles, exact decimal sums,
+    varchar-rendered decimal->double)."""
+    from sybil_spark.operators import quality
+    return quality.unigram_logprob(_t(spark, sf, "documents"),
+                                   "doc_id", "text")
+
+
 @_q("chunk_docs", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -3259,8 +3285,9 @@ _DRIVER_FIRST = [
     "minhash_lsh", "simhash_dup", "pack_batches",
     "distinct_approx", "rollup_distinct",
     # third-session round-5: brand-new operators (span-level exact
-    # substring dedup; SemDeDup) — first driver rows:
-    "span_dedup", "semantic_dedup",
+    # substring dedup; SemDeDup; sliding-window chunking; CCNet-shaped
+    # unigram logprob quality) — first driver rows:
+    "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

@@ -71,6 +71,26 @@ def exact_keep_first(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 # span-level exact substring dedup
 # ---------------------------------------------------------------------------
 
+def doc_spans(df: DataFrame, id_col: str, text_col: str,
+              span_words: int = 20) -> DataFrame:
+    """(id_col, pos, span): each document's aligned non-overlapping
+    `span_words`-word windows (trailing partial span included). Pure
+    array expressions + one posexplode — no shuffle; the shared
+    candidate-generation step of batch and streaming span dedup."""
+    words = F.split(F.col(text_col), " ")
+    # split() never yields an empty array ('' -> ['']), so the last
+    # span index (size-1) div span_words is always well-defined.
+    last = ((F.size(words) - F.lit(1)) - F.pmod(F.size(words) - F.lit(1),
+                                                F.lit(span_words))) \
+        / F.lit(span_words)
+    spans = F.transform(
+        F.sequence(F.lit(0), last.cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(words, i * span_words + 1,
+                                           span_words)))
+    return df.select(F.col(id_col),
+                     F.posexplode(spans).alias("pos", "span"))
+
+
 def span_dedup(df: DataFrame, id_col: str, text_col: str,
                span_words: int = 20) -> DataFrame:
     """Exact substring dedup at span granularity (the ExactSubstr

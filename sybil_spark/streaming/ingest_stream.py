@@ -498,6 +498,87 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
             .outputMode("append").start())
 
 
+def stream_span_dedup_against_index(df: DataFrame, id_col: str,
+                                    text_col: str, out_path: str,
+                                    index_path: str,
+                                    span_words: int = 20,
+                                    checkpoint: str | None = None
+                                    ) -> StreamingQuery:
+    """Continuous span-level exact-substring dedup — the streaming
+    analog of the batch `dedup.span_dedup`, and the fourth leg of the
+    streaming dedup family (exact keys / MinHash text / embeddings /
+    spans). Unlike the doc-level filters, this REWRITES documents:
+    each arriving doc keeps only the spans never seen before, where
+    "seen" means an earlier (id, pos) in the same micro-batch or any
+    span hash in the persisted index from prior batches / the
+    bootstrapped corpus (write
+    `dedup.doc_spans(...).select(xxhash64(span))` distinct to
+    `index_path` to bootstrap).
+
+    Every input doc emits exactly one output row — original columns
+    plus (n_spans, n_kept, dedup_text); a fully-stale doc arrives
+    with n_kept = 0 and dedup_text = '' (callers filter, dedup never
+    silently loses records). State is 8 bytes per distinct span ever
+    kept — ~1/span_words of the corpus's token count — vs the raw
+    text the batch operator re-scans; the price is the
+    xxhash64-collision caveat of `filter_seen` (a collision cuts a
+    genuinely new span with P ≈ |index|/2⁶⁴ — acceptable for corpus
+    text, not for financial keys; the batch operator keys on the raw
+    span and has no such caveat). At-least-once on crash-replayed
+    batches (the two appends are not transactional), like its
+    siblings; replayed spans are already in the index, so replays
+    re-emit docs with smaller n_kept rather than duplicating spans."""
+    from pyspark.sql import Window
+
+    from sybil_spark.operators.dedup import doc_spans
+
+    params = {"span_words": span_words}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _check_index_meta(index_path, params)
+        docs = batch_df.localCheckpoint()
+        sp = (doc_spans(docs, id_col, text_col, span_words)
+              .withColumn("__h", F.xxhash64("span")))
+        # within-batch first occurrence (hash key; see collision note)
+        w = Window.partitionBy("__h").orderBy(id_col, "pos")
+        sp = (sp.withColumn("__rn", F.row_number().over(w))
+                .withColumn("__new", F.col("__rn") == 1).drop("__rn"))
+        idx = _read_index(spark, index_path)
+        if idx is not None:
+            # a span stays kept only if it is new within the batch
+            # AND absent from the index — mark via a left join on the
+            # distinct historical hashes (equi-join, co-partitions)
+            hit = (idx.select("__h").distinct()
+                      .withColumn("__hit", F.lit(True)))
+            sp = (sp.join(hit, "__h", "left")
+                    .withColumn("__new",
+                                F.col("__new") & F.col("__hit").isNull())
+                    .drop("__hit"))
+        sp = sp.localCheckpoint()  # snapshot before the two writes
+        kept = F.col("__new")
+        stats = (sp.groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_spans"),
+                      F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+                      F.concat_ws(" ", F.transform(
+                          F.array_sort(F.collect_list(
+                              F.when(kept, F.struct(F.col("pos"),
+                                                    F.col("span"))))),
+                          lambda s: s["span"])).alias("dedup_text")))
+        docs.join(stats, id_col, "left") \
+            .write.mode("append").parquet(out_path)
+        (sp.where(kept).select("__h").distinct()
+           .write.mode("append").parquet(index_path))
+        _write_index_meta(index_path, params)
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or out_path + "_checkpoint")
+            .outputMode("append").start())
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], time_col: str,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: emit only the first event per key,

@@ -917,3 +917,23 @@ def test_chunk_documents_matches_duckdb(fuzz_spark, texts, spec):
                cast(len(wsel) as int) as n_words
         from sel""").df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_doc_logprob_matches_duckdb(fuzz_spark, texts):
+    """Self-scored unigram logprob on random corpora vs the corpus
+    oracle SQL — the decimal(38,6) pre-sum quantization must make the
+    per-doc sums order-independent and bit-exact across engines (this
+    is also the standing probe for a Spark-vs-DuckDB libm ln() ulp
+    divergence landing on a rounding boundary)."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    got = quality.unigram_logprob(spark.createDataFrame(pdf),
+                                  "doc_id", "text").toPandas()
+    oracle = con.execute(ORACLES["doc_logprob"]).df()
+    _cmp_frames(got, oracle)

@@ -964,3 +964,40 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert set(covered) == {f"x{i}" for i in range(11)}
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", max_words=4, overlap=4)
+
+
+def test_unigram_logprob_external_model_smoothing(spark):
+    """Scoring against a FROZEN external model: Laplace smoothing
+    gives unseen tokens the (0+k)/(total+k*vocab) penalty; per-token
+    logprobs quantize to decimal(38,6) before the exact sum."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sybil_spark.operators import quality
+    train = spark.createDataFrame([Row(doc_id=0, text="a a b")])
+    model = quality.unigram_model(train, "text")
+    score = spark.createDataFrame([Row(doc_id=1, text="a c")])
+    r = quality.unigram_logprob(score, "doc_id", "text", model=model,
+                                smooth_k=1).collect()[0]
+
+    def q6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+    # model: a->2, b->1; total=3, vocab=2, denom=5
+    want = q6(math.log(3 / 5)) + q6(math.log(1 / 5))
+    assert r["n_tokens"] == 2
+    assert r["sum_logprob"] == float(want)
+    assert r["mean_logprob"] == float(want) / 2
+
+
+def test_unigram_logprob_self_scoring_ranks_rarity(spark):
+    """Self-scored corpus: a doc of corpus-common tokens outranks a
+    doc of rare ones — the CCNet head/tail ordering."""
+    from sybil_spark.operators import quality
+    rows = [Row(doc_id=i, text="common words repeated here")
+            for i in range(5)]
+    rows.append(Row(doc_id=99, text="zxqv jkwp unusual tokens"))
+    out = {r["doc_id"]: r["mean_logprob"] for r in quality.unigram_logprob(
+        spark.createDataFrame(rows), "doc_id", "text").collect()}
+    assert all(v < 0 for v in out.values())
+    assert out[0] > out[99]

@@ -397,3 +397,57 @@ def test_stream_stream_join(spark, tmp_path):
     r = rows[0]
     assert (r["host"], r["left_time"], r["right_time"],
             r["delay_seconds"]) == ("u1", t0, t0 + 60, 60)
+
+
+def test_stream_span_dedup_against_index(spark, tmp_path):
+    """Cross-batch span-level substring dedup: a span kept in an
+    earlier batch (via the persisted span-hash index) never re-emits;
+    within-batch repeats cut by (id, pos) order; every doc emits one
+    output row (a fully-stale doc with n_kept=0, a NULL-text doc with
+    NULL stats); mismatched span_words fails fast."""
+    from sybil_spark.streaming.ingest_stream import (
+        stream_span_dedup_against_index)
+    idx_path = str(tmp_path / "sidx")
+    out_path = str(tmp_path / "sout")
+    src = tmp_path / "sp-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [
+        {"doc_id": "A", "text": "a b c d e f"},
+        {"doc_id": "B", "text": "a b c x y z"},   # in-batch span repeat
+    ])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_span_dedup_against_index(stream, "doc_id", "text",
+                                        out_path, idx_path,
+                                        span_words=3)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", [
+            {"doc_id": "C", "text": "d e f q r s"},  # cross-batch repeat
+            {"doc_id": "D", "text": "a b c d e f"},  # fully stale
+            {"doc_id": "N", "text": None},           # no spans
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert out["A"]["dedup_text"] == "a b c d e f"
+    assert out["B"]["dedup_text"] == "x y z" and out["B"]["n_kept"] == 1
+    assert out["C"]["dedup_text"] == "q r s"
+    assert out["D"]["n_kept"] == 0 and out["D"]["dedup_text"] == ""
+    assert out["N"]["n_spans"] is None           # passed through
+    # index holds exactly the distinct kept-span hashes: 4 spans
+    # ("a b c", "d e f", "x y z", "q r s")
+    assert spark.read.parquet(idx_path).distinct().count() == 4
+    # parameter mismatch vs the persisted index fails fast
+    _write_batch(src, "b3.ndjson", [{"doc_id": "Z", "text": "a b"}])
+    q2 = stream_span_dedup_against_index(
+        stream, "doc_id", "text", str(tmp_path / "sout2"), idx_path,
+        span_words=4, checkpoint=str(tmp_path / "ck2"))
+    try:
+        with pytest.raises(Exception, match="span_words|built with"):
+            q2.processAllAvailable()
+            q2.awaitTermination(5)
+    finally:
+        q2.stop()
