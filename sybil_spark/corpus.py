@@ -689,6 +689,35 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("tfidf_terms", """
+    with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                  from documents),
+    tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+    dfreq as (select tok, count(*) as dfc from tf group by 1),
+    n as (select cast(count(*) as double) as nd from documents),
+    scored as (select tf.doc_id, tf.tok, tf.tf,
+                      cast(tf.tf * ln((select nd from n)
+                                      / cast(dfreq.dfc as double))
+                           as decimal(38,6)) as s6
+               from tf join dfreq using (tok)),
+    r as (select *, row_number() over
+              (partition by doc_id order by s6 desc, tok asc)
+              as term_rank
+          from scored)
+    select doc_id, tok, tf,
+           cast(cast(s6 as varchar) as double) as score, term_rank
+    from r where term_rank <= 3""")
+def q_tfidf_terms(spark, sf):
+    """Top-3 characteristic terms per document by tf-idf
+    (operators/quality.tfidf_top_terms): deterministic rank
+    (score desc, token asc), idf exactly 0 for corpus-universal
+    tokens. Oracle mirrors the two grouped aggs, the double
+    arithmetic order (tf * ln(N/df)), and the tie-break."""
+    from sybil_spark.operators import quality
+    return quality.tfidf_top_terms(_t(spark, sf, "documents"),
+                                   "doc_id", "text", k=3)
+
+
 @_q("doc_logprob", """
     with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                   from documents),
@@ -3288,6 +3317,7 @@ _DRIVER_FIRST = [
     # substring dedup; SemDeDup; sliding-window chunking; CCNet-shaped
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
+    "tfidf_terms",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

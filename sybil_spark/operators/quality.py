@@ -77,3 +77,45 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                      .alias("sum_logprob"),
                     (F.col("__s").cast("string").cast("double")
                      / F.col("n_tokens")).alias("mean_logprob")))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf — the
+    cheap, model-free document profiler (domain tagging, corpus
+    exploration, clustering features).
+
+    tf = token count within the doc; idf = ln(N / df_t) with df_t =
+    number of docs containing the token (so a token in every doc
+    scores exactly 0). Rank ties break by token ascending, making
+    the output fully deterministic cross-engine.
+
+    Output: (id_col, tok, tf, score, term_rank), 1..k per doc.
+
+    Scale: two grouped aggregations (doc×token, then token) and one
+    per-doc top-k window — the window input is already collapsed to
+    distinct (doc, token) rows, orders of magnitude smaller than the
+    token stream. N is one count job (a driver scalar, bounded)."""
+    n_docs = df.count()
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+    # quantize tf·idf to decimal(38,6) BEFORE ranking: raw doubles
+    # differ by a ulp across engines (libm ln), which would flip
+    # near-tie ranks nondeterministically; after quantization the
+    # order and the rendered score are cross-engine exact (the same
+    # contract as unigram_logprob)
+    scored = (tf.join(dfreq, "tok")
+                .withColumn("__s",
+                            (F.col("tf")
+                             * F.log(F.lit(float(n_docs))
+                                     / F.col("__df").cast("double")))
+                            .cast(_DEC)))
+    w = Window.partitionBy("__id").orderBy(F.desc("__s"), F.asc("tok"))
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+                  .where(F.col("term_rank") <= k)
+                  .select(F.col("__id").alias(id_col), "tok", "tf",
+                          F.col("__s").cast("string").cast("double")
+                           .alias("score"), "term_rank"))

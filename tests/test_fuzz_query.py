@@ -937,3 +937,22 @@ def test_doc_logprob_matches_duckdb(fuzz_spark, texts):
                                   "doc_id", "text").toPandas()
     oracle = con.execute(ORACLES["doc_logprob"]).df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_tfidf_terms_matches_duckdb(fuzz_spark, texts):
+    """tf-idf top-terms on random corpora vs the corpus oracle —
+    quantized scores, ranks, and tie-breaks bit-exact (dense repeated
+    vocab makes idf ties and score ties common, exercising the
+    decimal(38,6) rank contract)."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    got = quality.tfidf_top_terms(spark.createDataFrame(pdf),
+                                  "doc_id", "text", k=3).toPandas()
+    oracle = con.execute(ORACLES["tfidf_terms"]).df()
+    _cmp_frames(got, oracle)

@@ -1001,3 +1001,25 @@ def test_unigram_logprob_self_scoring_ranks_rarity(spark):
         spark.createDataFrame(rows), "doc_id", "text").collect()}
     assert all(v < 0 for v in out.values())
     assert out[0] > out[99]
+
+
+def test_tfidf_top_terms(spark):
+    """tf-idf profiler: corpus-universal tokens score exactly 0 and
+    rank below distinctive ones; ranks are dense 1..k with the
+    (score desc, token asc) tie-break; k caps the output."""
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="shared apple apple banana"),
+        Row(doc_id=2, text="shared cherry"),
+        Row(doc_id=3, text="shared cherry date")])
+    out = quality.tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["term_rank"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple (tf=2, df=1) clearly first; 'shared' (idf=0) last
+    assert by_doc[1][0]["tok"] == "apple" and by_doc[1][0]["tf"] == 2
+    assert all(len(v) == 2 for v in by_doc.values())
+    shared = [r for r in out if r["tok"] == "shared"]
+    assert all(r["score"] == 0.0 for r in shared)
+    # doc 2 has only two tokens: cherry (df=2) outranks idf-0 shared
+    assert [r["tok"] for r in by_doc[2]] == ["cherry", "shared"]
