@@ -689,6 +689,45 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("budget_select", """
+    with d as (select doc_id, n_chars,
+                      cast(len(string_split(text, ' ')) as int) as n_toks
+               from documents),
+    c as (select *, sum(n_toks) over
+              (order by n_chars desc nulls last, doc_id asc
+               rows between unbounded preceding and current row) as cum
+          from d)
+    select doc_id, n_chars, n_toks from c where cum <= 8000""")
+def q_budget_select(spark, sf):
+    """Budget-constrained best-first selection: longest documents
+    (n_chars desc, ties doc_id asc) until 8000 tokens. The operator's
+    two-phase bucket plan (whole better-buckets + exact boundary
+    window, no single-task global sort) must reproduce the oracle's
+    global running-sum semantics exactly."""
+    from sybil_spark.operators import sampling
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "n_chars",
+                 F.size(F.split(F.col("text"), " ")).alias("n_toks")))
+    return sampling.take_until_budget(d, "n_toks", budget=8000,
+                                      score_col="n_chars",
+                                      id_col="doc_id")
+
+
+@_q("domain_cap", """
+    with r as (select doc_id, source, n_chars, row_number() over
+                   (partition by source
+                    order by n_chars desc, doc_id asc) as rk
+               from documents)
+    select doc_id, source, n_chars from r where rk <= 20""")
+def q_domain_cap(spark, sf):
+    """Per-source cap: keep at most the 20 longest documents per
+    source (ties → lowest doc_id) — the anti-spam per-domain cap."""
+    from sybil_spark.operators import sampling
+    return sampling.cap_per_group(
+        _t(spark, sf, "documents").select("doc_id", "source", "n_chars"),
+        ["source"], 20, "n_chars", "doc_id")
+
+
 @_q("tfidf_terms", """
     with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                   from documents),
@@ -3317,7 +3356,7 @@ _DRIVER_FIRST = [
     # substring dedup; SemDeDup; sliding-window chunking; CCNet-shaped
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
-    "tfidf_terms",
+    "tfidf_terms", "budget_select", "domain_cap",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

@@ -239,3 +239,74 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     return ex.select(id_col, "chunk_id",
                      F.concat_ws(" ", F.col("__w")).alias("chunk_text"),
                      F.size("__w").alias("n_words"))
+
+
+def cap_per_group(df: DataFrame, group_cols: list[str], n: int,
+                  order_col: str, id_col: str,
+                  asc: bool = False) -> DataFrame:
+    """At most `n` rows per group — the anti-spam / per-domain cap
+    (e.g. "keep the 1000 best-quality documents per url domain").
+    Deterministic keeper order: `order_col` (desc by default — best
+    first), ties → lowest id. One window shuffle on the group key."""
+    from pyspark.sql import Window
+    o = F.asc(order_col) if asc else F.desc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(o, F.asc(id_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= n).drop("__rk"))
+
+
+def take_until_budget(df: DataFrame, size_col: str, budget: int,
+                      score_col: str, id_col: str,
+                      buckets: int = 1000) -> DataFrame:
+    """Greedy budget-constrained selection: walk documents best-first
+    (score desc, ties → id asc) and keep each one while the running
+    `size_col` total stays ≤ `budget` — "take the highest-quality
+    docs until N tokens", the data-constrained-scaling recipe.
+
+    Equivalent to a global `sum(size) over (order by score desc, id)
+    ≤ budget`, but WITHOUT the single-task global window: scores are
+    range-bucketed (driver sees only the per-bucket size sums —
+    `buckets` rows, bounded); every bucket strictly better than the
+    one where the cumulative total crosses the budget is taken
+    whole, and only the boundary bucket — ~1/buckets of the data —
+    runs an exact cumulative window. Selection depends only on the
+    (score, id) ORDER, so the internal bucket edges never affect the
+    result, and equal scores always share a bucket. NULL scores rank
+    last (dropped unless the budget survives everything else —
+    mirror `nulls last` in any SQL comparison)."""
+    from pyspark.sql import Window
+
+    mm = df.agg(F.min(score_col).alias("lo"),
+                F.max(score_col).alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:  # all-null scores: plain ordered prefix by id
+        hi = lo = 0
+    width = (float(hi) - float(lo)) / buckets if hi != lo else 1.0
+    # bucket 0 = best scores; equal scores can never split buckets
+    b = F.when(F.col(score_col).isNull(), F.lit(buckets)).otherwise(
+        F.least(F.floor((F.lit(float(hi)) - F.col(score_col).cast("double"))
+                        / F.lit(width)).cast("int"),
+                F.lit(buckets - 1)))
+    bdf = df.withColumn("__b", b)
+    per = {r["__b"]: r["s"]
+           for r in bdf.groupBy("__b")
+                       .agg(F.sum(F.col(size_col).cast("long")).alias("s"))
+                       .collect()}
+    cum = 0
+    boundary, before = None, 0
+    for i in sorted(per):
+        if cum + per[i] > budget:
+            boundary, before = i, cum
+            break
+        cum += per[i]
+    if boundary is None:  # whole corpus fits
+        return df
+    whole = bdf.where(F.col("__b") < boundary).drop("__b")
+    w = (Window.orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    edge = (bdf.where(F.col("__b") == boundary)
+               .withColumn("__cum", F.sum(F.col(size_col).cast("long"))
+                           .over(w))
+               .where(F.col("__cum") <= budget - before)
+               .drop("__b", "__cum"))
+    return whole.unionByName(edge)

@@ -1023,3 +1023,59 @@ def test_tfidf_top_terms(spark):
     assert all(r["score"] == 0.0 for r in shared)
     # doc 2 has only two tokens: cherry (df=2) outranks idf-0 shared
     assert [r["tok"] for r in by_doc[2]] == ["cherry", "shared"]
+
+
+def test_cap_per_group(spark):
+    """Per-group cap keeps the n best (order desc, ties id asc) and
+    passes small groups through whole."""
+    from sybil_spark.operators.sampling import cap_per_group
+    rows = [Row(g="a", i=i, s=10 - i) for i in range(5)] \
+        + [Row(g="b", i=10, s=1), Row(g="b", i=11, s=1)]
+    out = cap_per_group(spark.createDataFrame(rows), ["g"], 3, "s", "i")
+    got = sorted((r["g"], r["i"]) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 10), ("b", 11)]
+
+
+def test_take_until_budget_matches_global_prefix(spark):
+    """The two-phase bucket plan must equal the brute-force global
+    best-first prefix: walk (score desc, id asc), keep while the
+    running size total stays <= budget — including score ties at the
+    boundary, a crossing doc excluded, and small bucket counts that
+    force multi-bucket splits."""
+    import random
+    from sybil_spark.operators.sampling import take_until_budget
+    rnd = random.Random(7)
+    rows = [Row(doc_id=i, sz=rnd.randint(1, 30),
+                score=float(rnd.randint(0, 12)))  # dense ties
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    order = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    for budget in (0, 37, 500, 10 ** 6):
+        want, cum = set(), 0
+        for r in order:
+            if cum + r.sz > budget:
+                break
+            cum += r.sz
+            want.add(r.doc_id)
+        for buckets in (3, 1000):
+            got = {r["doc_id"] for r in take_until_budget(
+                df, "sz", budget, "score", "doc_id",
+                buckets=buckets).collect()}
+            assert got == want, (budget, buckets)
+
+
+def test_take_until_budget_degenerate_scores(spark):
+    """All-equal and all-null score corpora fall back to the exact
+    ordered-prefix semantics without erroring."""
+    from sybil_spark.operators.sampling import take_until_budget
+    eq = spark.createDataFrame([Row(doc_id=i, sz=4, score=1.0)
+                                for i in range(10)])
+    got = {r["doc_id"] for r in take_until_budget(
+        eq, "sz", 10, "score", "doc_id").collect()}
+    assert got == {0, 1}          # id-ordered prefix, 2*4 <= 10 < 12
+    nul = spark.createDataFrame(
+        [Row(doc_id=i, sz=4, score=None) for i in range(3)],
+        "doc_id long, sz long, score double")
+    got = {r["doc_id"] for r in take_until_budget(
+        nul, "sz", 8, "score", "doc_id").collect()}
+    assert got == {0, 1}
