@@ -86,3 +86,61 @@ def test_training_data_pipeline_end_to_end(spark, docs):
     # padding efficiency: FFD should fill batches reasonably well
     avg_fill = sum(r["n_tokens"] for r in rows) / (512 * len(rows))
     assert avg_fill > 0.5, avg_fill
+
+
+def test_selection_and_chunking_pipeline(spark, docs):
+    """The round-5 additions composed as the selection/prep tail of a
+    corpus build: span-level substring dedup → unigram-logprob quality
+    ranking → per-source caps → token-budget selection → sliding-
+    window chunking. Each stage's invariant asserted on the real
+    documents table."""
+    from sybil_spark.operators import quality
+
+    # 1. span dedup: rewrite docs, drop the fully-stale ones
+    sd = dedup.span_dedup(docs, "doc_id", "text", span_words=5)
+    rewritten = (docs.select("doc_id", "source")
+                 .join(sd.where(F.col("n_kept") > 0), "doc_id")
+                 .withColumnRenamed("dedup_text", "text"))
+    n1 = rewritten.count()
+    assert 0 < n1 <= docs.count()
+    # spans survived at most once corpus-wide
+    respans = (dedup.doc_spans(rewritten, "doc_id", "text", 5)
+               .where(F.length("span") > 0))
+    # re-spanning a rewritten doc can re-align spans, so assert the
+    # weaker but exact invariant: total kept spans == distinct spans
+    assert sd.agg(F.sum("n_kept")).collect()[0][0] \
+        == (dedup.doc_spans(docs, "doc_id", "text", 5)
+            .select("span").distinct().count())
+    assert respans.count() > 0
+
+    # 2. quality ranking on the deduped corpus
+    scored = rewritten.join(
+        quality.unigram_logprob(rewritten, "doc_id", "text")
+               .select("doc_id", "mean_logprob", "n_tokens"), "doc_id")
+
+    # 3. per-source cap, then select best docs until a token budget
+    capped = sampling.cap_per_group(scored, ["source"], 100,
+                                    "mean_logprob", "doc_id")
+    budget = 5000
+    sel = sampling.take_until_budget(capped, "n_tokens", budget,
+                                     "mean_logprob", "doc_id")
+    picked = sel.agg(F.sum("n_tokens")).collect()[0][0]
+    assert picked is not None and picked <= budget
+    # prefix semantics: the FIRST excluded doc in quality order is
+    # the one that crossed the budget (later, smaller docs may well
+    # have fit — take_until_budget is a prefix, not a knapsack)
+    first_out = (capped.join(sel.select("doc_id"), "doc_id", "left_anti")
+                 .orderBy(F.desc_nulls_last("mean_logprob"),
+                          F.asc("doc_id"))
+                 .select("n_tokens").limit(1).collect())
+    assert not first_out or picked + first_out[0][0] > budget
+
+    # 4. chunk the selection for sequence construction
+    chunks = sampling.chunk_documents(sel, "doc_id", "text",
+                                      max_words=32, overlap=4)
+    per_doc = {r["doc_id"]: r for r in
+               chunks.groupBy("doc_id")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.max("n_words").alias("mx")).collect()}
+    assert set(per_doc) == {r["doc_id"] for r in sel.collect()}
+    assert all(v["mx"] <= 32 for v in per_doc.values())

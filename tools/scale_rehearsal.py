@@ -40,7 +40,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
-    from sybil_spark.operators import dedup
+    from sybil_spark.operators import dedup, quality
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     spark = (SparkSession.builder.appName("scale-rehearsal")
@@ -75,10 +75,21 @@ def main() -> None:
                                        F.col("sig_b")) <= 8)
 
     out = {"sf": SF_DIR, "replicas": 10, "pipelines": {}}
+    def span5(df, idc, tc):
+        return dedup.span_dedup(df, idc, tc, span_words=5)
+
+    def tfidf3(df, idc, tc):
+        return quality.tfidf_top_terms(df, idc, tc, k=3)
+
     for name, fn, kw in (
             ("minhash_lsh", dedup.minhash_dedup_pairs, {}),
             ("simhash_dup", simhash, {}),
-            ("ngram_jaccard", dedup.jaccard_pairs, {"threshold": 0.5})):
+            ("ngram_jaccard", dedup.jaccard_pairs, {"threshold": 0.5}),
+            # round-5 session-3 text ops: suffixed replicas share no
+            # spans/tokens, so growth isolates the window + join scaling
+            ("span_dedup", span5, {}),
+            ("doc_logprob", quality.unigram_logprob, {}),
+            ("tfidf_terms", tfidf3, {})):
         timed(fn, small, **kw)                      # warm
         t1, n1 = timed(fn, small, **kw)
         t10, n10 = timed(fn, big, **kw)
