@@ -689,6 +689,35 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("bigram_logprob", """
+    with toks as (select doc_id, string_split(text, ' ') as t
+                  from documents),
+    bg as (select doc_id,
+                  unnest(list_transform(generate_series(1, len(t)-1),
+                      i -> struct_pack(prev := t[i], tok := t[i+1])))
+                    as s
+           from toks),
+    b as (select doc_id, s.prev as prev, s.tok as tok from bg),
+    m as (select prev, tok, count(*) as c from b group by 1, 2),
+    ctx as (select prev, sum(c) as cc from m group by 1),
+    lp as (select b.doc_id,
+                  cast(ln(cast(m.c as double) / cast(ctx.cc as double))
+                       as decimal(38,6)) as v
+           from b join m using (prev, tok) join ctx using (prev))
+    select doc_id, count(*) as n_bigrams,
+           cast(cast(sum(v) as varchar) as double) as sum_logprob,
+           cast(cast(sum(v) as varchar) as double) / count(*)
+             as mean_logprob
+    from lp group by doc_id""")
+def q_bigram_logprob(spark, sf):
+    """Bigram conditional logprob (operators/quality.bigram_logprob,
+    self-scored): p(tok|prev) from corpus bigram counts, decimal-
+    quantized per pair so the oracle's sums match bit-for-bit."""
+    from sybil_spark.operators import quality
+    return quality.bigram_logprob(_t(spark, sf, "documents"),
+                                  "doc_id", "text")
+
+
 @_q("budget_select", """
     with d as (select doc_id, n_chars,
                       cast(len(string_split(text, ' ')) as int) as n_toks
@@ -3356,7 +3385,7 @@ _DRIVER_FIRST = [
     # substring dedup; SemDeDup; sliding-window chunking; CCNet-shaped
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
-    "tfidf_terms", "budget_select", "domain_cap",
+    "tfidf_terms", "budget_select", "domain_cap", "bigram_logprob",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

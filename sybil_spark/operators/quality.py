@@ -119,3 +119,74 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                   .select(F.col("__id").alias(id_col), "tok", "tf",
                           F.col("__s").cast("string").cast("double")
                            .alias("score"), "term_rank"))
+
+
+def bigram_model(df: DataFrame, text_col: str) -> DataFrame:
+    """(prev, tok, cnt): corpus bigram frequencies. Bigram extraction
+    is pure array expressions (zero shuffle before the groupBy);
+    persist and reuse like `unigram_model`."""
+    return (_bigrams(df, text_col, "__ignored")
+            .groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id?, prev, tok) — one row per adjacent token pair. Documents
+    with a single token emit nothing (no conditional context)."""
+    words = tokens(F.col(text_col))
+    n = F.size(words)
+    idxs = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idxs, lambda i: F.struct(F.element_at(words, i).alias("prev"),
+                                 F.element_at(words, i + 1).alias("tok")))
+    cols = ([F.col(id_col).alias("__id")]
+            if id_col in df.columns else [])
+    ex = df.select(*cols, F.explode(pairs).alias("__bg"))
+    return ex.select(*(["__id"] if cols else []),
+                     F.col("__bg.prev").alias("prev"),
+                     F.col("__bg.tok").alias("tok"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   model: DataFrame | None = None,
+                   smooth_k: int = 0) -> DataFrame:
+    """Per-document mean conditional log-probability under a bigram
+    model — one order up from `unigram_logprob` toward the CCNet
+    KenLM scorer, with the same exactness contract (per-pair ln
+    quantized to decimal(38,6) before the order-independent sum).
+
+    p(tok|prev) = cnt(prev,tok) / Σ_t cnt(prev,t); with `smooth_k`
+    (required when scoring against a frozen external model) both
+    counts Laplace-smooth over the model's token vocabulary. Docs
+    with fewer than 2 tokens have no bigrams and are absent from the
+    output (no conditional evidence either way — left-join the
+    result if pass-through rows are wanted).
+
+    Output: (id_col, n_bigrams, sum_logprob, mean_logprob).
+
+    Scale: extraction is array expressions (no shuffle); scoring is
+    one equi-join on (prev, tok) + one on prev + a doc groupBy —
+    same shape as the unigram scorer, one extra narrow join."""
+    m = model if model is not None else bigram_model(df, text_col)
+    ctx = m.groupBy("prev").agg(F.sum("cnt").alias("__cc"))
+    if smooth_k:
+        vocab = m.select("tok").distinct().count()
+    bg = _bigrams(df, text_col, id_col)
+    joined = (bg.join(m, ["prev", "tok"], "left")
+                .join(ctx, "prev", "left"))
+    num = F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smooth_k)
+    den = (F.coalesce(F.col("__cc"), F.lit(0))
+           + F.lit(smooth_k) * F.lit(vocab if smooth_k else 0))
+    if smooth_k == 0:
+        # self-scoring / closed model: unseen bigrams would be a
+        # caller error (p = 0) — fail loudly, as unigram_logprob does
+        num, den = F.col("cnt"), F.col("__cc")
+    lp = F.log(num.cast("double") / den.cast("double")).cast(_DEC)
+    return (joined.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(lp).alias("__s"))
+            .select(F.col("__id").alias(id_col), "n_bigrams",
+                    F.col("__s").cast("string").cast("double")
+                     .alias("sum_logprob"),
+                    (F.col("__s").cast("string").cast("double")
+                     / F.col("n_bigrams")).alias("mean_logprob")))

@@ -956,3 +956,21 @@ def test_tfidf_terms_matches_duckdb(fuzz_spark, texts):
                                   "doc_id", "text", k=3).toPandas()
     oracle = con.execute(ORACLES["tfidf_terms"]).df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bigram_logprob_matches_duckdb(fuzz_spark, texts):
+    """Self-scored bigram logprob on random corpora vs the corpus
+    oracle — conditional-count joins and decimal-quantized sums
+    bit-exact (single-token docs absent from both sides)."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    got = quality.bigram_logprob(spark.createDataFrame(pdf),
+                                 "doc_id", "text").toPandas()
+    oracle = con.execute(ORACLES["bigram_logprob"]).df()
+    _cmp_frames(got, oracle)

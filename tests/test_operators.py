@@ -1079,3 +1079,42 @@ def test_take_until_budget_degenerate_scores(spark):
     got = {r["doc_id"] for r in take_until_budget(
         nul, "sz", 8, "score", "doc_id").collect()}
     assert got == {0, 1}
+
+
+def test_bigram_logprob_external_model_smoothing(spark):
+    """Bigram scorer vs a frozen model: p(tok|prev) from the model's
+    bigram/context counts, Laplace over the model vocabulary for
+    unseen pairs AND unseen contexts; single-token docs emit no row."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sybil_spark.operators import quality
+    train = spark.createDataFrame([Row(doc_id=0, text="a b a b a c")])
+    # bigrams: (a,b)x2 (b,a)x2 (a,c)x1 -> ctx a=3, b=2; vocab {a,b,c}
+    model = quality.bigram_model(train, "text")
+    got = {r["prev"]: None for r in model.collect()}
+    assert set(got) == {"a", "b"}
+    score = spark.createDataFrame([Row(doc_id=1, text="a b z q"),
+                                   Row(doc_id=2, text="solo")])
+    out = {r["doc_id"]: r for r in quality.bigram_logprob(
+        score, "doc_id", "text", model=model, smooth_k=1).collect()}
+
+    def q6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+    # (a,b): (2+1)/(3+3); (b,z): (0+1)/(2+3); (z,q): (0+1)/(0+3)
+    want = q6(math.log(3 / 6)) + q6(math.log(1 / 5)) + q6(math.log(1 / 3))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_logprob"] == float(want)
+    assert 2 not in out            # no bigrams, no row
+
+
+def test_bigram_logprob_self_scoring(spark):
+    """Self-scored: a doc repeating the corpus's dominant transitions
+    outranks one full of rare transitions."""
+    from sybil_spark.operators import quality
+    rows = [Row(doc_id=i, text="x y x y x y") for i in range(4)]
+    rows.append(Row(doc_id=9, text="y y x x y y"))
+    out = {r["doc_id"]: r["mean_logprob"] for r in quality.bigram_logprob(
+        spark.createDataFrame(rows), "doc_id", "text").collect()}
+    assert out[0] > out[9] and all(v < 0 for v in out.values())
