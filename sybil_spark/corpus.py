@@ -689,6 +689,40 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("corpus_divergence", """
+    with a as (select unnest(string_split(text, ' ')) as tok
+               from documents where doc_id % 2 = 0),
+    b as (select unnest(string_split(text, ' ')) as tok
+          from documents where doc_id % 2 = 1),
+    ma as (select tok, count(*) as ca from a group by 1),
+    mb as (select tok, count(*) as cb from b group by 1),
+    m as (select coalesce(ma.tok, mb.tok) as tok,
+                 coalesce(ca, 0) as cnt_a, coalesce(cb, 0) as cnt_b
+          from ma full outer join mb on ma.tok = mb.tok),
+    t as (select cast(sum(cnt_a) as double) as ta,
+                 cast(sum(cnt_b) as double) as tb,
+                 cast(count(*) as double) as v from m),
+    p as (select tok, cnt_a, cnt_b,
+                 cast(cnt_a + 1 as double) / (ta + v) as pa,
+                 cast(cnt_b + 1 as double) / (tb + v) as pb
+          from m, t)
+    select tok, cnt_a, cnt_b,
+           cast(cast(cast(pa * ln(pa / pb) as decimal(38,6))
+                     as varchar) as double) as contrib
+    from p""")
+def q_corpus_divergence(spark, sf):
+    """Token-level KL(P_even-docs || P_odd-docs) contributions
+    (operators/quality.corpus_divergence, Laplace k=1 over the union
+    vocabulary): the domain-shift audit. Deterministic halves of the
+    real documents table; decimal-quantized contributions rendered
+    through varchar."""
+    from sybil_spark.operators import quality
+    d = _t(spark, sf, "documents")
+    return quality.corpus_divergence(d.where(F.col("doc_id") % 2 == 0),
+                                     d.where(F.col("doc_id") % 2 == 1),
+                                     "text")
+
+
 @_q("bigram_logprob", """
     with toks as (select doc_id, string_split(text, ' ') as t
                   from documents),
@@ -3386,6 +3420,7 @@ _DRIVER_FIRST = [
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
     "tfidf_terms", "budget_select", "domain_cap", "bigram_logprob",
+    "corpus_divergence",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

@@ -190,3 +190,44 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
                      .alias("sum_logprob"),
                     (F.col("__s").cast("string").cast("double")
                      / F.col("n_bigrams")).alias("mean_logprob")))
+
+
+def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                      smooth_k: int = 1) -> DataFrame:
+    """Token-level distribution shift between two corpora: each
+    token's contribution p_a·ln(p_a/p_b) to KL(P_a ‖ P_b), the
+    standard audit for "does my new data slice look like the corpus
+    I trained on" (domain drift, source skew, contamination of a
+    split by another register).
+
+    Both distributions Laplace-smooth over the UNION vocabulary
+    (`smooth_k` ≥ 1 — a token absent from one side must get finite
+    mass or the divergence is undefined), so every union token gets
+    a row. Contributions quantize to decimal(38,6) — summing them
+    (exactly) gives the smoothed KL estimate; sort desc for the
+    tokens that most distinguish corpus A.
+
+    Output: (tok, cnt_a, cnt_b, contrib), contrib rendered double.
+
+    Scale: two token aggregations + one full-outer equi-join on the
+    token — vocabulary-sized, not corpus-sized; the four scalars
+    (totals, vocab) are driver-side 1-row aggregates."""
+    if smooth_k < 1:
+        raise ValueError("smooth_k must be >= 1 (finite mass on both "
+                         "sides of every union token)")
+    ma = unigram_model(df_a, text_col).withColumnRenamed("cnt", "cnt_a")
+    mb = unigram_model(df_b, text_col).withColumnRenamed("cnt", "cnt_b")
+    m = (ma.join(mb, "tok", "full_outer")
+           .select("tok",
+                   F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                   F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = m.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"),
+                F.count(F.lit(1)).alias("v")).collect()[0]
+    da = float(tot["ta"] + smooth_k * tot["v"])
+    db = float(tot["tb"] + smooth_k * tot["v"])
+    pa = (F.col("cnt_a") + F.lit(smooth_k)).cast("double") / F.lit(da)
+    pb = (F.col("cnt_b") + F.lit(smooth_k)).cast("double") / F.lit(db)
+    contrib = (pa * F.log(pa / pb)).cast(_DEC)
+    return m.select("tok", "cnt_a", "cnt_b",
+                    contrib.cast("string").cast("double")
+                           .alias("contrib"))

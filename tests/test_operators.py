@@ -1118,3 +1118,23 @@ def test_bigram_logprob_self_scoring(spark):
     out = {r["doc_id"]: r["mean_logprob"] for r in quality.bigram_logprob(
         spark.createDataFrame(rows), "doc_id", "text").collect()}
     assert out[0] > out[9] and all(v < 0 for v in out.values())
+
+
+def test_corpus_divergence(spark):
+    """KL contributions: identical corpora diverge exactly 0 on every
+    token (pa == pb bit-for-bit, ln(1) == 0); a token over-represented
+    in A contributes positively; union-vocab smoothing gives absent
+    tokens a row; smooth_k=0 is rejected."""
+    from sybil_spark.operators import quality
+    a = spark.createDataFrame([Row(doc_id=1, text="x x x y")])
+    same = quality.corpus_divergence(a, a, "text").collect()
+    assert {r["contrib"] for r in same} == {0.0}
+    b = spark.createDataFrame([Row(doc_id=2, text="y y y z")])
+    out = {r["tok"]: r for r in
+           quality.corpus_divergence(a, b, "text").collect()}
+    assert set(out) == {"x", "y", "z"}
+    assert out["x"]["cnt_a"] == 3 and out["x"]["cnt_b"] == 0
+    assert out["x"]["contrib"] > 0      # A-heavy token
+    assert out["z"]["cnt_a"] == 0       # absent side still rowed
+    with pytest.raises(ValueError):
+        quality.corpus_divergence(a, b, "text", smooth_k=0)
