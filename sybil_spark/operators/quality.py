@@ -95,7 +95,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     Scale: two grouped aggregations (doc×token, then token) and one
     per-doc top-k window — the window input is already collapsed to
     distinct (doc, token) rows, orders of magnitude smaller than the
-    token stream. N is one count job (a driver scalar, bounded)."""
+    token stream, and Spark's rank-limit pushdown (WindowGroupLimit)
+    truncates each partition to k rows BEFORE the window shuffle. N
+    is one count job (a driver scalar, bounded). Catalyst expands the
+    tf subtree twice (once per aggregation) rather than reusing it —
+    deliberate: materializing the corpus-sized (doc, token) frame to
+    save the second scan costs more than the scan at every tested
+    scale; persist `tf` yourself if your storage is slower than your
+    shuffle."""
     n_docs = df.count()
     toks = df.select(F.col(id_col).alias("__id"),
                      F.explode(tokens(F.col(text_col))).alias("tok"))

