@@ -689,6 +689,21 @@ def q_dedup_keep_first(spark, sf):
     return dedup.exact_keep_first(_t(spark, sf, "documents"), ["text"], "doc_id")
 
 
+@_q("group_sample", """
+    with r as (select doc_id, source, row_number() over
+                   (partition by source
+                    order by md5(cast(doc_id as varchar)), doc_id) as rk
+               from documents)
+    select doc_id, source from r where rk <= 5""")
+def q_group_sample(spark, sf):
+    """Deterministic fixed-n per-stratum sample (5 docs per source):
+    md5-of-key ordering both engines reproduce byte-for-byte."""
+    from sybil_spark.operators import sampling
+    return sampling.sample_per_group(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        ["source"], 5, "doc_id")
+
+
 @_q("corpus_divergence", """
     with a as (select unnest(string_split(text, ' ')) as tok
                from documents where doc_id % 2 = 0),
@@ -3420,7 +3435,7 @@ _DRIVER_FIRST = [
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
     "tfidf_terms", "budget_select", "domain_cap", "bigram_logprob",
-    "corpus_divergence",
+    "corpus_divergence", "group_sample",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

@@ -310,3 +310,19 @@ def take_until_budget(df: DataFrame, size_col: str, budget: int,
                .where(F.col("__cum") <= budget - before)
                .drop("__b", "__cum"))
     return whole.unionByName(edge)
+
+
+def sample_per_group(df: DataFrame, group_cols: list[str], n: int,
+                     key_col: str) -> DataFrame:
+    """Deterministic fixed-n sample per group (balanced eval sets,
+    per-class spot-check pools): rank rows within each group by the
+    md5 of their key — a stable pseudo-random order any SQL engine
+    reproduces (`md5(cast(key as varchar))`, the same portable-order
+    trick as Query.distinct_values(deterministic=True)) — and keep
+    the first n (md5 ties → key asc). Groups smaller than n pass
+    through whole. One window shuffle on the group key."""
+    from pyspark.sql import Window
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.asc(key_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= n).drop("__rk"))

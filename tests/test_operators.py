@@ -1138,3 +1138,18 @@ def test_corpus_divergence(spark):
     assert out["z"]["cnt_a"] == 0       # absent side still rowed
     with pytest.raises(ValueError):
         quality.corpus_divergence(a, b, "text", smooth_k=0)
+
+
+def test_sample_per_group_deterministic(spark):
+    """Fixed-n per-group sampling: stable across runs, n per large
+    group, whole small groups, disjoint from group to group."""
+    from sybil_spark.operators.sampling import sample_per_group
+    rows = [Row(g="a", k=i) for i in range(50)] + [Row(g="b", k=99)]
+    df = spark.createDataFrame(rows)
+    one = {(r["g"], r["k"]) for r in
+           sample_per_group(df, ["g"], 10, "k").collect()}
+    two = {(r["g"], r["k"]) for r in
+           sample_per_group(df, ["g"], 10, "k").collect()}
+    assert one == two
+    assert sum(1 for g, _ in one if g == "a") == 10
+    assert ("b", 99) in one
