@@ -714,8 +714,8 @@ def q_group_sample(spark, sf):
     m as (select coalesce(ma.tok, mb.tok) as tok,
                  coalesce(ca, 0) as cnt_a, coalesce(cb, 0) as cnt_b
           from ma full outer join mb on ma.tok = mb.tok),
-    t as (select cast(sum(cnt_a) as double) as ta,
-                 cast(sum(cnt_b) as double) as tb,
+    t as (select cast(cast(sum(cnt_a) as bigint) as double) as ta,
+                 cast(cast(sum(cnt_b) as bigint) as double) as tb,
                  cast(count(*) as double) as v from m),
     p as (select tok, cnt_a, cnt_b,
                  cast(cnt_a + 1 as double) / (ta + v) as pa,
@@ -839,7 +839,8 @@ def q_tfidf_terms(spark, sf):
     with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                   from documents),
     m as (select tok, count(*) as cnt from toks group by 1),
-    tot as (select cast(sum(cnt) as double) as d from m),
+    tot as (select cast(cast(sum(cnt) as bigint) as double) as d
+           from m),
     lp as (select t.doc_id,
                   cast(ln(cast(m.cnt as double) / (select d from tot))
                        as decimal(38,6)) as v

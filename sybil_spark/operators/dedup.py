@@ -77,6 +77,8 @@ def doc_spans(df: DataFrame, id_col: str, text_col: str,
     `span_words`-word windows (trailing partial span included). Pure
     array expressions + one posexplode — no shuffle; the shared
     candidate-generation step of batch and streaming span dedup."""
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
     words = F.split(F.col(text_col), " ")
     # split() never yields an empty array ('' -> ['']), so the last
     # span index (size-1) div span_words is always well-defined.
@@ -116,18 +118,8 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     join-free (a suffix-array ExactSubstr needs global sort order)."""
     from pyspark.sql import Window
 
-    words = F.split(F.col(text_col), " ")
-    # split() never yields an empty array ('' -> ['']), so the last
-    # span index (size-1) div span_words is always well-defined.
-    last = ((F.size(words) - F.lit(1)) - F.pmod(F.size(words) - F.lit(1),
-                                                F.lit(span_words))) \
-        / F.lit(span_words)
-    spans = F.transform(
-        F.sequence(F.lit(0), last.cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(words, i * span_words + 1,
-                                           span_words)))
-    ex = df.select(F.col(id_col).alias("__id"),
-                   F.posexplode(spans).alias("pos", "span"))
+    ex = doc_spans(df, id_col, text_col, span_words) \
+        .withColumnRenamed(id_col, "__id")
     w = Window.partitionBy("span").orderBy("__id", "pos")
     flagged = ex.withColumn("__rn", F.row_number().over(w))
     kept = F.col("__rn") == 1
@@ -810,6 +802,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     (`embedding_dup_pairs(block_on=cluster)`), so comparison volume
     is Σ_c n_c² — the quantizer caps it, never corpus². This is the
     whole point of SemDeDup vs all-pairs embedding dedup."""
+    if not centroids:
+        raise ValueError("semantic_dedup: centroids must be non-empty")
     from sybil_spark.operators import similarity as S
 
     assign = S.ivf_assign_batch if use_batch_assign else S.ivf_assign

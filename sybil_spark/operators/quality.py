@@ -28,6 +28,15 @@ from sybil_spark.functions.text import tokens
 _DEC = "decimal(38,6)"
 
 
+def _require(col, msg: str, detail) -> "F.Column":
+    """col, except a NULL raises `msg` + detail from the executor —
+    for joins whose misses are caller errors: a silent null would be
+    skipped by downstream aggregates and corrupt the result instead
+    of failing."""
+    return F.when(col.isNotNull(), col).otherwise(
+        F.raise_error(F.concat(F.lit(msg), detail.cast("string"))))
+
+
 def unigram_model(df: DataFrame, text_col: str) -> DataFrame:
     """(tok, cnt): corpus token frequencies — the 'training' pass.
     One explode + one groupBy shuffle; persist this (partitioned by
@@ -59,15 +68,20 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     stats = m.agg(F.sum("cnt").alias("t"),
                   F.count(F.lit(1)).alias("v")).collect()[0]
     total, vocab = stats["t"], stats["v"]
+    if total is None:
+        raise ValueError("unigram_logprob: empty model (no tokens)")
     denom = float(total + smooth_k * vocab)
     toks = df.select(F.col(id_col).alias("__id"),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
     joined = toks.join(m, "tok", "left")
     cnt = F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smooth_k)
     if smooth_k == 0:
-        # self-scoring / closed-vocab: an unseen token would be a
-        # caller error (p=0) — fail loudly rather than emit -inf
-        cnt = F.col("cnt")
+        # self-scoring / closed-vocab: an unseen token means p = 0 —
+        # a caller error. A plain null would be SKIPPED by the sum
+        # (silently wrong sum_logprob), so raise from the row itself.
+        cnt = _require(F.col("cnt"),
+                       "unigram_logprob: token unseen by the model "
+                       "under smooth_k=0: ", F.col("tok"))
     lp = F.log(cnt.cast("double") / F.lit(denom)).cast(_DEC)
     return (joined.groupBy("__id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -186,8 +200,13 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
            + F.lit(smooth_k) * F.lit(vocab if smooth_k else 0))
     if smooth_k == 0:
         # self-scoring / closed model: unseen bigrams would be a
-        # caller error (p = 0) — fail loudly, as unigram_logprob does
-        num, den = F.col("cnt"), F.col("__cc")
+        # caller error (p = 0) — raise from the row (a silent null
+        # would be skipped by the sum), as unigram_logprob does
+        pair = F.concat_ws(" ", F.col("prev"), F.col("tok"))
+        num = _require(F.col("cnt"), "bigram_logprob: bigram unseen "
+                       "by the model under smooth_k=0: ", pair)
+        den = _require(F.col("__cc"), "bigram_logprob: context unseen "
+                       "by the model under smooth_k=0: ", F.col("prev"))
     lp = F.log(num.cast("double") / den.cast("double")).cast(_DEC)
     return (joined.groupBy("__id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
@@ -230,6 +249,9 @@ def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
                    F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
     tot = m.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"),
                 F.count(F.lit(1)).alias("v")).collect()[0]
+    if tot["v"] == 0:
+        raise ValueError("corpus_divergence: both corpora are empty "
+                         "(no union vocabulary)")
     da = float(tot["ta"] + smooth_k * tot["v"])
     db = float(tot["tb"] + smooth_k * tot["v"])
     pa = (F.col("cnt_a") + F.lit(smooth_k)).cast("double") / F.lit(da)

@@ -220,8 +220,9 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     by ONE posexplode — no shuffle at all; chunking then feeds
     pack_by_budget for padding-free batches. Row width stays bounded
     by max_words, so downstream shuffles never carry full documents."""
-    if overlap >= max_words:
-        raise ValueError("overlap must be < max_words")
+    if max_words < 1 or overlap < 0 or overlap >= max_words:
+        raise ValueError("need max_words >= 1 and 0 <= overlap < "
+                         "max_words")
     stride = max_words - overlap
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
@@ -271,21 +272,26 @@ def take_until_budget(df: DataFrame, size_col: str, budget: int,
     whole, and only the boundary bucket — ~1/buckets of the data —
     runs an exact cumulative window. Selection depends only on the
     (score, id) ORDER, so the internal bucket edges never affect the
-    result, and equal scores always share a bucket. NULL scores rank
-    last (dropped unless the budget survives everything else —
-    mirror `nulls last` in any SQL comparison)."""
+    result, and equal scores always share a bucket. NULL and NaN
+    scores rank last (dropped unless the budget survives everything
+    else — mirror `nulls last` in any SQL comparison; NaN would
+    otherwise poison the max() range probe AND sort FIRST under
+    Spark's desc, so it is normalized to null up front)."""
     from pyspark.sql import Window
 
-    mm = df.agg(F.min(score_col).alias("lo"),
-                F.max(score_col).alias("hi")).collect()[0]
+    sc = F.col(score_col).cast("double")
+    norm = F.when(sc.isNull() | F.isnan(sc), F.lit(None).cast("double")) \
+            .otherwise(sc)
+    mm = df.agg(F.min(norm).alias("lo"),
+                F.max(norm).alias("hi")).collect()[0]
     lo, hi = mm["lo"], mm["hi"]
-    if lo is None:  # all-null scores: plain ordered prefix by id
+    if lo is None:  # all-null/NaN scores: plain ordered prefix by id
         hi = lo = 0
     width = (float(hi) - float(lo)) / buckets if hi != lo else 1.0
     # bucket 0 = best scores; equal scores can never split buckets
-    b = F.when(F.col(score_col).isNull(), F.lit(buckets)).otherwise(
-        F.least(F.floor((F.lit(float(hi)) - F.col(score_col).cast("double"))
-                        / F.lit(width)).cast("int"),
+    b = F.when(norm.isNull(), F.lit(buckets)).otherwise(
+        F.least(F.floor((F.lit(float(hi)) - norm) / F.lit(width))
+                 .cast("int"),
                 F.lit(buckets - 1)))
     bdf = df.withColumn("__b", b)
     per = {r["__b"]: r["s"]
@@ -302,13 +308,14 @@ def take_until_budget(df: DataFrame, size_col: str, budget: int,
     if boundary is None:  # whole corpus fits
         return df
     whole = bdf.where(F.col("__b") < boundary).drop("__b")
-    w = (Window.orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
+    w = (Window.orderBy(F.desc_nulls_last("__sc"), F.asc(id_col))
                .rowsBetween(Window.unboundedPreceding, 0))
     edge = (bdf.where(F.col("__b") == boundary)
+               .withColumn("__sc", norm)
                .withColumn("__cum", F.sum(F.col(size_col).cast("long"))
                            .over(w))
                .where(F.col("__cum") <= budget - before)
-               .drop("__b", "__cum"))
+               .drop("__b", "__sc", "__cum"))
     return whole.unionByName(edge)
 
 

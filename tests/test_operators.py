@@ -1153,3 +1153,29 @@ def test_sample_per_group_deterministic(spark):
     assert one == two
     assert sum(1 for g, _ in one if g == "a") == 10
     assert ("b", 99) in one
+
+
+def test_logprob_guards_and_nan_budget(spark):
+    """Hardening pins: (a) scoring against a model that misses a
+    token/bigram under smooth_k=0 RAISES from the row instead of
+    silently skipping the null in the sum; (b) NaN scores rank last
+    in take_until_budget instead of poisoning the range probe or
+    sorting first under desc."""
+    from sybil_spark.operators import quality
+    from sybil_spark.operators.sampling import take_until_budget
+    train = spark.createDataFrame([Row(doc_id=0, text="a b")])
+    uni = quality.unigram_model(train, "text")
+    bi = quality.bigram_model(train, "text")
+    bad = spark.createDataFrame([Row(doc_id=1, text="zz qq")])
+    with pytest.raises(Exception, match="unseen"):
+        quality.unigram_logprob(bad, "doc_id", "text",
+                                model=uni).collect()
+    with pytest.raises(Exception, match="unseen"):
+        quality.bigram_logprob(bad, "doc_id", "text",
+                               model=bi).collect()
+    nan = spark.createDataFrame([Row(doc_id=0, sz=4, score=float("nan")),
+                                 Row(doc_id=1, sz=4, score=5.0),
+                                 Row(doc_id=2, sz=4, score=1.0)])
+    got = sorted(r["doc_id"] for r in take_until_budget(
+        nan, "sz", 8, "score", "doc_id").collect())
+    assert got == [1, 2]
