@@ -888,6 +888,31 @@ def q_chunk_docs(spark, sf):
                                     max_words=12, overlap=3)
 
 
+@_q("containment_dup", """
+    with toks as (select doc_id, string_split(text, ' ') t from documents),
+    s as (select doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t)-2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh from toks),
+    sizes as (select doc_id, count(*) n from s group by 1),
+    inter as (select a.doc_id ia, b.doc_id ib, count(*) c
+              from s a join s b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2)
+    select ia as id_a, ib as id_b,
+           cast(c as double)/least(na.n, nb.n) as containment
+    from inter
+    join sizes na on na.doc_id = ia
+    join sizes nb on nb.doc_id = ib
+    where cast(c as double)/least(na.n, nb.n) >= 0.3""")
+def q_containment_dup(spark, sf):
+    """Containment-normalized n-gram overlap (|A∩B| / min(|A|,|B|)):
+    the subset-duplicate metric — a document quoted whole inside a
+    larger one scores 1.0 where jaccard dilutes toward the size
+    ratio. Same capped posting machinery as ngram_jaccard."""
+    return dedup.jaccard_pairs(_t(spark, sf, "documents"),
+                               "doc_id", "text", shingle_n=3,
+                               threshold=0.3, metric="containment")
+
+
 @_q("span_dedup", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -3436,7 +3461,7 @@ _DRIVER_FIRST = [
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
     "tfidf_terms", "budget_select", "domain_cap", "bigram_logprob",
-    "corpus_divergence", "group_sample",
+    "corpus_divergence", "group_sample", "containment_dup",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means
     # ngram_jaccard's sub-shingle-doc semantics changed — re-verify

@@ -371,7 +371,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   candidates: DataFrame | None = None,
                   max_posting: int | None = DEFAULT_MAX_POSTING,
                   exact: bool = False,
-                  shingles: DataFrame | None = None) -> DataFrame:
+                  shingles: DataFrame | None = None,
+                  metric: str = "jaccard") -> DataFrame:
     """N-gram Jaccard similarity for document pairs; every returned
     pair's jaccard value is exact.
 
@@ -389,7 +390,10 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     posting-list join is skipped entirely: each candidate pair's
     intersection is counted by a candidate-restricted posting join —
     work proportional to Σ|shingles(id_a)| over candidates, not
-    |pairs sharing a shingle|. Output: id_a < id_b, jaccard ∈ (0,1].
+    |pairs sharing a shingle|. Output: id_a < id_b, and the score
+    column named after `metric`: jaccard ∈ (0,1] (default) or
+    containment = |A∩B| / min(|A|,|B|) — the subset-duplicate
+    metric (a doc quoted whole inside a larger one scores 1.0).
 
     All shingles travel as 64-bit hashes (shingle_hashes) — every
     stage is a codegen equi-join/aggregate; no shingle string or
@@ -494,12 +498,20 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (inter.join(na, "id_a").join(nb, "id_b")
-           .withColumn("jaccard",
-                       F.col("inter").cast("double")
-                       / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-           .select("id_a", "id_b", "jaccard"))
-    return out.where(F.col("jaccard") >= threshold) if threshold else out
+    joined = inter.join(na, "id_a").join(nb, "id_b")
+    if metric == "jaccard":
+        val = (F.col("inter").cast("double")
+               / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    elif metric == "containment":
+        # overlap normalized by the SMALLER set: a document quoted or
+        # embedded whole inside a larger one scores 1.0 where jaccard
+        # dilutes toward |small|/|large| — the subset-duplicate metric
+        val = (F.col("inter").cast("double")
+               / F.least(F.col("n_a"), F.col("n_b")))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    out = joined.withColumn(metric, val).select("id_a", "id_b", metric)
+    return out.where(F.col(metric) >= threshold) if threshold else out
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -1179,3 +1179,21 @@ def test_logprob_guards_and_nan_budget(spark):
     got = sorted(r["doc_id"] for r in take_until_budget(
         nan, "sz", 8, "score", "doc_id").collect())
     assert got == [1, 2]
+
+
+def test_containment_metric_subset_doc(spark):
+    """A short doc embedded verbatim inside a longer one scores
+    containment 1.0 while its jaccard is the (diluted) size ratio;
+    unknown metric names are rejected."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame([Row(doc_id=1, text=small),
+                                Row(doc_id=2, text=big)])
+    cont = dedup.jaccard_pairs(df, "doc_id", "text", shingle_n=3,
+                               metric="containment").collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = dedup.jaccard_pairs(df, "doc_id", "text",
+                              shingle_n=3).collect()
+    assert 0 < jac[0]["jaccard"] < 1.0
+    with pytest.raises(ValueError, match="metric"):
+        dedup.jaccard_pairs(df, "doc_id", "text", metric="dice").collect()
