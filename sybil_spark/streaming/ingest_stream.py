@@ -631,3 +631,54 @@ def stream_join(left: DataFrame, right: DataFrame, key_cols: list[str],
              .select(*key_cols, "left_time", "right_time",
                      (F.col("right_time") - F.col("left_time"))
                      .alias("delay_seconds")))
+
+
+def stream_unigram_counts(df: DataFrame, text_col: str,
+                          model_path: str,
+                          checkpoint: str | None = None
+                          ) -> StreamingQuery:
+    """Continuously maintained unigram model: every micro-batch
+    appends its token-count PARTIALS to `model_path`; the model is
+    the sum over partials (`read_unigram_model`), so appends never
+    rewrite history — the same mergeable-partials contract as the
+    rollup store. Feed the result to `quality.unigram_logprob(...,
+    model=read_unigram_model(...), smooth_k>=1)` for fresh-model
+    quality filtering of the very stream being ingested (smoothing is
+    mandatory there: a token can arrive before its own count lands).
+    Partial-file count grows one-per-(batch × shuffle-partition);
+    `compact_unigram_model` folds them when listing cost matters."""
+    from sybil_spark.functions.text import tokens
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (batch_df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+                 .write.mode("append").parquet(model_path))
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or model_path + "_checkpoint")
+            .outputMode("append").start())
+
+
+def read_unigram_model(spark: SparkSession, model_path: str) -> DataFrame:
+    """(tok, cnt): the current model — one grouped sum over the
+    appended partials, shaped exactly like quality.unigram_model."""
+    return (spark.read.parquet(model_path)
+            .groupBy("tok").agg(F.sum("cnt").alias("cnt")))
+
+
+def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
+    """Fold the appended partials into one summed snapshot in place
+    (staged temp-dir swap with crash recovery, shared with the rollup
+    store) — run periodically, not per batch."""
+    from sybil_spark.sources.rollup import _staged_swap
+
+    merged = read_unigram_model(spark, model_path)
+
+    def write(tmp: str) -> None:
+        merged.write.mode("overwrite").parquet(tmp)
+
+    merged.localCheckpoint(eager=True)  # snapshot before the swap
+    _staged_swap(model_path, write)

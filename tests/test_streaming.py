@@ -451,3 +451,51 @@ def test_stream_span_dedup_against_index(spark, tmp_path):
             q2.awaitTermination(5)
     finally:
         q2.stop()
+
+
+def test_stream_unigram_model_maintenance(spark, tmp_path):
+    """Streaming unigram model: per-batch partials sum to exactly the
+    batch-union counts; compaction folds them without changing the
+    model; the maintained model scores a new doc identically to a
+    model trained in one batch pass."""
+    import glob
+
+    from sybil_spark.operators import quality
+    from sybil_spark.streaming.ingest_stream import (
+        compact_unigram_model, read_unigram_model, stream_unigram_counts)
+    src = tmp_path / "um-in"
+    src.mkdir()
+    mpath = str(tmp_path / "umodel")
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [{"doc_id": "A", "text": "a a b"}])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_unigram_counts(stream, "text", mpath,
+                              checkpoint=str(tmp_path / "um-ck"))
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", [{"doc_id": "B", "text": "b c"}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["tok"]: r["cnt"]
+           for r in read_unigram_model(spark, mpath).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+    n_before = len(glob.glob(mpath + "/*.parquet"))
+    compact_unigram_model(spark, mpath)
+    after = {r["tok"]: r["cnt"]
+             for r in read_unigram_model(spark, mpath).collect()}
+    assert after == got
+    assert len(glob.glob(mpath + "/*.parquet")) <= n_before
+    # maintained model == one-shot model for scoring
+    union = spark.createDataFrame(
+        [("A", "a a b"), ("B", "b c")], "doc_id string, text string")
+    score = spark.createDataFrame([("Z", "a c q")],
+                                  "doc_id string, text string")
+    via_stream = quality.unigram_logprob(
+        score, "doc_id", "text",
+        model=read_unigram_model(spark, mpath), smooth_k=1).collect()
+    via_batch = quality.unigram_logprob(
+        score, "doc_id", "text",
+        model=quality.unigram_model(union, "text"), smooth_k=1).collect()
+    assert via_stream == via_batch
