@@ -104,9 +104,12 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     within a doc, earlier position), and reassemble the surviving
     spans in document order.
 
-    Returns (id_col, n_spans, n_kept, dedup_text) — one row per input
-    document; a fully-duplicated document comes back with n_kept = 0
-    and dedup_text = ''. Join back on id_col for the other columns.
+    Returns (id_col, n_spans, n_kept, dedup_text) — one row per
+    document WITH TEXT; a fully-duplicated document comes back with
+    n_kept = 0 and dedup_text = ''. NULL-text rows have no spans and
+    are absent from the output — LEFT-join back on id_col to carry
+    them (and the other columns) through unchanged, as the streaming
+    variant does.
 
     Scale: span construction is pure array expressions (no shuffle);
     first-occurrence is ONE window shuffle partitioned by the span
@@ -122,16 +125,23 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
         .withColumnRenamed(id_col, "__id")
     w = Window.partitionBy("span").orderBy("__id", "pos")
     flagged = ex.withColumn("__rn", F.row_number().over(w))
-    kept = F.col("__rn") == 1
     return (flagged.groupBy("__id")
-            .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-                 F.concat_ws(" ", F.transform(
-                     F.array_sort(F.collect_list(
-                         F.when(kept, F.struct(F.col("pos"),
-                                               F.col("span"))))),
-                     lambda s: s["span"])).alias("dedup_text"))
+            .agg(*span_reassembly_aggs(F.col("__rn") == 1))
             .withColumnRenamed("__id", id_col))
+
+
+def span_reassembly_aggs(kept: Column) -> list:
+    """The per-document reassembly aggregates shared by batch
+    span_dedup and the streaming index variant: span count, kept
+    count, and the surviving spans re-joined in position order
+    (collect_list skips the un-kept NULLs; array_sort on the
+    (pos, span) struct restores document order)."""
+    return [F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(kept, F.struct(F.col("pos"), F.col("span"))))),
+                lambda s: s["span"])).alias("dedup_text")]
 
 
 # ---------------------------------------------------------------------------
@@ -833,10 +843,16 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                              F.col("__score").alias("__sa")), "id_a")
              .join(sc.select(F.col("__sid").alias("id_b"),
                              F.col("__score").alias("__sb")), "id_b"))
-        loser = F.when((F.col("__sa") > F.col("__sb"))
-                       | ((F.col("__sa") == F.col("__sb"))
-                          & (F.col("id_a") < F.col("id_b"))),
-                       F.col("id_b")).otherwise(F.col("id_a"))
+        # null-safe priority: a scored row always outranks an
+        # unscored one, and equal-or-both-null scores fall back to
+        # "lower id wins" — a plain `>` comparison is NULL against a
+        # NULL score, which would have routed the when() to otherwise
+        # and dropped the scored (better) copy
+        sa, sb = F.col("__sa"), F.col("__sb")
+        a_wins = ((sa > sb)
+                  | (sa.isNotNull() & sb.isNull())
+                  | (sa.eqNullSafe(sb) & (F.col("id_a") < F.col("id_b"))))
+        loser = F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a"))
         losers = p.select(loser.alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -214,7 +214,9 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
 
     Output: (id_col, chunk_id, chunk_text, n_words) — one row per
     chunk, chunk_id dense from 0 in document order. A document with
-    ≤ max_words words passes through as its own single chunk.
+    ≤ max_words words passes through as its own single chunk;
+    NULL-text rows have no words and emit no chunks (left-join back
+    on id_col to carry them).
 
     Scale: pure array expressions (split / sequence / slice) followed
     by ONE posexplode — no shuffle at all; chunking then feeds
@@ -272,7 +274,11 @@ def take_until_budget(df: DataFrame, size_col: str, budget: int,
     whole, and only the boundary bucket — ~1/buckets of the data —
     runs an exact cumulative window. Selection depends only on the
     (score, id) ORDER, so the internal bucket edges never affect the
-    result, and equal scores always share a bucket. NULL and NaN
+    result, and equal scores always share a bucket. The input must
+    be DETERMINISTIC across jobs (the bucket histogram and the final
+    filters run as separate jobs — persist/localCheckpoint an
+    expensive or sampled upstream first, or the recomputed buckets
+    can disagree with the collected sums). NULL and NaN
     scores rank last (dropped unless the budget survives everything
     else — mirror `nulls last` in any SQL comparison; NaN would
     otherwise poison the max() range probe AND sort FIRST under

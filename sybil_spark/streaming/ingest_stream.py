@@ -558,15 +558,9 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
                                 F.col("__new") & F.col("__hit").isNull())
                     .drop("__hit"))
         sp = sp.localCheckpoint()  # snapshot before the two writes
+        from sybil_spark.operators.dedup import span_reassembly_aggs
         kept = F.col("__new")
-        stats = (sp.groupBy(id_col)
-                 .agg(F.count(F.lit(1)).alias("n_spans"),
-                      F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-                      F.concat_ws(" ", F.transform(
-                          F.array_sort(F.collect_list(
-                              F.when(kept, F.struct(F.col("pos"),
-                                                    F.col("span"))))),
-                          lambda s: s["span"])).alias("dedup_text")))
+        stats = sp.groupBy(id_col).agg(*span_reassembly_aggs(kept))
         docs.join(stats, id_col, "left") \
             .write.mode("append").parquet(out_path)
         (sp.where(kept).select("__h").distinct()
@@ -645,8 +639,18 @@ def stream_unigram_counts(df: DataFrame, text_col: str,
     model=read_unigram_model(...), smooth_k>=1)` for fresh-model
     quality filtering of the very stream being ingested (smoothing is
     mandatory there: a token can arrive before its own count lands).
-    Partial-file count grows one-per-(batch × shuffle-partition);
-    `compact_unigram_model` folds them when listing cost matters."""
+
+    Exactly-once under replay: each batch writes its partials to its
+    own `batch_id=N` partition directory with dynamic overwrite, so a
+    crash-replayed micro-batch REPLACES its partition instead of
+    appending a double count (foreachBatch is only at-least-once —
+    plain appends here would silently inflate the model forever).
+    Consequence: a model dir is bound to ONE checkpoint lineage —
+    restarting with a fresh checkpoint restarts batch ids at 0 and
+    would overwrite history; use a new model_path with a new
+    checkpoint. Partial-file count grows one-per-(batch × shuffle-
+    partition); `compact_unigram_model` folds them when listing cost
+    matters (only while the stream is stopped — see its docstring)."""
     from sybil_spark.functions.text import tokens
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -654,7 +658,10 @@ def stream_unigram_counts(df: DataFrame, text_col: str,
             return
         (batch_df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
                  .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-                 .write.mode("append").parquet(model_path))
+                 .withColumn("batch_id", F.lit(batch_id))
+                 .write.partitionBy("batch_id")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .mode("overwrite").parquet(model_path))
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -664,7 +671,8 @@ def stream_unigram_counts(df: DataFrame, text_col: str,
 
 def read_unigram_model(spark: SparkSession, model_path: str) -> DataFrame:
     """(tok, cnt): the current model — one grouped sum over the
-    appended partials, shaped exactly like quality.unigram_model."""
+    per-batch partition partials, shaped exactly like
+    quality.unigram_model."""
     return (spark.read.parquet(model_path)
             .groupBy("tok").agg(F.sum("cnt").alias("cnt")))
 
@@ -672,13 +680,25 @@ def read_unigram_model(spark: SparkSession, model_path: str) -> DataFrame:
 def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
     """Fold the appended partials into one summed snapshot in place
     (staged temp-dir swap with crash recovery, shared with the rollup
-    store) — run periodically, not per batch."""
+    store) — run periodically, not per batch, and ONLY while the
+    stream is stopped: the swap replaces the whole directory, so a
+    micro-batch partial appended mid-compaction would be renamed away
+    and lost (no multi-writer coordination exists here, same as the
+    rollup store's compactor).
+
+    The snapshot keeps the `batch_id=` partition convention
+    (batch_id = -1) so post-compaction appends from a RESUMED stream
+    (same checkpoint, monotonically increasing real batch ids) mix
+    cleanly with it."""
     from sybil_spark.sources.rollup import _staged_swap
 
-    merged = read_unigram_model(spark, model_path)
+    # materialize BEFORE the swap — the write closure must not
+    # lazily re-list model_path while the swap is replacing it
+    merged = (read_unigram_model(spark, model_path)
+              .withColumn("batch_id", F.lit(-1))
+              .localCheckpoint(eager=True))
 
     def write(tmp: str) -> None:
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
 
-    merged.localCheckpoint(eager=True)  # snapshot before the swap
     _staged_swap(model_path, write)

@@ -1197,3 +1197,24 @@ def test_containment_metric_subset_doc(spark):
     assert 0 < jac[0]["jaccard"] < 1.0
     with pytest.raises(ValueError, match="metric"):
         dedup.jaccard_pairs(df, "doc_id", "text", metric="dice").collect()
+
+
+def test_semantic_dedup_null_score_priority(spark):
+    """Review regression pin: a scored row must beat a NULL-scored
+    near-dup (plain > comparison is NULL vs NULL and used to drop the
+    scored copy), and two NULL-scored dups keep the LOWER id."""
+    cents = [[1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], None), (1, [0.999, 0.01], 5.0)],
+        "vec_id long, embedding array<double>, quality double")
+    got = {r["vec_id"] for r in dedup.semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.95,
+        score_col="quality").collect()}
+    assert got == {1}
+    both_null = spark.createDataFrame(
+        [(0, [1.0, 0.0], None), (1, [0.999, 0.01], None)],
+        "vec_id long, embedding array<double>, quality double")
+    got = {r["vec_id"] for r in dedup.semantic_dedup(
+        both_null, "vec_id", "embedding", cents, threshold=0.95,
+        score_col="quality").collect()}
+    assert got == {0}

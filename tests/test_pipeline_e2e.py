@@ -120,7 +120,9 @@ def test_selection_and_chunking_pipeline(spark, docs):
 
     # 3. per-source cap, then select best docs until a token budget
     capped = sampling.cap_per_group(scored, ["source"], 100,
-                                    "mean_logprob", "doc_id")
+                                    "mean_logprob", "doc_id") \
+        .localCheckpoint(eager=True)  # take_until_budget runs several
+    # jobs over its input — snapshot the expensive upstream once
     budget = 5000
     sel = sampling.take_until_budget(capped, "n_tokens", budget,
                                      "mean_logprob", "doc_id")

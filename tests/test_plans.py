@@ -388,7 +388,8 @@ def test_span_dedup_plan_two_shuffles(spark, sf_dir):
     q = dedup.span_dedup(docs, "doc_id", "text", span_words=5)
     p = I.formatted_plan(q)
     assert I.shuffle_exchange_count(q) == 2, p
-    assert "Window" in p and "posexplode" in p.lower() or True
+    assert "Window (" in p, p
+    assert "posexplode" in p.lower(), p
 
 
 def test_take_until_budget_pushes_bucket_filter(spark, sf_dir):

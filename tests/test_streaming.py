@@ -481,12 +481,13 @@ def test_stream_unigram_model_maintenance(spark, tmp_path):
     got = {r["tok"]: r["cnt"]
            for r in read_unigram_model(spark, mpath).collect()}
     assert got == {"a": 2, "b": 2, "c": 1}
-    n_before = len(glob.glob(mpath + "/*.parquet"))
+    n_before = len(glob.glob(mpath + "/**/*.parquet", recursive=True))
     compact_unigram_model(spark, mpath)
     after = {r["tok"]: r["cnt"]
              for r in read_unigram_model(spark, mpath).collect()}
     assert after == got
-    assert len(glob.glob(mpath + "/*.parquet")) <= n_before
+    assert len(glob.glob(mpath + "/**/*.parquet",
+                         recursive=True)) <= n_before
     # maintained model == one-shot model for scoring
     union = spark.createDataFrame(
         [("A", "a a b"), ("B", "b c")], "doc_id string, text string")
