@@ -974,3 +974,57 @@ def test_bigram_logprob_matches_duckdb(fuzz_spark, texts):
                                  "doc_id", "text").toPandas()
     oracle = con.execute(ORACLES["bigram_logprob"]).df()
     _cmp_frames(got, oracle)
+
+
+vecs_st = st.lists(
+    st.lists(st.integers(min_value=-8, max_value=8).map(lambda x: x / 4.0),
+             min_size=4, max_size=4)
+      .filter(lambda v: any(x != 0 for x in v)),
+    min_size=3, max_size=24)
+
+
+@given(vecs=vecs_st, thr=st.sampled_from([0.5, 0.8, 0.95]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_semantic_dedup_matches_duckdb(fuzz_spark, vecs, thr):
+    """SemDeDup on random 4-dim integer-grid vectors vs a DuckDB
+    argmax-assignment + within-cluster EXISTS oracle. The grid makes
+    exact cosine TIES between centroids common, pinning the
+    ties->lowest-centroid-index rule across engines (4-dim sums are
+    below numpy's pairwise-summation switch, so the batch-assign
+    path is bit-safe here, as in the corpus query)."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    cents = vecs[:2]
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    sdf = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<double>")
+    got = (dedup.semantic_dedup(sdf, "vec_id", "embedding", cents,
+                                threshold=thr)
+           .select("vec_id").toPandas())
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    cos = ("list_dot_product({a}, {b})"
+           " / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    oracle = con.execute(f"""
+        with e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+                   from embeddings),
+        c as (select vec_id as cid, CAST(embedding AS DOUBLE[]) cv
+              from embeddings where vec_id < 2),
+        assign as (
+          select e.vec_id, e.ev,
+                 (select c.cid from c
+                  order by {cos.format(a='e.ev', b='c.cv')} desc,
+                           c.cid asc limit 1) as cluster
+          from e),
+        losers as (
+          select distinct b.vec_id
+          from assign a join assign b
+            on a.cluster = b.cluster and a.vec_id < b.vec_id
+          where {cos.format(a='a.ev', b='b.ev')} >= {thr})
+        select vec_id from e
+        where vec_id not in (select vec_id from losers)
+        """).df()
+    _cmp_frames(got, oracle)
