@@ -767,6 +767,48 @@ def q_bigram_logprob(spark, sf):
                                   "doc_id", "text")
 
 
+@_q("interp_logprob", """
+    with toks as (select doc_id, string_split(text, ' ') as t
+                  from documents),
+    ex0 as (select doc_id, t,
+                   unnest(generate_series(1, len(t))) as i from toks),
+    ex as (select doc_id, t[i] as tok,
+                  case when i > 1 then t[i-1] end as prev from ex0),
+    mu as (select tok, count(*) as cu from ex group by 1),
+    tot as (select cast(cast(sum(cu) as bigint) as double) as d
+            from mu),
+    mb as (select prev, tok, count(*) as cb from ex
+           where prev is not null group by 1, 2),
+    ctx as (select prev, sum(cb) as cc from mb group by 1),
+    p as (select ex.doc_id,
+                 case when ex.prev is null
+                   then cast(mu.cu as double) / (select d from tot)
+                   else 0.75 * (cast(mb.cb as double)
+                                / cast(ctx.cc as double))
+                      + 0.25 * (cast(mu.cu as double)
+                                / (select d from tot))
+                 end as prob
+          from ex
+          join mu using (tok)
+          left join mb on ex.prev = mb.prev and ex.tok = mb.tok
+          left join ctx on ex.prev = ctx.prev),
+    lp as (select doc_id, cast(ln(prob) as decimal(38,6)) as v from p)
+    select doc_id, count(*) as n_tokens,
+           cast(cast(sum(v) as varchar) as double) as sum_logprob,
+           cast(cast(sum(v) as varchar) as double) / count(*)
+             as mean_logprob
+    from lp group by doc_id""")
+def q_interp_logprob(spark, sf):
+    """Jelinek-Mercer interpolated n-gram score (quality.
+    interpolated_logprob, λ=0.75 self-scored): first token backs off
+    to the unigram, every other term is ln(0.75·p(tok|prev) +
+    0.25·p(tok)), decimal-quantized per term. λ=0.75 is exact in
+    binary, so both engines hold the identical double."""
+    from sybil_spark.operators import quality
+    return quality.interpolated_logprob(_t(spark, sf, "documents"),
+                                        "doc_id", "text")
+
+
 @_q("budget_select", """
     with d as (select doc_id, n_chars,
                       cast(len(string_split(text, ' ')) as int) as n_toks
@@ -3461,6 +3503,7 @@ _DRIVER_FIRST = [
     # unigram logprob quality) — first driver rows:
     "span_dedup", "semantic_dedup", "chunk_docs", "doc_logprob",
     "tfidf_terms", "budget_select", "domain_cap", "bigram_logprob",
+    "interp_logprob",
     "corpus_divergence", "group_sample", "containment_dup",
     # second-session round-5: brand new (cross_topk needs its first
     # row) and behavior-changed (jaccard_pairs full_only fix means

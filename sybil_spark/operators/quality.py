@@ -260,3 +260,86 @@ def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
     return m.select("tok", "cnt_a", "cnt_b",
                     contrib.cast("string").cast("double")
                            .alias("contrib"))
+
+
+def interpolated_logprob(df: DataFrame, id_col: str, text_col: str,
+                         lam: float = 0.75,
+                         unigram: DataFrame | None = None,
+                         bigram: DataFrame | None = None,
+                         smooth_k: int = 0) -> DataFrame:
+    """Per-document mean log-probability under the interpolated
+    n-gram model ln(λ·p(tok|prev) + (1−λ)·p(tok)) — the standard
+    Jelinek-Mercer smoothing between the bigram and unigram scorers
+    and the closest pure-SQL-replicable stand-in for CCNet's KenLM
+    ranking. A document's FIRST token has no context and scores with
+    the unigram alone; every term quantizes to decimal(38,6) before
+    the order-independent sum (pick λ with an exact binary
+    representation — the default 0.75 is — so both engines hold the
+    identical double).
+
+    Self-scoring by default; pass frozen `unigram`/`bigram` models
+    with `smooth_k` ≥ 1 to score a stream (unseen tokens, bigrams,
+    and contexts all Laplace-smooth; under smooth_k=0 an unseen term
+    raises like the component scorers).
+
+    Output: (id_col, n_tokens, sum_logprob, mean_logprob).
+
+    Scale: the same shape as bigram_logprob plus one extra narrow
+    join on the token — term construction is array expressions, no
+    shuffle before the model joins."""
+    mu = unigram if unigram is not None else unigram_model(df, text_col)
+    mb = bigram if bigram is not None else bigram_model(df, text_col)
+    stats = mu.agg(F.sum("cnt").alias("t"),
+                   F.count(F.lit(1)).alias("v")).collect()[0]
+    if stats["t"] is None:
+        raise ValueError("interpolated_logprob: empty unigram model")
+    denom_u = float(stats["t"] + smooth_k * stats["v"])
+    vocab_b = mb.select("tok").distinct().count() if smooth_k else 0
+    ctx = mb.groupBy("prev").agg(F.sum("cnt").alias("__cc"))
+
+    words = tokens(F.col(text_col))
+    terms = F.transform(
+        F.sequence(F.lit(1), F.size(words)),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("tok"),
+            F.when(i > 1, F.element_at(words, i - 1)).alias("prev")))
+    ex = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(terms).alias("__t"))
+            .select("__id", F.col("__t.tok").alias("tok"),
+                    F.col("__t.prev").alias("prev")))
+    j = (ex.join(mu.withColumnRenamed("cnt", "__cu"), "tok", "left")
+           .join(mb.withColumnRenamed("cnt", "__cb"),
+                 ["prev", "tok"], "left")
+           .join(ctx, "prev", "left"))
+    if smooth_k == 0:
+        cu = _require(F.col("__cu"), "interpolated_logprob: token "
+                      "unseen by the model under smooth_k=0: ",
+                      F.col("tok"))
+        # self-scoring: every non-first term's bigram and context
+        # exist by construction; guard them the same way
+        cb = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+            _require(F.col("__cb"), "interpolated_logprob: bigram "
+                     "unseen by the model under smooth_k=0: ",
+                     F.concat_ws(" ", F.col("prev"), F.col("tok"))))
+        cc = F.when(F.col("prev").isNull(), F.lit(1)).otherwise(
+            _require(F.col("__cc"), "interpolated_logprob: context "
+                     "unseen by the model under smooth_k=0: ",
+                     F.col("prev")))
+    else:
+        cu = F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(smooth_k)
+        cb = F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(smooth_k)
+        cc = (F.coalesce(F.col("__cc"), F.lit(0))
+              + F.lit(smooth_k) * F.lit(vocab_b))
+    pu = cu.cast("double") / F.lit(denom_u)
+    pb = cb.cast("double") / cc.cast("double")
+    p = F.when(F.col("prev").isNull(), pu) \
+         .otherwise(F.lit(lam) * pb + F.lit(1.0 - lam) * pu)
+    lp = F.log(p).cast(_DEC)
+    return (j.groupBy("__id")
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  F.sum(lp).alias("__s"))
+             .select(F.col("__id").alias(id_col), "n_tokens",
+                     F.col("__s").cast("string").cast("double")
+                      .alias("sum_logprob"),
+                     (F.col("__s").cast("string").cast("double")
+                      / F.col("n_tokens")).alias("mean_logprob")))

@@ -1218,3 +1218,44 @@ def test_semantic_dedup_null_score_priority(spark):
         both_null, "vec_id", "embedding", cents, threshold=0.95,
         score_col="quality").collect()}
     assert got == {0}
+
+
+def test_interpolated_logprob_semantics(spark):
+    """Interpolated scorer: hand-checked λ-mix on a tiny corpus —
+    first token scores pure unigram, later terms mix bigram and
+    unigram at exactly 0.75/0.25."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a b")])
+    r = quality.interpolated_logprob(df, "doc_id", "text").collect()[0]
+
+    def q6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+    # unigram: a 2/4, b 2/4; bigrams: (a,b)x2 ctx a=2; (b,a)x1 ctx b=1
+    pu = 0.5
+    want = (q6(math.log(pu))                          # first 'a'
+            + q6(math.log(0.75 * (2 / 2) + 0.25 * pu))   # a->b
+            + q6(math.log(0.75 * (1 / 1) + 0.25 * pu))   # b->a
+            + q6(math.log(0.75 * (2 / 2) + 0.25 * pu)))  # a->b
+    assert r["n_tokens"] == 4
+    assert r["sum_logprob"] == float(want)
+
+
+def test_interpolated_logprob_external_smoothing(spark):
+    """Frozen models + Laplace: unseen tokens/bigrams/contexts get
+    finite mass; under smooth_k=0 the unseen term raises."""
+    from sybil_spark.operators import quality
+    train = spark.createDataFrame([Row(doc_id=0, text="a b a")])
+    mu = quality.unigram_model(train, "text")
+    mb = quality.bigram_model(train, "text")
+    score = spark.createDataFrame([Row(doc_id=1, text="a q")])
+    out = quality.interpolated_logprob(score, "doc_id", "text",
+                                       unigram=mu, bigram=mb,
+                                       smooth_k=1).collect()[0]
+    assert out["n_tokens"] == 2 and out["sum_logprob"] < 0
+    with pytest.raises(Exception, match="unseen"):
+        quality.interpolated_logprob(score, "doc_id", "text",
+                                     unigram=mu, bigram=mb).collect()
