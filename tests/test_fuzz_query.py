@@ -1028,3 +1028,21 @@ def test_semantic_dedup_matches_duckdb(fuzz_spark, vecs, thr):
         where vec_id not in (select vec_id from losers)
         """).df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_interp_logprob_matches_duckdb(fuzz_spark, texts):
+    """Self-scored interpolated logprob on random corpora vs the
+    corpus oracle — the λ-mix double arithmetic, first-token unigram
+    backoff, and decimal sums bit-exact."""
+    from sybil_spark.corpus import ORACLES
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    got = quality.interpolated_logprob(spark.createDataFrame(pdf),
+                                       "doc_id", "text").toPandas()
+    oracle = con.execute(ORACLES["interp_logprob"]).df()
+    _cmp_frames(got, oracle)

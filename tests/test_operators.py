@@ -1259,3 +1259,24 @@ def test_interpolated_logprob_external_smoothing(spark):
     with pytest.raises(Exception, match="unseen"):
         quality.interpolated_logprob(score, "doc_id", "text",
                                      unigram=mu, bigram=mb).collect()
+
+
+def test_read_media_dir(spark, tmp_path):
+    """binaryFile ingestion into MEDIA_SCHEMA: bytes intact, kinds
+    from extensions, unknown extensions kept as kind='binary', glob
+    pruning at the listing, stable hash ids."""
+    from sybil_spark.operators.multimodal import read_media_dir
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake")
+    (tmp_path / "b.wav").write_bytes(b"RIFF fake")
+    (tmp_path / "c.xyz").write_bytes(b"???")
+    out = {r["kind"]: r for r in
+           read_media_dir(spark, str(tmp_path)).collect()}
+    assert set(out) == {"image", "audio", "binary"}
+    assert bytes(out["image"]["content"]) == b"\x89PNG fake"
+    assert out["audio"]["n_bytes"] == 9
+    only_png = read_media_dir(spark, str(tmp_path),
+                              pattern="*.png").collect()
+    assert len(only_png) == 1 and only_png[0]["format"] == "png"
+    again = read_media_dir(spark, str(tmp_path)).collect()
+    assert {r["media_id"] for r in again} \
+        == {r["media_id"] for r in out.values()}
