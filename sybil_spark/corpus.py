@@ -1900,12 +1900,10 @@ def q_semantic_dedup(spark, sf):
     cents = [[float(x) for x in r[0]]
              for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
                          .select("embedding").collect()]
-    from sybil_spark.operators import similarity as S
-    assigned = S.ivf_assign_batch(emb, "embedding", cents)
     survivors = dedup.semantic_dedup(emb, "vec_id", "embedding",
-                                     cents, threshold=0.45)
-    return (survivors.join(assigned.select("vec_id", "cluster"), "vec_id")
-                     .select("vec_id", "cluster"))
+                                     cents, threshold=0.45,
+                                     keep_cluster_col="cluster")
+    return survivors.select("vec_id", "cluster")
 
 
 @_q("rollup_serve", f"""

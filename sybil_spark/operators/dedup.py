@@ -801,12 +801,15 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    centroids: list[list[float]], threshold: float,
                    score_col: str | None = None,
                    use_batch_assign: bool = True,
-                   block_rows: int = 2048) -> DataFrame:
+                   block_rows: int = 2048,
+                   keep_cluster_col: str | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with a fixed coarse quantizer, then within each
     cluster drop every row that has a higher-priority near-duplicate
     (cosine ≥ threshold). Returns the surviving rows of `df`
-    unchanged (anti-join on loser ids — wide rows never shuffle).
+    unchanged (anti-join on loser ids — wide rows never shuffle);
+    `keep_cluster_col` additionally carries each survivor's assigned
+    cluster, reusing the one assignment pass.
 
     Priority: with `score_col`, the higher score wins (keep the
     best-quality copy; ties → lower id); without, lower id wins. The
@@ -854,7 +857,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                   | (sa.eqNullSafe(sb) & (F.col("id_a") < F.col("id_b"))))
         loser = F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a"))
         losers = p.select(loser.alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    base = (assigned.withColumnRenamed("__sem_cluster", keep_cluster_col)
+            if keep_cluster_col else df)
+    return base.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -961,3 +966,28 @@ def filter_seen(df: DataFrame, key_cols: list[str],
     return (df.withColumn("__k", h)
               .join(index, "__k", "left_anti")
               .drop("__k"))
+
+
+def duplication_weights(df: DataFrame, id_col: str,
+                        pairs: DataFrame) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, weight each row by
+    1/|its duplicate cluster| so repeated content contributes one
+    row's worth of training mass in total (the downweighting
+    alternative some pipelines prefer over hard removal — keeps rare
+    in-cluster variation). Clusters are the transitive closure of
+    `pairs` (components); rows in no pair get weight 1.0.
+
+    Output: df's columns + (dup_cluster, dup_count, weight). One
+    label join + one count agg beyond the components rounds."""
+    labels = components(pairs)
+    sizes = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("dup_count"))
+    lab = (labels.join(sizes, "rep")
+           .select(F.col("id").alias(id_col),
+                   F.col("rep").alias("dup_cluster"), "dup_count"))
+    return (df.join(lab, id_col, "left")
+            .withColumn("dup_cluster",
+                        F.coalesce(F.col("dup_cluster"), F.col(id_col)))
+            .withColumn("dup_count",
+                        F.coalesce(F.col("dup_count"), F.lit(1)))
+            .withColumn("weight",
+                        F.lit(1.0) / F.col("dup_count").cast("double")))

@@ -1280,3 +1280,19 @@ def test_read_media_dir(spark, tmp_path):
     again = read_media_dir(spark, str(tmp_path)).collect()
     assert {r["media_id"] for r in again} \
         == {r["media_id"] for r in out.values()}
+
+
+def test_duplication_weights(spark):
+    """Soft dedup: transitive cluster {1,2,3} each weighted 1/3,
+    unpaired row keeps weight 1.0, total mass = distinct clusters."""
+    df = spark.createDataFrame([Row(doc_id=i, text=f"t{i}")
+                                for i in (1, 2, 3, 9)])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in
+           dedup.duplication_weights(df, "doc_id", pairs).collect()}
+    assert out[1]["weight"] == out[2]["weight"] == out[3]["weight"] \
+        == pytest.approx(1 / 3)
+    assert out[9]["weight"] == 1.0 and out[9]["dup_count"] == 1
+    assert len({out[i]["dup_cluster"] for i in (1, 2, 3)}) == 1
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(2.0)   # one cluster + one singleton
