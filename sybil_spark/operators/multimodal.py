@@ -307,7 +307,12 @@ def read_media_dir(spark, path: str,
     reader = spark.read.format("binaryFile")
     if pattern:
         reader = reader.option("pathGlobFilter", pattern)
-    raw = reader.load(path)
+    return media_projection(reader.load(path))
+
+
+def media_projection(raw: DataFrame) -> DataFrame:
+    """binaryFile rows -> MEDIA_SCHEMA (+ path): shared by the batch
+    and streaming ingestion fronts."""
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     kind = F.lit("binary")
     fmt = ext

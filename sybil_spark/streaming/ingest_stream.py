@@ -702,3 +702,33 @@ def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
         merged.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
 
     _staged_swap(model_path, write)
+
+
+def stream_media_ingest(spark: SparkSession, source_dir: str,
+                        out_path: str, pattern: str | None = None,
+                        checkpoint: str | None = None,
+                        max_files_per_trigger: int = 64
+                        ) -> StreamingQuery:
+    """Continuous media ingestion: binary files appearing under
+    `source_dir` stream into a MEDIA_SCHEMA (+ path) parquet table —
+    the streaming front of operators/multimodal.read_media_dir (same
+    projection, same extension typing). The file source's checkpoint
+    tracks processed files exactly-once through the file sink;
+    `maxFilesPerTrigger` bounds batch memory since every row carries
+    its whole file."""
+    from sybil_spark.operators.multimodal import media_projection
+
+    # the binaryFile source's fixed schema — streaming sources
+    # require it explicitly (no inference pass on a stream)
+    bin_schema = ("path string, modificationTime timestamp, "
+                  "length long, content binary")
+    reader = (spark.readStream.format("binaryFile")
+              .schema(bin_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    out = media_projection(reader.load(source_dir))
+    return (out.writeStream
+            .option("checkpointLocation",
+                    checkpoint or out_path + "_checkpoint")
+            .outputMode("append").start(out_path))

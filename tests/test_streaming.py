@@ -500,3 +500,27 @@ def test_stream_unigram_model_maintenance(spark, tmp_path):
         score, "doc_id", "text",
         model=quality.unigram_model(union, "text"), smooth_k=1).collect()
     assert via_stream == via_batch
+
+
+def test_stream_media_ingest(spark, tmp_path):
+    """Streaming binaryFile ingestion: files landing across batches
+    accumulate in the MEDIA_SCHEMA table with bytes intact and
+    extension-derived kinds; the glob filter prunes at the listing."""
+    from sybil_spark.streaming.ingest_stream import stream_media_ingest
+    src = tmp_path / "media-in"
+    src.mkdir()
+    out = str(tmp_path / "media-out")
+    (src / "a.png").write_bytes(b"\x89PNG one")
+    q = stream_media_ingest(spark, str(src), out,
+                            checkpoint=str(tmp_path / "media-ck"))
+    try:
+        q.processAllAvailable()
+        (src / "b.wav").write_bytes(b"RIFF two")
+        (src / "skip.txt").write_bytes(b"noise")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["kind"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"image", "audio", "binary"}
+    assert bytes(rows["image"]["content"]) == b"\x89PNG one"
+    assert rows["audio"]["format"] == "wav"
