@@ -3490,6 +3490,38 @@ def q_tpch_q20(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
+    # Round-6 rotation (driver records only the first ~50 rows).
+    # (a) The ONLY 8 queries with no CORRECTNESS row in ANY round
+    # r1-r5 (they sat past the ~50-row window each time; verified
+    # green locally by tools/check.py at sf0.01 in r5). With these,
+    # every declared query has a driver row across the rotation:
+    "cube_counts", "lag_delta", "retention",
+    "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
+    # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
+    # similarity family was refactored in r4/r5 (shared shingle scan,
+    # simhash restructure) and span_dedup's window key changes this
+    # round — re-verify the family first:
+    "dedup_exact", "dedup_keep_first", "dedup_best", "dedup_clusters",
+    "span_dedup", "decontaminate", "embedding_dup",
+    "ann_topk", "ann_pairs_topk", "media_meta",
+    "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q6", "join_geo",
+    "orders_priority", "set_filter", "token_freq", "text_quality",
+    "lang_id", "fingerprint", "text_stats", "pii_scrub", "url_domains",
+    "tpch_q7", "tpch_q8", "tpch_q18",
+    # (c) Remaining slots: r4-rowed plain aggregates, oldest first —
+    # cheap re-verification currency for the core sybil surface:
+    "count", "avg", "hist", "time_avg", "group_count", "distinct",
+    "time_distinct", "group_avg", "group_avg_limit", "group_hist",
+    "regex_avg", "group2_avg", "time_group_avg_limit", "percentiles",
+    "stddev", "loghist", "total_row", "icc", "samples", "time_hist",
+    "filter_eq_avg", "filter_gt_count", "set_filter_nin",
+    "filter_sweep", "time_filter_aligned", "str_replace_group",
+    "distinct_limit", "hash_sample", "stratified_sample",
+    "resample_mixture", "assign_splits", "rollup_counts",
+    "rollup_serve", "moving_avg", "funnel", "asof_join",
+]
+
+_DRIVER_FIRST_R5 = [
     # Round-5 rotation (driver records only the first ~50 rows).
     # (a) The five queries converted from no_oracle to bit-exact /
     # invariant oracles this round — each needs its first green
