@@ -312,8 +312,14 @@ def read_media_dir(spark, path: str,
 
 def media_projection(raw: DataFrame) -> DataFrame:
     """binaryFile rows -> MEDIA_SCHEMA (+ path): shared by the batch
-    and streaming ingestion fronts."""
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    and streaming ingestion fronts. The extension comes from the
+    BASENAME (an extension-less file under a dotted directory like
+    /data/v1.2/readme must not yield a path fragment as its format);
+    a basename with no dot falls back to format='bin'."""
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    parts = F.split(base, r"\.")
+    ext = F.when(F.size(parts) > 1,
+                 F.lower(F.element_at(parts, -1))).otherwise(F.lit("bin"))
     kind = F.lit("binary")
     fmt = ext
     for e, (k, fm) in _EXT_KINDS.items():

@@ -520,8 +520,16 @@ def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
     # emits distinct row indices — so no dedup shuffle is needed.
     cands = (corpus.select(id_col, vec_col)
                    .mapInPandas(gen, f"q_id {q_t}, {id_col} {c_t}"))
-    qdf = queries.select(F.col(q_id_col).alias("q_id"),
-                         F.col(vec_col).alias("__qv"))
+    # re-score against the SAME query rows the candidate pass used:
+    # rebuilding the frame from the collected rows (instead of
+    # re-evaluating `queries`) makes a nondeterministic query frame
+    # (sampled / limit-without-order upstream) safe — the two passes
+    # cannot disagree. Q x d is already bounded by the broadcast
+    # contract above, so the createDataFrame is the same size class.
+    vec_t = queries.schema[vec_col].dataType.simpleString()
+    qdf = queries.sparkSession.createDataFrame(
+        [(r[0], r[1]) for r in qrows],
+        schema=f"q_id {q_t}, __qv {vec_t}")
     rescored = (cands.join(corpus.select(id_col, vec_col), id_col)
                      .join(F.broadcast(qdf), "q_id")
                      .select("q_id", id_col,

@@ -40,6 +40,21 @@ def _read_index(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
+        # prefer the structured error class (stable contract in the
+        # Spark error framework) over message text, which changes
+        # across versions; keep the substring match only as a
+        # fallback for errors raised without a class
+        cls = None
+        get = getattr(e, "getErrorClass", None)
+        if callable(get):
+            try:
+                cls = get()
+            except Exception:
+                cls = None
+        if cls is not None:
+            if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
         msg = str(e)
         if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
                 or "UNABLE_TO_INFER_SCHEMA" in msg):
@@ -498,6 +513,22 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
             .outputMode("append").start())
 
 
+def bootstrap_span_index(df: DataFrame, id_col: str, text_col: str,
+                         index_path: str, span_words: int = 20) -> None:
+    """Seed the stream_span_dedup_against_index span-hash index from
+    an existing (historical) corpus — writes the distinct 8-byte span
+    hashes under the stream's expected `__h` column AND the parameter
+    sidecar, so a stream started with a different span_words fails
+    fast instead of silently matching nothing (the exact mirror of
+    bootstrap_minhash_band_index for the fourth dedup leg)."""
+    from sybil_spark.operators.dedup import doc_spans
+
+    (doc_spans(df, id_col, text_col, span_words)
+     .select(F.xxhash64("span").alias("__h")).distinct()
+     .write.mode("overwrite").parquet(index_path))
+    _write_index_meta(index_path, {"span_words": span_words})
+
+
 def stream_span_dedup_against_index(df: DataFrame, id_col: str,
                                     text_col: str, out_path: str,
                                     index_path: str,
@@ -511,9 +542,9 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
     each arriving doc keeps only the spans never seen before, where
     "seen" means an earlier (id, pos) in the same micro-batch or any
     span hash in the persisted index from prior batches / the
-    bootstrapped corpus (write
-    `dedup.doc_spans(...).select(xxhash64(span))` distinct to
-    `index_path` to bootstrap).
+    bootstrapped corpus (use `bootstrap_span_index` to seed it — the
+    helper writes the hashes under the expected `__h` column and the
+    `_index_meta.json` parameter sidecar).
 
     Every input doc emits exactly one output row — original columns
     plus (n_spans, n_kept, dedup_text); a fully-stale doc arrives
@@ -650,12 +681,24 @@ def stream_unigram_counts(df: DataFrame, text_col: str,
     would overwrite history; use a new model_path with a new
     checkpoint. Partial-file count grows one-per-(batch × shuffle-
     partition); `compact_unigram_model` folds them when listing cost
-    matters (only while the stream is stopped — see its docstring)."""
+    matters (only while the stream is stopped — see its docstring).
+
+    Replay-after-compaction: compaction folds every batch partition
+    into the batch_id=-1 snapshot and records the highest folded id
+    in a `_fold_watermark.json` sidecar; a replayed batch at or below
+    that watermark is SKIPPED here instead of re-written. Without the
+    watermark, a batch committed to model_path but not to the
+    checkpoint at an unclean stop would be folded into the snapshot
+    by compaction and then re-created as a fresh partition on replay
+    — silently double-counting its tokens, the exact inflation the
+    partition-overwrite design exists to prevent."""
     from sybil_spark.functions.text import tokens
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if batch_id <= _read_fold_watermark(model_path):
+            return  # already folded into the batch_id=-1 snapshot
         (batch_df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
                  .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
                  .withColumn("batch_id", F.lit(batch_id))
@@ -667,6 +710,25 @@ def stream_unigram_counts(df: DataFrame, text_col: str,
             .option("checkpointLocation",
                     checkpoint or model_path + "_checkpoint")
             .outputMode("append").start())
+
+
+def _fold_watermark_path(model_path: str) -> str:
+    import os
+    # underscore prefix: ignored by the parquet reader in-place
+    return os.path.join(model_path, "_fold_watermark.json")
+
+
+def _read_fold_watermark(model_path: str) -> int:
+    """Highest batch id ever folded into the batch_id=-1 snapshot by
+    `compact_unigram_model`; -1 when no compaction has happened."""
+    import json
+    import os
+
+    p = _fold_watermark_path(model_path)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["max_folded_batch_id"])
 
 
 def read_unigram_model(spark: SparkSession, model_path: str) -> DataFrame:
@@ -689,7 +751,15 @@ def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
     The snapshot keeps the `batch_id=` partition convention
     (batch_id = -1) so post-compaction appends from a RESUMED stream
     (same checkpoint, monotonically increasing real batch ids) mix
-    cleanly with it."""
+    cleanly with it. The highest real batch id being folded is
+    recorded in `_fold_watermark.json` INSIDE the staged dir (so the
+    snapshot and its watermark swap in atomically together);
+    `stream_unigram_counts` skips replayed batches at or below it —
+    this is what makes compaction safe after an UNCLEAN stop, where
+    the final micro-batch may be committed to model_path but not to
+    the checkpoint and would otherwise be folded AND replayed."""
+    import json
+
     from sybil_spark.sources.rollup import _staged_swap
 
     # materialize BEFORE the swap — the write closure must not
@@ -697,9 +767,15 @@ def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
     merged = (read_unigram_model(spark, model_path)
               .withColumn("batch_id", F.lit(-1))
               .localCheckpoint(eager=True))
+    max_row = (spark.read.parquet(model_path)
+               .agg(F.max("batch_id").alias("m")).first())
+    folded = max(_read_fold_watermark(model_path),
+                 -1 if max_row[0] is None else int(max_row[0]))
 
     def write(tmp: str) -> None:
         merged.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+        with open(_fold_watermark_path(tmp), "w") as f:
+            json.dump({"max_folded_batch_id": folded}, f)
 
     _staged_swap(model_path, write)
 

@@ -1282,6 +1282,26 @@ def test_read_media_dir(spark, tmp_path):
         == {r["media_id"] for r in out.values()}
 
 
+def test_read_media_dir_basename_extension(spark, tmp_path):
+    """The extension derives from the BASENAME: an extension-less
+    file inside a dotted directory (/data/v1.2/readme) must fall
+    back to format='bin', never a path fragment like '2/readme';
+    multi-dot basenames use the last segment."""
+    from sybil_spark.operators.multimodal import read_media_dir
+    d = tmp_path / "v1.2"
+    d.mkdir()
+    (d / "readme").write_bytes(b"no extension")
+    (d / "archive.tar.gz").write_bytes(b"tgz")
+    (d / "img.PNG").write_bytes(b"upper ext")
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in
+           read_media_dir(spark, str(d)).collect()}
+    assert out["readme"]["format"] == "bin"
+    assert out["readme"]["kind"] == "binary"
+    assert out["archive.tar.gz"]["format"] == "gz"
+    assert out["img.PNG"]["format"] == "png"
+    assert out["img.PNG"]["kind"] == "image"
+
+
 def test_duplication_weights(spark):
     """Soft dedup: transitive cluster {1,2,3} each weighted 1/3,
     unpaired row keeps weight 1.0, total mass = distinct clusters."""

@@ -502,6 +502,100 @@ def test_stream_unigram_model_maintenance(spark, tmp_path):
     assert via_stream == via_batch
 
 
+def test_unigram_compaction_replay_watermark(spark, tmp_path):
+    """The ADVICE scenario: a micro-batch commits its partials to
+    model_path but the stream dies before the checkpoint commit.
+    Compaction folds that batch into the batch_id=-1 snapshot and
+    records the fold watermark; on restart the replayed batch must
+    be SKIPPED — without the watermark it would re-create its (now
+    absent) partition on top of the snapshot and double-count its
+    tokens. The unclean stop is simulated by writing batch 1's
+    partials to model_path exactly as write_batch would (same
+    partition layout) while the checkpoint only knows batch 0, so
+    the restarted stream re-delivers that data as batch 1."""
+    from sybil_spark.streaming.ingest_stream import (
+        _read_fold_watermark, compact_unigram_model,
+        read_unigram_model, stream_unigram_counts)
+    src = tmp_path / "wm-in"
+    src.mkdir()
+    mpath = str(tmp_path / "wmodel")
+    ck = str(tmp_path / "wm-ck")
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [{"doc_id": "A", "text": "a a b"}])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_unigram_counts(stream, "text", mpath, checkpoint=ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # unclean stop: batch 1 ("b c") reached model_path but died
+    # before the checkpoint commit — its partition exists, the
+    # checkpoint still says latest=0, and its source file is in the
+    # landing dir to be re-delivered as batch 1 on restart
+    (spark.createDataFrame([("b", 1), ("c", 1)], "tok string, cnt long")
+     .withColumn("batch_id", F.lit(1))
+     .write.partitionBy("batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(mpath))
+    _write_batch(src, "b2.ndjson", [{"doc_id": "B", "text": "b c"}])
+    compact_unigram_model(spark, mpath)
+    assert _read_fold_watermark(mpath) == 1
+    # restart from the same checkpoint: batch 1 replays
+    stream2 = spark.readStream.schema(doc_schema).json(str(src))
+    q2 = stream_unigram_counts(stream2, "text", mpath, checkpoint=ck)
+    try:
+        q2.processAllAvailable()
+        # ...and a genuinely new batch above the watermark still lands
+        _write_batch(src, "b3.ndjson", [{"doc_id": "C", "text": "c"}])
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["tok"]: r["cnt"]
+           for r in read_unigram_model(spark, mpath).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}   # no double count of b2
+
+
+def test_bootstrap_span_index(spark, tmp_path):
+    """bootstrap_span_index seeds the span-hash index from a batch
+    corpus under the stream's expected column + sidecar: spans from
+    the historical corpus are stale on the stream's first batch, and
+    a span_words mismatch fails fast."""
+    from sybil_spark.streaming.ingest_stream import (
+        bootstrap_span_index, stream_span_dedup_against_index)
+    hist = spark.createDataFrame([("H", "a b c d e f")],
+                                 "doc_id string, text string")
+    idx_path = str(tmp_path / "bsidx")
+    bootstrap_span_index(hist, "doc_id", "text", idx_path, span_words=3)
+    src = tmp_path / "bs-in"
+    src.mkdir()
+    out_path = str(tmp_path / "bs-out")
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [
+        {"doc_id": "X", "text": "a b c q r s"}])   # "a b c" is historical
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_span_dedup_against_index(stream, "doc_id", "text",
+                                        out_path, idx_path, span_words=3,
+                                        checkpoint=str(tmp_path / "bs-ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.read.parquet(out_path).collect()[0]
+    assert row["dedup_text"] == "q r s" and row["n_kept"] == 1
+    # mismatched span_words vs the bootstrapped sidecar fails fast
+    q2 = stream_span_dedup_against_index(
+        stream, "doc_id", "text", str(tmp_path / "bs-out2"), idx_path,
+        span_words=5, checkpoint=str(tmp_path / "bs-ck2"))
+    try:
+        with pytest.raises(Exception, match="span_words|built with"):
+            q2.processAllAvailable()
+            q2.awaitTermination(5)
+    finally:
+        q2.stop()
+
+
 def test_stream_media_ingest(spark, tmp_path):
     """Streaming binaryFile ingestion: files landing across batches
     accumulate in the MEDIA_SCHEMA table with bytes intact and
