@@ -21,8 +21,13 @@ on per-file footer stats only — never a data scan.
 
 Concurrency contract (reference locks per table,
 src/lib/table_lock.go; tests pin block-changed-under-query safety,
-src/lib/table_query_test.go:11-158): lifecycle jobs here assume a
-SINGLE writer. Readers planned BEFORE a digest hold the old file
+src/lib/table_query_test.go:11-158): lifecycle WRITERS serialize on
+the per-table lock (sources/locks.table_lock — pid-stamped lock dir
+with stale takeover, the reference's Grab/Release/Recover protocol),
+so concurrent `digest`/`compact`/`trim` CLI processes queue instead
+of racing on the same staging renames — the reference's shell
+stress (scripts/stress_ingest_digest.sh) is replayed in
+tests/test_locks.py. Readers planned BEFORE a digest hold the old file
 list — Spark resolves files at planning time — so a concurrent
 digest can fail those in-flight tasks with a missing-file error;
 re-planning (re-calling Table.read) always sees a consistent
@@ -41,6 +46,7 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from sybil_spark.sources.locks import table_lock
 from sybil_spark.table import CHUNK_SIZE, Table
 
 
@@ -78,7 +84,24 @@ def digest(spark: SparkSession, table: Table,
     days across every range partition — tiny-file explosion), and
     time-based trim retention matches nothing on z-ordered blocks
     (see trim). Off by default: the reference layout is
-    time-sorted."""
+    time-sorted.
+
+    Serializes on the per-table lifecycle lock — two digest
+    processes on one table queue instead of racing the staging
+    renames (reference GrabDigestLock, src/lib/table_lock.go)."""
+    with table_lock(table):
+        return _digest(spark, table, time_col, chunk_size, compression,
+                       day_partitions, skip_outliers, cluster_cols)
+
+
+def _digest(spark: SparkSession, table: Table,
+            time_col: str | None = None,
+            chunk_size: int = CHUNK_SIZE,
+            compression: str = "zstd",
+            day_partitions: bool = False,
+            skip_outliers: bool = True,
+            cluster_cols: list[str] | None = None) -> int:
+    """digest body — caller holds the table lock."""
     recover_stages(table)
     if not os.path.exists(table.ingest_path):
         return 0
@@ -379,14 +402,26 @@ def compact_blocks(spark: SparkSession, table: Table,
     mirrors the reference's stomache protocol: smalls move to a stage
     dir first, so a crash loses nothing — the stage dir is re-read by
     the next compaction (or digest recovery), never half-deleted in
-    place. Returns rows rewritten."""
+    place. Serializes on the per-table lifecycle lock with digest/
+    trim. Returns rows rewritten."""
+    with table_lock(table):
+        return _compact_blocks(spark, table, time_col, chunk_size,
+                               small_fraction, compression)
+
+
+def _compact_blocks(spark: SparkSession, table: Table,
+                    time_col: str | None = None,
+                    chunk_size: int = CHUNK_SIZE,
+                    small_fraction: float = 0.5,
+                    compression: str = "zstd") -> int:
+    """compact_blocks body — caller holds the table lock."""
     import pyarrow.parquet as pq
     if recover_stages(table):
         # adopted files sit in the ingest log; digest them NOW so
         # rows that were queryable before the crash are queryable
         # again after this pass (not only after some future digest)
-        digest(spark, table, time_col=time_col, chunk_size=chunk_size,
-               compression=compression)
+        _digest(spark, table, time_col=time_col, chunk_size=chunk_size,
+                compression=compression)
     if not os.path.exists(table.blocks_path):
         return 0
     meta = table.load_meta()
@@ -442,8 +477,8 @@ def compact_blocks(spark: SparkSession, table: Table,
     shutil.rmtree(stage)
     # the smalls' cache entries (if any) point at removed files —
     # GC them now so the cache dir never accumulates dead partials
-    from sybil_spark.sources.query_cache import vacuum
-    vacuum(table)
+    from sybil_spark.sources.query_cache import _vacuum
+    _vacuum(table)
     meta.updated_at = _time.time()
     table.save_meta(meta)
     return n
@@ -518,7 +553,21 @@ def trim(table: Table, time_col: str | None = None,
     Z-ordered tables (TableMeta.cluster_cols): every block spans
     ~the full time range by construction, so time-based `before`
     retention matches nothing — use `size_budget_mb` (footer sizes
-    are layout-independent) or re-digest time-sorted first."""
+    are layout-independent) or re-digest time-sorted first.
+
+    `delete=True` serializes on the per-table lifecycle lock
+    (deleting under a live digest/compaction would remove blocks
+    mid-rewrite); the list-only mode stays lock-free like queries."""
+    if delete:
+        with table_lock(table):
+            return _trim(table, time_col, before, size_budget_mb, True)
+    return _trim(table, time_col, before, size_budget_mb, False)
+
+
+def _trim(table: Table, time_col: str | None = None,
+          before: int | None = None, size_budget_mb: int | None = None,
+          delete: bool = False) -> list[str]:
+    """trim body — delete mode caller holds the table lock."""
     if not os.path.exists(table.blocks_path):
         return []
     time_col = time_col or table.load_meta().time_col
@@ -555,23 +604,26 @@ def trim(table: Table, time_col: str | None = None,
             if root != table.blocks_path and not dirs and not names:
                 os.rmdir(root)
         # GC query-cache partials of the trimmed blocks
-        from sybil_spark.sources.query_cache import vacuum
-        vacuum(table)
+        from sybil_spark.sources.query_cache import _vacuum
+        _vacuum(table)
     return doomed
 
 
 def rebuild_meta(spark: SparkSession, table: Table) -> "TableMeta":
     """Reconstruct meta.json from the data files (reference
     `sybil rebuild`, src/cmd/cmd_rebuild.go:7-43) — schema from
-    parquet footers, row count from a metadata-only count."""
+    parquet footers, row count from a metadata-only count. Holds
+    the per-table lock: the meta save must not interleave with a
+    digest's own meta read-modify-write (lost update)."""
     from sybil_spark.sources.ingest import _SPARK_TO_SYBIL
     from sybil_spark.table import TableMeta
 
-    df = table.read(spark, read_log=True)
-    meta = TableMeta(name=table.name)
-    for f in df.schema.fields:
-        meta.key_types[f.name] = _SPARK_TO_SYBIL.get(
-            f.dataType.simpleString(), f.dataType.simpleString())
-    meta.row_count = df.count()
-    table.save_meta(meta)
-    return meta
+    with table_lock(table):
+        df = table.read(spark, read_log=True)
+        meta = TableMeta(name=table.name)
+        for f in df.schema.fields:
+            meta.key_types[f.name] = _SPARK_TO_SYBIL.get(
+                f.dataType.simpleString(), f.dataType.simpleString())
+        meta.row_count = df.count()
+        table.save_meta(meta)
+        return meta

@@ -182,23 +182,34 @@ def ingest_df(df: DataFrame, table: Table, spec: IngestSpec | None = None,
     file-count/byte thresholds the batch triggers an inline digest
     (reference auto-compaction, src/lib/table_ingest.go:63-71), so a
     steady ingest loop can never grow the landing dir unboundedly;
-    pass ``auto_digest=False`` to manage compaction externally."""
+    pass ``auto_digest=False`` to manage compaction externally.
+
+    Holds the per-table lifecycle lock across the append + meta
+    update (reference GrabInfoLock, src/lib/table_lock.go): a
+    concurrent digest would otherwise wipe this write's in-flight
+    `_temporary` committer dir (losing the batch), and two ingests'
+    meta.row_count read-modify-writes would lose an update. The
+    auto-digest runs AFTER release — it re-takes the lock itself."""
+    from sybil_spark.sources.locks import table_lock
+
     spec = spec or IngestSpec()
-    out = coerce(df, spec)
-    meta = table.load_meta()
-    out = _check_types(meta, out)
-    # row count rides the write job via observe() — ONE scan of the
-    # batch, not a count() action followed by a second scan (at a
-    # steady 100 TB ingest a pre-count doubles the read cost)
-    from pyspark.sql import Observation
-    obs = Observation()
-    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
-    out.write.mode("append").parquet(table.ingest_path)
-    n = obs.get["n"]
-    meta.row_count += n
-    if time_col and not meta.time_col:
-        meta.time_col = time_col
-    table.save_meta(meta)
+    with table_lock(table):
+        out = coerce(df, spec)
+        meta = table.load_meta()
+        out = _check_types(meta, out)
+        # row count rides the write job via observe() — ONE scan of
+        # the batch, not a count() action followed by a second scan
+        # (at a steady 100 TB ingest a pre-count doubles the read
+        # cost)
+        from pyspark.sql import Observation
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        out.write.mode("append").parquet(table.ingest_path)
+        n = obs.get["n"]
+        meta.row_count += n
+        if time_col and not meta.time_col:
+            meta.time_col = time_col
+        table.save_meta(meta)
     if auto_digest:
         maybe_digest(df.sparkSession, table)
     return n

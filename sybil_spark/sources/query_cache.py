@@ -390,9 +390,31 @@ def run(spark: SparkSession, source: Table | list[str], spec: CacheSpec,
                    hist_cols=[c for c, _w in spec.hist_buckets])
 
 
+#: a _stage-* dir this much older than now is a crashed run's
+#: leftover; younger ones may belong to a LIVE run's partial write
+#: (its parquet job keeps bumping the mtime), so the reaper skips
+#: them — queries stay lock-free and vacuum still can't reclaim a
+#: stage out from under them
+STAGE_REAP_S = 3600.0
+
+
 def vacuum(source: Table | str, cache_root: str | None = None) -> int:
     """Drop cache entries whose block no longer exists (digest/
-    compaction/trim rewrote or removed it). Returns dirs removed."""
+    compaction/trim rewrote or removed it). Returns dirs removed.
+
+    Standalone Table vacuums serialize on the per-table lifecycle
+    lock (a digest's own cache GC must not race a concurrent
+    `cache-vacuum` CLI process over the same dirs); bare-path form
+    is for callers managing their own scope."""
+    if isinstance(source, Table):
+        from sybil_spark.sources.locks import table_lock
+        with table_lock(source):
+            return _vacuum(source, cache_root)
+    return _vacuum(source, cache_root)
+
+
+def _vacuum(source: Table | str, cache_root: str | None = None) -> int:
+    """vacuum body — Table callers hold the table lock."""
     if isinstance(source, Table):
         blocks_root = source.blocks_path
         cache_root = cache_root or os.path.join(source.path, CACHE_DIR)
@@ -403,14 +425,21 @@ def vacuum(source: Table | str, cache_root: str | None = None) -> int:
     removed = 0
     if not os.path.isdir(cache_root):
         return 0
+    import time as _time
     for key in os.listdir(cache_root):
         kdir = os.path.join(cache_root, key)
         if not os.path.isdir(kdir):
             continue
         if key.startswith("_stage-"):
-            # leftover staging dir from a crashed run — transient by
-            # construction (live runs rmtree their stage immediately
-            # after the rename loop), so reclaim it whole
+            # leftover staging dir from a crashed run — but only
+            # when cold (see STAGE_REAP_S): a live run's stage keeps
+            # a fresh mtime while its partial is being written
+            try:
+                age = _time.time() - os.stat(kdir).st_mtime
+            except FileNotFoundError:
+                continue
+            if age < STAGE_REAP_S:
+                continue
             shutil.rmtree(kdir, ignore_errors=True)
             removed += 1
             continue

@@ -256,7 +256,25 @@ def compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
     (tbucket, group) holds a single partial row again. Staged like
     every lifecycle job (write new, swap dirs) — readers of the old
     path see a consistent snapshot either way. Returns rows after
-    compaction."""
+    compaction.
+
+    Holds the rollup-path lifecycle lock: the swap renames the whole
+    dir, so an append landing mid-swap (a live stream_rollup_partials
+    micro-batch, a concurrent refresh) would be renamed away and
+    lost; writers share the lock and queue instead."""
+    import os
+    import shutil
+
+    from sybil_spark.sources.locks import path_lock
+    with path_lock(path):
+        return _compact_rollup(spark, path, group_cols, num_cols,
+                               distinct, hist_cols)
+
+
+def _compact_rollup(spark: SparkSession, path: str, group_cols: list[str],
+                    num_cols: list[str], distinct: bool = False,
+                    hist_cols: list[str] | None = None) -> int:
+    """compact_rollup body — caller holds the path lock."""
     import os
     import shutil
 
@@ -373,7 +391,22 @@ def refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
     whose partition dirs the next refresh deletes and re-processes,
     or nothing. No crash window double-counts or drops rows.
 
-    Returns the number of blocks (re)processed."""
+    Returns the number of blocks (re)processed. Serializes on the
+    rollup-path lifecycle lock with compact_rollup and the streaming
+    partial writer (the full-rebuild fallback swaps the dir)."""
+    from sybil_spark.sources.locks import path_lock
+    with path_lock(path):
+        return _refresh_rollup(spark, blocks_root, path, time_col,
+                               bucket_s, group_cols, num_cols,
+                               distinct_cols, hist_buckets)
+
+
+def _refresh_rollup(spark: SparkSession, blocks_root: str, path: str,
+                    time_col: str, bucket_s: int,
+                    group_cols: list[str], num_cols: list[str],
+                    distinct_cols: list[str] | None = None,
+                    hist_buckets: dict[str, float] | None = None) -> int:
+    """refresh_rollup body — caller holds the path lock."""
     import json
     import os
     import shutil

@@ -129,7 +129,12 @@ def stream_ingest(spark: SparkSession, source_dir: str, table: Table,
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            batch_df.write.mode("append").parquet(table.ingest_path)
+            # lock the append: a concurrent digest process would
+            # wipe this write's in-flight _temporary committer dir.
+            # maybe_digest re-takes the lock itself.
+            from sybil_spark.sources.locks import table_lock
+            with table_lock(table, timeout_s=300.0):
+                batch_df.write.mode("append").parquet(table.ingest_path)
             maybe_digest(batch_df.sparkSession, table)
 
         return (out.writeStream.foreachBatch(write_batch)
@@ -235,7 +240,15 @@ def stream_rollup_partials(df: DataFrame, rollup_path: str,
     This is the incremental materialized view the reference
     approximates with its per-block query cache
     (src/lib/query_cache.go) — but maintainable under continuous
-    ingest and mergeable across any grouping of batches."""
+    ingest and mergeable across any grouping of batches.
+
+    Each micro-batch append holds the rollup-path lifecycle lock, so
+    compact_rollup/refresh_rollup may now run WHILE the stream is
+    live: their dir swap queues behind an in-flight batch and an
+    arriving batch queues behind the swap, instead of the batch's
+    files being renamed away mid-append (the pre-lock failure
+    mode)."""
+    from sybil_spark.sources.locks import path_lock
     from sybil_spark.sources.rollup import build_rollup, write_rollup
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -245,10 +258,11 @@ def stream_rollup_partials(df: DataFrame, rollup_path: str,
         # (__day, __inc) matches every other rollup writer —
         # mixing depths under one root breaks partition discovery
         # after a compact_rollup rewrite
-        write_rollup(
-            build_rollup(batch_df, time_col, bucket_s, group_cols,
-                         num_cols, distinct_cols),
-            rollup_path, mode="append", inc=f"stream-{batch_id}")
+        with path_lock(rollup_path, timeout_s=300.0):
+            write_rollup(
+                build_rollup(batch_df, time_col, bucket_s, group_cols,
+                             num_cols, distinct_cols),
+                rollup_path, mode="append", inc=f"stream-{batch_id}")
 
     return (df.writeStream
             .foreachBatch(write_batch)
@@ -697,14 +711,17 @@ def stream_unigram_counts(df: DataFrame, text_col: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id <= _read_fold_watermark(model_path):
-            return  # already folded into the batch_id=-1 snapshot
-        (batch_df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
-                 .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-                 .withColumn("batch_id", F.lit(batch_id))
-                 .write.partitionBy("batch_id")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .mode("overwrite").parquet(model_path))
+        from sybil_spark.sources.locks import path_lock
+        with path_lock(model_path, timeout_s=300.0):
+            if batch_id <= _read_fold_watermark(model_path):
+                return  # already folded into the batch_id=-1 snapshot
+            (batch_df.select(
+                F.explode(tokens(F.col(text_col))).alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(model_path))
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -742,11 +759,11 @@ def read_unigram_model(spark: SparkSession, model_path: str) -> DataFrame:
 def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
     """Fold the appended partials into one summed snapshot in place
     (staged temp-dir swap with crash recovery, shared with the rollup
-    store) — run periodically, not per batch, and ONLY while the
-    stream is stopped: the swap replaces the whole directory, so a
-    micro-batch partial appended mid-compaction would be renamed away
-    and lost (no multi-writer coordination exists here, same as the
-    rollup store's compactor).
+    store) — run periodically, not per batch. Safe WHILE the stream
+    is live: compaction and the stream's write_batch share the
+    model-path lifecycle lock, so the dir swap queues behind an
+    in-flight micro-batch and vice versa (a partial appended
+    mid-compaction would otherwise be renamed away and lost).
 
     The snapshot keeps the `batch_id=` partition convention
     (batch_id = -1) so post-compaction appends from a RESUMED stream
@@ -760,24 +777,27 @@ def compact_unigram_model(spark: SparkSession, model_path: str) -> None:
     the checkpoint and would otherwise be folded AND replayed."""
     import json
 
+    from sybil_spark.sources.locks import path_lock
     from sybil_spark.sources.rollup import _staged_swap
 
-    # materialize BEFORE the swap — the write closure must not
-    # lazily re-list model_path while the swap is replacing it
-    merged = (read_unigram_model(spark, model_path)
-              .withColumn("batch_id", F.lit(-1))
-              .localCheckpoint(eager=True))
-    max_row = (spark.read.parquet(model_path)
-               .agg(F.max("batch_id").alias("m")).first())
-    folded = max(_read_fold_watermark(model_path),
-                 -1 if max_row[0] is None else int(max_row[0]))
+    with path_lock(model_path):
+        # materialize BEFORE the swap — the write closure must not
+        # lazily re-list model_path while the swap is replacing it
+        merged = (read_unigram_model(spark, model_path)
+                  .withColumn("batch_id", F.lit(-1))
+                  .localCheckpoint(eager=True))
+        max_row = (spark.read.parquet(model_path)
+                   .agg(F.max("batch_id").alias("m")).first())
+        folded = max(_read_fold_watermark(model_path),
+                     -1 if max_row[0] is None else int(max_row[0]))
 
-    def write(tmp: str) -> None:
-        merged.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
-        with open(_fold_watermark_path(tmp), "w") as f:
-            json.dump({"max_folded_batch_id": folded}, f)
+        def write(tmp: str) -> None:
+            merged.write.partitionBy("batch_id") \
+                  .mode("overwrite").parquet(tmp)
+            with open(_fold_watermark_path(tmp), "w") as f:
+                json.dump({"max_folded_batch_id": folded}, f)
 
-    _staged_swap(model_path, write)
+        _staged_swap(model_path, write)
 
 
 def stream_media_ingest(spark: SparkSession, source_dir: str,
