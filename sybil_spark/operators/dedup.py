@@ -93,8 +93,57 @@ def doc_spans(df: DataFrame, id_col: str, text_col: str,
                      F.posexplode(spans).alias("pos", "span"))
 
 
+def span_first_flags(ex: DataFrame, id_col: str = "__id",
+                     hash_fn=None) -> DataFrame:
+    """(id_col, pos, __kept) for a (id_col, pos, span) frame: __kept
+    marks the corpus-wide FIRST occurrence of each exact span
+    (earlier id wins; within a doc, earlier pos) — hash-keyed with
+    collision re-check, the `exact_keep_first` protocol at span
+    granularity, shared by batch span_dedup and the streaming
+    within-batch pass.
+
+    Scale shape: the first pass shuffles ONLY (xxhash64(span), id,
+    pos) — 8 bytes of key per span, never the span text. Hash groups
+    with >1 member (genuine duplicates, plus collisions at
+    P ≈ n²/2⁶⁵) are re-checked grouped on the REAL span, so a 64-bit
+    collision between distinct spans can never cut a first
+    occurrence; span text shuffles only for those rows.
+
+    `hash_fn` (span Column -> Column) exists for the fuzz suite: a
+    deliberately weak hash (e.g. xxhash64 mod 4) floods the re-check
+    path with cross-span collisions, proving the flags still equal
+    the text-keyed plan's."""
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    nx = ex.select(id_col, "pos",
+                   hf(F.col("span")).alias("__h"))
+    g = (nx.groupBy("__h")
+           .agg(F.min(F.struct(id_col, "pos")).alias("__w"),
+                F.count(F.lit(1)).alias("__n")))
+    nj = nx.join(g, "__h")
+    solo = (nj.where(F.col("__n") == 1)
+              .select(id_col, "pos", F.lit(True).alias("__kept")))
+    multi_h = g.where(F.col("__n") > 1).select("__h")
+    multi_ex = (ex.withColumn("__h", hf(F.col("span")))
+                  .join(multi_h, "__h", "left_semi"))
+    fm = (multi_ex.groupBy("span")
+                  .agg(F.min(F.struct(id_col, "pos")).alias("__w2")))
+    multi = (multi_ex.join(fm, "span")
+             .select(id_col, "pos",
+                     (F.struct(id_col, "pos") == F.col("__w2"))
+                     .alias("__kept")))
+    return solo.unionByName(multi)
+
+
+#: auto span_dedup keying threshold: below ~1 GiB of text the whole
+#: corpus shuffles comfortably and the hash plan's extra stages
+#: dominate (measured 3x slower at sf0.1); above it the span-text
+#: shuffle volume is the bottleneck and the narrow hash plan wins
+SPAN_HASH_KEY_BYTES = 1 << 30
+
+
 def span_dedup(df: DataFrame, id_col: str, text_col: str,
-               span_words: int = 20) -> DataFrame:
+               span_words: int = 20,
+               hash_key: bool | None = None) -> DataFrame:
     """Exact substring dedup at span granularity (the ExactSubstr
     policy of Lee et al. 2022, "Deduplicating Training Data Makes
     Language Models Better", restricted to aligned windows): split
@@ -111,23 +160,69 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     them (and the other columns) through unchanged, as the streaming
     variant does.
 
-    Scale: span construction is pure array expressions (no shuffle);
-    first-occurrence is ONE window shuffle partitioned by the span
-    text (~span_words words/row — the same volume any tokenizing scan
-    moves), and reassembly is one groupBy on the doc id. At 100 TB
-    partition the window by `xxhash64(span)` instead and re-check
-    collision groups on the real span the way `exact_keep_first`
-    does; the aligned-window policy itself is what keeps this
-    join-free (a suffix-array ExactSubstr needs global sort order)."""
-    from pyspark.sql import Window
+    Keying is AUTO by default (hash_key=None): the text-keyed plan
+    under SPAN_HASH_KEY_BYTES of estimated text (fewer stages win on
+    small corpora — measured 3x at sf0.1), the hash-keyed plan above
+    it (the optimizer's sizeInBytes estimate; a plan-stats read, no
+    job). Both plans are exact; pass True/False to pin one.
 
+    Scale (hash_key=True — the 100 TB form): span text
+    NEVER enters a wide shuffle. First-occurrence flags come from
+    span_first_flags (narrow (hash, id, pos) shuffles + collision
+    re-check over only multi-member groups); the flags reduce to one
+    narrow per-doc row (n_spans, n_kept, sorted kept positions); and
+    dedup_text is REBUILT from the original text at the final
+    id-equi-join with pure array expressions (re-slicing the spans
+    costs a re-scan of text already being read for the join — no
+    shuffle). Exactness is identical to the text-keyed plan.
+
+    hash_key=False keeps the direct plan — one window shuffle
+    partitioned by the raw span text — as the fuzz oracle for the
+    hash path and the simpler plan for small corpora. The
+    aligned-window policy itself is what keeps both join-free (a
+    suffix-array ExactSubstr needs global sort order)."""
+    if hash_key is None:
+        try:
+            size = int(str(df.select(text_col)._jdf.queryExecution()
+                           .optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            size = SPAN_HASH_KEY_BYTES + 1   # unknown: assume big
+        hash_key = size > SPAN_HASH_KEY_BYTES
     ex = doc_spans(df, id_col, text_col, span_words) \
         .withColumnRenamed(id_col, "__id")
-    w = Window.partitionBy("span").orderBy("__id", "pos")
-    flagged = ex.withColumn("__rn", F.row_number().over(w))
-    return (flagged.groupBy("__id")
-            .agg(*span_reassembly_aggs(F.col("__rn") == 1))
-            .withColumnRenamed("__id", id_col))
+    if not hash_key:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("span").orderBy("__id", "pos")
+        flagged = ex.withColumn("__rn", F.row_number().over(w))
+        return (flagged.groupBy("__id")
+                .agg(*span_reassembly_aggs(F.col("__rn") == 1))
+                .withColumnRenamed("__id", id_col))
+    flags = span_first_flags(ex)
+    per_doc = (flags.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("__kept"), F.col("pos")))).alias("__kp")))
+    # rebuild the surviving text from the source row: same span
+    # slicing as doc_spans, indexed by the kept positions (asc ==
+    # document order)
+    words = F.split(F.col(text_col), " ")
+    spans = F.transform(
+        F.sequence(F.lit(0),
+                   (((F.size(words) - F.lit(1))
+                     - F.pmod(F.size(words) - F.lit(1),
+                              F.lit(span_words))) / F.lit(span_words))
+                   .cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(words, i * span_words + 1,
+                                           span_words)))
+    return (df.select(id_col, text_col)
+              .join(per_doc, F.col(id_col) == F.col("__id"))
+              .select(id_col, "n_spans", "n_kept",
+                      F.concat_ws(" ", F.transform(
+                          F.col("__kp"),
+                          lambda p: F.element_at(spans, p + 1)))
+                      .alias("dedup_text")))
 
 
 def span_reassembly_aggs(kept: Column) -> list:

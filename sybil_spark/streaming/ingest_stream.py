@@ -566,16 +566,17 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
     silently loses records). State is 8 bytes per distinct span ever
     kept — ~1/span_words of the corpus's token count — vs the raw
     text the batch operator re-scans; the price is the
-    xxhash64-collision caveat of `filter_seen` (a collision cuts a
-    genuinely new span with P ≈ |index|/2⁶⁴ — acceptable for corpus
-    text, not for financial keys; the batch operator keys on the raw
-    span and has no such caveat). At-least-once on crash-replayed
-    batches (the two appends are not transactional), like its
-    siblings; replayed spans are already in the index, so replays
-    re-emit docs with smaller n_kept rather than duplicating spans."""
-    from pyspark.sql import Window
-
-    from sybil_spark.operators.dedup import doc_spans
+    xxhash64-collision caveat of `filter_seen` (a collision against
+    the INDEX cuts a genuinely new span with P ≈ |index|/2⁶⁴ —
+    acceptable for corpus text, not for financial keys; the
+    within-batch pass shares the batch operator's hash+re-check
+    protocol, span_first_flags, so only the index compare carries
+    the caveat — the state-size trade that makes the index 8
+    bytes/span). At-least-once on crash-replayed batches (the two
+    appends are not transactional), like its siblings; replayed
+    spans are already in the index, so replays re-emit docs with
+    smaller n_kept rather than duplicating spans."""
+    from sybil_spark.operators.dedup import doc_spans, span_first_flags
 
     params = {"span_words": span_words}
 
@@ -585,12 +586,14 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
         spark = batch_df.sparkSession
         _check_index_meta(index_path, params)
         docs = batch_df.localCheckpoint()
-        sp = (doc_spans(docs, id_col, text_col, span_words)
-              .withColumn("__h", F.xxhash64("span")))
-        # within-batch first occurrence (hash key; see collision note)
-        w = Window.partitionBy("__h").orderBy(id_col, "pos")
-        sp = (sp.withColumn("__rn", F.row_number().over(w))
-                .withColumn("__new", F.col("__rn") == 1).drop("__rn"))
+        base = doc_spans(docs, id_col, text_col, span_words)
+        # within-batch first occurrence: the batch operator's
+        # hash-keyed + collision-re-checked flags (one key path for
+        # batch and stream)
+        flags = span_first_flags(base, id_col)
+        sp = (base.withColumn("__h", F.xxhash64("span"))
+                  .join(flags, [id_col, "pos"])
+                  .withColumnRenamed("__kept", "__new"))
         idx = _read_index(spark, index_path)
         if idx is not None:
             # a span stays kept only if it is new within the batch

@@ -884,6 +884,58 @@ def test_span_dedup_matches_duckdb(fuzz_spark, texts, dup_first,
     _cmp_frames(got, oracle)
 
 
+@given(texts=docs_st, span_words=st.sampled_from([2, 3, 5]),
+       mod=st.sampled_from([1, 2, 4]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_span_dedup_hash_key_collision_adversarial(fuzz_spark, texts,
+                                                   span_words, mod):
+    """The hash-keyed span plan vs the text-keyed plan on random
+    corpora WITH A DELIBERATELY WEAK HASH (xxhash64 mod 1/2/4 — mod 1
+    sends EVERY span to one hash group): cross-span collisions flood
+    the re-check path, and the first-occurrence flags must still be
+    identical. This is the collision-adversarial proof that a real
+    64-bit collision can never cut a first occurrence."""
+    from pyspark.sql import Window
+
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
+                      "text": texts}))
+    ex = dedup.doc_spans(sdf, "doc_id", "text", span_words)
+    weak = dedup.span_first_flags(
+        ex, "doc_id",
+        hash_fn=lambda c: F.pmod(F.xxhash64(c), F.lit(mod)))
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    oracle = (ex.withColumn("__rn", F.row_number().over(w))
+                .select("doc_id", "pos",
+                        (F.col("__rn") == 1).alias("__kept")))
+    got = {(r["doc_id"], r["pos"]): r["__kept"] for r in weak.collect()}
+    exp = {(r["doc_id"], r["pos"]): r["__kept"] for r in oracle.collect()}
+    assert got == exp
+
+
+@given(texts=docs_st, span_words=st.sampled_from([2, 4]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_span_dedup_hash_vs_text_keyed(fuzz_spark, texts, span_words):
+    """End-to-end: span_dedup's default hash-keyed plan equals the
+    text-keyed plan (hash_key=False) row-for-row on random corpora —
+    same docs, counts, and reassembled text."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
+                      "text": texts}))
+    a = dedup.span_dedup(sdf, "doc_id", "text", span_words).toPandas()
+    b = dedup.span_dedup(sdf, "doc_id", "text", span_words,
+                         hash_key=False).toPandas()
+    _cmp_frames(a, b)
+
+
 @given(texts=docs_st,
        spec=st.sampled_from([(4, 0), (4, 1), (5, 2), (3, 2)]))
 @settings(max_examples=10, deadline=None,

@@ -378,14 +378,48 @@ def test_quantized_topk_plan(spark, sf_dir):
     assert I.shuffle_exchange_count(q) == 0, p
 
 
-def test_span_dedup_plan_two_shuffles(spark, sf_dir):
-    """span_dedup is exactly two shuffles — the first-occurrence
-    window on the span and the per-doc reassembly agg (with a partial
-    aggregate before it); span construction stays array expressions
-    over the scan."""
+def test_span_dedup_plan_hash_keyed_narrow(spark, sf_dir):
+    """span_dedup's default (hash-keyed) plan keeps span text out of
+    the wide shuffles: no span-partitioned Window anywhere; the
+    first-occurrence exchanges partition on the 8-byte __h; the only
+    span-partitioned exchange is the multi-group re-check aggregate
+    (duplicate/collision rows only); text rebuild happens at the
+    final doc-id join, not via a span shuffle."""
     from sybil_spark.operators import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = dedup.span_dedup(docs, "doc_id", "text", span_words=5)
+    q = dedup.span_dedup(docs, "doc_id", "text", span_words=5,
+                         hash_key=True)
+    p = I.formatted_plan(q)
+    assert "Window (" not in p, p              # no sort-based window
+    assert "hashpartitioning(__h" in p, p      # narrow first pass
+    # exactly one span-keyed exchange: the re-check over multi groups
+    assert p.count("hashpartitioning(span") == 1, p
+    assert "posexplode" in p.lower(), p
+
+
+def test_span_dedup_auto_keying_by_size(spark, sf_dir, monkeypatch):
+    """hash_key=None picks the plan from the optimizer's size
+    estimate: text-keyed below SPAN_HASH_KEY_BYTES (the sf0.001
+    corpus), hash-keyed above (threshold forced to 0)."""
+    from sybil_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = I.formatted_plan(
+        dedup.span_dedup(docs, "doc_id", "text", span_words=5))
+    assert "Window (" in small, small
+    monkeypatch.setattr(dedup, "SPAN_HASH_KEY_BYTES", 0)
+    big = I.formatted_plan(
+        dedup.span_dedup(docs, "doc_id", "text", span_words=5))
+    assert "hashpartitioning(__h" in big and "Window (" not in big, big
+
+
+def test_span_dedup_plan_text_keyed_two_shuffles(spark, sf_dir):
+    """The text-keyed fallback stays exactly two shuffles — the
+    first-occurrence window on the span and the per-doc reassembly
+    agg; span construction stays array expressions over the scan."""
+    from sybil_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = dedup.span_dedup(docs, "doc_id", "text", span_words=5,
+                         hash_key=False)
     p = I.formatted_plan(q)
     assert I.shuffle_exchange_count(q) == 2, p
     assert "Window (" in p, p
