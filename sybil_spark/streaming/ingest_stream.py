@@ -99,6 +99,108 @@ def _write_index_meta(index_path: str, params: dict) -> None:
             json.dump(params, f)
 
 
+class StreamDedupIndex:
+    """ONE descriptor for the four streaming dedup index legs (exact
+    key hashes / minhash bands / embedding buckets+vectors / span
+    hashes). Each index is a parquet dataset dir (or a dir of named
+    sub-datasets) plus a `_index_meta.json` sidecar:
+
+        {"kind": "<leg name>", "params": {...}, "subdirs": [...]}
+
+    The sidecar makes structural mismatches fail FAST: a stream (or
+    compactor) opened with different parameters than the index was
+    built with — bands=16 vs 32, span_words=3 vs 4, even different
+    key_cols on the exact leg — raises instead of silently matching
+    nothing and re-emitting every historical duplicate.
+
+    Layout contract shared by every leg: appends are row-distinct
+    within a batch but may duplicate ACROSS batches/replays (the
+    at-least-once edge); readers that require set semantics
+    .distinct() at use; `compact_dedup_index` folds the appended
+    files back to distinct rows in place (staged swap under the
+    index's path lock — the same compaction story as the unigram
+    model and the rollup store)."""
+
+    def __init__(self, path: str, kind: str, params: dict,
+                 subdirs: list[str] | None = None):
+        self.path = path
+        self.kind = kind
+        self.params = dict(params)
+        self.subdirs = list(subdirs or [])
+
+    @property
+    def meta(self) -> dict:
+        return {"kind": self.kind, "params": self.params,
+                "subdirs": self.subdirs}
+
+    def check(self) -> None:
+        """Raise on a parameter/kind mismatch vs the persisted
+        sidecar (no-op when the index doesn't exist yet)."""
+        _check_index_meta(self.path, self.meta)
+
+    def data_path(self, sub: str | None = None) -> str:
+        import os
+        return os.path.join(self.path, sub) if sub else self.path
+
+    def read(self, spark: SparkSession,
+             sub: str | None = None) -> DataFrame | None:
+        return _read_index(spark, self.data_path(sub))
+
+    def append(self, df: DataFrame, sub: str | None = None) -> None:
+        df.write.mode("append").parquet(self.data_path(sub))
+
+    def overwrite(self, df: DataFrame, sub: str | None = None) -> None:
+        df.write.mode("overwrite").parquet(self.data_path(sub))
+
+    def commit_meta(self) -> None:
+        _write_index_meta(self.path, self.meta)
+
+    def lock(self, **kw):
+        from sybil_spark.sources.locks import path_lock
+        return path_lock(self.path, **kw)
+
+
+def compact_dedup_index(spark: SparkSession, index_path: str) -> int:
+    """Fold a streaming dedup index's appended per-batch files back
+    to one distinct dataset per sub-dataset (staged swap, sidecar
+    preserved) — run periodically when file-listing cost grows; safe
+    while the stream is live (shares the index path lock with every
+    leg's write_batch). Returns rows after compaction."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+    from sybil_spark.sources.rollup import _staged_swap
+
+    meta_p = _meta_file(index_path)
+    if not os.path.exists(meta_p):
+        raise FileNotFoundError(
+            f"{meta_p} missing — not a stream dedup index (bootstrap "
+            "helpers and streams write the sidecar on first commit)")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    subs = meta.get("subdirs") or [None]
+    total = 0
+    with path_lock(index_path):
+        for sub in subs:
+            dp = os.path.join(index_path, sub) if sub else index_path
+            folded = spark.read.parquet(dp).distinct() \
+                .localCheckpoint(eager=True)   # snapshot before swap
+
+            def write(tmp: str, _f=folded, _sub=sub) -> None:
+                _f.coalesce(max(1, _f.rdd.getNumPartitions() // 8)) \
+                  .write.mode("overwrite").parquet(tmp)
+                if _sub is None:
+                    # root swap must carry the sidecar with it
+                    with open(os.path.join(tmp, "_index_meta.json"),
+                              "w") as mf:
+                        json.dump(meta, mf)
+
+            _staged_swap(dp, write)
+            total += spark.read.parquet(dp).count()
+    return total
+
+
 def stream_ingest(spark: SparkSession, source_dir: str, table: Table,
                   schema: StructType, spec: IngestSpec | None = None,
                   checkpoint: str | None = None,
@@ -291,21 +393,31 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
     index — unbounded history at ~1 GB per 130M distinct keys, the
     right trade for training-corpus dedup where duplicates arrive
     years apart. At-least-once on crash-replayed batches (appends are
-    not transactional across the two dirs)."""
+    not transactional across the two dirs). The index carries the
+    shared StreamDedupIndex sidecar — a stream opened with different
+    key_cols than the index was built with raises instead of
+    silently hashing different columns and re-admitting every
+    historical duplicate."""
     from sybil_spark.operators.dedup import (exact_keep_first, filter_seen,
                                              hash_index)
+
+    sdi = StreamDedupIndex(index_path, "exact_keys",
+                           {"key_cols": list(key_cols)})
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        fresh = exact_keep_first(batch_df, key_cols, id_col)
-        idx = _read_index(spark, index_path)
-        if idx is not None:
-            fresh = filter_seen(fresh, key_cols, idx)
-        fresh = fresh.localCheckpoint()   # both writes see one snapshot
-        fresh.write.mode("append").parquet(out_path)
-        hash_index(fresh, key_cols).write.mode("append").parquet(index_path)
+        with sdi.lock(timeout_s=300.0):
+            sdi.check()
+            fresh = exact_keep_first(batch_df, key_cols, id_col)
+            idx = sdi.read(spark)
+            if idx is not None:
+                fresh = filter_seen(fresh, key_cols, idx)
+            fresh = fresh.localCheckpoint()  # both writes: one snapshot
+            fresh.write.mode("append").parquet(out_path)
+            sdi.append(hash_index(fresh, key_cols))
+            sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -323,11 +435,12 @@ def bootstrap_minhash_band_index(df: DataFrame, id_col: str,
     parameters fails fast instead of silently matching nothing."""
     from sybil_spark.operators.dedup import minhash_bands
 
-    minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n) \
-        .write.mode("overwrite").parquet(index_path)
-    _write_index_meta(index_path, {"num_hashes": num_hashes,
-                                   "bands": bands,
-                                   "shingle_n": shingle_n})
+    sdi = StreamDedupIndex(index_path, "minhash_bands",
+                           {"num_hashes": num_hashes, "bands": bands,
+                            "shingle_n": shingle_n})
+    sdi.overwrite(
+        minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n))
+    sdi.commit_meta()
 
 
 def stream_near_dedup_against_index(df: DataFrame, id_col: str,
@@ -377,44 +490,51 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
     stream_dedup_against_index."""
     from sybil_spark.operators.dedup import minhash_bands
 
-    params = {"num_hashes": num_hashes, "bands": bands,
-              "shingle_n": shingle_n}
+    sdi = StreamDedupIndex(index_path, "minhash_bands",
+                           {"num_hashes": num_hashes, "bands": bands,
+                            "shingle_n": shingle_n})
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        _check_index_meta(index_path, params)
-        docs = batch_df.localCheckpoint()  # one snapshot for all uses
-        bnd = minhash_bands(docs, id_col, text_col, num_hashes,
-                            bands, shingle_n).localCheckpoint()
-        # 2. within-batch: losers = larger id of any colliding pair
-        a, b = bnd.alias("a"), bnd.alias("b")
-        losers = (a.join(b, [F.col("a.band") == F.col("b.band"),
-                             F.col("a.band_hash") == F.col("b.band_hash"),
-                             F.col("a.id") > F.col("b.id")])
-                    .select(F.col("a.id").alias("id")).distinct())
-        dropped = losers
-        keep_bnd = bnd.join(losers, "id", "left_anti")
-        # 3. against the persisted index. Only a MISSING index reads
-        # as "first batch"; any other read failure (corrupt footer,
-        # transient FS error) must raise — swallowing it would skip
-        # history filtering and leak near-dups silently.
-        idx = _read_index(spark, index_path)
-        if idx is not None:
-            hit = (keep_bnd.join(idx, ["band", "band_hash"], "left_semi")
-                           .select("id").distinct())
-            keep_bnd = keep_bnd.join(hit, "id", "left_anti")
-            dropped = dropped.unionByName(hit)
-        keep_bnd = keep_bnd.localCheckpoint()  # snapshot before writes
-        dropped = dropped.localCheckpoint()
-        # survivors = everything NOT dropped — including docs with no
-        # bands at all (NULL/short text), which can't collide
-        survivors = docs.join(
-            dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
-        survivors.write.mode("append").parquet(out_path)
-        keep_bnd.write.mode("append").parquet(index_path)
-        _write_index_meta(index_path, params)
+        with sdi.lock(timeout_s=300.0):
+            sdi.check()
+            docs = batch_df.localCheckpoint()  # one snapshot, all uses
+            bnd = minhash_bands(docs, id_col, text_col, num_hashes,
+                                bands, shingle_n).localCheckpoint()
+            # 2. within-batch: losers = larger id of a colliding pair
+            a, b = bnd.alias("a"), bnd.alias("b")
+            losers = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                                 F.col("a.band_hash")
+                                 == F.col("b.band_hash"),
+                                 F.col("a.id") > F.col("b.id")])
+                        .select(F.col("a.id").alias("id")).distinct())
+            dropped = losers
+            keep_bnd = bnd.join(losers, "id", "left_anti")
+            # 3. against the persisted index. Only a MISSING index
+            # reads as "first batch"; any other read failure (corrupt
+            # footer, transient FS error) must raise — swallowing it
+            # would skip history filtering and leak near-dups
+            # silently.
+            idx = sdi.read(spark)
+            if idx is not None:
+                hit = (keep_bnd.join(idx, ["band", "band_hash"],
+                                     "left_semi")
+                               .select("id").distinct())
+                keep_bnd = keep_bnd.join(hit, "id", "left_anti")
+                dropped = dropped.unionByName(hit)
+            keep_bnd = keep_bnd.localCheckpoint()  # pre-write snapshot
+            dropped = dropped.localCheckpoint()
+            # survivors = everything NOT dropped — including docs
+            # with no bands at all (NULL/short text), which can't
+            # collide
+            survivors = docs.join(
+                dropped.withColumnRenamed("id", id_col), id_col,
+                "left_anti")
+            survivors.write.mode("append").parquet(out_path)
+            sdi.append(keep_bnd)
+            sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -461,65 +581,73 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
     from sybil_spark.functions.vectors import cosine
     from sybil_spark.operators.dedup import embedding_buckets
 
-    params = {"dim": dim, "num_planes": num_planes, "tables": tables}
+    sdi = StreamDedupIndex(index_path, "embedding_lsh",
+                           {"dim": dim, "num_planes": num_planes,
+                            "tables": tables},
+                           subdirs=["buckets", "vectors"])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        _check_index_meta(index_path, params)
-        docs = batch_df.localCheckpoint()
-        bkt = embedding_buckets(docs, id_col, vec_col, dim,
-                                num_planes, tables).localCheckpoint()
-        vecs = docs.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("vec"))
-        # 2. within-batch: collide → verify → keep-min-id
-        a, b = bkt.alias("a"), bkt.alias("b")
-        cand = (a.join(b, [F.col("a.table") == F.col("b.table"),
-                           F.col("a.bucket") == F.col("b.bucket"),
-                           F.col("a.id") > F.col("b.id")])
-                  .select(F.col("a.id").alias("id"),
-                          F.col("b.id").alias("id_keep")).distinct())
-        va = vecs.select(F.col("id"), F.col("vec").alias("__va"))
-        vb = vecs.select(F.col("id").alias("id_keep"),
-                         F.col("vec").alias("__vb"))
-        losers = (cand.join(va, "id").join(vb, "id_keep")
-                      .where(cosine(F.col("__va"), F.col("__vb"))
-                             >= threshold)
-                      .select("id").distinct())
-        dropped = losers
-        keep = vecs.join(losers, "id", "left_anti")
-        keep_bkt = bkt.join(losers, "id", "left_anti")
-        # 3. against the persisted index (bucket join, vector verify)
-        idx_b = _read_index(spark, index_path + "/buckets")
-        idx_v = _read_index(spark, index_path + "/vectors") \
-            if idx_b is not None else None
-        if idx_b is not None and idx_v is not None:
-            hits = (keep_bkt.join(idx_b.withColumnRenamed("id", "old_id"),
-                                  ["table", "bucket"])
-                            .select("id", "old_id").distinct())
-            seen = (hits.join(keep.select("id", F.col("vec").alias("__va")),
-                              "id")
-                        .join(idx_v.select(F.col("id").alias("old_id"),
-                                           F.col("vec").alias("__vb")),
-                              "old_id")
-                        .where(cosine(F.col("__va"), F.col("__vb"))
-                               >= threshold)
-                        .select("id").distinct())
-            keep = keep.join(seen, "id", "left_anti")
-            keep_bkt = keep_bkt.join(seen, "id", "left_anti")
-            dropped = dropped.unionByName(seen)
-        keep = keep.localCheckpoint()       # snapshot before writes
-        keep_bkt = keep_bkt.localCheckpoint()
-        dropped = dropped.localCheckpoint()
-        # survivors = everything NOT dropped — a row only drops on a
-        # verified cosine match, never for lacking buckets/vector
-        survivors = docs.join(
-            dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
-        survivors.write.mode("append").parquet(out_path)
-        keep.write.mode("append").parquet(index_path + "/vectors")
-        keep_bkt.write.mode("append").parquet(index_path + "/buckets")
-        _write_index_meta(index_path, params)
+        with sdi.lock(timeout_s=300.0):
+            sdi.check()
+            docs = batch_df.localCheckpoint()
+            bkt = embedding_buckets(docs, id_col, vec_col, dim,
+                                    num_planes, tables).localCheckpoint()
+            vecs = docs.select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("vec"))
+            # 2. within-batch: collide → verify → keep-min-id
+            a, b = bkt.alias("a"), bkt.alias("b")
+            cand = (a.join(b, [F.col("a.table") == F.col("b.table"),
+                               F.col("a.bucket") == F.col("b.bucket"),
+                               F.col("a.id") > F.col("b.id")])
+                      .select(F.col("a.id").alias("id"),
+                              F.col("b.id").alias("id_keep")).distinct())
+            va = vecs.select(F.col("id"), F.col("vec").alias("__va"))
+            vb = vecs.select(F.col("id").alias("id_keep"),
+                             F.col("vec").alias("__vb"))
+            losers = (cand.join(va, "id").join(vb, "id_keep")
+                          .where(cosine(F.col("__va"), F.col("__vb"))
+                                 >= threshold)
+                          .select("id").distinct())
+            dropped = losers
+            keep = vecs.join(losers, "id", "left_anti")
+            keep_bkt = bkt.join(losers, "id", "left_anti")
+            # 3. against the persisted index (bucket join, vector
+            # verify)
+            idx_b = sdi.read(spark, "buckets")
+            idx_v = sdi.read(spark, "vectors") \
+                if idx_b is not None else None
+            if idx_b is not None and idx_v is not None:
+                hits = (keep_bkt.join(
+                            idx_b.withColumnRenamed("id", "old_id"),
+                            ["table", "bucket"])
+                                .select("id", "old_id").distinct())
+                seen = (hits.join(keep.select("id", F.col("vec")
+                                              .alias("__va")), "id")
+                            .join(idx_v.select(
+                                F.col("id").alias("old_id"),
+                                F.col("vec").alias("__vb")), "old_id")
+                            .where(cosine(F.col("__va"), F.col("__vb"))
+                                   >= threshold)
+                            .select("id").distinct())
+                keep = keep.join(seen, "id", "left_anti")
+                keep_bkt = keep_bkt.join(seen, "id", "left_anti")
+                dropped = dropped.unionByName(seen)
+            keep = keep.localCheckpoint()       # pre-write snapshot
+            keep_bkt = keep_bkt.localCheckpoint()
+            dropped = dropped.localCheckpoint()
+            # survivors = everything NOT dropped — a row only drops
+            # on a verified cosine match, never for lacking
+            # buckets/vector
+            survivors = docs.join(
+                dropped.withColumnRenamed("id", id_col), id_col,
+                "left_anti")
+            survivors.write.mode("append").parquet(out_path)
+            sdi.append(keep, "vectors")
+            sdi.append(keep_bkt, "buckets")
+            sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -537,10 +665,11 @@ def bootstrap_span_index(df: DataFrame, id_col: str, text_col: str,
     bootstrap_minhash_band_index for the fourth dedup leg)."""
     from sybil_spark.operators.dedup import doc_spans
 
-    (doc_spans(df, id_col, text_col, span_words)
-     .select(F.xxhash64("span").alias("__h")).distinct()
-     .write.mode("overwrite").parquet(index_path))
-    _write_index_meta(index_path, {"span_words": span_words})
+    sdi = StreamDedupIndex(index_path, "span_hashes",
+                           {"span_words": span_words})
+    sdi.overwrite(doc_spans(df, id_col, text_col, span_words)
+                  .select(F.xxhash64("span").alias("__h")).distinct())
+    sdi.commit_meta()
 
 
 def stream_span_dedup_against_index(df: DataFrame, id_col: str,
@@ -578,42 +707,44 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
     smaller n_kept rather than duplicating spans."""
     from sybil_spark.operators.dedup import doc_spans, span_first_flags
 
-    params = {"span_words": span_words}
+    sdi = StreamDedupIndex(index_path, "span_hashes",
+                           {"span_words": span_words})
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        _check_index_meta(index_path, params)
-        docs = batch_df.localCheckpoint()
-        base = doc_spans(docs, id_col, text_col, span_words)
-        # within-batch first occurrence: the batch operator's
-        # hash-keyed + collision-re-checked flags (one key path for
-        # batch and stream)
-        flags = span_first_flags(base, id_col)
-        sp = (base.withColumn("__h", F.xxhash64("span"))
-                  .join(flags, [id_col, "pos"])
-                  .withColumnRenamed("__kept", "__new"))
-        idx = _read_index(spark, index_path)
-        if idx is not None:
-            # a span stays kept only if it is new within the batch
-            # AND absent from the index — mark via a left join on the
-            # distinct historical hashes (equi-join, co-partitions)
-            hit = (idx.select("__h").distinct()
-                      .withColumn("__hit", F.lit(True)))
-            sp = (sp.join(hit, "__h", "left")
-                    .withColumn("__new",
-                                F.col("__new") & F.col("__hit").isNull())
-                    .drop("__hit"))
-        sp = sp.localCheckpoint()  # snapshot before the two writes
-        from sybil_spark.operators.dedup import span_reassembly_aggs
-        kept = F.col("__new")
-        stats = sp.groupBy(id_col).agg(*span_reassembly_aggs(kept))
-        docs.join(stats, id_col, "left") \
-            .write.mode("append").parquet(out_path)
-        (sp.where(kept).select("__h").distinct()
-           .write.mode("append").parquet(index_path))
-        _write_index_meta(index_path, params)
+        with sdi.lock(timeout_s=300.0):
+            sdi.check()
+            docs = batch_df.localCheckpoint()
+            base = doc_spans(docs, id_col, text_col, span_words)
+            # within-batch first occurrence: the batch operator's
+            # hash-keyed + collision-re-checked flags (one key path
+            # for batch and stream)
+            flags = span_first_flags(base, id_col)
+            sp = (base.withColumn("__h", F.xxhash64("span"))
+                      .join(flags, [id_col, "pos"])
+                      .withColumnRenamed("__kept", "__new"))
+            idx = sdi.read(spark)
+            if idx is not None:
+                # a span stays kept only if it is new within the
+                # batch AND absent from the index — mark via a left
+                # join on the distinct historical hashes (equi-join,
+                # co-partitions)
+                hit = (idx.select("__h").distinct()
+                          .withColumn("__hit", F.lit(True)))
+                sp = (sp.join(hit, "__h", "left")
+                        .withColumn("__new", F.col("__new")
+                                    & F.col("__hit").isNull())
+                        .drop("__hit"))
+            sp = sp.localCheckpoint()  # snapshot before the writes
+            from sybil_spark.operators.dedup import span_reassembly_aggs
+            kept = F.col("__new")
+            stats = sp.groupBy(id_col).agg(*span_reassembly_aggs(kept))
+            docs.join(stats, id_col, "left") \
+                .write.mode("append").parquet(out_path)
+            sdi.append(sp.where(kept).select("__h").distinct())
+            sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",

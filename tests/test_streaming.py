@@ -502,6 +502,120 @@ def test_stream_unigram_model_maintenance(spark, tmp_path):
     assert via_stream == via_batch
 
 
+def test_stream_dedup_index_descriptor(spark, tmp_path):
+    """The unified StreamDedupIndex descriptor: the exact leg now
+    fails fast on a key_cols mismatch vs the persisted sidecar
+    (previously a silent different-hash re-admission of every
+    historical duplicate), and compact_dedup_index folds appended
+    per-batch files to distinct rows without changing the answer —
+    sidecar preserved, stream continues against the folded index."""
+    import glob
+    import json
+    import os
+
+    from sybil_spark.streaming.ingest_stream import (
+        compact_dedup_index, stream_dedup_against_index)
+    idx_path = str(tmp_path / "didx")
+    out_path = str(tmp_path / "dout")
+    src = tmp_path / "di-in"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson", [{"host": "a", "ping": 1, "time": 1}])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = stream_dedup_against_index(stream, ["host"], "time",
+                                   out_path, idx_path,
+                                   checkpoint=str(tmp_path / "di-ck"))
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson",
+                     [{"host": "a", "ping": 9, "time": 2},
+                      {"host": "b", "ping": 2, "time": 3}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    meta = json.load(open(os.path.join(idx_path, "_index_meta.json")))
+    assert meta == {"kind": "exact_keys", "params": {"key_cols": ["host"]},
+                    "subdirs": []}
+    # fold the two per-batch appends; answer unchanged
+    n_files = len(glob.glob(idx_path + "/*.parquet"))
+    assert compact_dedup_index(spark, idx_path) == 2
+    assert len(glob.glob(idx_path + "/*.parquet")) <= n_files
+    assert json.load(open(os.path.join(idx_path,
+                                       "_index_meta.json"))) == meta
+    # the stream keeps deduping against the folded index
+    _write_batch(src, "b3.ndjson", [{"host": "b", "ping": 7, "time": 4},
+                                    {"host": "c", "ping": 3, "time": 5}])
+    stream2 = spark.readStream.schema(SCHEMA).json(str(src))
+    q2 = stream_dedup_against_index(stream2, ["host"], "time",
+                                    out_path, idx_path,
+                                    checkpoint=str(tmp_path / "di-ck"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = {r["host"]: r["ping"]
+            for r in spark.read.parquet(out_path).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
+    # different key_cols vs the sidecar fails fast
+    q3 = stream_dedup_against_index(stream2, ["host", "ping"], "time",
+                                    str(tmp_path / "dout2"), idx_path,
+                                    checkpoint=str(tmp_path / "di-ck2"))
+    try:
+        with pytest.raises(Exception, match="key_cols|built with"):
+            q3.processAllAvailable()
+            q3.awaitTermination(5)
+    finally:
+        q3.stop()
+
+
+def test_compact_dedup_index_subdirs(spark, tmp_path):
+    """compact_dedup_index folds BOTH sub-datasets of the embedding
+    leg's two-frame index (buckets + vectors) and the stream keeps
+    filtering correctly afterwards."""
+    import os as _os
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from sybil_spark.streaming.ingest_stream import (
+        compact_dedup_index, stream_embedding_dedup_against_index)
+    idx_path = str(tmp_path / "eidx")
+    out_path = str(tmp_path / "eout")
+    src = tmp_path / "ei-in"
+    src.mkdir()
+    schema = StructType([StructField("doc_id", StringType()),
+                         StructField("vec",
+                                     ArrayType(DoubleType()))])
+    _write_batch(src, "b1.ndjson",
+                 [{"doc_id": "A", "vec": [1.0, 0.0]},
+                  {"doc_id": "B", "vec": [0.0, 1.0]}])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_embedding_dedup_against_index(
+        stream, "doc_id", "vec", 2, out_path, idx_path,
+        threshold=0.99, checkpoint=str(tmp_path / "ei-ck"))
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson",
+                     [{"doc_id": "C", "vec": [1.0, 0.0]}])  # dup of A
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compact_dedup_index(spark, idx_path) > 0
+    assert _os.path.exists(_os.path.join(idx_path, "buckets"))
+    assert _os.path.exists(_os.path.join(idx_path, "vectors"))
+    _write_batch(src, "b3.ndjson",
+                 [{"doc_id": "D", "vec": [0.0, 1.0]},   # dup of B
+                  {"doc_id": "E", "vec": [1.0, 1.0]}])  # new
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    q2 = stream_embedding_dedup_against_index(
+        stream2, "doc_id", "vec", 2, out_path, idx_path,
+        threshold=0.99, checkpoint=str(tmp_path / "ei-ck"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    ids = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert ids == {"A", "B", "E"}
+
+
 def test_unigram_compaction_replay_watermark(spark, tmp_path):
     """The ADVICE scenario: a micro-batch commits its partials to
     model_path but the stream dies before the checkpoint commit.
