@@ -376,3 +376,101 @@ def test_zorder_layout_widens_cache_reuse(spark, tmp_path):
     # above both cuts varies run to run — the sharp claim is
     # some-reuse-vs-none, and typical runs give len(z)/3 or more
     assert stable_keys(z) >= 1, (stable_keys(z), len(z))
+
+
+# --------------------------------------------------------------------
+# Hypothesis generalization of the crafted cases above: random
+# filter/group specs x random block boundaries x random overlap of
+# cached/uncached blocks (reference query_cache_test.go:8-264, the
+# key-generation consistency suite).
+# --------------------------------------------------------------------
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# each block: (t_start, nrows, t_null_every) — t ranges overlap
+# across blocks by construction; t_null_every > 0 plants NULLs in
+# the filter column, which must veto zone-map filter dropping
+_blocks_st = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 60),
+              st.sampled_from([0, 0, 0, 7])),
+    min_size=2, max_size=4)
+
+_filters_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("int"), st.sampled_from(["ge", "le", "gt", "lt"]),
+                  st.just("t"), st.integers(-5, 120)),
+        st.tuples(st.just("str"), st.sampled_from(["eq", "neq"]),
+                  st.just("g"), st.sampled_from(["0", "1", "2"]))),
+    max_size=3)
+
+
+def _mk_blocks(spark, root, shapes):
+    paths = []
+    for i, (t0, n, null_every) in enumerate(shapes):
+        t = F.col("id") * 2 + t0
+        if null_every:
+            t = F.when(F.col("id") % null_every != 0, t)
+        df = spark.range(n).select(
+            t.alias("t"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 0.5 + i).alias("v"))
+        p = os.path.join(root, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        paths.append(p)
+    return paths
+
+
+@given(shapes=_blocks_st, filters=_filters_st,
+       pre_filters=_filters_st, bucket=st.sampled_from([None, 8]),
+       min_rows=st.sampled_from([1, 30]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_cache_fuzz_warm_equals_cold(spark, tmp_path_factory, shapes,
+                                     filters, pre_filters, bucket,
+                                     min_rows):
+    """For random specs/blocks: (1) a no-cache run, a cold caching
+    run, and a warm run agree bit-exactly; (2) pre-seeding the cache
+    with a DIFFERENT spec (random hit/miss overlap via shared
+    dropped-filter keys) never changes the answer; (3) every filter
+    dropped from a block's key is provably trivial ON THE DATA —
+    passes every row, zero nulls in its column."""
+    root = str(tmp_path_factory.mktemp("qcfuzz") / uuid.uuid4().hex[:8])
+    os.makedirs(root)
+    paths = _mk_blocks(spark, root, shapes)
+    files = [b for p in paths for b in QC._list_blocks(p)]
+    kw = dict(time_col="t", bucket_s=bucket) if bucket else {}
+    spec = CacheSpec(group_cols=("g",), num_cols=("v",),
+                     filters=tuple(filters), **kw)
+    croot = os.path.join(root, "cache")
+
+    def snap(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+    # (1) pure-compute reference: nothing reaches caching threshold
+    direct = snap(QC.run(spark, paths, spec, croot + "-none",
+                         cache_min_rows=10**9))
+    # (2) pre-seed with a different spec, then cold + warm
+    pre = CacheSpec(group_cols=("g",), num_cols=("v",),
+                    filters=tuple(pre_filters), **kw)
+    QC.run(spark, paths, pre, croot, cache_min_rows=min_rows)
+    cold = snap(QC.run(spark, paths, spec, croot,
+                       cache_min_rows=min_rows))
+    warm = snap(QC.run(spark, paths, spec, croot,
+                       cache_min_rows=min_rows))
+    assert direct == cold == warm
+    # (3) dropped-from-key filters are zone-map-trivial on the data
+    for b in files:
+        _n, stats = QC._footer_stats(b)
+        dropped = [f for f in spec.filters if QC._trivial(f, stats)]
+        if not dropped:
+            continue
+        raw = spark.read.parquet(b)
+        for f in dropped:
+            pred = QC._compile([f])
+            assert raw.where(~pred).count() == 0, (b, f)
+            assert raw.where(F.col(f[2]).isNull()).count() == 0, (b, f)
