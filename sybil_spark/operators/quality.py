@@ -93,8 +93,17 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                      / F.col("n_tokens")).alias("mean_logprob")))
 
 
+#: auto persist_tf threshold (optimizer sizeInBytes of the input):
+#: the measured crossover sits between 1x and 10x sf0.1 replicas
+#: (SCALE_REHEARSAL_r06_100x.json — rescan 1.81 s vs persist 2.31 s
+#: at 1x, 4.91 vs 4.11 at 10x, 9.82 vs 7.20 at 100x), i.e. around
+#: ~1 MiB of compressed text estimate on this layout
+TFIDF_PERSIST_BYTES = 1 << 20
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
-                    k: int = 5) -> DataFrame:
+                    k: int = 5,
+                    persist_tf: bool | None = None) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf — the
     cheap, model-free document profiler (domain tagging, corpus
     exploration, clustering features).
@@ -113,14 +122,31 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     truncates each partition to k rows BEFORE the window shuffle. N
     is one count job (a driver scalar, bounded). Catalyst expands the
     tf subtree twice (once per aggregation) rather than reusing it —
-    deliberate: materializing the corpus-sized (doc, token) frame to
-    save the second scan costs more than the scan at every tested
-    scale; persist `tf` yourself if your storage is slower than your
-    shuffle."""
+    whether that beats MEMORY_AND_DISK-persisting the collapsed
+    (doc, token, tf) frame is SIZE-DEPENDENT, so the default
+    (persist_tf=None) decides from the optimizer's input size
+    estimate (a plan-stats read, no job): rescan below
+    TFIDF_PERSIST_BYTES, persist above. Measured at 1x/10x/100x
+    sf0.1 replicas (~27M tokens at 100x,
+    SCALE_REHEARSAL_r06_100x.json): rescan wins 1x (1.81 vs 2.31 s),
+    persist wins 10x (4.11 vs 4.91 s) and 100x (7.20 vs 9.82 s;
+    growth 3.12x vs the rescan 5.43x that was r5's steepest curve).
+    Pass True/False to pin a path; with persist the caller owns the
+    unpersist (spark.catalog.clearCache() after the action)."""
+    if persist_tf is None:
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+        except Exception:
+            est = TFIDF_PERSIST_BYTES + 1   # unknown: assume big
+        persist_tf = est > TFIDF_PERSIST_BYTES
     n_docs = df.count()
     toks = df.select(F.col(id_col).alias("__id"),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
     tf = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        from pyspark import StorageLevel
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     from pyspark.sql import Window
     # quantize tf·idf to decimal(38,6) BEFORE ranking: raw doubles

@@ -47,11 +47,22 @@ def print_table(df: DataFrame, group_cols: list[str] | None = None,
         print("(no results)")
         return
     cols = list(rows[0].keys())
+    # tabwriter.AlignRight parity (reference printer.go:70-71,
+    # 153-185): numeric columns right-align, text left-aligns
+    numeric = {c: all(isinstance(r[c], (int, float))
+                      and not isinstance(r[c], bool)
+                      for r in rows if r[c] is not None)
+               for c in cols}
     widths = {c: min(max_width, max(len(str(c)),
                                     *(len(str(r[c])) for r in rows)))
               for c in cols}
-    line = "  ".join(str(c).ljust(widths[c])[:widths[c]] for c in cols)
+
+    def cell(v, c):
+        s = str(v)[:widths[c]]
+        return s.rjust(widths[c]) if numeric[c] else s.ljust(widths[c])
+
+    line = "  ".join(cell(c, c) for c in cols)
     print(line)
     print("-" * len(line))
     for r in rows:
-        print("  ".join(str(r[c]).ljust(widths[c])[:widths[c]] for c in cols))
+        print("  ".join(cell(r[c], c) for c in cols))

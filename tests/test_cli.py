@@ -360,3 +360,24 @@ def test_cli_aggregate_stitches_shards(capsys, spark, tmp_path):
         assert got[h]["avg_ping"] == statistics.mean(mine)
         assert got[h]["min_ping"] == min(mine)
         assert got[h]["max_ping"] == max(mine)
+
+
+def test_print_table_alignment(capsys, spark):
+    """Aligned-table stdout (reference tabwriter.AlignRight,
+    printer.go:70-71): numeric columns right-align under their
+    header, strings left-align, group-key NULL renders ''."""
+    from sybil_spark.query import printer
+    df = spark.createDataFrame(
+        [("alpha", 7, 1.5), (None, 12345, 0.25)],
+        "g string, count long, avg double")
+    printer.print_table(df, ["g"])
+    out = capsys.readouterr().out.splitlines()
+    header, sep, r1, r2 = out[:4]
+    assert header.split() == ["g", "count", "avg"]
+    assert set(sep) == {"-"}
+    # numeric right-alignment: the widest count (12345) defines the
+    # column; 7 sits at its right edge, aligned with the 5 of 12345
+    assert r1.index("7") == r2.index("12345") + 4
+    # string left-alignment; the all-null group row gets the
+    # grand-total label (printer.go:172-185)
+    assert r1.startswith("alpha") and r2.startswith("TOTAL")

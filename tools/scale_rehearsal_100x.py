@@ -115,6 +115,32 @@ def main() -> None:
     mh["growth_100x"] = round(mh["t_100x_s"] / mh["t_1x_s"], 2)
     out["pipelines"]["minhash_lsh"] = mh
 
+    # --- tfidf_terms 1x/10x/100x: rescan vs persisted tf -----------
+    # the steepest 10x curve of r5 (4.74x) — measure BOTH sides of
+    # the materialize-vs-rescan decision (quality.tfidf_top_terms
+    # docstring) at 100x so the default is justified by data
+    from sybil_spark.operators import quality
+
+    def run_tfidf(df, persist):
+        t0 = time.time()
+        quality.tfidf_top_terms(df, "doc_id", "text", k=5,
+                                persist_tf=persist).count()
+        el = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        return el
+
+    frames = {n: _replicate_docs(spark, F, n) for n in (1, 10, 100)}
+    run_tfidf(frames[1], False)   # warm
+    tq = {}
+    for persist, name in ((False, "rescan"), (True, "persist")):
+        for n in (1, 10, 100):
+            tq[f"t_{name}_{n}x_s"] = run_tfidf(frames[n], persist)
+        tq[f"growth_{name}_100x"] = round(
+            tq[f"t_{name}_100x_s"] / tq[f"t_{name}_1x_s"], 2)
+    for f in frames.values():
+        f.unpersist()
+    out["pipelines"]["tfidf_terms"] = tq
+
     # --- TPC-H q1/q3 1x / 10x (Catalyst path) ----------------------
     _replicate_tpch(spark, F, corpus, 1, "tpch1x")
     _replicate_tpch(spark, F, corpus, 10, "tpch10x")
