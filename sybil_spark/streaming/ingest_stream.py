@@ -113,13 +113,23 @@ class StreamDedupIndex:
     key_cols on the exact leg — raises instead of silently matching
     nothing and re-emitting every historical duplicate.
 
-    Layout contract shared by every leg: appends are row-distinct
-    within a batch but may duplicate ACROSS batches/replays (the
-    at-least-once edge); readers that require set semantics
-    .distinct() at use; `compact_dedup_index` folds the appended
-    files back to distinct rows in place (staged swap under the
-    index's path lock — the same compaction story as the unigram
-    model and the rollup store)."""
+    Layout contract shared by every leg — EXACTLY-ONCE under replay:
+    each micro-batch writes its rows (index contributions AND the
+    leg's out_path survivors) into its own `batch-<id>/` sub-
+    directory with overwrite, so a crash-replayed batch REPLACES its
+    own output instead of appending a duplicate; index reads EXCLUDE
+    the current batch's subdir, so a replay whose first attempt
+    already committed index rows recomputes against exactly the
+    history its first attempt saw (never its own contribution —
+    which would mark every row stale and wipe the output).
+    Bootstrap helpers write loose files at the dataset root; readers
+    take the union (recursive listing). `compact_dedup_index` folds
+    committed batch subdirs + loose files into one distinct fold
+    under the index path lock, recording the highest folded batch id
+    in a `_fold_watermark.json` sidecar; a replayed batch at or
+    below the watermark SKIPS (its rows are already in the fold and
+    its out subdir was committed before the fold could see it) —
+    the same protocol as the unigram model's compaction."""
 
     def __init__(self, path: str, kind: str, params: dict,
                  subdirs: list[str] | None = None):
@@ -142,12 +152,22 @@ class StreamDedupIndex:
         import os
         return os.path.join(self.path, sub) if sub else self.path
 
-    def read(self, spark: SparkSession,
-             sub: str | None = None) -> DataFrame | None:
-        return _read_index(spark, self.data_path(sub))
+    def read(self, spark: SparkSession, sub: str | None = None,
+             exclude_batch: int | None = None) -> DataFrame | None:
+        """Union of every committed dataset piece (loose files, fold
+        dirs, batch subdirs), minus `exclude_batch`'s own subdir."""
+        paths = _dataset_pieces(self.data_path(sub), exclude_batch)
+        if not paths:
+            return None
+        return _read_pieces(spark, paths)
 
-    def append(self, df: DataFrame, sub: str | None = None) -> None:
-        df.write.mode("append").parquet(self.data_path(sub))
+    def append_batch(self, df: DataFrame, batch_id: int,
+                     sub: str | None = None) -> None:
+        """Idempotent per-batch commit: overwrite this batch's own
+        subdir (replay replaces, never duplicates)."""
+        import os
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.data_path(sub), f"batch-{batch_id}"))
 
     def overwrite(self, df: DataFrame, sub: str | None = None) -> None:
         df.write.mode("overwrite").parquet(self.data_path(sub))
@@ -155,22 +175,97 @@ class StreamDedupIndex:
     def commit_meta(self) -> None:
         _write_index_meta(self.path, self.meta)
 
+    def fold_watermark(self) -> int:
+        return _read_fold_watermark(self.path)
+
     def lock(self, **kw):
         from sybil_spark.sources.locks import path_lock
         return path_lock(self.path, **kw)
 
 
+def _batch_subdir_id(name: str) -> int | None:
+    if name.startswith("batch-"):
+        try:
+            return int(name[len("batch-"):])
+        except ValueError:
+            return None
+    return None
+
+
+def _dataset_pieces(root: str, exclude_batch: int | None = None,
+                    max_batch: int | None = None) -> list[str]:
+    """Readable pieces of one dataset dir: loose parquet files,
+    fold-* dirs, and batch-<id> subdirs (optionally excluding one
+    batch id / capping at max_batch)."""
+    import os
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if name.startswith(("_", ".")):
+            continue
+        if os.path.isfile(p):
+            if name.endswith(".parquet"):
+                out.append(p)
+            continue
+        bid = _batch_subdir_id(name)
+        if bid is not None:
+            if exclude_batch is not None and bid == exclude_batch:
+                continue
+            if max_batch is not None and bid > max_batch:
+                continue
+            out.append(p)
+        elif name.startswith("fold-"):
+            out.append(p)
+    return out
+
+
+def _read_pieces(spark: SparkSession, paths: list[str]) -> DataFrame:
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths))
+
+
+def _write_out_batch(df: DataFrame, out_path: str,
+                     batch_id: int) -> None:
+    """The legs' exactly-once survivor commit: overwrite this
+    batch's own `batch-<id>` dir under out_path (replay replaces the
+    identical recomputation, never appends a duplicate delivery)."""
+    import os
+    df.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch-{batch_id}"))
+
+
+def read_stream_output(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read a streaming dedup leg's out_path (per-batch `batch-<id>`
+    commit dirs — the exactly-once layout). Plain
+    spark.read.parquet(out_path) sees no root-level files; use this
+    (or recursiveFileLookup) instead."""
+    return _read_pieces(spark, [out_path])
+
+
 def compact_dedup_index(spark: SparkSession, index_path: str) -> int:
-    """Fold a streaming dedup index's appended per-batch files back
-    to one distinct dataset per sub-dataset (staged swap, sidecar
-    preserved) — run periodically when file-listing cost grows; safe
-    while the stream is live (shares the index path lock with every
-    leg's write_batch). Returns rows after compaction."""
+    """Fold a streaming dedup index's committed batch subdirs and
+    loose/bootstrap files into one distinct `fold-*` dataset per
+    sub-dataset — run periodically when file-listing cost grows;
+    safe while the stream is live (shares the index path lock with
+    every leg's write_batch). Returns rows after compaction.
+
+    Only batches committed in EVERY sub-dataset fold (fold cap =
+    min over datasets of the max present batch id): a crash between
+    an embedding leg's vectors and buckets writes must not fold a
+    half-committed batch — the replay rewrites it instead. Crash
+    ordering inside compaction: fold dirs are written first, the
+    watermark second, removals of the folded sources last — a crash
+    at any point leaves only benign duplicates (readers here have
+    set semantics) that the next compaction clears, never a replay
+    that can see its own contribution."""
     import json
     import os
+    import shutil
+    import uuid
 
     from sybil_spark.sources.locks import path_lock
-    from sybil_spark.sources.rollup import _staged_swap
 
     meta_p = _meta_file(index_path)
     if not os.path.exists(meta_p):
@@ -182,22 +277,52 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> int:
     subs = meta.get("subdirs") or [None]
     total = 0
     with path_lock(index_path):
-        for sub in subs:
-            dp = os.path.join(index_path, sub) if sub else index_path
-            folded = spark.read.parquet(dp).distinct() \
-                .localCheckpoint(eager=True)   # snapshot before swap
-
-            def write(tmp: str, _f=folded, _sub=sub) -> None:
-                _f.coalesce(max(1, _f.rdd.getNumPartitions() // 8)) \
-                  .write.mode("overwrite").parquet(tmp)
-                if _sub is None:
-                    # root swap must carry the sidecar with it
-                    with open(os.path.join(tmp, "_index_meta.json"),
-                              "w") as mf:
-                        json.dump(meta, mf)
-
-            _staged_swap(dp, write)
-            total += spark.read.parquet(dp).count()
+        roots = [os.path.join(index_path, s) if s else index_path
+                 for s in subs]
+        # fold cap: only batch ids committed in EVERY dataset
+        maxes = []
+        for r in roots:
+            ids = [b for b in (_batch_subdir_id(n)
+                               for n in (os.listdir(r)
+                                         if os.path.isdir(r) else []))
+                   if b is not None]
+            maxes.append(max(ids) if ids else None)
+        real = [m for m in maxes if m is not None]
+        # fold batches only when every dataset has committed them;
+        # otherwise (a crash split a batch across datasets) leave
+        # ALL batch dirs for replay and fold just the loose pieces
+        cap = min(real) if (real and len(real) == len(roots)) else -1
+        prev_wm = _read_fold_watermark(index_path)
+        # 1) write the fold dirs
+        staged = []   # (root, folded_sources, fold_dir)
+        for r in roots:
+            pieces = _dataset_pieces(r, max_batch=cap)
+            if len(pieces) <= 1:
+                total += (_read_pieces(spark, pieces).count()
+                          if pieces else 0)
+                continue
+            folded = _read_pieces(spark, pieces).distinct() \
+                .localCheckpoint(eager=True)
+            fold_dir = os.path.join(r, f"fold-{uuid.uuid4().hex[:8]}")
+            folded.coalesce(
+                max(1, folded.rdd.getNumPartitions() // 8)) \
+                .write.mode("overwrite").parquet(fold_dir)
+            staged.append((r, pieces, fold_dir))
+            total += folded.count()
+        # 2) advance the watermark (replays of folded ids now skip)
+        new_wm = max(prev_wm, cap)
+        with open(_fold_watermark_path(index_path), "w") as f:
+            json.dump({"max_folded_batch_id": new_wm}, f)
+        # 3) remove the folded sources
+        for _r, pieces, _fd in staged:
+            for p in pieces:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
     return total
 
 
@@ -392,12 +517,16 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
     watermark window; here the 'state' is the 8-bytes-per-key parquet
     index — unbounded history at ~1 GB per 130M distinct keys, the
     right trade for training-corpus dedup where duplicates arrive
-    years apart. At-least-once on crash-replayed batches (appends are
-    not transactional across the two dirs). The index carries the
-    shared StreamDedupIndex sidecar — a stream opened with different
-    key_cols than the index was built with raises instead of
-    silently hashing different columns and re-admitting every
-    historical duplicate."""
+    years apart. EXACTLY-ONCE under replay via the StreamDedupIndex
+    batch-commit layout: the batch's survivors and index rows land
+    in their own batch-<id> dirs (overwrite — replay replaces), the
+    index read excludes the batch's own dir (a replay whose first
+    attempt committed index rows recomputes against the history its
+    first attempt saw), and batches at/below the compaction fold
+    watermark skip. Read out_path with `read_stream_output`. The
+    sidecar makes a stream opened with different key_cols than the
+    index was built with raise instead of silently hashing
+    different columns and re-admitting every historical duplicate."""
     from sybil_spark.operators.dedup import (exact_keep_first, filter_seen,
                                              hash_index)
 
@@ -409,14 +538,17 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
             return
         spark = batch_df.sparkSession
         with sdi.lock(timeout_s=300.0):
-            sdi.check()
+            sdi.check()   # always first: a parameter mismatch must
+            # raise even for a batch the fold watermark would skip
+            if batch_id <= sdi.fold_watermark():
+                return   # committed AND folded before an unclean stop
             fresh = exact_keep_first(batch_df, key_cols, id_col)
-            idx = sdi.read(spark)
+            idx = sdi.read(spark, exclude_batch=batch_id)
             if idx is not None:
                 fresh = filter_seen(fresh, key_cols, idx)
             fresh = fresh.localCheckpoint()  # both writes: one snapshot
-            fresh.write.mode("append").parquet(out_path)
-            sdi.append(hash_index(fresh, key_cols))
+            _write_out_batch(fresh, out_path, batch_id)
+            sdi.append_batch(hash_index(fresh, key_cols), batch_id)
             sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
@@ -480,14 +612,14 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
     per band = fewer false drops). Exact-Jaccard verification needs
     the matched docs' TEXT, which the index deliberately does not
     carry; run the batch jaccard_pairs over `out_path` for an audit
-    pass. Rows with NULL text produce no bands and PASS THROUGH
-    (they duplicate nothing) — dedup must never lose records. The
-    index carries a `_index_meta.json` sidecar (hash parameters);
-    a stream started with different parameters than the index was
-    built with raises instead of silently matching nothing.
-    At-least-once on crash-replayed batches (appends are not
-    transactional across the two dirs), like
-    stream_dedup_against_index."""
+    pass (read it with `read_stream_output`). Rows with NULL text
+    produce no bands and PASS THROUGH (they duplicate nothing) —
+    dedup must never lose records. The index carries a
+    `_index_meta.json` sidecar (hash parameters); a stream started
+    with different parameters than the index was built with raises
+    instead of silently matching nothing. EXACTLY-ONCE under replay
+    via the StreamDedupIndex batch-commit layout (own-batch
+    exclusion + fold watermark), like stream_dedup_against_index."""
     from sybil_spark.operators.dedup import minhash_bands
 
     sdi = StreamDedupIndex(index_path, "minhash_bands",
@@ -499,7 +631,10 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
             return
         spark = batch_df.sparkSession
         with sdi.lock(timeout_s=300.0):
-            sdi.check()
+            sdi.check()   # always first: a parameter mismatch must
+            # raise even for a batch the fold watermark would skip
+            if batch_id <= sdi.fold_watermark():
+                return   # committed AND folded before an unclean stop
             docs = batch_df.localCheckpoint()  # one snapshot, all uses
             bnd = minhash_bands(docs, id_col, text_col, num_hashes,
                                 bands, shingle_n).localCheckpoint()
@@ -517,7 +652,7 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
             # footer, transient FS error) must raise — swallowing it
             # would skip history filtering and leak near-dups
             # silently.
-            idx = sdi.read(spark)
+            idx = sdi.read(spark, exclude_batch=batch_id)
             if idx is not None:
                 hit = (keep_bnd.join(idx, ["band", "band_hash"],
                                      "left_semi")
@@ -532,8 +667,8 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
             survivors = docs.join(
                 dropped.withColumnRenamed("id", id_col), id_col,
                 "left_anti")
-            survivors.write.mode("append").parquet(out_path)
-            sdi.append(keep_bnd)
+            _write_out_batch(survivors, out_path, batch_id)
+            sdi.append_batch(keep_bnd, batch_id)
             sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
@@ -577,7 +712,10 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
     through (their fold cosines are NULL, never >= threshold). The
     index carries a `_index_meta.json` sidecar (dim/planes/tables);
     parameter mismatches raise instead of silently matching nothing.
-    At-least-once on crash-replayed batches, like its siblings."""
+    EXACTLY-ONCE under replay via the StreamDedupIndex batch-commit
+    layout, like its siblings (compaction only folds batches
+    committed in BOTH sub-datasets — see compact_dedup_index); read
+    out_path with `read_stream_output`."""
     from sybil_spark.functions.vectors import cosine
     from sybil_spark.operators.dedup import embedding_buckets
 
@@ -591,7 +729,10 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
             return
         spark = batch_df.sparkSession
         with sdi.lock(timeout_s=300.0):
-            sdi.check()
+            sdi.check()   # always first: a parameter mismatch must
+            # raise even for a batch the fold watermark would skip
+            if batch_id <= sdi.fold_watermark():
+                return   # committed AND folded before an unclean stop
             docs = batch_df.localCheckpoint()
             bkt = embedding_buckets(docs, id_col, vec_col, dim,
                                     num_planes, tables).localCheckpoint()
@@ -616,8 +757,9 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
             keep_bkt = bkt.join(losers, "id", "left_anti")
             # 3. against the persisted index (bucket join, vector
             # verify)
-            idx_b = sdi.read(spark, "buckets")
-            idx_v = sdi.read(spark, "vectors") \
+            idx_b = sdi.read(spark, "buckets", exclude_batch=batch_id)
+            idx_v = sdi.read(spark, "vectors",
+                             exclude_batch=batch_id) \
                 if idx_b is not None else None
             if idx_b is not None and idx_v is not None:
                 hits = (keep_bkt.join(
@@ -644,9 +786,9 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
             survivors = docs.join(
                 dropped.withColumnRenamed("id", id_col), id_col,
                 "left_anti")
-            survivors.write.mode("append").parquet(out_path)
-            sdi.append(keep, "vectors")
-            sdi.append(keep_bkt, "buckets")
+            _write_out_batch(survivors, out_path, batch_id)
+            sdi.append_batch(keep, batch_id, "vectors")
+            sdi.append_batch(keep_bkt, batch_id, "buckets")
             sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)
@@ -701,10 +843,12 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
     within-batch pass shares the batch operator's hash+re-check
     protocol, span_first_flags, so only the index compare carries
     the caveat — the state-size trade that makes the index 8
-    bytes/span). At-least-once on crash-replayed batches (the two
-    appends are not transactional), like its siblings; replayed
-    spans are already in the index, so replays re-emit docs with
-    smaller n_kept rather than duplicating spans."""
+    bytes/span). EXACTLY-ONCE under replay via the StreamDedupIndex
+    batch-commit layout (own-batch exclusion + fold watermark), like
+    its siblings — a replay recomputes against exactly the history
+    its first attempt saw, so n_kept/dedup_text come out identical
+    instead of the old smaller-n_kept re-emission; read out_path
+    with `read_stream_output`."""
     from sybil_spark.operators.dedup import doc_spans, span_first_flags
 
     sdi = StreamDedupIndex(index_path, "span_hashes",
@@ -715,7 +859,10 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
             return
         spark = batch_df.sparkSession
         with sdi.lock(timeout_s=300.0):
-            sdi.check()
+            sdi.check()   # always first: a parameter mismatch must
+            # raise even for a batch the fold watermark would skip
+            if batch_id <= sdi.fold_watermark():
+                return   # committed AND folded before an unclean stop
             docs = batch_df.localCheckpoint()
             base = doc_spans(docs, id_col, text_col, span_words)
             # within-batch first occurrence: the batch operator's
@@ -725,7 +872,7 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
             sp = (base.withColumn("__h", F.xxhash64("span"))
                       .join(flags, [id_col, "pos"])
                       .withColumnRenamed("__kept", "__new"))
-            idx = sdi.read(spark)
+            idx = sdi.read(spark, exclude_batch=batch_id)
             if idx is not None:
                 # a span stays kept only if it is new within the
                 # batch AND absent from the index — mark via a left
@@ -741,9 +888,10 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
             from sybil_spark.operators.dedup import span_reassembly_aggs
             kept = F.col("__new")
             stats = sp.groupBy(id_col).agg(*span_reassembly_aggs(kept))
-            docs.join(stats, id_col, "left") \
-                .write.mode("append").parquet(out_path)
-            sdi.append(sp.where(kept).select("__h").distinct())
+            _write_out_batch(docs.join(stats, id_col, "left"),
+                             out_path, batch_id)
+            sdi.append_batch(sp.where(kept).select("__h").distinct(),
+                             batch_id)
             sdi.commit_meta()
 
     return (df.writeStream.foreachBatch(write_batch)

@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 
 from sybil_spark.sources import compact
-from sybil_spark.streaming.ingest_stream import stream_ingest, stream_rollup
+from sybil_spark.streaming.ingest_stream import (
+    read_stream_output as RSO, stream_ingest, stream_rollup)
 from sybil_spark.table import Table
 
 SCHEMA = StructType([
@@ -253,7 +254,7 @@ def test_stream_dedup_against_index(spark, tmp_path):
     finally:
         q.stop()
     rows = {r["host"]: r["ping"]
-            for r in spark.read.parquet(out_path).collect()}
+            for r in RSO(spark, out_path).collect()}
     assert rows == {"a": 1, "b": 5}
 
 
@@ -306,10 +307,10 @@ def test_stream_near_dedup_against_index(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    kept = {r["doc_id"] for r in RSO(spark, out_path).collect()}
     assert kept == {"A", "D", "N"}
     # the index grew by exactly the banded survivors' bands
-    idx = spark.read.parquet(idx_path)
+    idx = RSO(spark, idx_path)
     assert {r["id"] for r in idx.select("id").distinct().collect()} \
         == {"H", "A", "D"}
     # a stream with mismatched hash parameters fails fast instead of
@@ -359,10 +360,10 @@ def test_stream_embedding_dedup_against_index(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    kept = {r["vid"] for r in spark.read.parquet(out_path).collect()}
+    kept = {r["vid"] for r in RSO(spark, out_path).collect()}
     assert kept == {"A", "C", "E"}
     idx_ids = {r["id"] for r in
-               spark.read.parquet(idx_path + "/vectors").collect()}
+               RSO(spark, idx_path + "/vectors").collect()}
     assert idx_ids == {"A", "C", "E"}
 
 
@@ -431,7 +432,7 @@ def test_stream_span_dedup_against_index(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    out = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    out = {r["doc_id"]: r for r in RSO(spark, out_path).collect()}
     assert out["A"]["dedup_text"] == "a b c d e f"
     assert out["B"]["dedup_text"] == "x y z" and out["B"]["n_kept"] == 1
     assert out["C"]["dedup_text"] == "q r s"
@@ -439,7 +440,7 @@ def test_stream_span_dedup_against_index(spark, tmp_path):
     assert out["N"]["n_spans"] is None           # passed through
     # index holds exactly the distinct kept-span hashes: 4 spans
     # ("a b c", "d e f", "x y z", "q r s")
-    assert spark.read.parquet(idx_path).distinct().count() == 4
+    assert RSO(spark, idx_path).distinct().count() == 4
     # parameter mismatch vs the persisted index fails fast
     _write_batch(src, "b3.ndjson", [{"doc_id": "Z", "text": "a b"}])
     q2 = stream_span_dedup_against_index(
@@ -535,10 +536,14 @@ def test_stream_dedup_index_descriptor(spark, tmp_path):
     meta = json.load(open(os.path.join(idx_path, "_index_meta.json")))
     assert meta == {"kind": "exact_keys", "params": {"key_cols": ["host"]},
                     "subdirs": []}
-    # fold the two per-batch appends; answer unchanged
-    n_files = len(glob.glob(idx_path + "/*.parquet"))
+    # two per-batch commit dirs exist; folding replaces them with
+    # one fold dir, records the watermark, keeps the sidecar
+    assert len(glob.glob(idx_path + "/batch-*")) == 2
     assert compact_dedup_index(spark, idx_path) == 2
-    assert len(glob.glob(idx_path + "/*.parquet")) <= n_files
+    assert glob.glob(idx_path + "/batch-*") == []
+    assert len(glob.glob(idx_path + "/fold-*")) == 1
+    wm = json.load(open(os.path.join(idx_path, "_fold_watermark.json")))
+    assert wm["max_folded_batch_id"] == 1
     assert json.load(open(os.path.join(idx_path,
                                        "_index_meta.json"))) == meta
     # the stream keeps deduping against the folded index
@@ -553,7 +558,7 @@ def test_stream_dedup_index_descriptor(spark, tmp_path):
     finally:
         q2.stop()
     rows = {r["host"]: r["ping"]
-            for r in spark.read.parquet(out_path).collect()}
+            for r in RSO(spark, out_path).collect()}
     assert rows == {"a": 1, "b": 2, "c": 3}
     # different key_cols vs the sidecar fails fast
     q3 = stream_dedup_against_index(stream2, ["host", "ping"], "time",
@@ -565,6 +570,48 @@ def test_stream_dedup_index_descriptor(spark, tmp_path):
             q3.awaitTermination(5)
     finally:
         q3.stop()
+
+
+def test_stream_dedup_exactly_once_replay(spark, tmp_path):
+    """The exactly-once contract: re-delivering every batch (a fresh
+    checkpoint over the same source, same batch ids) leaves out_path
+    and the index IDENTICAL — per-batch overwrite replaces, own-batch
+    exclusion makes the replay compute against the same history its
+    first attempt saw, nothing duplicates. Under the old append
+    layout this doubled the index rows and the replayed batches'
+    survivors."""
+    from sybil_spark.streaming.ingest_stream import (
+        stream_dedup_against_index)
+    idx_path = str(tmp_path / "xidx")
+    out_path = str(tmp_path / "xout")
+    src = tmp_path / "xo-in"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson", [{"host": "a", "ping": 1, "time": 1}])
+    time.sleep(0.05)   # distinct mtimes: file order = batch order
+    _write_batch(src, "b2.ndjson", [{"host": "a", "ping": 9, "time": 2},
+                                    {"host": "b", "ping": 2, "time": 3}])
+
+    def run(ck):
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = stream_dedup_against_index(stream, ["host"], "time",
+                                       out_path, idx_path, checkpoint=ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "xck-1"))
+    first = sorted((r["host"], r["ping"])
+                   for r in RSO(spark, out_path).collect())
+    n_idx = RSO(spark, idx_path).count()
+    assert first == [("a", 1), ("b", 2)]
+    # full replay: fresh checkpoint, same files, same batch ids
+    run(str(tmp_path / "xck-2"))
+    again = sorted((r["host"], r["ping"])
+                   for r in RSO(spark, out_path).collect())
+    assert again == first                          # no duplicate docs
+    assert RSO(spark, idx_path).count() == n_idx   # no duplicate keys
 
 
 def test_compact_dedup_index_subdirs(spark, tmp_path):
@@ -612,7 +659,7 @@ def test_compact_dedup_index_subdirs(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    ids = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    ids = {r["doc_id"] for r in RSO(spark, out_path).collect()}
     assert ids == {"A", "B", "E"}
 
 
@@ -696,7 +743,7 @@ def test_bootstrap_span_index(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    row = spark.read.parquet(out_path).collect()[0]
+    row = RSO(spark, out_path).collect()[0]
     assert row["dedup_text"] == "q r s" and row["n_kept"] == 1
     # mismatched span_words vs the bootstrapped sidecar fails fast
     q2 = stream_span_dedup_against_index(
