@@ -904,6 +904,56 @@ def q_doc_logprob(spark, sf):
                                    "doc_id", "text")
 
 
+@_q("ppl_buckets", """
+    with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                  from documents),
+    m as (select tok, count(*) as cnt from toks group by 1),
+    tot as (select cast(cast(sum(cnt) as bigint) as double) as d
+           from m),
+    lp as (select t.doc_id,
+                  cast(ln(cast(m.cnt as double) / (select d from tot))
+                       as decimal(38,6)) as v
+           from toks t join m using (tok)),
+    scored as (select doc_id,
+                      cast(cast(sum(v) as varchar) as double) / count(*)
+                        as s
+               from lp group by doc_id),
+    n as (select count(*) as c from scored),
+    r as (select doc_id, s,
+                 row_number() over (order by s desc, doc_id asc) as rn
+          from scored)
+    select doc_id,
+           case when rn <= least((select c from n), greatest(1,
+                     cast(ceiling((select c from n)
+                                  * 0.3333333333333333) as bigint)))
+                then 'head'
+                when rn <= least((select c from n), greatest(1,
+                     cast(ceiling((select c from n)
+                                  * 0.6666666666666666) as bigint)))
+                then 'middle'
+                else 'tail' end as bucket
+    from r""")
+def q_ppl_buckets(spark, sf):
+    """CCNet perplexity bucketing (quality.quantile_buckets): score
+    every document by mean unigram logprob, rank (score desc, id
+    asc), split into head/middle/tail thirds with cut ranks
+    ceil(N * cumfrac) — the oracle's row_number reproduces the
+    two-phase histogram-plus-boundary-window plan exactly because
+    assignment depends only on the (score, id) order. The cumfrac
+    literals are the IEEE doubles of 1/3 and 1/3+1/3, matching the
+    operator's Python accumulation bit-for-bit."""
+    from sybil_spark.operators import quality
+    docs = _t(spark, sf, "documents")
+    # materialize the scorer once: bucketing's planning passes and
+    # the final labeling scan would otherwise each re-run the
+    # explode+join+groupBy scoring pipeline
+    scored = quality.unigram_logprob(docs, "doc_id", "text") \
+        .select("doc_id", F.col("mean_logprob").alias("score")) \
+        .localCheckpoint(eager=True)
+    return quality.quantile_buckets(scored, "doc_id", "score") \
+        .select("doc_id", "bucket")
+
+
 @_q("chunk_docs", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -3497,6 +3547,8 @@ _DRIVER_FIRST = [
     # every declared query has a driver row across the rotation:
     "cube_counts", "lag_delta", "retention",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
+    # brand-new this round — first driver row:
+    "ppl_buckets",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

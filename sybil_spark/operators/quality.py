@@ -369,3 +369,110 @@ def interpolated_logprob(df: DataFrame, id_col: str, text_col: str,
                       .alias("sum_logprob"),
                      (F.col("__s").cast("string").cast("double")
                       / F.col("n_tokens")).alias("mean_logprob")))
+
+
+def quantile_buckets(df: DataFrame, id_col: str, score_col: str,
+                     fractions: tuple = (1 / 3, 1 / 3, 1 / 3),
+                     labels: tuple = ("head", "middle", "tail"),
+                     buckets: int = 1000) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    documents by quality score (DESC — for logprob scores higher is
+    better; ties -> id asc) and split them into labeled quantile
+    buckets ("head"/"middle"/"tail" thirds by default) — the
+    standard corpus stratification for quality-aware mixing and
+    head-only pretraining. Adds a `bucket` string column; NULL/NaN
+    scores are unrankable and always land in the LAST bucket
+    (fractions apply to scored rows only).
+
+    Scale shape — no single-task global sort, same two-phase plan as
+    take_until_budget: scores are range-bucketed (driver sees only
+    `buckets` count rows); every cut rank k_j = ceil(N * cumfrac_j)
+    is located in its histogram bucket; ONLY the boundary buckets
+    (~1/buckets of the data each) run an exact window to extract the
+    cutoff (score, id) pair at the exact rank; every row is then
+    labeled by comparing (score, id) against the collected cutoffs —
+    a pure column expression over one scan. Determinism: depends
+    only on the (score, id) order, so histogram bucket edges never
+    affect the result, and the (score desc, id asc) tie-break makes
+    the assignment reproducible cross-engine (the SQL oracle is a
+    row_number over the same order)."""
+    from pyspark.sql import Window
+
+    if len(fractions) != len(labels) or len(labels) < 2:
+        raise ValueError("need >=2 labels with matching fractions")
+    if any(f <= 0 for f in fractions):
+        raise ValueError("fractions must be positive")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+
+    sc = F.col(score_col).cast("double")
+    norm = F.when(sc.isNull() | F.isnan(sc),
+                  F.lit(None).cast("double")).otherwise(sc)
+    # the planning passes (range agg, histogram, boundary windows)
+    # are separate jobs — materialize ONE narrow (id, score)
+    # projection (~16 B/row) so an expensive upstream (e.g. a
+    # logprob scorer) runs once, and so a nondeterministic input
+    # can't make the histogram disagree with the cutoff extraction
+    # (the take_until_budget determinism caveat, solved here by
+    # construction); the final labeling pass over `df` itself is a
+    # single scan against collected constant cutoffs
+    bdf = df.select(F.col(id_col), norm.alias("__sc")) \
+            .localCheckpoint(eager=True)
+    mm = bdf.agg(F.min("__sc").alias("lo"), F.max("__sc").alias("hi"),
+                 F.count("__sc").alias("n")).collect()[0]
+    lo, hi, n = mm["lo"], mm["hi"], mm["n"]
+    if n == 0:   # nothing rankable
+        return df.withColumn("bucket", F.lit(labels[-1]))
+    width = (float(hi) - float(lo)) / buckets if hi != lo else 1.0
+    # bucket 0 = best scores; equal scores never split buckets
+    b = F.when(F.col("__sc").isNull(), F.lit(buckets)).otherwise(
+        F.least(F.floor((F.lit(float(hi)) - F.col("__sc"))
+                        / F.lit(width)).cast("int"),
+                F.lit(buckets - 1)))
+    bdf = bdf.withColumn("__b", b)
+    per = {r["__b"]: r["c"]
+           for r in bdf.where(F.col("__sc").isNotNull())
+                       .groupBy("__b")
+                       .agg(F.count(F.lit(1)).alias("c")).collect()}
+    # cut ranks (1-based, inclusive): label j covers (k_{j-1}, k_j].
+    # plain ceil over the IEEE product — the formula a SQL oracle
+    # reproduces verbatim (ceiling(n * cumfrac) on the same doubles)
+    import math
+    cum_f, ks = 0.0, []
+    for f in fractions[:-1]:
+        cum_f += f
+        ks.append(min(n, max(1, math.ceil(n * cum_f))))
+    # locate each cut's histogram bucket + its rank offset inside it
+    need: dict[int, list[int]] = {}   # bucket -> local offsets
+    locs = []                         # (bucket, local_offset) per cut
+    for k in ks:
+        cum = 0
+        for i in sorted(per):
+            if cum + per[i] >= k:
+                need.setdefault(i, []).append(k - cum)
+                locs.append((i, k - cum))
+                break
+            cum += per[i]
+    # exact cutoff (score, id) pairs from ONLY the boundary buckets
+    cutoffs: dict[tuple, tuple] = {}
+    for bb, offs in need.items():
+        w = Window.orderBy(F.desc("__sc"), F.asc(id_col))
+        rows = (bdf.where(F.col("__b") == bb)
+                   .select("__sc", id_col)
+                   .withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn").isin(offs)).collect())
+        for r in rows:
+            cutoffs[(bb, r["__rn"])] = (r["__sc"], r[id_col])
+    # label expression: rank <= k  <=>  (s, id) at-or-before cutoff
+    expr = None
+    for j, (bb_off, lab) in enumerate(zip(locs, labels[:-1])):
+        cs, cid = cutoffs[bb_off]
+        le_cut = (F.col("__sc") > F.lit(cs)) | (
+            (F.col("__sc") == F.lit(cs)) & (F.col(id_col) <= F.lit(cid)))
+        expr = F.when(le_cut, F.lit(lab)) if expr is None \
+            else expr.when(le_cut, F.lit(lab))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    # single labeling scan over the ORIGINAL frame (all columns),
+    # comparing against the collected constant cutoffs
+    return (df.withColumn("__sc", norm)
+              .withColumn("bucket", expr).drop("__sc"))

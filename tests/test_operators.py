@@ -1316,3 +1316,62 @@ def test_duplication_weights(spark):
     assert len({out[i]["dup_cluster"] for i in (1, 2, 3)}) == 1
     total = sum(r["weight"] for r in out.values())
     assert total == pytest.approx(2.0)   # one cluster + one singleton
+
+
+def test_quantile_buckets_matches_bruteforce_window(spark):
+    """quantile_buckets' two-phase histogram+boundary plan must equal
+    the brute-force global row_number assignment — including tied
+    scores (id tie-break), NULL and NaN scores (always last bucket,
+    excluded from the cut ranks), and uneven fractions."""
+    import math
+
+    from pyspark.sql import Window
+
+    from sybil_spark.operators import quality
+    rows = ([(i, float(i % 7)) for i in range(50)]        # dense ties
+            + [(100, None), (101, float("nan"))])
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    labels, fractions = ("a", "b", "c", "d"), (0.1, 0.4, 0.2, 0.3)
+    got = {r["doc_id"]: r["bucket"]
+           for r in quality.quantile_buckets(
+               df, "doc_id", "score", fractions, labels,
+               buckets=5).collect()}
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = {r["doc_id"]: r["rn"]
+              for r in df.where("score is not null and not isnan(score)")
+                         .withColumn("rn", F.row_number().over(w))
+                         .collect()}
+    n = len(ranked)
+    cuts, cum = [], 0.0
+    for f in fractions[:-1]:
+        cum += f
+        cuts.append(min(n, max(1, math.ceil(n * cum))))
+    for doc, rn in ranked.items():
+        want = labels[-1]
+        for k, lab in zip(cuts, labels[:-1]):
+            if rn <= k:
+                want = lab
+                break
+        assert got[doc] == want, (doc, rn, got[doc], want)
+    assert got[100] == "d" and got[101] == "d"   # unrankable -> last
+
+
+def test_quantile_buckets_edges(spark):
+    from sybil_spark.operators import quality
+    # all-null scores: every row in the last bucket
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "doc_id long, score double")
+    out = {r["doc_id"]: r["bucket"]
+           for r in quality.quantile_buckets(df, "doc_id",
+                                             "score").collect()}
+    assert out == {1: "tail", 2: "tail"}
+    # single row: head (k1 = max(1, ceil(1/3)) = 1)
+    one = spark.createDataFrame([(1, 5.0)], "doc_id long, score double")
+    assert quality.quantile_buckets(one, "doc_id", "score") \
+        .collect()[0]["bucket"] == "head"
+    # bad fractions raise
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to 1"):
+        quality.quantile_buckets(one, "doc_id", "score",
+                                 fractions=(0.5, 0.1),
+                                 labels=("x", "y"))
