@@ -954,6 +954,57 @@ def q_ppl_buckets(spark, sf):
         .select("doc_id", "bucket")
 
 
+@_q("bm25_search", """
+    with q(q_id, q_text) as (values (1, 'hash join table'),
+                             (2, 'slow scan filter'),
+                             (3, 'vector merge')),
+    qt as (select distinct q_id, unnest(string_split(q_text, ' ')) as tok
+           from q),
+    toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+             from documents),
+    tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+    dl as (select doc_id, count(*) as dl from toks group by 1),
+    dfreq as (select tok, count(*) as df_t from tf group by 1),
+    st as (select cast(count(*) as double) as n,
+                  cast(cast(sum(dl) as bigint) as double)
+                    / cast(count(*) as double) as avgdl
+           from dl),
+    terms as (select qt.q_id, tf.doc_id,
+                     cast(ln(1.0 + ((select n from st) - df_t + 0.5)
+                             / (df_t + 0.5))
+                          * cast(tf as double) * 2.2
+                          / (cast(tf as double)
+                             + 1.2 * (0.25 + 0.75
+                                      * cast(dl as double)
+                                      / (select avgdl from st)))
+                          as decimal(38,6)) as t6
+              from qt join tf using (tok)
+                      join dfreq using (tok)
+                      join dl on tf.doc_id = dl.doc_id),
+    scored as (select q_id, doc_id, sum(t6) as s6
+               from terms group by 1, 2),
+    r as (select q_id, doc_id,
+                 cast(cast(s6 as varchar) as double) as score,
+                 row_number() over (partition by q_id
+                                    order by s6 desc, doc_id asc)
+                   as rank
+          from scored)
+    select q_id, doc_id, score, rank from r where rank <= 5""")
+def q_bm25_search(spark, sf):
+    """Batched BM25 retrieval (quality.bm25_topk): top-5 documents
+    for three fixed query strings under Okapi BM25 (k1=1.2, b=0.75,
+    RSJ idf). The oracle replicates the exact IEEE arithmetic order
+    of the Spark expression (idf * tf * 2.2 / (tf + 1.2*(0.25 +
+    0.75*dl/avgdl))) with per-term decimal(38,6) quantization before
+    the per-(query, doc) sum, so scores and ranks are bit-exact."""
+    from sybil_spark.operators import quality
+    queries = spark.createDataFrame(
+        [(1, "hash join table"), (2, "slow scan filter"),
+         (3, "vector merge")], "q_id long, q_text string")
+    return quality.bm25_topk(_t(spark, sf, "documents"), "doc_id",
+                             "text", queries, k=5)
+
+
 @_q("chunk_docs", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -3547,8 +3598,8 @@ _DRIVER_FIRST = [
     # every declared query has a driver row across the rotation:
     "cube_counts", "lag_delta", "retention",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
-    # brand-new this round — first driver row:
-    "ppl_buckets",
+    # brand-new this round — first driver rows:
+    "ppl_buckets", "bm25_search",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

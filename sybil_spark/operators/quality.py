@@ -476,3 +476,70 @@ def quantile_buckets(df: DataFrame, id_col: str, score_col: str,
     # comparing against the collected constant cutoffs
     return (df.withColumn("__sc", norm)
               .withColumn("bucket", expr).drop("__sc"))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              queries: DataFrame, q_id_col: str = "q_id",
+              q_text_col: str = "q_text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Batched BM25 retrieval: top-k documents per QUERY row under
+    the Okapi BM25 ranking (Robertson-Sparck Jones idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5))) — the standard lexical search
+    for corpus curation: dedup audits ("find docs like this
+    contamination hit"), eval-probe retrieval, boolean-ish corpus
+    exploration, hybrid first-stage ahead of the embedding rankers
+    in operators/similarity.
+
+    Output: (q_id, id_col, score, rank), rank 1..k per query; ties
+    break by doc id ascending. Queries with no token overlap return
+    no rows.
+
+    Exactness: per-(query-token, doc) score terms quantize to
+    decimal(38,6) BEFORE summing (order-independent sums, the
+    unigram_logprob contract), and the rendered score goes through
+    varchar->double, so rank and score are cross-engine exact.
+
+    Scale: ONE corpus tokenization builds (doc, token, tf) and doc
+    lengths; N and avgdl are a 1-row driver aggregate; query tokens
+    (tiny) broadcast-join the tf frame on the token key; the per-
+    query top-k window input is collapsed to (query, doc) rows with
+    WindowGroupLimit truncating partitions to k before the shuffle —
+    the tfidf_top_terms shape with the query join in front."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("__doc"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("__doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("s")).collect()[0]
+    n_docs = stats["n"] or 0
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus (no tokenizable docs)")
+    avgdl = float(stats["s"]) / float(n_docs)
+    qt = (queries.select(F.col(q_id_col).alias("q_id"),
+                         F.explode(tokens(F.col(q_text_col)))
+                          .alias("tok"))
+                 .distinct())   # repeated query terms count once
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)))
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (F.lit(1.0 - b)
+                                + F.lit(b) * F.col("dl").cast("double")
+                                / F.lit(avgdl))
+    term = (idf * tf_d * F.lit(k1 + 1.0) / denom).cast(_DEC)
+    scored = (F.broadcast(qt)
+              .join(tf, "tok")
+              .join(dfreq, "tok")
+              .join(dl, "__doc")
+              .groupBy("q_id", "__doc")
+              .agg(F.sum(term).alias("__s")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("__s"),
+                                           F.asc("__doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_id", F.col("__doc").alias(id_col),
+                          F.col("__s").cast("string").cast("double")
+                           .alias("score"), "rank"))

@@ -1375,3 +1375,42 @@ def test_quantile_buckets_edges(spark):
         quality.quantile_buckets(one, "doc_id", "score",
                                  fractions=(0.5, 0.1),
                                  labels=("x", "y"))
+
+
+def test_bm25_topk_ranking_properties(spark):
+    """BM25 sanity: a doc matching more (and rarer) query terms
+    outranks partial matches; repeated query terms count once; ties
+    break by doc id; zero-overlap queries return nothing."""
+    from sybil_spark.operators import quality
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"),
+         (2, "apple banana banana"),
+         (3, "apple date date date"),
+         (4, "cherry cherry"),
+         (5, "fig fig fig")], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(10, "apple banana cherry cherry"),   # repeated term: one vote
+         (20, "zebra")], "q_id long, q_text string")
+    out = quality.bm25_topk(docs, "doc_id", "text", queries, k=5)
+    rows = {(r["q_id"], r["rank"]): r for r in out.collect()}
+    # doc 1 matches all three query terms -> rank 1
+    assert rows[(10, 1)]["doc_id"] == 1
+    got_docs = {r["doc_id"] for (q, _rk), r in rows.items() if q == 10}
+    assert 5 not in got_docs            # no overlap, never retrieved
+    assert all(q != 20 for (q, _rk) in rows)   # zero-overlap query
+    # scores strictly ordered per rank, ties impossible here
+    s = [rows[(10, i)]["score"] for i in range(1, len(got_docs) + 1)]
+    assert s == sorted(s, reverse=True)
+    # exact tie: two identical docs -> lower id wins
+    twin = spark.createDataFrame(
+        [(7, "kiwi lime"), (8, "kiwi lime"), (9, "mango")],
+        "doc_id long, text string")
+    tq = spark.createDataFrame([(1, "kiwi")], "q_id long, q_text string")
+    t = quality.bm25_topk(twin, "doc_id", "text", tq, k=2).collect()
+    assert [(r["rank"], r["doc_id"]) for r in
+            sorted(t, key=lambda r: r["rank"])] == [(1, 7), (2, 8)]
+    # empty corpus raises rather than returning an empty frame
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty corpus"):
+        quality.bm25_topk(twin.where("doc_id < 0"), "doc_id", "text",
+                          tq, k=2)
