@@ -954,6 +954,36 @@ def q_ppl_buckets(spark, sf):
         .select("doc_id", "bucket")
 
 
+@_q("weighted_sample", """
+    with d as (select doc_id, text,
+                      len(string_split(text, ' ')) as n_tok
+               from documents),
+    p as (select doc_id, n_tok,
+                 least(greatest(cast(n_tok as double) / 80.0, 0.0), 1.0)
+                   as keep_p
+          from d)
+    select doc_id, n_tok
+    from p
+    where cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 4))
+               as bigint)
+          < cast(round(keep_p * 65536.0) as bigint)""")
+def q_weighted_sample(spark, sf):
+    """Deterministic quality-weighted Bernoulli sampling
+    (sampling.weighted_sample): keep probability varies per row
+    (token count / 80, clamped to [0,1] — longer docs likelier to
+    survive), decision = the portable md5-bucket threshold, so the
+    oracle reproduces every keep/drop bit-for-bit."""
+    from sybil_spark.functions.text import token_count
+    from sybil_spark.operators import sampling
+    docs = (_t(spark, sf, "documents")
+            .select("doc_id", "text",
+                    token_count(F.col("text")).alias("n_tok"))
+            .withColumn("keep_p",
+                        F.col("n_tok").cast("double") / F.lit(80.0)))
+    return (sampling.weighted_sample(docs, "doc_id", "keep_p")
+            .select("doc_id", "n_tok"))
+
+
 @_q("bm25_search", """
     with q(q_id, q_text) as (values (1, 'hash join table'),
                              (2, 'slow scan filter'),
@@ -3599,7 +3629,7 @@ _DRIVER_FIRST = [
     "cube_counts", "lag_delta", "retention",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # brand-new this round — first driver rows:
-    "ppl_buckets", "bm25_search",
+    "ppl_buckets", "bm25_search", "weighted_sample",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

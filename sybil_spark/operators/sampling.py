@@ -339,3 +339,22 @@ def sample_per_group(df: DataFrame, group_cols: list[str], n: int,
     w = Window.partitionBy(*group_cols).orderBy(h, F.asc(key_col))
     return (df.withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= n).drop("__rk"))
+
+
+def weighted_sample(df: DataFrame, key_col: str,
+                    p_col: str) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a ROW-VARYING
+    keep probability: keep a row iff its key's md5 bucket falls
+    under `p_col` x 65536 — the quality-weighted downsampling step
+    between scoring and mixing (e.g. keep the CCNet head outright,
+    keep the middle with p=0.5, the tail with p=0.1 — pass a CASE
+    expression or a score-mapped column as `p_col`). Same
+    portable-hash contract as hash_sample/assign_splits: same key +
+    same probability -> same decision, forever, on any engine; pure
+    column math, zero shuffles. NULL probabilities drop the row
+    (explicitly unscored != certainly kept); p is clamped to
+    [0, 1]."""
+    p = F.least(F.greatest(F.col(p_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    thresh = F.round(p * F.lit(65536.0)).cast("long")
+    return df.where(_bucket(F.col(key_col)) < thresh)

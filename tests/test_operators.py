@@ -1414,3 +1414,28 @@ def test_bm25_topk_ranking_properties(spark):
     with _pt.raises(ValueError, match="empty corpus"):
         quality.bm25_topk(twin.where("doc_id < 0"), "doc_id", "text",
                           tq, k=2)
+
+
+def test_weighted_sample_determinism_and_rates(spark):
+    """weighted_sample: p=1 keeps everything, p=0 and NULL keep
+    nothing, out-of-range p clamps, decisions are per-key stable
+    (same sample on re-run / reordered input), and observed rates
+    track the per-row probabilities."""
+    from sybil_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, None, 2.5, -1.0, 0.5][i % 6])
+         for i in range(600)], "k long, p double")
+    out = sampling.weighted_sample(df, "k", "p")
+    rows = {r["k"]: r for r in out.collect()}
+    for k in range(0, 600, 6):
+        assert k in rows                       # p=1 -> always kept
+        assert k + 1 not in rows               # p=0 -> never
+        assert k + 2 not in rows               # NULL -> never
+        assert k + 3 in rows                   # clamp 2.5 -> 1
+        assert k + 4 not in rows               # clamp -1 -> 0
+    half = [k for k in rows if k % 6 == 5]
+    assert 25 <= len(half) <= 75               # ~50 of 100 at p=.5
+    again = {r["k"] for r in
+             sampling.weighted_sample(df.orderBy(F.desc("k")),
+                                      "k", "p").collect()}
+    assert again == set(rows)                  # order-independent
