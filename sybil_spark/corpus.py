@@ -954,6 +954,59 @@ def q_ppl_buckets(spark, sf):
         .select("doc_id", "bucket")
 
 
+@_q("winnow_dup", """
+    with toks as (
+      select doc_id as id, unnest(string_split(text, ' ')) as tok,
+             generate_subscripts(string_split(text, ' '), 1) as pos
+      from documents),
+    th as (
+      select id, pos,
+             cast(('0x' || substr(md5(tok), 1, 15)) as bigint)
+               % 2147483647 as h0
+      from toks),
+    st as (
+      select id, pos, h0,
+             lead(h0, 1) over w as h1, lead(h0, 2) over w as h2,
+             lead(h0, 3) over w as h3, lead(h0, 4) over w as h4
+      from th window w as (partition by id order by pos)),
+    shp as (
+      select id, pos - 1 as pos,
+             ((((h0 * 1000003 + h1) % 2147483647 * 1000003 + h2)
+               % 2147483647 * 1000003 + h3) % 2147483647 * 1000003
+              + h4) % 2147483647 as h
+      from st where h4 is not null),
+    enc as (select id, pos, h,
+                   h * 1048576 + (1048575 - pos) as comb
+            from shp),
+    sel as (select id, pos,
+                   min(comb) over (partition by id order by pos
+                                   rows between current row
+                                   and 7 following) as c,
+                   count(*) over (partition by id) as m
+            from enc),
+    fp as (select distinct id, c // 1048576 as h
+           from sel
+           where pos <= m - 8 or (m < 8 and pos = 0))
+    select a.id as id_a, b.id as id_b,
+           count(*) as n_shared
+    from fp a join fp b on a.h = b.h and a.id < b.id
+    group by 1, 2""")
+def q_winnow_dup(spark, sf):
+    """Winnowing (MOSS) near-dup candidates
+    (dedup.winnow_fingerprints/winnow_pairs, k=5 window=8): pairs
+    sharing a selected fingerprint, with the shared count. The
+    oracle replicates the portable md5-mod 5-gram fold and the
+    min-hash-rightmost-tie window selection via the
+    h*2^20 + (2^20-1-pos) arithmetic encoding (bigint-safe: portable
+    hashes < 2^31), so the selected fingerprint set — and therefore
+    the pair set — is bit-exact."""
+    from sybil_spark.operators import dedup
+    return (dedup.winnow_pairs(_t(spark, sf, "documents"), "doc_id",
+                               "text", k=5, window=8, cap=None,
+                               portable=True)
+            .select("id_a", "id_b", "n_shared"))
+
+
 @_q("weighted_sample", """
     with d as (select doc_id, text,
                       len(string_split(text, ' ')) as n_tok
@@ -3629,7 +3682,7 @@ _DRIVER_FIRST = [
     "cube_counts", "lag_delta", "retention",
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # brand-new this round — first driver rows:
-    "ppl_buckets", "bm25_search", "weighted_sample",
+    "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

@@ -291,7 +291,8 @@ def _mix64(*parts: int) -> int:
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
                    shingle_n: int = 3, distinct: bool = True,
                    full_only: bool = False,
-                   portable: bool = False) -> DataFrame:
+                   portable: bool = False,
+                   keep_pos: bool = False) -> DataFrame:
     """(id, h): one row per DISTINCT word-shingle per document, with
     the shingle as a 64-bit hash — never as a string. Pass
     distinct=False to keep one row per position (MinHash doesn't need
@@ -351,6 +352,11 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
             for j in range(shingle_n)])
     keep = last.isNotNull() if full_only \
         else (last.isNotNull() | (F.col("pos") == 0))
+    if keep_pos:
+        # positional consumers (winnowing) need (id, pos, h); the
+        # distinct flag is meaningless there (positions are unique)
+        return (stitched.where(keep)
+                .select("id", "pos", sh_hash.alias("h")))
     out = (stitched
            .where(keep)
            .select("id", sh_hash.alias("h")))
@@ -1086,3 +1092,89 @@ def duplication_weights(df: DataFrame, id_col: str,
                         F.coalesce(F.col("dup_count"), F.lit(1)))
             .withColumn("weight",
                         F.lit(1.0) / F.col("dup_count").cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, window: int = 4,
+                        portable: bool = False) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm, word-granular): hash every k-gram,
+    slide a `window`-wide frame over the k-gram sequence, and select
+    each frame's MINIMUM hash (ties -> rightmost position, the
+    paper's rule). Guarantee: any shared run of >= window + k - 1
+    tokens between two documents shares at least one selected
+    fingerprint, at an expected density of only 2/(window+1) —
+    a far sparser candidate set than full shingle postings, which
+    is the whole point at 100 TB: the pair-generation join runs on
+    ~2/(window+1) of the shingle volume with the same long-match
+    guarantee.
+
+    Output: (id_col, pos, h) — one row per distinct selected
+    fingerprint; pos is the 0-based token position of the selected
+    k-gram (provenance for span-level verification). Documents
+    shorter than window k-grams still emit their global minimum
+    (every document gets >= 1 fingerprint). Docs shorter than k
+    tokens emit none.
+
+    Plan: the shingle window-stitch pipeline (one shuffle,
+    partitioned by doc) + one more doc-local window min — no extra
+    shuffle (same partitioning, same order). `portable=True` uses
+    the md5-mod hash family an ANSI-SQL oracle replicates
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    sh = shingle_hashes(df, id_col, text_col, shingle_n=k,
+                        distinct=False, full_only=True,
+                        portable=portable, keep_pos=True)
+    w = Window.partitionBy("id").orderBy("pos")
+    frame = w.rowsBetween(0, window - 1)
+    whole = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    # min (hash, -pos) == smallest hash, rightmost position on ties
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))) \
+           .over(frame)
+    m = F.count(F.lit(1)).over(whole)
+    # full windows only (the trailing partial frames would select
+    # extra fingerprints the algorithm doesn't define); a doc with
+    # fewer than `window` k-grams keeps its single whole-doc frame
+    starts = (sh.withColumn("__sel", sel).withColumn("__m", m)
+                .where((F.col("pos") <= F.col("__m") - window)
+                       | ((F.col("__m") < window) & (F.col("pos") == 0))))
+    return (starts.select(F.col("id").alias(id_col),
+                          (-F.col("__sel.np")).alias("pos"),
+                          F.col("__sel.h").alias("h"))
+                  .distinct())
+
+
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 4, window: int = 4, min_shared: int = 1,
+                 cap: int | None = 1000,
+                 portable: bool = False) -> DataFrame:
+    """Near-dup CANDIDATE pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) for id_a < id_b sharing >= `min_shared`
+    selected fingerprint hashes — the MOSS match step. Candidates
+    only (a fingerprint collision is a shared k-gram, not a verified
+    near-dup); verify survivors with jaccard_pairs / span_dedup.
+
+    `cap` drops fingerprint hashes appearing in more than `cap`
+    documents before the self-join (boilerplate k-grams — the same
+    hot-posting quadratic-blowup guard as jaccard_pairs; None =
+    exact, for oracle comparison at test scale)."""
+    fp = (winnow_fingerprints(df, id_col, text_col, k, window,
+                              portable=portable)
+          .select(F.col(id_col).alias("id"), "h").distinct())
+    if cap is not None:
+        hot = (fp.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+                 .where(F.col("n") > cap).select("h"))
+        fp = fp.join(hot, "h", "left_anti")
+    a = fp.select(F.col("id").alias("id_a"), "h")
+    b = fp.select(F.col("id").alias("id_b"), "h")
+    return (a.join(b, "h")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))

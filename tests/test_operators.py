@@ -1439,3 +1439,67 @@ def test_weighted_sample_determinism_and_rates(spark):
              sampling.weighted_sample(df.orderBy(F.desc("k")),
                                       "k", "p").collect()}
     assert again == set(rows)                  # order-independent
+
+
+def test_winnow_fingerprints_guarantee_and_rule(spark):
+    """Winnowing invariants: (1) any shared run >= window + k - 1
+    tokens yields a shared fingerprint; (2) selection equals the
+    brute-force min-hash-rightmost-tie walk; (3) docs shorter than
+    window k-grams emit exactly their global min; shorter than k
+    emit none; (4) density is far below the full k-gram count."""
+    from sybil_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(1, "q w e r t y u i o p"),
+         (2, "z x q w e r t y u i o p c v"),   # shares a 10-token run
+         (3, "a b c"),                         # 1 k-gram (< window)
+         (4, "a b")],                          # < k tokens
+        "doc_id long, text string")
+    k, w = 3, 4
+    fp = dedup.winnow_fingerprints(docs, "doc_id", "text", k, w)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    # (1) guarantee across the shared run
+    h1 = {h for _p, h in by_doc[1]}
+    h2 = {h for _p, h in by_doc[2]}
+    assert h1 & h2
+    # (3) short docs
+    assert len(by_doc[3]) == 1 and 4 not in by_doc
+    # (2) brute-force equivalence on doc 1
+    from pyspark.sql import functions as _F
+    kgrams = (dedup.shingle_hashes(docs.where("doc_id = 1"), "doc_id",
+                                   "text", shingle_n=k, distinct=False,
+                                   full_only=True, keep_pos=True)
+              .orderBy("pos").collect())
+    hs = [(r["pos"], r["h"]) for r in kgrams]
+    want = set()
+    for s in range(max(1, len(hs) - w + 1)):
+        frame = hs[s:s + w]
+        mh = min(h for _p, h in frame)
+        pos = max(p for p, h in frame if h == mh)   # rightmost tie
+        want.add((pos, mh))
+    assert by_doc[1] == want
+    # (4) density: selected <= full windows count, and well below
+    # the k-gram count on a long doc
+    assert len(by_doc[1]) < len(hs)
+
+
+def test_winnow_pairs_cap_and_threshold(spark):
+    """winnow_pairs: min_shared filters weak overlaps; the hot-hash
+    cap drops boilerplate fingerprints before the self-join."""
+    from sybil_spark.operators import dedup
+    boiler = "same old boiler plate text here"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 6)]      # 5 identical docs
+        + [(10, "u n i q u e w o r d s")],
+        "doc_id long, text string")
+    exact = dedup.winnow_pairs(docs, "doc_id", "text", k=3, window=3,
+                               cap=None).collect()
+    assert len(exact) == 10                      # C(5,2) identical
+    assert all(r["n_shared"] >= 1 for r in exact)
+    capped = dedup.winnow_pairs(docs, "doc_id", "text", k=3, window=3,
+                                cap=4).collect()
+    assert capped == []                          # every fp is in 5 docs
+    strict = dedup.winnow_pairs(docs, "doc_id", "text", k=3, window=3,
+                                cap=None, min_shared=100).collect()
+    assert strict == []
