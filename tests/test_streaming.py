@@ -757,6 +757,59 @@ def test_bootstrap_span_index(spark, tmp_path):
         q2.stop()
 
 
+def test_stream_append_refused_not_lost_under_lock(spark, tmp_path,
+                                                   monkeypatch):
+    """Verdict #7's contract: while a compactor holds the store's
+    lifecycle lock, a concurrent micro-batch append is REFUSED (the
+    batch fails before its checkpoint commit) rather than lost or
+    interleaved — and the refused batch lands intact once the lock
+    is free and the stream restarts."""
+    import os
+
+    from sybil_spark.sources import locks as L
+    from sybil_spark.streaming import ingest_stream as IS
+
+    real_path_lock = L.path_lock
+
+    def short_lock(path, **kw):
+        kw["timeout_s"] = 1.0   # override the leg's long wait
+        return real_path_lock(path, **kw)
+
+    monkeypatch.setattr(L, "path_lock", short_lock)
+    src = tmp_path / "rl-in"
+    src.mkdir()
+    mpath = str(tmp_path / "rlmodel")
+    ck = str(tmp_path / "rl-ck")
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [{"doc_id": "A", "text": "a b"}])
+    holder = real_path_lock(mpath).acquire()   # "compaction" running
+    try:
+        stream = spark.readStream.schema(doc_schema).json(str(src))
+        q = IS.stream_unigram_counts(stream, "text", mpath,
+                                     checkpoint=ck)
+        try:
+            with pytest.raises(Exception, match="held by pid"):
+                q.processAllAvailable()
+                q.awaitTermination(10)
+        finally:
+            q.stop()
+        assert not os.path.isdir(mpath) or not os.listdir(mpath)
+    finally:
+        holder.release()
+    # lock free again: the same checkpoint replays the refused batch
+    stream2 = spark.readStream.schema(doc_schema).json(str(src))
+    q2 = IS.stream_unigram_counts(stream2, "text", mpath,
+                                  checkpoint=ck)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["tok"]: r["cnt"]
+           for r in IS.read_unigram_model(spark, mpath).collect()}
+    assert got == {"a": 1, "b": 1}   # refused batch delivered once
+
+
 def test_stream_media_ingest(spark, tmp_path):
     """Streaming binaryFile ingestion: files landing across batches
     accumulate in the MEDIA_SCHEMA table with bytes intact and

@@ -141,6 +141,27 @@ def main() -> None:
         f.unpersist()
     out["pipelines"]["tfidf_terms"] = tq
 
+    # --- span_dedup 1x/10x/100x: hash-keyed vs text-keyed ----------
+    # the r6 hash plan's claim is a flatter curve at scale (span
+    # text never enters a wide shuffle); measure both plans
+    def run_span(df, hk):
+        t0 = time.time()
+        dedup.span_dedup(df, "doc_id", "text", span_words=5,
+                         hash_key=hk).count()
+        return round(time.time() - t0, 2)
+
+    frames = {n: _replicate_docs(spark, F, n) for n in (1, 10, 100)}
+    run_span(frames[1], True)   # warm
+    sp = {}
+    for hk, name in ((True, "hash"), (False, "text")):
+        for n in (1, 10, 100):
+            sp[f"t_{name}_{n}x_s"] = run_span(frames[n], hk)
+        sp[f"growth_{name}_100x"] = round(
+            sp[f"t_{name}_100x_s"] / sp[f"t_{name}_1x_s"], 2)
+    for f in frames.values():
+        f.unpersist()
+    out["pipelines"]["span_dedup"] = sp
+
     # --- TPC-H q1/q3 1x / 10x (Catalyst path) ----------------------
     _replicate_tpch(spark, F, corpus, 1, "tpch1x")
     _replicate_tpch(spark, F, corpus, 10, "tpch10x")
