@@ -134,10 +134,18 @@ def span_first_flags(ex: DataFrame, id_col: str = "__id",
     return solo.unionByName(multi)
 
 
-#: auto span_dedup keying threshold: below ~1 GiB of text the whole
-#: corpus shuffles comfortably and the hash plan's extra stages
-#: dominate (measured 3x slower at sf0.1); above it the span-text
-#: shuffle volume is the bottleneck and the narrow hash plan wins
+#: auto span_dedup keying threshold. MEASURED (SCALE_REHEARSAL_
+#: r06_100x.json): the text-keyed window plan wins at every
+#: rehearsed scale — 0.85 s vs 2.55 s at 1x sf0.1 and 3.87 s vs
+#: 24.55 s at 100x replicas (~27M tokens, ~20 MB text) — because a
+#: single-JVM shuffle of megabytes of span text is effectively
+#: free while the hash plan pays 4 extra exchanges. The hash plan
+#: exists for the regime this box cannot rehearse: true multi-TB
+#: span-text volume crossing a cluster network, where the shuffle
+#: bytes ARE the bottleneck. The threshold is therefore
+#: deliberately conservative (1 GiB of compressed-text estimate,
+#: ~50x past the largest measured point); operators at that scale
+#: should benchmark both on their own cluster and pin hash_key.
 SPAN_HASH_KEY_BYTES = 1 << 30
 
 
