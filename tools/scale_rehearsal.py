@@ -81,6 +81,25 @@ def main() -> None:
     def tfidf3(df, idc, tc):
         return quality.tfidf_top_terms(df, idc, tc, k=3)
 
+    def winnow(df, idc, tc):
+        return dedup.winnow_pairs(df, idc, tc, k=5, window=8)
+
+    def bm25(df, idc, tc):
+        # replica-0 token forms, so the queries hit real postings in
+        # both the 1x and the 10x corpus (suffixed replicas share no
+        # tokens with the plain strings)
+        q = df.sparkSession.createDataFrame(
+            [(1, "hash_r0 join_r0 table_r0"),
+             (2, "slow_r0 scan_r0 filter_r0")],
+            "q_id long, q_text string")
+        return quality.bm25_topk(df, idc, tc, q, k=5)
+
+    def ppl(df, idc, tc):
+        scored = (quality.unigram_logprob(df, idc, tc)
+                  .select(idc, F.col("mean_logprob").alias("score"))
+                  .localCheckpoint(eager=True))
+        return quality.quantile_buckets(scored, idc, "score")
+
     for name, fn, kw in (
             ("minhash_lsh", dedup.minhash_dedup_pairs, {}),
             ("simhash_dup", simhash, {}),
@@ -89,7 +108,14 @@ def main() -> None:
             # spans/tokens, so growth isolates the window + join scaling
             ("span_dedup", span5, {}),
             ("doc_logprob", quality.unigram_logprob, {}),
-            ("tfidf_terms", tfidf3, {})):
+            ("tfidf_terms", tfidf3, {}),
+            # round-6 ops: winnowing candidate join, BM25 retrieval
+            # (query side fixed, corpus 10x), perplexity bucketing
+            # (two-phase plan: growth isolates the histogram +
+            # boundary-window passes)
+            ("winnow_dup", winnow, {}),
+            ("bm25_search", bm25, {}),
+            ("ppl_buckets", ppl, {})):
         timed(fn, small, **kw)                      # warm
         t1, n1 = timed(fn, small, **kw)
         t10, n10 = timed(fn, big, **kw)
