@@ -232,6 +232,39 @@ def build_ivf_index(df: DataFrame, vec_col: str, index_path: str,
     return cents
 
 
+def ivf_index_add(df: DataFrame, index_path: str) -> int:
+    """Incrementally add vectors to a persisted IVF index: assign
+    the new rows to the EXISTING centroids (the quantizer is frozen
+    at build time — the standard IVF contract; FAISS's add() does
+    the same) and append them into their `cluster=N` partition dirs
+    with dynamic partition overwrite OFF (plain append — new files
+    beside old ones, readers see either a consistent pre- or
+    post-add listing). Returns the number of rows added.
+
+    This is the continuous-corpus path: build once, then each
+    ingest batch lands in the probed layout without rewriting the
+    table; queries keep their PartitionFilters pruning. Re-build
+    when the data distribution drifts far from the frozen centroids
+    (the recall of unprobed-list exclusion degrades, never the
+    exactness of what IS scanned). Serializes on the index path
+    lock so concurrent adds / a rebuild can't interleave writes."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+
+    with path_lock(index_path):
+        with open(os.path.join(index_path, "ivf_meta.json")) as f:
+            meta = json.load(f)
+        out = ivf_assign(df, meta["vec_col"], meta["centroids"])
+        from pyspark.sql import Observation
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        (out.write.partitionBy("cluster").mode("append")
+            .parquet(os.path.join(index_path, "vectors")))
+        return obs.get["n"]
+
+
 def _seq_cos(a: list[float], b: list[float]) -> float:
     """Driver-side sequential-sum cosine — index-order summation, the
     same fold order as the JVM/oracle cosines. ONE definition shared

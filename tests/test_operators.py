@@ -1503,3 +1503,30 @@ def test_winnow_pairs_cap_and_threshold(spark):
     strict = dedup.winnow_pairs(docs, "doc_id", "text", k=3, window=3,
                                 cap=None, min_shared=100).collect()
     assert strict == []
+
+
+def test_ivf_index_add_incremental(spark, emb, tmp_path):
+    """ivf_index_add: appending new vectors to a persisted IVF index
+    (frozen centroids, per-cluster partition append) must make the
+    index answer exactly what a from-scratch build over the union
+    answers with the SAME centroids — and the queries keep their
+    PartitionFilters pruning."""
+    import re
+
+    from sybil_spark.plans.inspect import formatted_plan
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    idx = str(tmp_path / "ivf-inc")
+    cents = similarity.build_ivf_index(old, "embedding", idx, nlist=8)
+    n = similarity.ivf_index_add(new, idx)
+    assert n == new.count()
+    full = str(tmp_path / "ivf-full")
+    similarity.build_ivf_index(emb, "embedding", full, nlist=8,
+                               centroids=cents)
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    inc_ans = similarity.ivf_index_topk(spark, idx, q, k=5, nprobe=3)
+    full_ans = similarity.ivf_index_topk(spark, full, q, k=5, nprobe=3)
+    assert [(r["vec_id"], r["cos"]) for r in inc_ans.collect()] \
+        == [(r["vec_id"], r["cos"]) for r in full_ans.collect()]
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
+                     formatted_plan(inc_ans))
