@@ -954,6 +954,47 @@ def q_ppl_buckets(spark, sf):
         .select("doc_id", "bucket")
 
 
+@_q("corpus_stats", """
+    with t as (select doc_id, text,
+                      len(string_split(text, ' ')) as n_tok
+               from documents),
+    tok as (select unnest(string_split(text, ' ')) as tok
+            from documents),
+    v as (select count(distinct tok) as vocab from tok),
+    d as (select count(*) as n_docs,
+                 cast(sum(n_tok) as bigint) as n_tokens,
+                 count(distinct text) as distinct_texts
+          from t)
+    select n_docs, n_tokens, distinct_texts,
+           (select vocab from v) as vocab,
+           cast(n_tokens as double) / cast(n_docs as double)
+             as mean_doc_tokens,
+           n_docs - distinct_texts as dup_docs
+    from d""")
+def q_corpus_stats(spark, sf):
+    """One-row corpus health panel: doc/token/vocab counts, exact
+    duplicate-document count (docs minus distinct texts), mean doc
+    length — the first audit a training-data pipeline prints. Two
+    bounded aggregates (doc-level + token-level) stitched with a
+    1-row crossJoin; integer counts and one exact double division
+    are cross-engine bit-stable."""
+    docs = _t(spark, sf, "documents")
+    from sybil_spark.functions.text import token_count, tokens
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        F.count_distinct(F.col("text")).alias("distinct_texts"))
+    v = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+             .agg(F.count_distinct(F.col("tok")).alias("vocab")))
+    return (d.crossJoin(v)
+            .select("n_docs", "n_tokens", "distinct_texts", "vocab",
+                    (F.col("n_tokens").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("mean_doc_tokens"),
+                    (F.col("n_docs") - F.col("distinct_texts"))
+                    .alias("dup_docs")))
+
+
 @_q("winnow_dup", """
     with toks as (
       select doc_id as id, unnest(string_split(text, ' ')) as tok,
@@ -3683,6 +3724,7 @@ _DRIVER_FIRST = [
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
+    "corpus_stats",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this
