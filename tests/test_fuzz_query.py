@@ -1098,3 +1098,117 @@ def test_interp_logprob_matches_duckdb(fuzz_spark, texts):
                                        "doc_id", "text").toPandas()
     oracle = con.execute(ORACLES["interp_logprob"]).df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st, kw=st.sampled_from([(2, 2), (2, 4), (3, 3)]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_winnow_pairs_matches_duckdb(fuzz_spark, texts, kw):
+    """Winnowing (portable hashes) on random tiny-vocab corpora
+    (dense k-gram collisions stress the rightmost-tie rule) vs a
+    DuckDB oracle replicating the min-in-window selection via the
+    h*2^20 + (2^20-1-pos) encoding — fingerprint-pair sets and
+    shared counts bit-exact across (k, window) shapes."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    k, w = kw
+    pdf, con = _register_docs(texts)
+    got = (dedup.winnow_pairs(spark.createDataFrame(pdf), "doc_id",
+                              "text", k=k, window=w, cap=None,
+                              portable=True)
+           .toPandas())
+    leads = ", ".join(f"lead(h0, {j}) over win as h{j}"
+                      for j in range(1, k))
+    fold = "h0"
+    for j in range(1, k):
+        fold = f"({fold} * 1000003 + h{j}) % 2147483647"
+    oracle = con.execute(f"""
+        with toks as (select doc_id as id,
+                             unnest(string_split(text, ' ')) as tok,
+                             generate_subscripts(
+                               string_split(text, ' '), 1) as pos
+                      from documents),
+        th as (select id, pos,
+                      cast(('0x' || substr(md5(tok), 1, 15)) as bigint)
+                        % 2147483647 as h0
+               from toks),
+        st as (select id, pos, h0, {leads}
+               from th window win as (partition by id order by pos)),
+        shp as (select id, pos - 1 as pos, {fold} as h
+                from st where h{k - 1} is not null),
+        enc as (select id, pos, h,
+                       h * 1048576 + (1048575 - pos) as comb
+                from shp),
+        sel as (select id, pos,
+                       min(comb) over (partition by id order by pos
+                                       rows between current row
+                                       and {w - 1} following) as c,
+                       count(*) over (partition by id) as m
+                from enc),
+        fp as (select distinct id, c // 1048576 as h
+               from sel
+               where pos <= m - {w} or (m < {w} and pos = 0))
+        select a.id as id_a, b.id as id_b, count(*) as n_shared
+        from fp a join fp b on a.h = b.h and a.id < b.id
+        group by 1, 2""").df()
+    _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st, qtext=st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=4)
+      .map(" ".join), min_size=1, max_size=3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bm25_matches_duckdb(fuzz_spark, texts, qtext):
+    """BM25 on random corpora x random query strings vs a DuckDB
+    oracle with identical IEEE arithmetic order and decimal(38,6)
+    per-term quantization — scores and ranks bit-exact."""
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    queries = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(qtext)],
+        "q_id long, q_text string")
+    got = quality.bm25_topk(spark.createDataFrame(pdf), "doc_id",
+                            "text", queries, k=4).toPandas()
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(qtext))
+    oracle = con.execute(f"""
+        with q(q_id, q_text) as (values {qvals}),
+        qt as (select distinct q_id,
+                      unnest(string_split(q_text, ' ')) as tok
+               from q),
+        toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                 from documents),
+        tf as (select doc_id, tok, count(*) as tf
+               from toks group by 1, 2),
+        dl as (select doc_id, count(*) as dl from toks group by 1),
+        dfreq as (select tok, count(*) as df_t from tf group by 1),
+        stx as (select cast(count(*) as double) as n,
+                       cast(cast(sum(dl) as bigint) as double)
+                         / cast(count(*) as double) as avgdl
+                from dl),
+        terms as (select qt.q_id, tf.doc_id,
+                         cast(ln(1.0 + ((select n from stx) - df_t
+                                        + 0.5) / (df_t + 0.5))
+                              * cast(tf as double) * 2.2
+                              / (cast(tf as double)
+                                 + 1.2 * (0.25 + 0.75
+                                          * cast(dl as double)
+                                          / (select avgdl from stx)))
+                              as decimal(38,6)) as t6
+                  from qt join tf using (tok)
+                          join dfreq using (tok)
+                          join dl on tf.doc_id = dl.doc_id),
+        scored as (select q_id, doc_id, sum(t6) as s6
+                   from terms group by 1, 2),
+        r as (select q_id, doc_id,
+                     cast(cast(s6 as varchar) as double) as score,
+                     row_number() over (partition by q_id
+                                        order by s6 desc, doc_id asc)
+                       as rank
+              from scored)
+        select q_id, doc_id, score, rank from r where rank <= 4
+        """).df()
+    _cmp_frames(got, oracle)
