@@ -954,6 +954,41 @@ def q_ppl_buckets(spark, sf):
         .select("doc_id", "bucket")
 
 
+@_q("norm_dedup", """
+    with v as (select doc_id,
+                      case when doc_id % 2 = 0 then upper(text)
+                           else text || ' !!! ' || text[1:12] end
+                        as variant
+               from documents),
+    n as (select doc_id, variant,
+                 trim(regexp_replace(
+                     regexp_replace(lower(variant),
+                                    '[\\p{P}\\p{S}]+', ' ', 'g'),
+                     '\\s+', ' ', 'g')) as norm
+          from v)
+    select count(distinct variant) as n_variants,
+           count(distinct norm) as n_normalized
+    from n""")
+def q_norm_dedup(spark, sf):
+    """Text normalization as a dedup key (functions.normalize_text):
+    casing and punctuation variants of the same content collapse to
+    one key. The query manufactures variants from the corpus (upper-
+    cased evens, punctuated odds), normalizes, and counts distinct
+    keys before/after — the oracle replicates lower + \\p{P}\\p{S}
+    strip + whitespace collapse (Java regex and RE2 agree on these
+    classes over this corpus)."""
+    from sybil_spark.functions.text import normalize_text
+    docs = _t(spark, sf, "documents")
+    variant = F.when(F.col("doc_id") % 2 == 0, F.upper("text")) \
+        .otherwise(F.concat(F.col("text"), F.lit(" !!! "),
+                            F.substring("text", 1, 12)))
+    v = docs.select("doc_id", variant.alias("variant"))
+    n = v.withColumn("norm", normalize_text(F.col("variant")))
+    return n.agg(
+        F.count_distinct("variant").alias("n_variants"),
+        F.count_distinct("norm").alias("n_normalized"))
+
+
 @_q("corpus_stats", """
     with t as (select doc_id, text,
                       len(string_split(text, ' ')) as n_tok
@@ -3724,7 +3759,7 @@ _DRIVER_FIRST = [
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
-    "corpus_stats",
+    "corpus_stats", "norm_dedup",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

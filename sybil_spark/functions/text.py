@@ -154,3 +154,23 @@ def rejection_reason(col: Column, min_tokens: int = 25,
              .when(quality_score(col) < min_quality,
                    F.lit("low_quality"))
              .otherwise(F.lit("kept")))
+
+
+def normalize_text(col: Column, lower: bool = True,
+                   strip_punct: bool = True,
+                   collapse_ws: bool = True) -> Column:
+    """Canonical text normalization for dedup keys (the pre-pass
+    near-dup pipelines apply so 'Hello, World!' and 'hello world'
+    hash identically): lowercase, strip punctuation/symbols (unicode
+    \\p{P}\\p{S} character classes — JVM regex, no Python), collapse
+    whitespace runs to single spaces and trim. Pure column
+    expressions — compose it in front of exact_keep_first /
+    minhash / span_dedup without changing their plans."""
+    out = col
+    if lower:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[\p{P}\p{S}]+", " ")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

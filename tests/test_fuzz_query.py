@@ -1212,3 +1212,48 @@ def test_bm25_matches_duckdb(fuzz_spark, texts, qtext):
         select q_id, doc_id, score, rank from r where rank <= 4
         """).df()
     _cmp_frames(got, oracle)
+
+
+@given(scores=st.lists(
+           st.one_of(st.none(),
+                     st.integers(min_value=-6, max_value=6)
+                       .map(lambda x: x / 2.0)),   # heavy exact ties
+           min_size=1, max_size=40),
+       fr=st.sampled_from([(1 / 3, 1 / 3, 1 / 3), (0.5, 0.5),
+                           (0.2, 0.5, 0.3)]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_quantile_buckets_matches_bruteforce(fuzz_spark, scores, fr):
+    """quantile_buckets' two-phase plan vs the brute-force global
+    ranking on random score multisets (dense exact ties, NULLs,
+    all-null inputs) across fraction shapes."""
+    import math
+
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    labels = tuple(f"b{i}" for i in range(len(fr)))
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "id long, s double")
+    got = {r["id"]: r["bucket"]
+           for r in quality.quantile_buckets(
+               sdf, "id", "s", fr, labels, buckets=7).collect()}
+    ranked = sorted(((s, i) for i, s in enumerate(scores)
+                     if s is not None),
+                    key=lambda t: (-t[0], t[1]))
+    n = len(ranked)
+    cuts, cum = [], 0.0
+    for f in fr[:-1]:
+        cum += f
+        cuts.append(min(n, max(1, math.ceil(n * cum))))
+    for rank0, (_s, i) in enumerate(ranked):
+        rn = rank0 + 1
+        want = labels[-1]
+        for kcut, lab in zip(cuts, labels[:-1]):
+            if rn <= kcut:
+                want = lab
+                break
+        assert got[i] == want, (i, rn, got[i], want)
+    for i, s in enumerate(scores):
+        if s is None:
+            assert got[i] == labels[-1]
