@@ -955,10 +955,9 @@ def q_ppl_buckets(spark, sf):
 
 
 @_q("norm_dedup", """
-    with v as (select doc_id,
-                      case when doc_id % 2 = 0 then upper(text)
-                           else text || ' !!! ' || text[1:12] end
-                        as variant
+    with v as (select doc_id, unnest([upper(text),
+                                      text || ' !!!',
+                                      '  ' || text]) as variant
                from documents),
     n as (select doc_id, variant,
                  trim(regexp_replace(
@@ -971,18 +970,20 @@ def q_ppl_buckets(spark, sf):
     from n""")
 def q_norm_dedup(spark, sf):
     """Text normalization as a dedup key (functions.normalize_text):
-    casing and punctuation variants of the same content collapse to
-    one key. The query manufactures variants from the corpus (upper-
-    cased evens, punctuated odds), normalizes, and counts distinct
-    keys before/after — the oracle replicates lower + \\p{P}\\p{S}
-    strip + whitespace collapse (Java regex and RE2 agree on these
-    classes over this corpus)."""
+    THREE manufactured variants of every document (uppercased,
+    punctuation-suffixed, whitespace-prefixed) must collapse to one
+    key per distinct original text — n_normalized comes out at
+    count(distinct text) while n_variants is ~3x it. The oracle
+    replicates lower + \\p{P}\\p{S} strip + whitespace collapse
+    (Java regex and RE2 agree on these classes over this corpus)."""
     from sybil_spark.functions.text import normalize_text
     docs = _t(spark, sf, "documents")
-    variant = F.when(F.col("doc_id") % 2 == 0, F.upper("text")) \
-        .otherwise(F.concat(F.col("text"), F.lit(" !!! "),
-                            F.substring("text", 1, 12)))
-    v = docs.select("doc_id", variant.alias("variant"))
+    v = docs.select(
+        "doc_id",
+        F.explode(F.array(F.upper("text"),
+                          F.concat(F.col("text"), F.lit(" !!!")),
+                          F.concat(F.lit("  "), F.col("text"))))
+         .alias("variant"))
     n = v.withColumn("norm", normalize_text(F.col("variant")))
     return n.agg(
         F.count_distinct("variant").alias("n_variants"),
