@@ -166,7 +166,11 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     n_kept = 0 and dedup_text = ''. NULL-text rows have no spans and
     are absent from the output — LEFT-join back on id_col to carry
     them (and the other columns) through unchanged, as the streaming
-    variant does.
+    variant does. CONTRACT: id_col must be unique per row (it is a
+    document id); duplicate ids make the merged reassembly
+    ill-defined in any plan (positions from different rows collide)
+    — the hash plan defensively emits one row per id regardless, but
+    de-duplicate ids upstream.
 
     Keying is AUTO by default (hash_key=None): the text-keyed plan
     under SPAN_HASH_KEY_BYTES of estimated text (fewer stages win on
@@ -224,7 +228,7 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
                    .cast("int")),
         lambda i: F.concat_ws(" ", F.slice(words, i * span_words + 1,
                                            span_words)))
-    return (df.select(id_col, text_col)
+    return (df.select(id_col, text_col).dropDuplicates([id_col])
               .join(per_doc, F.col(id_col) == F.col("__id"))
               .select(id_col, "n_spans", "n_kept",
                       F.concat_ws(" ", F.transform(

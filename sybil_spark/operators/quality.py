@@ -132,7 +132,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     persist wins 10x (4.11 vs 4.91 s) and 100x (7.20 vs 9.82 s;
     growth 3.12x vs the rescan 5.43x that was r5's steepest curve).
     Pass True/False to pin a path; with persist the caller owns the
-    unpersist (spark.catalog.clearCache() after the action)."""
+    unpersist — the cached frame rides on the result as
+    `._sybil_cached` (call `.unpersist()` on it after the action) so
+    long-lived sessions need not nuke the whole Spark cache."""
     if persist_tf is None:
         try:
             est = int(str(df._jdf.queryExecution().optimizedPlan()
@@ -161,11 +163,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                                      / F.col("__df").cast("double")))
                             .cast(_DEC)))
     w = Window.partitionBy("__id").orderBy(F.desc("__s"), F.asc("tok"))
-    return (scored.withColumn("term_rank", F.row_number().over(w))
-                  .where(F.col("term_rank") <= k)
-                  .select(F.col("__id").alias(id_col), "tok", "tf",
-                          F.col("__s").cast("string").cast("double")
-                           .alias("score"), "term_rank"))
+    out = (scored.withColumn("term_rank", F.row_number().over(w))
+                 .where(F.col("term_rank") <= k)
+                 .select(F.col("__id").alias(id_col), "tok", "tf",
+                         F.col("__s").cast("string").cast("double")
+                          .alias("score"), "term_rank"))
+    if persist_tf:
+        out._sybil_cached = tf   # unpersist handle for the caller
+    return out
 
 
 def bigram_model(df: DataFrame, text_col: str) -> DataFrame:
@@ -481,7 +486,8 @@ def quantile_buckets(df: DataFrame, id_col: str, score_col: str,
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,
               queries: DataFrame, q_id_col: str = "q_id",
               q_text_col: str = "q_text",
-              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              persist_tf: bool | None = None) -> DataFrame:
     """Batched BM25 retrieval: top-k documents per QUERY row under
     the Okapi BM25 ranking (Robertson-Sparck Jones idf variant
     ln(1 + (N - df + 0.5)/(df + 0.5))) — the standard lexical search
@@ -499,18 +505,35 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     unigram_logprob contract), and the rendered score goes through
     varchar->double, so rank and score are cross-engine exact.
 
-    Scale: ONE corpus tokenization builds (doc, token, tf) and doc
-    lengths; N and avgdl are a 1-row driver aggregate; query tokens
-    (tiny) broadcast-join the tf frame on the token key; the per-
-    query top-k window input is collapsed to (query, doc) rows with
-    WindowGroupLimit truncating partitions to k before the shuffle —
-    the tfidf_top_terms shape with the query join in front."""
+    Scale: ONE corpus tokenization builds (doc, token, tf); doc
+    lengths and document frequencies both DERIVE from it (dl =
+    sum(tf) per doc, df = count per token — no second tokenization
+    pass exists in the plan); N and avgdl are a 1-row driver
+    aggregate; query tokens (tiny) broadcast-join the tf frame on
+    the token key; the per-query top-k window input is collapsed to
+    (query, doc) rows with WindowGroupLimit truncating partitions to
+    k before the shuffle. Because tf is referenced by four
+    downstream subtrees, it auto-persists above TFIDF_PERSIST_BYTES
+    of input estimate exactly like tfidf_top_terms (the 1-row stats
+    collect materializes it before the main job); same caller-owns-
+    unpersist note — the handle rides on the result as
+    `._sybil_cached`."""
     from pyspark.sql import Window
 
+    if persist_tf is None:
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+        except Exception:
+            est = TFIDF_PERSIST_BYTES + 1   # unknown: assume big
+        persist_tf = est > TFIDF_PERSIST_BYTES
     toks = df.select(F.col(id_col).alias("__doc"),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
     tf = toks.groupBy("__doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("dl"))
+    if persist_tf:
+        from pyspark import StorageLevel
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("__doc").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.sum("dl").alias("s")).collect()[0]
@@ -538,8 +561,11 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
               .agg(F.sum(term).alias("__s")))
     w = Window.partitionBy("q_id").orderBy(F.desc("__s"),
                                            F.asc("__doc"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("q_id", F.col("__doc").alias(id_col),
-                          F.col("__s").cast("string").cast("double")
-                           .alias("score"), "rank"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("q_id", F.col("__doc").alias(id_col),
+                         F.col("__s").cast("string").cast("double")
+                          .alias("score"), "rank"))
+    if persist_tf:
+        out._sybil_cached = tf   # unpersist handle for the caller
+    return out

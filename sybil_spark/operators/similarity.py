@@ -216,19 +216,27 @@ def build_ivf_index(df: DataFrame, vec_col: str, index_path: str,
 
     `kmeans=True` trains the coarse quantizer with seeded Lloyd
     iterations (ivf_centroids_kmeans) instead of the deterministic
-    hash-sample; retrieval is identical either way."""
+    hash-sample; retrieval is identical either way.
+
+    Holds the index path lock across the vectors overwrite + meta
+    rewrite, sharing it with ivf_index_add — a rebuild racing a live
+    add would otherwise delete the add's committed files or strand
+    old-centroid assignments under the new quantizer."""
     import json
     import os
+
+    from sybil_spark.sources.locks import path_lock
 
     cents = centroids if centroids is not None else (
         ivf_centroids_kmeans(df, vec_col, nlist) if kmeans
         else ivf_centroids(df, vec_col, id_col, nlist))
-    (ivf_assign(df, vec_col, cents)
-        .write.partitionBy("cluster").mode("overwrite")
-        .parquet(os.path.join(index_path, "vectors")))
-    with open(os.path.join(index_path, "ivf_meta.json"), "w") as f:
-        json.dump({"vec_col": vec_col, "id_col": id_col,
-                   "nlist": len(cents), "centroids": cents}, f)
+    with path_lock(index_path):
+        (ivf_assign(df, vec_col, cents)
+            .write.partitionBy("cluster").mode("overwrite")
+            .parquet(os.path.join(index_path, "vectors")))
+        with open(os.path.join(index_path, "ivf_meta.json"), "w") as f:
+            json.dump({"vec_col": vec_col, "id_col": id_col,
+                       "nlist": len(cents), "centroids": cents}, f)
     return cents
 
 

@@ -33,8 +33,12 @@ What it protects (each was a real race before this module):
 - query-cache `vacuum` deleting partials a concurrent writer is
   publishing;
 - rollup / unigram-model compaction swapping a directory out from
-  under a live stream's append (the stream takes the same lock
-  non-blocking and fails fast instead of losing the batch).
+  under a live stream's append: writers share the lock, so a
+  micro-batch BLOCKS (up to its 300 s timeout) behind an in-flight
+  compaction and vice versa; past the timeout the batch fails with
+  LockHeld BEFORE its checkpoint commit, so it replays rather than
+  being lost (blocking=False fail-fast exists for callers that
+  prefer erroring immediately).
 
 Readers take no lock, exactly like the reference: queries run
 against whatever committed blocks exist (writers stage + rename, so

@@ -29,39 +29,6 @@ from sybil_spark.sources.ingest import IngestSpec, coerce
 from sybil_spark.table import Table
 
 
-def _read_index(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a persisted dedup-index parquet dir; None ONLY when the
-    index doesn't exist yet (first batch). Any other failure —
-    corrupt footer, transient FS error, permissions — raises: the
-    dedup streams must never silently skip history filtering (that
-    failure mode is duplicate leakage with no error anywhere)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        # prefer the structured error class (stable contract in the
-        # Spark error framework) over message text, which changes
-        # across versions; keep the substring match only as a
-        # fallback for errors raised without a class
-        cls = None
-        get = getattr(e, "getErrorClass", None)
-        if callable(get):
-            try:
-                cls = get()
-            except Exception:
-                cls = None
-        if cls is not None:
-            if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                return None
-            raise
-        msg = str(e)
-        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg):
-            return None
-        raise
-
-
 def _meta_file(index_path: str) -> str:
     import os
     # underscore prefix: Spark's parquet reader ignores it inside a
@@ -145,7 +112,22 @@ class StreamDedupIndex:
 
     def check(self) -> None:
         """Raise on a parameter/kind mismatch vs the persisted
-        sidecar (no-op when the index doesn't exist yet)."""
+        sidecar (no-op when the index doesn't exist yet). A sidecar
+        in the pre-descriptor FLAT format (bare params dict, written
+        before kind/subdirs existed) is accepted when its params
+        match and upgraded in place — an existing index must not
+        fail its stream on a format change its parameters survive."""
+        import json
+        import os
+
+        p = _meta_file(self.path)
+        if os.path.exists(p):
+            with open(p) as f:
+                stored = json.load(f)
+            if "kind" not in stored and stored == self.params:
+                with open(p, "w") as f:   # upgrade legacy sidecar
+                    json.dump(self.meta, f)
+                return
         _check_index_meta(self.path, self.meta)
 
     def data_path(self, sub: str | None = None) -> str:
@@ -192,11 +174,21 @@ def _batch_subdir_id(name: str) -> int | None:
     return None
 
 
+def _committed(d: str) -> bool:
+    """A batch/fold subdir counts only with its _SUCCESS marker: a
+    dir left by a write that died mid-flight (only _temporary
+    inside) must be invisible to readers AND to compaction — folding
+    past a half-written batch would advance the watermark over it
+    and permanently skip its replay (silent index-row loss)."""
+    import os
+    return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
 def _dataset_pieces(root: str, exclude_batch: int | None = None,
                     max_batch: int | None = None) -> list[str]:
     """Readable pieces of one dataset dir: loose parquet files,
-    fold-* dirs, and batch-<id> subdirs (optionally excluding one
-    batch id / capping at max_batch)."""
+    COMMITTED fold-* dirs, and COMMITTED batch-<id> subdirs
+    (optionally excluding one batch id / capping at max_batch)."""
     import os
     if not os.path.isdir(root):
         return []
@@ -215,8 +207,9 @@ def _dataset_pieces(root: str, exclude_batch: int | None = None,
                 continue
             if max_batch is not None and bid > max_batch:
                 continue
-            out.append(p)
-        elif name.startswith("fold-"):
+            if _committed(p):
+                out.append(p)
+        elif name.startswith("fold-") and _committed(p):
             out.append(p)
     return out
 
@@ -279,13 +272,16 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> int:
     with path_lock(index_path):
         roots = [os.path.join(index_path, s) if s else index_path
                  for s in subs]
-        # fold cap: only batch ids committed in EVERY dataset
+        # fold cap: only batch ids COMMITTED (_SUCCESS present — a
+        # half-written dir from a crash must be left for replay, not
+        # folded past and watermarked away) in EVERY dataset
         maxes = []
         for r in roots:
-            ids = [b for b in (_batch_subdir_id(n)
-                               for n in (os.listdir(r)
-                                         if os.path.isdir(r) else []))
-                   if b is not None]
+            ids = []
+            for n in (os.listdir(r) if os.path.isdir(r) else []):
+                b = _batch_subdir_id(n)
+                if b is not None and _committed(os.path.join(r, n)):
+                    ids.append(b)
             maxes.append(max(ids) if ids else None)
         real = [m for m in maxes if m is not None]
         # fold batches only when every dataset has committed them;
