@@ -954,6 +954,37 @@ def q_ppl_buckets(spark, sf):
         .select("doc_id", "bucket")
 
 
+@_q("corpus_diff", """
+    with old as (select doc_id, text from documents
+                 where doc_id % 7 <> 0),
+    new as (select doc_id,
+                   case when doc_id % 5 = 0 then text || ' v2'
+                        else text end as text
+            from documents where doc_id % 11 <> 0)
+    select coalesce(old.doc_id, new.doc_id) as doc_id,
+           case when old.doc_id is null then 'added'
+                when new.doc_id is null then 'removed'
+                when old.text = new.text then 'unchanged'
+                else 'changed' end as status
+    from old full outer join new on old.doc_id = new.doc_id""")
+def q_corpus_diff(spark, sf):
+    """Dataset-versioning diff (operators/audit.corpus_diff): two
+    synthetic corpus versions (v2 drops ids %11, rewrites ids %5)
+    labeled added/removed/changed/unchanged per id. The operator
+    compares xxhash64 of the texts through one full-outer id join;
+    the oracle compares the texts directly — identical labels absent
+    a 2^-64 hash collision."""
+    from sybil_spark.operators.audit import corpus_diff
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = (docs.where(F.col("doc_id") % 11 != 0)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 5 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                        .otherwise(F.col("text")).alias("text")))
+    return corpus_diff(old, new, "doc_id", "text")
+
+
 @_q("norm_dedup", """
     with v as (select doc_id, unnest([upper(text),
                                       text || ' !!!',
@@ -3760,7 +3791,7 @@ _DRIVER_FIRST = [
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
-    "corpus_stats", "norm_dedup",
+    "corpus_stats", "norm_dedup", "corpus_diff",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

@@ -1530,3 +1530,23 @@ def test_ivf_index_add_incremental(spark, emb, tmp_path):
         == [(r["vec_id"], r["cos"]) for r in full_ans.collect()]
     assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
                      formatted_plan(inc_ans))
+
+
+def test_corpus_diff_labels(spark):
+    """corpus_diff: added/removed/changed/unchanged labels; summary
+    counts; text never shipped (hash compare)."""
+    from sybil_spark.operators.audit import corpus_diff, \
+        corpus_diff_summary
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+    s = {r["status"]: r["n"] for r in
+         corpus_diff_summary(old, new, "doc_id", "text").collect()}
+    assert s == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
