@@ -1042,18 +1042,27 @@ def q_corpus_stats(spark, sf):
     """One-row corpus health panel: doc/token/vocab counts, exact
     duplicate-document count (docs minus distinct texts), mean doc
     length — the first audit a training-data pipeline prints. Two
-    bounded aggregates (doc-level + token-level) stitched with a
-    1-row crossJoin; integer counts and one exact double division
-    are cross-engine bit-stable."""
+    bounded aggregates (doc-level + token-level) stitched by
+    null-padded union + a 2-row max() merge — NOT a 1-row crossJoin,
+    which plans BroadcastNestedLoopJoin (the corpus-wide plan lint
+    rejects it; a literal join key doesn't help, Catalyst
+    constant-folds `1 = 1` back to a nested loop). Integer counts and
+    one exact double division are cross-engine bit-stable."""
     docs = _t(spark, sf, "documents")
     from sybil_spark.functions.text import token_count, tokens
+    nul = F.lit(None).cast("long")
     d = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
-        F.count_distinct(F.col("text")).alias("distinct_texts"))
+        F.count_distinct(F.col("text")).alias("distinct_texts")) \
+        .withColumn("vocab", nul)
     v = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-             .agg(F.count_distinct(F.col("tok")).alias("vocab")))
-    return (d.crossJoin(v)
+             .agg(F.count_distinct(F.col("tok")).alias("vocab"))
+             .select(nul.alias("n_docs"), nul.alias("n_tokens"),
+                     nul.alias("distinct_texts"), "vocab"))
+    return (d.unionByName(v)
+            .agg(*[F.max(c).alias(c) for c in
+                   ("n_docs", "n_tokens", "distinct_texts", "vocab")])
             .select("n_docs", "n_tokens", "distinct_texts", "vocab",
                     (F.col("n_tokens").cast("double")
                      / F.col("n_docs").cast("double"))
@@ -1273,6 +1282,45 @@ def q_span_dedup(spark, sf):
     global first-occurrence window, and the ordered reassembly."""
     return dedup.span_dedup(_t(spark, sf, "documents"),
                             "doc_id", "text", span_words=5)
+
+
+@_q("exact_substr", """
+    with w as (select doc_id, string_split(text, ' ') as t
+               from documents),
+    wn as (select doc_id, t, unnest(generate_series(0, len(t)-8)) as p
+           from w where len(t) >= 8),
+    sp as (select doc_id, p,
+                  array_to_string(t[p+1 : p+8], ' ') as win
+           from wn),
+    k as (select doc_id, p, row_number() over
+              (partition by win order by doc_id, p) as rn from sp),
+    dp as (select doc_id, p from k where rn > 1),
+    cut as (select distinct dp.doc_id, dp.p + j.j as ti
+            from dp cross join
+                 (select unnest(generate_series(0, 7)) as j) j),
+    tok as (select doc_id, unnest(t) as tok,
+                   generate_subscripts(t, 1) - 1 as ti from w),
+    kept as (select tok.doc_id, tok.ti, tok.tok
+             from tok left join cut
+               on tok.doc_id = cut.doc_id and tok.ti = cut.ti
+             where cut.ti is null)
+    select w.doc_id,
+           cast(len(w.t) as int) as n_tokens,
+           cast(count(kept.ti) as int) as n_kept,
+           coalesce(string_agg(kept.tok, ' ' order by kept.ti), '')
+             as dedup_text
+    from w left join kept on w.doc_id = kept.doc_id
+    group by w.doc_id, len(w.t)""")
+def q_exact_substr(spark, sf):
+    """UNALIGNED ExactSubstr (Lee et al. 2022, full policy): a token
+    is removed iff covered by an 8-word window whose exact text
+    occurs earlier in the corpus — duplicated runs caught at ANY
+    offset, unlike span_dedup's aligned restriction. Oracle
+    replicates the stride-1 windows, the global first-occurrence
+    window function, the token-coverage expansion, and the ordered
+    token reassembly."""
+    return dedup.exact_substr_dedup(_t(spark, sf, "documents"),
+                                    "doc_id", "text", window_words=8)
 
 
 @_q("ngram_jaccard", """
@@ -3791,7 +3839,7 @@ _DRIVER_FIRST = [
     "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
-    "corpus_stats", "norm_dedup", "corpus_diff",
+    "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

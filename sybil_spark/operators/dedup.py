@@ -1190,3 +1190,117 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_shared"))
              .where(F.col("n_shared") >= min_shared))
+
+
+# ---------------------------------------------------------------------------
+# Unaligned ExactSubstr (stride-1 windows, token-level removal)
+# ---------------------------------------------------------------------------
+
+def doc_windows(df: DataFrame, id_col: str, text_col: str,
+                window_words: int = 10) -> DataFrame:
+    """(id_col, pos, span): EVERY `window_words`-word window of each
+    document at stride 1 (full windows only — a doc shorter than the
+    window emits no rows). The unaligned candidate generator behind
+    exact_substr_dedup; pure array expressions + one posexplode, no
+    shuffle. Column names match doc_spans so span_first_flags is
+    shared by both policies."""
+    if window_words < 1:
+        raise ValueError("window_words must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    wins = F.when(
+        F.size(words) >= window_words,
+        F.transform(
+            F.sequence(F.lit(0), (F.size(words) - window_words).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i + 1, window_words)))) \
+        .otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col),
+                     F.posexplode(wins).alias("pos", "span"))
+
+
+def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
+                       window_words: int = 10,
+                       hash_key: bool | None = None) -> DataFrame:
+    """UNALIGNED exact-substring dedup — the full ExactSubstr policy
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), word-granular: a token is REMOVED iff it is
+    covered by a `window_words`-word window whose exact text occurs
+    earlier in the corpus (earlier doc id wins; within a doc, earlier
+    position). Unlike span_dedup's aligned restriction, a duplicated
+    run is caught at ANY offset: every window at stride 1 is
+    examined, so any shared run of >= window_words tokens is detected
+    regardless of alignment. The reference engine has no counterpart
+    (out of sybil scope); Lee et al. build a suffix array — the
+    Spark-native equivalent is this stride-1 rolling-window form,
+    which needs no global sort order, only hash shuffles.
+
+    Returns (id_col, n_tokens, n_kept, dedup_text): token counts
+    before/after and the surviving tokens re-joined in document
+    order. Docs shorter than the window pass through unchanged; a
+    fully-duplicated later copy comes back with n_kept = 0 and
+    dedup_text = ''. NULL-text rows are absent (LEFT-join back on
+    id_col to carry them). CONTRACT: id_col unique per row.
+
+    Scale shape: stride-1 windows are a window_words× text blowup if
+    the window TEXT shuffles, so keying is AUTO like span_dedup —
+    text-keyed window plan below SPAN_HASH_KEY_BYTES (fewest stages;
+    measured fastest on single-JVM scales), hash-keyed
+    span_first_flags above it (only (xxhash64, id, pos) shuffles;
+    collision re-check keeps it exact — the 100 TB form). Duplicated
+    positions then reduce to ONE narrow row per affected doc (sorted
+    positions merged into disjoint covered intervals — at most
+    n/window_words of them — with a single F.aggregate), and the
+    surviving text is rebuilt at the final id-equi-join with pure
+    array expressions: the per-doc filter costs
+    O(n_tokens * n_intervals), never O(n_tokens * n_dup_windows)."""
+    if hash_key is None:
+        try:
+            size = int(str(df.select(text_col)._jdf.queryExecution()
+                           .optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            size = SPAN_HASH_KEY_BYTES + 1   # unknown: assume big
+        hash_key = size > SPAN_HASH_KEY_BYTES
+    ex = doc_windows(df, id_col, text_col, window_words) \
+        .withColumnRenamed(id_col, "__id")
+    if hash_key:
+        flags = span_first_flags(ex)
+        dup = flags.where(~F.col("__kept"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("span").orderBy("__id", "pos")
+        dup = (ex.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") > 1))
+    per_doc = (dup.groupBy("__id")
+                  .agg(F.sort_array(F.collect_list("pos")).alias("__dp")))
+    words = F.split(F.col(text_col), " ")
+    W = F.lit(window_words)
+    # merge sorted duplicate starts into disjoint [s, e) intervals:
+    # starts ascend, so a window overlapping the open interval only
+    # ever EXTENDS its end to p + W
+    iv = F.aggregate(
+        F.coalesce(F.col("__dp"), F.array().cast("array<int>")),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["e"] >= p),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.struct(
+                         F.element_at(acc, -1)["s"].alias("s"),
+                         (p + W).alias("e"))))) \
+         .otherwise(F.concat(acc, F.array(F.struct(
+             p.alias("s"), (p + W).alias("e"))))))
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(words) - 1),
+        lambda t: ~F.exists(F.col("__iv"),
+                            lambda v: (v["s"] <= t) & (t < v["e"])))
+    return (df.select(id_col, text_col).dropDuplicates([id_col])
+              .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+              .withColumn("__iv", iv)
+              .withColumn("__kt", kept)
+              .select(id_col,
+                      F.size(words).alias("n_tokens"),
+                      F.size("__kt").alias("n_kept"),
+                      F.concat_ws(" ", F.transform(
+                          F.col("__kt"),
+                          lambda t: F.element_at(words, t + 1)))
+                      .alias("dedup_text")))

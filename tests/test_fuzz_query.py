@@ -1257,3 +1257,55 @@ def test_quantile_buckets_matches_bruteforce(fuzz_spark, scores, fr):
     for i, s in enumerate(scores):
         if s is None:
             assert got[i] == labels[-1]
+
+
+def _exact_substr_ref(texts: list[str], w: int) -> dict:
+    """Pure-Python unaligned ExactSubstr: token removed iff covered
+    by a w-word window whose text occurs earlier ((id, pos) order)."""
+    firsts: dict = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for p in range(len(ws) - w + 1):
+            win = " ".join(ws[p:p + w])
+            firsts.setdefault(win, (f"d{i}", p))
+    out = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        cut: set = set()
+        for p in range(len(ws) - w + 1):
+            win = " ".join(ws[p:p + w])
+            if firsts[win] != (f"d{i}", p):
+                cut.update(range(p, p + w))
+        kept = [x for k, x in enumerate(ws) if k not in cut]
+        out[f"d{i}"] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=docs_st, dup_first=st.booleans(),
+       window_words=st.sampled_from([2, 3, 5]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_exact_substr_matches_python_ref(fuzz_spark, texts, dup_first,
+                                         window_words):
+    """Unaligned ExactSubstr on random tiny-vocab corpora (dense
+    window collisions at arbitrary offsets; `dup_first` plants a
+    whole-doc duplicate to fuzz the n_kept=0 path) vs an independent
+    pure-Python first-occurrence/coverage reference — token counts
+    and reassembled text exact, on BOTH keying plans. Exercises the
+    interval-merge aggregate against overlapping and adjacent
+    duplicated windows."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    if dup_first:
+        texts = texts + [texts[0]]
+    exp = _exact_substr_ref(texts, window_words)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts}))
+    for hk in (False, True):
+        got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["dedup_text"])
+               for r in dedup.exact_substr_dedup(
+                   sdf, "doc_id", "text", window_words,
+                   hash_key=hk).collect()}
+        assert got == exp, (window_words, hk)

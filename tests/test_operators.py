@@ -906,6 +906,25 @@ def test_span_dedup_within_doc_repeat(spark):
     assert (r["n_spans"], r["n_kept"], r["dedup_text"]) == (2, 1, "a b")
 
 
+def test_exact_substr_unaligned_catch(spark):
+    """Unaligned ExactSubstr catches a duplicated run at ANY offset —
+    the case span_dedup's aligned windows structurally miss. Doc 2
+    embeds doc 1's 6-token run at offset 2; every token of the run is
+    removed, the novel flanks survive; a short doc passes through;
+    a full duplicate zeroes out."""
+    rows = [Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="x y a b c d e f z"),
+            Row(doc_id=3, text="a b c d e f"),
+            Row(doc_id=4, text="tiny")]
+    out = {r["doc_id"]: r for r in dedup.exact_substr_dedup(
+        spark.createDataFrame(rows), "doc_id", "text",
+        window_words=3, hash_key=True).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (6, 6)
+    assert out[2]["dedup_text"] == "x y z" and out[2]["n_kept"] == 3
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+    assert out[4]["dedup_text"] == "tiny" and out[4]["n_tokens"] == 1
+
+
 def test_semantic_dedup_within_cluster_only(spark):
     """SemDeDup semantics: near-dups are dropped only when they share
     a cluster; a cross-cluster pair at cosine ~1 must BOTH survive
