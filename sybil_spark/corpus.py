@@ -1205,6 +1205,87 @@ def q_bm25_search(spark, sf):
                              "text", queries, k=5)
 
 
+@_q("hybrid_search", """
+    with corpus as (select d.doc_id, d.text,
+                           CAST(e.embedding AS DOUBLE[]) as ev
+                    from documents d
+                    join embeddings e on d.doc_id = e.vec_id),
+    q(q_id, q_text) as (values (1, 'hash join table'),
+                        (2, 'slow scan filter'),
+                        (3, 'vector merge')),
+    qv as (select q.q_id, q.q_text,
+                  CAST(e.embedding AS DOUBLE[]) as qvec
+           from q join embeddings e on e.vec_id = q.q_id),
+    qt as (select distinct q_id, unnest(string_split(q_text, ' ')) as tok
+           from q),
+    toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+             from corpus),
+    tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+    dl as (select doc_id, count(*) as dl from toks group by 1),
+    dfreq as (select tok, count(*) as df_t from tf group by 1),
+    st as (select cast(count(*) as double) as n,
+                  cast(cast(sum(dl) as bigint) as double)
+                    / cast(count(*) as double) as avgdl
+           from dl),
+    terms as (select qt.q_id, tf.doc_id,
+                     cast(ln(1.0 + ((select n from st) - df_t + 0.5)
+                             / (df_t + 0.5))
+                          * cast(tf as double) * 2.2
+                          / (cast(tf as double)
+                             + 1.2 * (0.25 + 0.75
+                                      * cast(dl as double)
+                                      / (select avgdl from st)))
+                          as decimal(38,6)) as t6
+              from qt join tf using (tok)
+                      join dfreq using (tok)
+                      join dl on tf.doc_id = dl.doc_id),
+    lexs as (select q_id, doc_id, sum(t6) as s6
+             from terms group by 1, 2),
+    lexr as (select q_id, doc_id,
+                    row_number() over (partition by q_id
+                                       order by s6 desc, doc_id asc)
+                      as lex_rank
+             from lexs qualify lex_rank <= 5),
+    sems as (select qv.q_id, c.doc_id,
+                    list_dot_product(qv.qvec, c.ev)
+                    / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+                       * sqrt(list_dot_product(c.ev, c.ev))) as cos
+             from qv, corpus c),
+    semr as (select q_id, doc_id,
+                    row_number() over (partition by q_id
+                                       order by cos desc, doc_id asc)
+                      as sem_rank
+             from sems qualify sem_rank <= 5),
+    fused as (select q_id, doc_id,
+                     coalesce(1.0 / (60 + l.lex_rank), 0.0)
+                     + coalesce(1.0 / (60 + s.sem_rank), 0.0) as rrf,
+                     l.lex_rank, s.sem_rank
+              from lexr l full join semr s using (q_id, doc_id))
+    select q_id, doc_id, rrf, lex_rank, sem_rank,
+           row_number() over (partition by q_id
+                              order by rrf desc, doc_id asc) as rank
+    from fused qualify rank <= 5""")
+def q_hybrid_search(spark, sf):
+    """Hybrid retrieval (similarity.hybrid_topk): reciprocal-rank
+    fusion of a BM25 lexical leg and a dense-cosine leg over the
+    documents-with-embeddings corpus, top-5 per query (c=60, both
+    legs top-5). The fused score is a fixed two-operand IEEE sum of
+    1/(60+rank) — exact in both engines given each leg's
+    already-bit-exact ranks; query vectors are the embeddings of
+    vec_id == q_id."""
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    corpus = docs.join(emb, docs["doc_id"] == emb["vec_id"]) \
+                 .select("doc_id", "text", "embedding")
+    q = spark.createDataFrame(
+        [(1, "hash join table"), (2, "slow scan filter"),
+         (3, "vector merge")], "q_id long, q_text string")
+    queries = q.join(emb, q["q_id"] == emb["vec_id"]) \
+               .select("q_id", "q_text", F.col("embedding").alias("q_vec"))
+    return similarity.hybrid_topk(corpus, queries, "doc_id", "text",
+                                  "embedding", k=5)
+
+
 @_q("chunk_docs", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -3840,6 +3921,7 @@ _DRIVER_FIRST = [
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
     "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
+    "hybrid_search",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

@@ -700,3 +700,70 @@ def quantized_topk(df: DataFrame, vec_col: str, k: int = 10,
                      .alias("qcos"))
              .orderBy(F.desc("qcos"), F.col(id_col).asc())
              .limit(k))
+
+
+def hybrid_topk(corpus: DataFrame, queries: DataFrame,
+                id_col: str, text_col: str, vec_col: str,
+                q_id_col: str = "q_id", q_text_col: str = "q_text",
+                q_vec_col: str = "q_vec",
+                k: int = 10, k_lex: int | None = None,
+                k_sem: int | None = None, c: int = 60,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.
+    2009) of a lexical BM25 leg and a dense cosine leg — the standard
+    two-tower first stage of retrieval-augmented pipelines and
+    corpus-curation audits (a contamination probe phrased as text OR
+    as an embedding should find the same neighborhood; RRF surfaces
+    docs either leg ranks highly without score calibration).
+
+    Per query row (q_id_col, q_text_col, q_vec_col):
+    rrf = sum over legs of 1/(c + rank), rank 1-based within the
+    leg's top-k_lex / top-k_sem (quality.bm25_topk and cross_topk —
+    both already exact and scale-shaped); docs absent from a leg
+    contribute 0. Output (q_id, id_col, rrf, lex_rank, sem_rank,
+    rank), rank 1..k per query by (rrf desc, id asc).
+
+    Exactness: each leg's rank is oracle-exact (BM25's decimal-
+    quantized term sums; the sequential-fold JVM cosine), and the
+    fused score is the fixed two-operand IEEE sum of 1.0/(c+rank)
+    divisions of exact integers — bit-identical in any engine, so
+    the fusion needs no decimal quantization of its own.
+
+    Scale: the corpus is scanned once per modality (tokenized for
+    BM25, vectors for the matmul candidate pass — different columns,
+    unavoidable); fusion itself joins two narrow (q_id, id, rank)
+    frames of at most Q x k_lex and Q x k_sem rows — a full-outer
+    equi-join on the pair key, trivially partitioned at any scale."""
+    from pyspark.sql import Window
+
+    from sybil_spark.operators.quality import bm25_topk
+
+    k_lex = k if k_lex is None else k_lex
+    k_sem = k if k_sem is None else k_sem
+    lex = bm25_topk(corpus, id_col, text_col,
+                    queries.select(q_id_col, q_text_col),
+                    q_id_col=q_id_col, q_text_col=q_text_col,
+                    k=k_lex, k1=k1, b=b) \
+        .select(F.col("q_id"), F.col(id_col),
+                F.col("rank").alias("lex_rank"))
+    sem = cross_topk(
+        queries.select(F.col(q_id_col), F.col(q_vec_col).alias(vec_col)),
+        corpus.select(id_col, vec_col), vec_col,
+        k=k_sem, q_id_col=q_id_col, id_col=id_col)
+    w_sem = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                               F.col(id_col).asc())
+    semr = (sem.withColumn("sem_rank", F.row_number().over(w_sem))
+               .select("q_id", id_col, "sem_rank"))
+    fused = (lex.join(semr, ["q_id", id_col], "full_outer")
+             .withColumn(
+                 "rrf",
+                 F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sem_rank")),
+                              F.lit(0.0))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"),
+                                           F.col(id_col).asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("q_id", id_col, "rrf", "lex_rank", "sem_rank",
+                         "rank"))

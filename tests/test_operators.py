@@ -1569,3 +1569,29 @@ def test_corpus_diff_labels(spark):
     s = {r["status"]: r["n"] for r in
          corpus_diff_summary(old, new, "doc_id", "text").collect()}
     assert s == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_hybrid_topk_rrf_fusion(spark):
+    """RRF fusion: a doc ranked #1 by BOTH legs must outrank docs
+    ranked #1 by only one leg; docs found by a single leg still
+    appear (the other leg's rank is NULL and contributes 0); rrf
+    equals 1/(60+lex_rank) + 1/(60+sem_rank) exactly."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma", [1.0, 0.0]),     # lex+sem hit for q1
+         (1, "alpha beta delta", [0.0, 1.0]),     # lex-only hit
+         (2, "zeta eta theta", [0.9, 0.1]),       # sem-only hit
+         (3, "iota kappa mu", [0.0, -1.0])],      # neither
+        "doc_id long, text string, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, "alpha beta", [1.0, 0.0])],
+        "q_id long, q_text string, q_vec array<double>")
+    out = {r["doc_id"]: r for r in similarity.hybrid_topk(
+        corpus, queries, "doc_id", "text", "embedding", k=4).collect()}
+    assert out[0]["rank"] == 1   # both legs -> top fused
+    assert out[1]["sem_rank"] is None or out[1]["sem_rank"] > 2
+    assert 2 in out              # sem-only doc still surfaces
+    for r in out.values():
+        exp = sum(1.0 / (60 + x)
+                  for x in (r["lex_rank"], r["sem_rank"])
+                  if x is not None)
+        assert r["rrf"] == exp
