@@ -1205,6 +1205,66 @@ def q_bm25_search(spark, sf):
                              "text", queries, k=5)
 
 
+@_q("gopher_rules", """
+    with t as (select doc_id, text,
+                      string_split(text, ' ') as tk,
+                      string_split(text, chr(10)) as ln
+               from documents)
+    select doc_id,
+      len(tk) >= 50 and len(tk) <= 100000 as word_count,
+      (length(text) - (length(text) - length(replace(text, ' ', ''))))
+        / len(tk) >= 3.0
+      and (length(text)
+           - (length(text) - length(replace(text, ' ', ''))))
+        / len(tk) <= 10.0 as mean_word_len,
+      ((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3)
+        / len(tk) <= 0.1 as symbol_ratio,
+      len(list_filter(ln, l -> substr(l, 1, 2)
+                               in ('- ', '* ', '• ')))
+        / len(ln) <= 0.9 as bullet_lines,
+      len(list_filter(ln, l -> ends_with(l, '...')))
+        / len(ln) <= 0.3 as ellipsis_lines,
+      len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        / len(tk) >= 0.8 as alpha_words,
+      len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+          ['the','be','to','of','and','that','have','with'])) >= 2
+        as stop_words,
+      (len(tk) >= 50 and len(tk) <= 100000)
+      and ((length(text)
+            - (length(text) - length(replace(text, ' ', ''))))
+           / len(tk) >= 3.0
+           and (length(text)
+                - (length(text) - length(replace(text, ' ', ''))))
+             / len(tk) <= 10.0)
+      and (((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3)
+           / len(tk) <= 0.1)
+      and (len(list_filter(ln, l -> substr(l, 1, 2)
+                                    in ('- ', '* ', '• ')))
+           / len(ln) <= 0.9)
+      and (len(list_filter(ln, l -> ends_with(l, '...')))
+           / len(ln) <= 0.3)
+      and (len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+           / len(tk) >= 0.8)
+      and (len(list_intersect(
+               list_distinct(string_split(lower(text), ' ')),
+               ['the','be','to','of','and','that','have','with'])) >= 2)
+        as passes
+    from t""")
+def q_gopher_rules(spark, sf):
+    """Gopher structural quality rules (Rae et al. 2021 Table A1) per
+    document: seven boolean rules (length bounds, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    ratio, stop-word presence) + the conjunction. All ratios are
+    double divisions of exact integer counts, so every comparison is
+    cross-engine bit-stable; the oracle inlines the same replace-
+    length and list-filter arithmetic."""
+    return (_t(spark, sf, "documents")
+            .withColumn("__g", T.gopher_rules(F.col("text")))
+            .select("doc_id", "__g.*"))
+
+
 @_q("hybrid_search", """
     with corpus as (select d.doc_id, d.text,
                            CAST(e.embedding AS DOUBLE[]) as ev
@@ -3921,7 +3981,7 @@ _DRIVER_FIRST = [
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
     "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
-    "hybrid_search",
+    "hybrid_search", "gopher_rules",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

@@ -174,3 +174,76 @@ def normalize_text(col: Column, lower: bool = True,
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+#: Stop-word set for the Gopher "contains common words" rule —
+#: deliberately tiny and fixed so the SQL oracle can inline it.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_rules(col: Column, min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_types: int = 2) -> Column:
+    """Gopher-style structural quality rules (Rae et al. 2021,
+    "Scaling Language Models", Table A1) as ONE struct column of
+    per-rule booleans plus the conjunction — the standard repetition-
+    free document filter battery for web-scale pre-training corpora:
+
+      word_count      min_words <= tokens <= max_words
+      mean_word_len   in [min_mean_word_len, max_mean_word_len]
+      symbol_ratio    ('#' + '...' occurrences) / tokens <= max
+      bullet_lines    fraction of lines starting with a bullet <= max
+      ellipsis_lines  fraction of lines ending with '...' <= max
+      alpha_words     fraction of tokens with an alphabetic char >= min
+      stop_words      distinct GOPHER_STOPWORDS present >= min_stop_types
+      passes          AND of all seven
+
+    Pure column expressions (string length arithmetic, array
+    filters, one array_intersect) — whole-stage codegen at the scan,
+    no UDF, no shuffle; every ratio is a double division of exact
+    integers, so thresholds compare bit-identically in any engine.
+    Counts of '#'/'...' use replace-length arithmetic (non-
+    overlapping left-to-right in both Spark and ANSI SQL)."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    hash_n = (F.length(col)
+              - F.length(F.replace(col, F.lit("#"), F.lit("")))) \
+        .cast("double")
+    ell_n = ((F.length(col)
+              - F.length(F.replace(col, F.lit("..."), F.lit(""))))
+             / F.lit(3)).cast("double")
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullets = F.size(F.filter(
+        lines, lambda l: F.substring(l, 1, 2).isin("- ", "* ", "• "))) \
+        .cast("double")
+    ell_lines = F.size(F.filter(
+        lines, lambda l: l.endswith("..."))).cast("double")
+    alpha = F.size(F.filter(
+        toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+    stops = F.size(F.array_intersect(
+        F.array_distinct(F.split(F.lower(col), " ")),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    rules = {
+        "word_count": (F.size(toks) >= min_words)
+        & (F.size(toks) <= max_words),
+        "mean_word_len": (avg_word_len(col) >= min_mean_word_len)
+        & (avg_word_len(col) <= max_mean_word_len),
+        "symbol_ratio": (hash_n + ell_n) / n <= max_symbol_ratio,
+        "bullet_lines": bullets / n_lines <= max_bullet_ratio,
+        "ellipsis_lines": ell_lines / n_lines <= max_ellipsis_ratio,
+        "alpha_words": alpha / n >= min_alpha_ratio,
+        "stop_words": stops >= min_stop_types,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(*[v.alias(k) for k, v in rules.items()],
+                    passes.alias("passes"))

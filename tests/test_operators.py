@@ -1595,3 +1595,37 @@ def test_hybrid_topk_rrf_fusion(spark):
                   for x in (r["lex_rank"], r["sem_rank"])
                   if x is not None)
         assert r["rrf"] == exp
+
+
+def test_gopher_rules_each_rule(spark):
+    """Each Gopher rule trips on a crafted document: too short,
+    long-gibberish mean word length, symbol-heavy, bullet-list,
+    ellipsis-trailed lines, numeric tokens, no stop words — and a
+    normal English paragraph passes all seven."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back to the barn with all of that easy grace "
+            "animals have when nobody is watching them move around "
+            "the yard in the late afternoon light of an autumn day "
+            "that seems to have no ending at all for anyone") # >50 words
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, "too short to pass the word count"),
+         (2, " ".join(["supercalifragilistic"] * 60)),     # mean len >10
+         (3, " ".join(["#"] * 30 + ["the of and be to"] * 12)),
+         (4, "\n".join(["- item one of the list to be had"] * 10)),
+         (5, "\n".join(["the thing goes on and on..."] * 10)),
+         (6, " ".join(["12345"] * 60) + " the of"),
+         (7, " ".join(["zork"] * 60))],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", T.gopher_rules(F.col("text")).alias("g")).select(
+        "doc_id", "g.*").collect()}
+    assert out[0]["passes"]
+    assert not out[1]["word_count"]
+    assert not out[2]["mean_word_len"]
+    assert not out[3]["symbol_ratio"]
+    assert not out[4]["bullet_lines"]
+    assert not out[5]["ellipsis_lines"]
+    assert not out[6]["alpha_words"]
+    assert not out[7]["stop_words"]
+    assert not any(out[i]["passes"] for i in range(1, 8))
