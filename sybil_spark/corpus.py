@@ -1205,6 +1205,47 @@ def q_bm25_search(spark, sf):
                              "text", queries, k=5)
 
 
+@_q("dsir_weights", """
+    with w as (select doc_id, lang, string_split(text, ' ') as t
+               from documents),
+    bg0 as (select doc_id, lang, t,
+                   unnest(generate_series(1, len(t)-1)) as i
+            from w where len(t) >= 2),
+    bg as (select doc_id, lang,
+                  (cast(('0x' || substr(md5(t[i] || ' ' || t[i+1]),
+                                        1, 15)) as bigint)
+                   % 2147483647) % 4096 as b
+           from bg0),
+    tc as (select b, count(*) as cnt from bg where lang = 'en'
+           group by 1),
+    rc as (select b, count(*) as cnt from bg group by 1),
+    tden as (select cast(sum(cnt) + 4096 as double) as d from tc),
+    rden as (select cast(sum(cnt) + 4096 as double) as d from rc),
+    terms as (select bg.doc_id,
+                     cast(ln((coalesce(tc.cnt, 0) + 1)
+                             / (select d from tden))
+                          as decimal(38,6))
+                     - cast(ln((coalesce(rc.cnt, 0) + 1)
+                               / (select d from rden))
+                            as decimal(38,6)) as t6
+              from bg left join tc using (b)
+                      left join rc using (b))
+    select doc_id, count(*) as n_feats,
+           cast(cast(sum(t6) as varchar) as double) as logratio
+    from terms group by doc_id""")
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (quality.dsir_logratio): per-doc
+    log p_target/p_raw over 4096 hashed-bigram buckets, target =
+    lang='en' documents, raw = all. The oracle inlines the portable
+    md5 bucket hash and the per-feature decimal(38,6) ln
+    quantization, so scores are bit-exact."""
+    from sybil_spark.operators import quality
+    docs = _t(spark, sf, "documents")
+    return quality.dsir_logratio(
+        docs, docs.where(F.col("lang") == "en"),
+        "doc_id", "text", buckets=4096, smooth_k=1)
+
+
 @_q("gopher_rules", """
     with t as (select doc_id, text,
                       string_split(text, ' ') as tk,
@@ -3981,7 +4022,7 @@ _DRIVER_FIRST = [
     # brand-new this round — first driver rows:
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
     "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
-    "hybrid_search", "gopher_rules",
+    "hybrid_search", "gopher_rules", "dsir_weights",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

@@ -569,3 +569,73 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     if persist_tf:
         out._sybil_cached = tf   # unpersist handle for the caller
     return out
+
+
+def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
+                  text_col: str, buckets: int = 10_000,
+                  smooth_k: int = 1) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by how much more likely its hashed-bigram features are
+    under the TARGET distribution than under the raw distribution —
+    log w(x) = Σ_features [ln p_target(b) - ln p_raw(b)] — then
+    resample the raw corpus with these weights (feed `logratio` to
+    sampling.weighted_sample / take_until_budget) to tilt a web-scale
+    crawl toward a high-quality target (Wikipedia, books) without
+    training a model.
+
+    Features are word bigrams hashed into `buckets` buckets with the
+    portable md5 family (dedup._port_tok_hash mod buckets — the SQL
+    oracle reproduces it bit-for-bit); both distributions Laplace-
+    smooth with `smooth_k` over the bucket space, so every bucket has
+    finite mass in both. Docs with fewer than 2 tokens have no
+    features and are absent (left-join back for pass-through).
+
+    Output: (id_col, n_feats, logratio) — logratio is the decimal-
+    quantized feature sum rendered varchar→double (each ln quantized
+    to decimal(38,6) BEFORE the subtraction and sum, the
+    unigram_logprob order-independence contract).
+
+    Scale: the two bucket-count maps aggregate to AT MOST `buckets`
+    rows each — broadcast by construction at ANY corpus size (this
+    is DSIR's whole trick: the model is a fixed-width histogram, not
+    a vocabulary). Scoring is one array-expression bigram extraction,
+    one hash projection, two broadcast joins, one doc groupBy; the
+    two totals are 1-row driver aggregates."""
+    from sybil_spark.operators.dedup import _port_tok_hash
+
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    bg = F.concat_ws(" ", F.col("prev"), F.col("tok"))
+    bucket = F.pmod(_port_tok_hash(bg), F.lit(buckets))
+
+    def counts(df):
+        return (_bigrams(df, text_col, "__absent__")
+                .select(bucket.alias("__b"))
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")))
+
+    tc, rc = counts(target), counts(raw)
+    t_total = tc.agg(F.sum("cnt")).collect()[0][0]
+    r_total = rc.agg(F.sum("cnt")).collect()[0][0]
+    if not t_total or not r_total:
+        raise ValueError("dsir_logratio: empty target or raw corpus "
+                         "(no bigram features)")
+    t_den = float(t_total + smooth_k * buckets)
+    r_den = float(r_total + smooth_k * buckets)
+    feats = (_bigrams(raw, text_col, id_col)
+             .select("__id", bucket.alias("__b"))
+             .join(F.broadcast(tc.withColumnRenamed("cnt", "__tc")),
+                   "__b", "left")
+             .join(F.broadcast(rc.withColumnRenamed("cnt", "__rc")),
+                   "__b", "left"))
+    k = F.lit(smooth_k)
+    ln_t = F.log((F.coalesce(F.col("__tc"), F.lit(0)) + k)
+                 .cast("double") / F.lit(t_den)).cast(_DEC)
+    ln_r = F.log((F.coalesce(F.col("__rc"), F.lit(0)) + k)
+                 .cast("double") / F.lit(r_den)).cast(_DEC)
+    return (feats.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 F.sum(ln_t - ln_r).alias("__s"))
+            .select(F.col("__id").alias(id_col), "n_feats",
+                    F.col("__s").cast("string").cast("double")
+                     .alias("logratio")))

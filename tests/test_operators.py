@@ -1629,3 +1629,24 @@ def test_gopher_rules_each_rule(spark):
     assert not out[6]["alpha_words"]
     assert not out[7]["stop_words"]
     assert not any(out[i]["passes"] for i in range(1, 8))
+
+
+def test_dsir_logratio_tilts_toward_target(spark):
+    """DSIR importance weights: a raw doc whose bigrams dominate the
+    TARGET distribution must out-score a raw doc with bigrams absent
+    from the target; single-token docs have no features and are
+    absent from the output."""
+    from sybil_spark.operators import quality
+    raw = spark.createDataFrame(
+        [(0, "good clean prose good clean prose"),
+         (1, "junk spam junk spam junk spam"),
+         (2, "solo")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "good clean prose good clean prose good clean prose")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality.dsir_logratio(
+        raw, target, "doc_id", "text", buckets=64).collect()}
+    assert 2 not in out                      # no bigram features
+    assert out[0]["logratio"] > out[1]["logratio"]
+    assert out[0]["n_feats"] == 5 and out[1]["n_feats"] == 5
