@@ -1243,7 +1243,7 @@ def q_dsir_weights(spark, sf):
     docs = _t(spark, sf, "documents")
     return quality.dsir_logratio(
         docs, docs.where(F.col("lang") == "en"),
-        "doc_id", "text", buckets=4096, smooth_k=1)
+        "doc_id", "text", buckets=4096, smooth_k=1, portable=True)
 
 
 @_q("gopher_rules", """

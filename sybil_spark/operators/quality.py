@@ -573,7 +573,8 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
 
 def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
                   text_col: str, buckets: int = 10_000,
-                  smooth_k: int = 1) -> DataFrame:
+                  smooth_k: int = 1,
+                  portable: bool = False) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every RAW
     document by how much more likely its hashed-bigram features are
@@ -584,11 +585,11 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
     crawl toward a high-quality target (Wikipedia, books) without
     training a model.
 
-    Features are word bigrams hashed into `buckets` buckets with the
-    portable md5 family (dedup._port_tok_hash mod buckets — the SQL
-    oracle reproduces it bit-for-bit); both distributions Laplace-
-    smooth with `smooth_k` over the bucket space, so every bucket has
-    finite mass in both. Docs with fewer than 2 tokens have no
+    Features are word bigrams hashed into `buckets` buckets —
+    xxhash64 by default, or with `portable=True` the md5 family
+    (dedup._port_tok_hash mod buckets) the SQL oracle reproduces
+    bit-for-bit; both distributions Laplace-smooth with `smooth_k`
+    over the bucket space, so every bucket has finite mass in both. Docs with fewer than 2 tokens have no
     features and are absent (left-join back for pass-through).
 
     Output: (id_col, n_feats, logratio) — logratio is the decimal-
@@ -607,12 +608,28 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     bg = F.concat_ws(" ", F.col("prev"), F.col("tok"))
-    bucket = F.pmod(_port_tok_hash(bg), F.lit(buckets))
+    # xxhash64 is the scale default (~2-3x cheaper per bigram);
+    # portable=True swaps in the md5 family the SQL oracle inlines —
+    # the standing portable-hash convention of the dedup pipelines.
+    # Bucket IDENTITY differs between the two, but both are uniform
+    # hashes into the same bucket space, so scores are statistically
+    # equivalent; pick one mode per pipeline run.
+    bucket = (F.pmod(_port_tok_hash(bg), F.lit(buckets)) if portable
+              else F.pmod(F.xxhash64(bg), F.lit(buckets)))
+
+    from sybil_spark.operators._util import spread
 
     def counts(df):
-        return (_bigrams(df, text_col, "__absent__")
+        # spread: the explode + per-bigram md5 amplifies ~50x inside
+        # the stage, so a compact parquet input must re-split before
+        # it (no-op when the input already has >= cores partitions).
+        # localCheckpoint (≤ buckets rows): each map's corpus scan
+        # runs ONCE — without it the totals collect and the scoring
+        # job would re-run the raw-corpus aggregation three times
+        return (_bigrams(spread(df), text_col, "__absent__")
                 .select(bucket.alias("__b"))
-                .groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")))
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True))
 
     tc, rc = counts(target), counts(raw)
     t_total = tc.agg(F.sum("cnt")).collect()[0][0]
@@ -622,7 +639,7 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
                          "(no bigram features)")
     t_den = float(t_total + smooth_k * buckets)
     r_den = float(r_total + smooth_k * buckets)
-    feats = (_bigrams(raw, text_col, id_col)
+    feats = (_bigrams(spread(raw), text_col, id_col)
              .select("__id", bucket.alias("__b"))
              .join(F.broadcast(tc.withColumnRenamed("cnt", "__tc")),
                    "__b", "left")

@@ -458,3 +458,20 @@ def test_tfidf_rank_limit_pushdown(spark, sf_dir):
     p = I.formatted_plan(q)
     assert "WindowGroupLimit" in p, p
     assert I.broadcast_join_count(q) >= 1, p
+
+
+def test_exact_substr_plan_hash_keyed_narrow(spark, sf_dir):
+    """exact_substr_dedup's hash-keyed plan inherits span_dedup's
+    narrow-shuffle shape for stride-1 windows — the regime where it
+    matters most (window text volume = window_words x corpus text):
+    no window-partitioned sort Window, first-occurrence exchanges on
+    the 8-byte hash, exactly one span-keyed re-check exchange."""
+    from sybil_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = dedup.exact_substr_dedup(docs, "doc_id", "text",
+                                 window_words=8, hash_key=True)
+    p = I.formatted_plan(q)
+    assert "Window (" not in p, p
+    assert "hashpartitioning(__h" in p, p
+    assert p.count("hashpartitioning(span") == 1, p
+    assert "posexplode" in p.lower(), p

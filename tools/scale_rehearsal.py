@@ -100,6 +100,16 @@ def main() -> None:
                   .localCheckpoint(eager=True))
         return quality.quantile_buckets(scored, idc, "score")
 
+    def exsub(df, idc, tc):
+        return dedup.exact_substr_dedup(df, idc, tc, window_words=8)
+
+    def dsir(df, idc, tc):
+        # target = a deterministic ~1/7 slice; both distributions and
+        # the scored corpus scale with the replica count
+        return quality.dsir_logratio(
+            df, df.where(F.pmod(F.col(idc), F.lit(7)) == 0),
+            idc, tc, buckets=4096)
+
     for name, fn, kw in (
             ("minhash_lsh", dedup.minhash_dedup_pairs, {}),
             ("simhash_dup", simhash, {}),
@@ -115,7 +125,14 @@ def main() -> None:
             # boundary-window passes)
             ("winnow_dup", winnow, {}),
             ("bm25_search", bm25, {}),
-            ("ppl_buckets", ppl, {})):
+            ("ppl_buckets", ppl, {}),
+            # round-6 session-2: stride-1 unaligned ExactSubstr
+            # (window volume = tokens, not tokens/span — the heaviest
+            # candidate generator in the package) and DSIR bucket
+            # scoring (fixed-width histograms, growth isolates the
+            # explode + broadcast-join scan)
+            ("exact_substr", exsub, {}),
+            ("dsir_weights", dsir, {})):
         timed(fn, small, **kw)                      # warm
         t1, n1 = timed(fn, small, **kw)
         t10, n10 = timed(fn, big, **kw)
