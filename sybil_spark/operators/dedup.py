@@ -1271,6 +1271,23 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
         w = Window.partitionBy("span").orderBy("__id", "pos")
         dup = (ex.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") > 1))
+    return token_removal_rebuild(df, dup, id_col, text_col,
+                                 window_words)
+
+
+def token_removal_rebuild(df: DataFrame, dup: DataFrame, id_col: str,
+                          text_col: str,
+                          window_words: int) -> DataFrame:
+    """The reassembly tail shared by batch exact_substr_dedup and the
+    streaming leg: given ("__id", pos) rows marking DUPLICATED window
+    starts, cut every token covered by one and rebuild the surviving
+    text from `df`'s own rows. The sorted per-doc starts merge into
+    at most n/window_words disjoint [s, e) intervals with a single
+    F.aggregate, so the per-doc token filter is
+    O(n_tokens * n_intervals); rows of `df` with no dup windows pass
+    through whole (LEFT join, NULL interval list). NULL-text rows are
+    dropped here (they have no tokens to rebuild), keeping the
+    operator's documented absent-row contract."""
     per_doc = (dup.groupBy("__id")
                   .agg(F.sort_array(F.collect_list("pos")).alias("__dp")))
     words = F.split(F.col(text_col), " ")
@@ -1294,6 +1311,7 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
         lambda t: ~F.exists(F.col("__iv"),
                             lambda v: (v["s"] <= t) & (t < v["e"])))
     return (df.select(id_col, text_col).dropDuplicates([id_col])
+              .where(F.col(text_col).isNotNull())
               .join(per_doc, F.col(id_col) == F.col("__id"), "left")
               .withColumn("__iv", iv)
               .withColumn("__kt", kept)

@@ -896,6 +896,105 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
             .outputMode("append").start())
 
 
+def bootstrap_window_index(df: DataFrame, id_col: str, text_col: str,
+                           index_path: str,
+                           window_words: int = 10) -> None:
+    """Seed the stream_exact_substr_against_index window-hash index
+    from an existing (historical) corpus — the distinct 8-byte
+    hashes of EVERY stride-1 window under the stream's expected
+    `__h` column, plus the parameter sidecar (mirror of
+    bootstrap_span_index for the unaligned leg)."""
+    from sybil_spark.operators.dedup import doc_windows
+
+    sdi = StreamDedupIndex(index_path, "window_hashes",
+                           {"window_words": window_words})
+    sdi.overwrite(doc_windows(df, id_col, text_col, window_words)
+                  .select(F.xxhash64("span").alias("__h")).distinct())
+    sdi.commit_meta()
+
+
+def stream_exact_substr_against_index(df: DataFrame, id_col: str,
+                                      text_col: str, out_path: str,
+                                      index_path: str,
+                                      window_words: int = 10,
+                                      checkpoint: str | None = None
+                                      ) -> StreamingQuery:
+    """Continuous UNALIGNED exact-substring dedup — the streaming
+    analog of the batch `dedup.exact_substr_dedup` (full ExactSubstr
+    policy: stride-1 windows, token-interval removal), fifth leg of
+    the streaming dedup family. Each arriving doc loses every token
+    covered by a window whose text occurred earlier: at an earlier
+    (id, pos) in the same micro-batch (span_first_flags — the batch
+    operator's hash + collision-re-check protocol) or as any window
+    hash in the persisted index from prior batches / the
+    bootstrapped corpus (`bootstrap_window_index`). Removal and
+    reassembly are the batch operator's own
+    `token_removal_rebuild` — one code path for both engines.
+
+    Every input doc emits exactly one output row (original columns
+    + n_tokens, n_kept, dedup_text; NULL-text rows carry NULL
+    stats). State is 8 bytes per distinct window EVER SEEN —
+    ~1 hash per token, window_words× the aligned span leg's index
+    (the price of catching duplicates at every offset; the aligned
+    leg remains the cheaper guard where ingest batches are known to
+    align). Index compares carry the same xxhash64-collision caveat
+    as the span leg (P ≈ |index|/2⁶⁴ per new window); the
+    within-batch pass stays collision-re-checked. EXACTLY-ONCE
+    under replay via the StreamDedupIndex batch-commit layout
+    (own-batch exclusion + fold watermark); read out_path with
+    `read_stream_output`."""
+    from sybil_spark.operators.dedup import (doc_windows,
+                                             span_first_flags,
+                                             token_removal_rebuild)
+
+    sdi = StreamDedupIndex(index_path, "window_hashes",
+                           {"window_words": window_words})
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with sdi.lock(timeout_s=300.0):
+            sdi.check()   # always first: a parameter mismatch must
+            # raise even for a batch the fold watermark would skip
+            if batch_id <= sdi.fold_watermark():
+                return   # committed AND folded before an unclean stop
+            docs = batch_df.localCheckpoint()
+            base = doc_windows(docs, id_col, text_col, window_words)
+            flags = span_first_flags(base, id_col)
+            sp = (base.withColumn("__h", F.xxhash64("span"))
+                      .join(flags, [id_col, "pos"])
+                      .withColumnRenamed("__kept", "__new"))
+            idx = sdi.read(spark, exclude_batch=batch_id)
+            if idx is not None:
+                hit = (idx.select("__h").distinct()
+                          .withColumn("__hit", F.lit(True)))
+                sp = (sp.join(hit, "__h", "left")
+                        .withColumn("__new", F.col("__new")
+                                    & F.col("__hit").isNull())
+                        .drop("__hit"))
+            sp = sp.localCheckpoint()  # snapshot before the writes
+            dup = (sp.where(~F.col("__new"))
+                     .select(F.col(id_col).alias("__id"), "pos"))
+            stats = token_removal_rebuild(docs, dup, id_col, text_col,
+                                          window_words)
+            # stats is (id, n_tokens, n_kept, dedup_text) — original
+            # columns ride through from docs
+            _write_out_batch(docs.join(stats, id_col, "left"),
+                             out_path, batch_id)
+            # corpus-first windows only: non-firsts are covered by
+            # the index (their first is either appended this batch
+            # or was already a hit), exactly the span leg's protocol
+            sdi.append_batch(sp.where(F.col("__new"))
+                               .select("__h").distinct(), batch_id)
+            sdi.commit_meta()
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or out_path + "_checkpoint")
+            .outputMode("append").start())
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], time_col: str,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: emit only the first event per key,

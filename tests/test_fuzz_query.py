@@ -1261,13 +1261,17 @@ def test_quantile_buckets_matches_bruteforce(fuzz_spark, scores, fr):
 
 def _exact_substr_ref(texts: list[str], w: int) -> dict:
     """Pure-Python unaligned ExactSubstr: token removed iff covered
-    by a w-word window whose text occurs earlier ((id, pos) order)."""
-    firsts: dict = {}
+    by a w-word window whose text occurs earlier ((id, pos) order —
+    LEXICOGRAPHIC id order, matching the engine's string sort:
+    'd10' < 'd3')."""
+    wins = []
     for i, t in enumerate(texts):
         ws = t.split(" ")
         for p in range(len(ws) - w + 1):
-            win = " ".join(ws[p:p + w])
-            firsts.setdefault(win, (f"d{i}", p))
+            wins.append((f"d{i}", p, " ".join(ws[p:p + w])))
+    firsts: dict = {}
+    for did, p, win in sorted(wins):
+        firsts.setdefault(win, (did, p))
     out = {}
     for i, t in enumerate(texts):
         ws = t.split(" ")

@@ -832,3 +832,86 @@ def test_stream_media_ingest(spark, tmp_path):
     assert set(rows) == {"image", "audio", "binary"}
     assert bytes(rows["image"]["content"]) == b"\x89PNG one"
     assert rows["audio"]["format"] == "wav"
+
+
+def test_stream_exact_substr_against_index(spark, tmp_path):
+    """Cross-batch UNALIGNED substring dedup (fifth leg): a run seen
+    in an earlier batch is cut at ANY offset via the persisted
+    window-hash index; within-batch repeats cut by (id, pos) order;
+    every doc emits one row (fully-stale -> n_kept=0, NULL text ->
+    NULL stats); mismatched window_words fails fast."""
+    from sybil_spark.streaming.ingest_stream import (
+        stream_exact_substr_against_index)
+    idx_path = str(tmp_path / "widx")
+    out_path = str(tmp_path / "wout")
+    src = tmp_path / "es-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [
+        {"doc_id": "A", "text": "a b c d e f"},
+        {"doc_id": "B", "text": "p q a b c r"},   # run at offset 2
+    ])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_exact_substr_against_index(stream, "doc_id", "text",
+                                          out_path, idx_path,
+                                          window_words=3)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", [
+            {"doc_id": "C", "text": "x y c d e f z"},  # cross-batch run
+            {"doc_id": "D", "text": "a b c d e f"},    # fully stale
+            {"doc_id": "N", "text": None},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["doc_id"]: r for r in RSO(spark, out_path).collect()}
+    assert out["A"]["dedup_text"] == "a b c d e f"
+    assert out["B"]["dedup_text"] == "p q r" and out["B"]["n_kept"] == 3
+    assert out["C"]["dedup_text"] == "x y z"
+    assert out["D"]["n_kept"] == 0 and out["D"]["dedup_text"] == ""
+    assert out["N"]["n_tokens"] is None          # passed through
+    # index = corpus-first window hashes: A 4 + B 3 new ("p q a",
+    # "q a b", "b c r") + C 3 new ("x y c", "y c d", "e f z") + D 0
+    assert RSO(spark, idx_path).distinct().count() == 10
+    _write_batch(src, "b3.ndjson", [{"doc_id": "Z", "text": "a b c"}])
+    q2 = stream_exact_substr_against_index(
+        stream, "doc_id", "text", str(tmp_path / "wout2"), idx_path,
+        window_words=4, checkpoint=str(tmp_path / "wck2"))
+    try:
+        with pytest.raises(Exception, match="window_words|built with"):
+            q2.processAllAvailable()
+            q2.awaitTermination(5)
+    finally:
+        q2.stop()
+
+
+def test_bootstrap_window_index(spark, tmp_path):
+    """bootstrap_window_index seeds the unaligned leg from a batch
+    corpus: a streamed doc repeating a bootstrapped run loses it at
+    an unaligned offset on its very first batch."""
+    from sybil_spark.streaming.ingest_stream import (
+        bootstrap_window_index, stream_exact_substr_against_index)
+    hist = spark.createDataFrame([("H", "m n o p")],
+                                 "doc_id string, text string")
+    idx_path = str(tmp_path / "bwidx")
+    bootstrap_window_index(hist, "doc_id", "text", idx_path,
+                           window_words=3)
+    src = tmp_path / "bw-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson",
+                 [{"doc_id": "S", "text": "m n o p q"}])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    out_path = str(tmp_path / "bwout")
+    q = stream_exact_substr_against_index(stream, "doc_id", "text",
+                                          out_path, idx_path,
+                                          window_words=3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    r = RSO(spark, out_path).collect()[0]
+    assert r["dedup_text"] == "q" and r["n_kept"] == 1
