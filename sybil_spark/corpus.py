@@ -1269,7 +1269,7 @@ def q_dsir_weights(spark, sf):
       len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
         / len(tk) >= 0.8 as alpha_words,
       len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-          ['the','be','to','of','and','that','have','with'])) >= 2
+          ['the','be','to','of','and','that','have','with'])) >= 1
         as stop_words,
       (len(tk) >= 50 and len(tk) <= 100000)
       and ((length(text)
@@ -1290,7 +1290,7 @@ def q_dsir_weights(spark, sf):
            / len(tk) >= 0.8)
       and (len(list_intersect(
                list_distinct(string_split(lower(text), ' ')),
-               ['the','be','to','of','and','that','have','with'])) >= 2)
+               ['the','be','to','of','and','that','have','with'])) >= 1)
         as passes
     from t""")
 def q_gopher_rules(spark, sf):
@@ -1300,9 +1300,13 @@ def q_gopher_rules(spark, sf):
     ratio, stop-word presence) + the conjunction. All ratios are
     double divisions of exact integer counts, so every comparison is
     cross-engine bit-stable; the oracle inlines the same replace-
-    length and list-filter arithmetic."""
+    length and list-filter arithmetic. min_stop_types=1 here (the
+    synthetic vocabulary carries only 'the' from the Gopher stop
+    set; the paper's >= 2 default would fail every doc — 392/500
+    pass at 1, a real mix)."""
     return (_t(spark, sf, "documents")
-            .withColumn("__g", T.gopher_rules(F.col("text")))
+            .withColumn("__g", T.gopher_rules(F.col("text"),
+                                              min_stop_types=1))
             .select("doc_id", "__g.*"))
 
 

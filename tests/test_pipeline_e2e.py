@@ -146,3 +146,74 @@ def test_selection_and_chunking_pipeline(spark, docs):
                           F.max("n_words").alias("mx")).collect()}
     assert set(per_doc) == {r["doc_id"] for r in sel.collect()}
     assert all(v["mx"] <= 32 for v in per_doc.values())
+
+
+def test_curation_pipeline_round6(spark, docs):
+    """The round-6 additions composed as the front half of a corpus
+    build: Gopher structural rules → unaligned ExactSubstr rewrite →
+    DSIR target-tilted weighting → deterministic weighted
+    downsampling. Each stage's invariant asserted on the real
+    documents table, with a planted DSIR target so the tilt is
+    provable, not assumed."""
+    from sybil_spark.operators import quality
+
+    # 1. Gopher rules: keep passing docs; the struct's conjunction
+    # must equal the AND of its members
+    # min_stop_types=1: the synthetic vocab carries only 'the' from
+    # the Gopher stop set (same adjustment as the corpus query)
+    g = docs.withColumn("g", T.gopher_rules(F.col("text"),
+                                            min_stop_types=1))
+    bad_conj = g.where(F.col("g.passes") != (
+        F.col("g.word_count") & F.col("g.mean_word_len")
+        & F.col("g.symbol_ratio") & F.col("g.bullet_lines")
+        & F.col("g.ellipsis_lines") & F.col("g.alpha_words")
+        & F.col("g.stop_words"))).count()
+    assert bad_conj == 0
+    kept = g.where(F.col("g.passes")).drop("g")
+    n1 = kept.count()
+    assert 0 < n1 <= docs.count()
+
+    # 2. unaligned ExactSubstr: token counts never grow; a doc with
+    # no duplicated window passes through verbatim
+    es = dedup.exact_substr_dedup(kept, "doc_id", "text",
+                                  window_words=8)
+    assert es.where(F.col("n_kept") > F.col("n_tokens")).count() == 0
+    verbatim = (es.where(F.col("n_kept") == F.col("n_tokens"))
+                  .join(kept, "doc_id")
+                  .where(F.col("dedup_text") != F.col("text")).count())
+    assert verbatim == 0
+    rewritten = (kept.select("doc_id", "lang", "source")
+                 .join(es.where(F.col("n_kept") > 0), "doc_id")
+                 .withColumnRenamed("dedup_text", "text")
+                 .localCheckpoint(eager=True))
+
+    # 3. DSIR with a PLANTED target: docs with doc_id % 5 == 0 get a
+    # marker bigram appended; the target is exactly those docs, so
+    # their importance weights must tilt above the rest
+    marked = rewritten.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"),
+                                F.lit(" zzmark zzmark zzmark")))
+                 .otherwise(F.col("text")))
+    w = quality.dsir_logratio(
+        marked, marked.where(F.col("doc_id") % 5 == 0),
+        "doc_id", "text", buckets=1024)
+    tilt = (w.withColumn("is_t", (F.col("doc_id") % 5 == 0))
+             .groupBy("is_t")
+             .agg(F.avg("logratio").alias("m")).collect())
+    means = {r["is_t"]: r["m"] for r in tilt}
+    assert means[True] > means[False]
+
+    # 4. deterministic weighted downsampling from the weights: map
+    # logratio rank to keep-probability tiers (head 1.0 / tail 0.25)
+    med = w.approxQuantile("logratio", [0.5], 0.0)[0]
+    probed = w.withColumn(
+        "p", F.when(F.col("logratio") >= med, F.lit(1.0))
+              .otherwise(F.lit(0.25)))
+    sel = sampling.weighted_sample(probed, "doc_id", "p")
+    n_head = probed.where(F.col("logratio") >= med).count()
+    n_sel = sel.count()
+    assert n_head <= n_sel <= w.count()
+    # determinism: same keys + same probabilities -> same selection
+    assert sel.count() == sampling.weighted_sample(
+        probed, "doc_id", "p").count()
