@@ -1205,6 +1205,64 @@ def q_bm25_search(spark, sf):
                              "text", queries, k=5)
 
 
+def _rep_stats_sql() -> str:
+    """Generated oracle for repetition_stats: per n, n-grams via
+    list slicing (truncating at the end exactly like Spark's
+    F.slice, so short docs yield one whole-text gram), argmax count
+    by (count desc, gram asc) for the top fractions, and the
+    duplicated-gram char mass for the dup fractions."""
+    ctes, cols = [], []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        ctes.append(f"""
+    g{n} as (select doc_id, gram, count(*) as c, length(gram) as l
+             from (select doc_id,
+                          array_to_string(t[i : i+{n - 1}], ' ')
+                            as gram
+                   from (select doc_id, t,
+                                unnest(generate_series(1,
+                                    greatest(len(t)-{n}, 0)+1)) as i
+                         from w))
+             group by doc_id, gram)""")
+        if n <= 4:
+            ctes.append(f"""
+    t{n} as (select doc_id, c*l as m from
+             (select doc_id, c, l, row_number() over
+                  (partition by doc_id
+                   order by c desc, gram asc) as rn from g{n})
+             where rn = 1)""")
+            cols.append(f"t{n}.m / length(d.text) "
+                        f"as top_{n}gram_char_frac")
+        else:
+            ctes.append(f"""
+    d{n} as (select doc_id,
+                    sum(case when c > 1 then c*l else 0 end) as m
+             from g{n} group by doc_id)""")
+            cols.append(f"coalesce(d{n}.m, 0) / length(d.text) "
+                        f"as dup_{n}gram_char_frac")
+    joins = "".join(
+        f"\n    join t{n} on t{n}.doc_id = d.doc_id" for n in (2, 3, 4)
+    ) + "".join(
+        f"\n    left join d{n} on d{n}.doc_id = d.doc_id"
+        for n in (5, 6, 7, 8, 9, 10))
+    return ("with w as (select doc_id, string_split(text, ' ') as t\n"
+            "           from documents)," + ",".join(ctes)
+            + "\n    select d.doc_id, " + ", ".join(cols)
+            + "\n    from documents d" + joins)
+
+
+@_q("repetition_stats", _rep_stats_sql())
+def q_repetition_stats(spark, sf):
+    """Gopher repetition battery (Rae et al. 2021 Table A1, lower
+    half): per-doc fraction of characters in the most frequent
+    2/3/4-gram and in duplicated 5..10-grams — the boilerplate /
+    keyword-stuffing / decoding-loop signals. One sort+fold array
+    expression per n (zero shuffle, zero UDF); every fraction is an
+    exact-integer double division, bit-stable cross-engine."""
+    return (_t(spark, sf, "documents")
+            .withColumn("__s", T.repetition_stats(F.col("text")))
+            .select("doc_id", "__s.*"))
+
+
 @_q("dsir_weights", """
     with w as (select doc_id, lang, string_split(text, ' ') as t
                from documents),
@@ -4027,6 +4085,9 @@ _DRIVER_FIRST = [
     "ppl_buckets", "bm25_search", "weighted_sample", "winnow_dup",
     "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
     "hybrid_search", "gopher_rules", "dsir_weights",
+    "repetition_stats",
+    # implementation changed this round (ngrams() ANSI slice fix):
+    "repetition", "quality_cascade",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
     # similarity family was refactored in r4/r5 (shared shingle scan,
     # simhash restructure) and span_dedup's window key changes this

@@ -111,11 +111,13 @@ def fingerprint(col: Column, nibbles: int = 8) -> Column:
 def ngrams(col: Column, n: int = 3) -> Column:
     """Word n-grams as an array<string>, duplicates kept (one entry
     per position). Documents shorter than n words yield a single
-    whole-text n-gram."""
+    whole-text n-gram (slice truncates at the array end — under ANSI
+    mode the old per-position element_at raised
+    INVALID_ARRAY_INDEX on such documents)."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -247,3 +249,72 @@ def gopher_rules(col: Column, min_words: int = 50,
         passes = c if passes is None else (passes & c)
     return F.struct(*[v.alias(k) for k, v in rules.items()],
                     passes.alias("passes"))
+
+
+def _ngram_runs(col: Column, n: int) -> Column:
+    """Fold over the SORTED n-gram array producing
+    struct(top_chars, dup_chars): top_chars = occurrences x chars of
+    the most frequent n-gram (ties -> lexicographically first, the
+    deterministic tiebreak an oracle can mirror), dup_chars = Σ over
+    n-grams occurring more than once of occurrences x chars. Equal
+    n-grams are adjacent after array_sort, so one pass of run-length
+    arithmetic replaces a per-document groupBy — zero shuffle, pure
+    codegen."""
+    g = F.array_sort(ngrams(col, n))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit(0).alias("top"),
+        F.lit(0).alias("dup"))
+
+    def step(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1) \
+               .otherwise(F.lit(1))
+        # dup: when a run reaches length r its total contribution is
+        # r*len(x); r=2 adds both occurrences at once, each further
+        # step adds one more
+        added = F.when(run == 2, F.lit(2) * F.length(x)) \
+                 .when(run > 2, F.length(x)).otherwise(F.lit(0))
+        # top: the MOST FREQUENT n-gram's char mass (count, not
+        # mass, decides the argmax — Gopher's definition); strictly
+        # greater run wins, so count ties keep the lexicographically
+        # first n-gram (sorted iteration order) — the deterministic
+        # tiebreak the oracle mirrors
+        best = F.greatest(acc["best"], run)
+        top = F.when(run > acc["best"], run * F.length(x)) \
+               .otherwise(acc["top"])
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        best.alias("best"), top.alias("top"),
+                        (acc["dup"] + added).alias("dup"))
+    st = F.aggregate(g, init, lambda acc, x: step(acc, x))
+    return F.struct(st["top"].alias("top_chars"),
+                    st["dup"].alias("dup_chars"))
+
+
+def repetition_stats(col: Column, top_ns: tuple = (2, 3, 4),
+                     dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
+    """The Gopher repetition battery (Rae et al. 2021 Table A1,
+    lower half) as one struct column: for each n in `top_ns` the
+    fraction of characters contained in the document's most
+    frequently-occurring n-gram (`top_Ngram_char_frac`), and for
+    each n in `dup_ns` the fraction of characters contained in
+    n-grams occurring more than once (`dup_Ngram_char_frac`).
+    Character mass of an n-gram = occurrences x its character
+    length; denominator = document character count. All fractions
+    are double divisions of exact integer counts — cross-engine
+    bit-stable — and the whole battery is sort+fold array
+    expressions: zero shuffle, zero UDF, one pass per n.
+
+    Typical Gopher cuts: top_2 <= 0.20, top_3 <= 0.18, top_4 <= 0.16;
+    dup_5 <= 0.15 ... dup_10 <= 0.10. Thresholding is left to the
+    caller (compose with gopher_rules' conjunction pattern)."""
+    total = F.length(col).cast("double")
+    fields = []
+    for n in top_ns:
+        r = _ngram_runs(col, n)
+        fields.append((r["top_chars"] / total)
+                      .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        r = _ngram_runs(col, n)
+        fields.append((r["dup_chars"] / total)
+                      .alias(f"dup_{n}gram_char_frac"))
+    return F.struct(*fields)

@@ -1313,3 +1313,51 @@ def test_exact_substr_matches_python_ref(fuzz_spark, texts, dup_first,
                    sdf, "doc_id", "text", window_words,
                    hash_key=hk).collect()}
         assert got == exp, (window_words, hk)
+
+
+@given(texts=docs_st)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_repetition_stats_matches_python_ref(fuzz_spark, texts):
+    """Gopher repetition battery on random tiny-vocab corpora (dense
+    n-gram runs by construction) vs an independent Counter-based
+    reference: the sort+fold run-length arithmetic must reproduce
+    the argmax-by-(count, gram) top fractions and the duplicated-gram
+    char mass exactly — including single-token docs (whole-text gram,
+    fraction 1.0) and all-identical-token docs (max-run path)."""
+    from collections import Counter
+
+    from sybil_spark.functions import text as T
+    spark = fuzz_spark
+
+    def ref(t):
+        ws = t.split(" ")
+        out = {}
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+            if len(ws) < n:
+                grams = [" ".join(ws)]
+            else:
+                grams = [" ".join(ws[i:i + n])
+                         for i in range(len(ws) - n + 1)]
+            c = Counter(grams)
+            if n <= 4:
+                mx = max(c.values())
+                best = min(g for g, v in c.items() if v == mx)
+                out[f"top_{n}gram_char_frac"] = mx * len(best) / len(t)
+            else:
+                out[f"dup_{n}gram_char_frac"] = sum(
+                    v * len(g) for g, v in c.items() if v > 1) / len(t)
+        return out
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts}))
+    rows = {r["doc_id"]: r.asDict() for r in sdf.select(
+        "doc_id", T.repetition_stats(F.col("text")).alias("s"))
+        .select("doc_id", "s.*").collect()}
+    for i, t in enumerate(texts):
+        e = ref(t)
+        g = rows[f"d{i}"]
+        for k, v in e.items():
+            assert abs(g[k] - v) < 1e-12, (i, k, g[k], v)

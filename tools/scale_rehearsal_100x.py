@@ -162,6 +162,29 @@ def main() -> None:
         f.unpersist()
     out["pipelines"]["span_dedup"] = sp
 
+    # --- exact_substr 1x/10x/100x: hash vs text keying -------------
+    # the unaligned policy's window volume is window_words x the
+    # aligned leg's, so its keying crossover is the one most likely
+    # to flip first at cluster scale; same measurement as span_dedup
+    def run_exsub(df, hk):
+        t0 = time.time()
+        dedup.exact_substr_dedup(df, "doc_id", "text",
+                                 window_words=8,
+                                 hash_key=hk).count()
+        return round(time.time() - t0, 2)
+
+    frames = {n: _replicate_docs(spark, F, n) for n in (1, 10, 100)}
+    run_exsub(frames[1], True)   # warm
+    ex = {}
+    for hk, name in ((True, "hash"), (False, "text")):
+        for n in (1, 10, 100):
+            ex[f"t_{name}_{n}x_s"] = run_exsub(frames[n], hk)
+        ex[f"growth_{name}_100x"] = round(
+            ex[f"t_{name}_100x_s"] / ex[f"t_{name}_1x_s"], 2)
+    for f in frames.values():
+        f.unpersist()
+    out["pipelines"]["exact_substr"] = ex
+
     # --- TPC-H q1/q3 1x / 10x (Catalyst path) ----------------------
     _replicate_tpch(spark, F, corpus, 1, "tpch1x")
     _replicate_tpch(spark, F, corpus, 10, "tpch10x")
