@@ -1277,8 +1277,10 @@ def q_repetition_stats(spark, sf):
     tc as (select b, count(*) as cnt from bg where lang = 'en'
            group by 1),
     rc as (select b, count(*) as cnt from bg group by 1),
-    tden as (select cast(sum(cnt) + 4096 as double) as d from tc),
-    rden as (select cast(sum(cnt) + 4096 as double) as d from rc),
+    tden as (select cast(cast(sum(cnt) as bigint) + 4096 as double)
+               as d from tc),
+    rden as (select cast(cast(sum(cnt) as bigint) + 4096 as double)
+               as d from rc),
     terms as (select bg.doc_id,
                      cast(ln((coalesce(tc.cnt, 0) + 1)
                              / (select d from tden))
