@@ -134,15 +134,17 @@ def span_first_flags(ex: DataFrame, id_col: str = "__id",
     return solo.unionByName(multi)
 
 
-#: auto span_dedup keying threshold. MEASURED (SCALE_REHEARSAL_
-#: r06_100x.json): the text-keyed window plan wins at every
-#: rehearsed scale — 0.85 s vs 2.55 s at 1x sf0.1 and 3.87 s vs
-#: 24.55 s at 100x replicas (~27M tokens, ~20 MB text) — because a
-#: single-JVM shuffle of megabytes of span text is effectively
-#: free while the hash plan pays 4 extra exchanges. The hash plan
-#: exists for the regime this box cannot rehearse: true multi-TB
-#: span-text volume crossing a cluster network, where the shuffle
-#: bytes ARE the bottleneck. The threshold is therefore
+#: auto span_dedup/exact_substr keying threshold. MEASURED
+#: (SCALE_REHEARSAL_r06_100x.json): the text-keyed window plan wins
+#: at every rehearsed scale for BOTH policies — span_dedup 4.5 s vs
+#: 34.1 s and exact_substr 59.5 s vs 86.1 s at 100x replicas (~27M
+#: tokens; stride-1 windows make exact_substr the heaviest candidate
+#: generator in the package, window_words x the aligned volume) —
+#: because a single-JVM shuffle of megabytes of span text is
+#: effectively free while the hash plan pays 4 extra exchanges. The
+#: hash plan exists for the regime this box cannot rehearse: true
+#: multi-TB span-text volume crossing a cluster network, where the
+#: shuffle bytes ARE the bottleneck. The threshold is therefore
 #: deliberately conservative (1 GiB of compressed-text estimate,
 #: ~50x past the largest measured point); operators at that scale
 #: should benchmark both on their own cluster and pin hash_key.

@@ -101,7 +101,13 @@ def main() -> None:
         return quality.quantile_buckets(scored, idc, "score")
 
     def exsub(df, idc, tc):
-        return dedup.exact_substr_dedup(df, idc, tc, window_words=8)
+        # aggregate over n_kept/dedup_text so the timed .count()
+        # cannot drop the window machinery via left-join elimination
+        # (the output cardinality alone needs only dropDuplicates)
+        return (dedup.exact_substr_dedup(df, idc, tc, window_words=8)
+                .groupBy()
+                .agg(F.sum("n_kept").alias("k"),
+                     F.sum(F.length("dedup_text")).alias("c")))
 
     def dsir(df, idc, tc):
         # target = a deterministic ~1/7 slice; both distributions and

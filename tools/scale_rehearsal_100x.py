@@ -167,10 +167,17 @@ def main() -> None:
     # aligned leg's, so its keying crossover is the one most likely
     # to flip first at cluster scale; same measurement as span_dedup
     def run_exsub(df, hk):
+        # NOT .count(): the output's cardinality is determined by the
+        # doc-id dropDuplicates alone, so Catalyst ELIMINATES the
+        # left join to the aggregated dup-position frame (unique join
+        # key) and a count measures none of the window machinery.
+        # Summing n_kept + the rebuilt text length forces the full
+        # pipeline.
         t0 = time.time()
-        dedup.exact_substr_dedup(df, "doc_id", "text",
-                                 window_words=8,
-                                 hash_key=hk).count()
+        (dedup.exact_substr_dedup(df, "doc_id", "text",
+                                  window_words=8, hash_key=hk)
+              .agg(F.sum("n_kept"),
+                   F.sum(F.length("dedup_text"))).collect())
         return round(time.time() - t0, 2)
 
     frames = {n: _replicate_docs(spark, F, n) for n in (1, 10, 100)}
