@@ -656,3 +656,115 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
             .select(F.col("__id").alias(id_col), "n_feats",
                     F.col("__s").cast("string").cast("double")
                      .alias("logratio")))
+
+
+def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
+                     index_path: str, nbuckets: int = 64) -> None:
+    """Persist a BM25 inverted index — the lexical mirror of
+    similarity.build_ivf_index: `index_path/postings/` holds one row
+    per (token, doc) partitioned by `pb = pmod(xxhash64(tok),
+    nbuckets)`, with the document length and the token's document
+    frequency DENORMALIZED onto the posting row, and
+    `bm25_meta.json` holds the corpus scalars (n_docs, avgdl,
+    column names, nbuckets).
+
+    This is the serving shape the ad-hoc bm25_topk can't give you:
+    at query time the query's tokens map to a bucket set on the
+    driver, the `pb IN (...)` predicate becomes PARTITION PRUNING —
+    only |query-token buckets|/nbuckets of the corpus postings are
+    listed or read — and because dl/df ride on the row there are NO
+    side joins against full tables. Scoring arithmetic is
+    bm25_topk's exactly, so the two forms are bit-identical.
+
+    Index is frozen at build time (df/avgdl are corpus-global —
+    adding documents changes every score); rebuild on corpus
+    change, like the IVF quantizer. Holds the index path lock
+    across the overwrite + meta rewrite."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("s")).collect()[0]
+    if not stats["n"]:
+        raise ValueError("build_bm25_index: empty corpus")
+    with path_lock(index_path):
+        (tf.join(dl, "doc").join(dfreq, "tok")
+           .withColumn("pb", F.pmod(F.xxhash64("tok"),
+                                    F.lit(nbuckets)))
+           .write.partitionBy("pb").mode("overwrite")
+           .parquet(os.path.join(index_path, "postings")))
+        with open(os.path.join(index_path, "bm25_meta.json"), "w") as f:
+            json.dump({"id_col": id_col, "text_col": text_col,
+                       "nbuckets": nbuckets,
+                       "n_docs": int(stats["n"]),
+                       "sum_dl": int(stats["s"])}, f)
+
+
+def bm25_index_topk(spark, index_path: str,
+                    queries: list[tuple], k: int = 10,
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Query a persisted BM25 index (build_bm25_index): top-k docs
+    per (q_id, q_text) pair, bit-identical to running bm25_topk over
+    the original corpus with the same parameters (same idf variant,
+    same decimal(38,6) per-term quantization, same varchar->double
+    render, same (score desc, doc asc) tie-break).
+
+    `queries` is a driver-side list — the same smallness contract as
+    IVF probe ranking; the whole point is that the EXPENSIVE side
+    (the postings) is read through `pb IN (query-token buckets)`,
+    a partition-directory predicate: unmatched buckets are never
+    listed, read, or scored (pin: test_plans asserts PartitionFilters
+    on the scan). k1/b are serve-time knobs — only df/dl/avgdl are
+    frozen in the index."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_path, "bm25_meta.json")) as f:
+        meta = json.load(f)
+    n_docs = meta["n_docs"]
+    avgdl = float(meta["sum_dl"]) / float(n_docs)
+    qt_rows = [(qid, t) for qid, qtext in queries
+               for t in dict.fromkeys(qtext.split(" "))]
+    if not qt_rows:
+        doc_t = (spark.read.parquet(os.path.join(index_path,
+                                                 "postings"))
+                 .schema["doc"].dataType.simpleString())
+        return spark.createDataFrame(
+            [], f"q_id long, {meta['id_col']} {doc_t}, "
+                "score double, rank int")
+    qt = spark.createDataFrame(qt_rows, ["q_id", "tok"])
+    # bucket the query tokens with the SAME JVM hash the index was
+    # partitioned with (a tiny 1-job collect — q-tokens rows)
+    buckets = [r["pb"] for r in
+               qt.select(F.pmod(F.xxhash64("tok"),
+                                F.lit(meta["nbuckets"])).alias("pb"))
+                 .distinct().collect()]
+    post = (spark.read.parquet(os.path.join(index_path, "postings"))
+            .where(F.col("pb").isin(buckets)))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)))
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (F.lit(1.0 - b)
+                                + F.lit(b) * F.col("dl").cast("double")
+                                / F.lit(avgdl))
+    term = (idf * tf_d * F.lit(k1 + 1.0) / denom).cast(_DEC)
+    scored = (post.join(F.broadcast(qt), "tok")
+                  .groupBy("q_id", "doc")
+                  .agg(F.sum(term).alias("__s")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("__s"),
+                                           F.asc("doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_id", F.col("doc").alias(meta["id_col"]),
+                          F.col("__s").cast("string").cast("double")
+                           .alias("score"), "rank"))

@@ -1650,3 +1650,26 @@ def test_dsir_logratio_tilts_toward_target(spark):
     assert 2 not in out                      # no bigram features
     assert out[0]["logratio"] > out[1]["logratio"]
     assert out[0]["n_feats"] == 5 and out[1]["n_feats"] == 5
+
+
+def test_bm25_index_matches_adhoc(spark, docs, tmp_path):
+    """Persisted BM25 inverted index: bm25_index_topk must be
+    bit-identical to the ad-hoc bm25_topk on the same corpus/queries
+    (same idf, decimal quantization, render, tie-break), and its
+    postings scan must prune by partition — the pb IN (...)
+    predicate appears as PartitionFilters, not a post-scan filter."""
+    from sybil_spark.operators import quality
+    from sybil_spark.plans import inspect as I
+    idx = str(tmp_path / "bm25idx")
+    quality.build_bm25_index(docs, "doc_id", "text", idx, nbuckets=16)
+    qlist = [(1, "quick brown fox"), (2, "unrelated forest words")]
+    qdf = spark.createDataFrame(qlist, "q_id long, q_text string")
+    adhoc = quality.bm25_topk(docs, "doc_id", "text", qdf, k=5) \
+        .orderBy("q_id", "rank").collect()
+    idxed = quality.bm25_index_topk(spark, idx, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in idxed] == [tuple(r) for r in adhoc]
+    assert adhoc  # non-degenerate
+    plan = I.formatted_plan(quality.bm25_index_topk(spark, idx, qlist))
+    seg = plan[plan.index("PartitionFilters"):][:160]
+    assert "pb" in seg, seg
