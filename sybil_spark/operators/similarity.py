@@ -767,3 +767,72 @@ def hybrid_topk(corpus: DataFrame, queries: DataFrame,
                  .where(F.col("rank") <= k)
                  .select("q_id", id_col, "rrf", "lex_rank", "sem_rank",
                          "rank"))
+
+
+def hybrid_index_topk(spark, bm25_index_path: str, ivf_index_path: str,
+                      queries: list[tuple], k: int = 10,
+                      k_lex: int | None = None,
+                      k_sem: int | None = None, nprobe: int = 4,
+                      c: int = 60, k1: float = 1.2,
+                      b: float = 0.75) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from the two persisted
+    indexes — the build-once/serve-many form of hybrid_topk: the
+    lexical leg reads only the query-token buckets of the BM25
+    postings (quality.bm25_index_topk, PartitionFilters), the dense
+    leg reads only the probed inverted lists of the IVF index
+    (cross_topk_ivf, one unioned partition filter for the whole
+    batch), and reciprocal-rank fusion joins the two Q x k rank
+    frames. NO full-corpus scan exists anywhere in the plan — this
+    is the serving path a 100 TB corpus actually runs.
+
+    `queries` is a driver-side list of (q_id, q_text, q_vec) — the
+    same smallness contract as both legs' probe selection. The
+    dense leg is IVF-approximate (unprobed lists unseen; raise
+    nprobe toward nlist for exactness); given each leg's ranks the
+    fusion itself is exact (fixed two-operand IEEE sum, as
+    hybrid_topk). Output matches hybrid_topk: (q_id, id, rrf,
+    lex_rank, sem_rank, rank)."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from sybil_spark.operators.quality import bm25_index_topk
+
+    k_lex = k if k_lex is None else k_lex
+    k_sem = k if k_sem is None else k_sem
+    with open(os.path.join(ivf_index_path, "ivf_meta.json")) as f:
+        imeta = json.load(f)
+    with open(os.path.join(bm25_index_path, "bm25_meta.json")) as f:
+        bmeta = json.load(f)
+    id_col = imeta["id_col"]
+    # the two indexes may carry different id column names for the
+    # same id domain — normalize the lexical leg to the IVF name
+    lex = (bm25_index_topk(spark, bm25_index_path,
+                           [(q, t) for q, t, _ in queries],
+                           k=k_lex, k1=k1, b=b)
+           .select("q_id",
+                   F.col(bmeta["id_col"]).alias(id_col),
+                   F.col("rank").alias("lex_rank")))
+    qdf = spark.createDataFrame(
+        [(q, v) for q, _, v in queries],
+        schema=f"__qid long, {imeta['vec_col']} array<double>")
+    sem = cross_topk_ivf(spark, qdf, ivf_index_path, k=k_sem,
+                         nprobe=nprobe, q_id_col="__qid")
+    w_sem = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                               F.col(id_col).asc())
+    semr = (sem.withColumn("sem_rank", F.row_number().over(w_sem))
+               .select("q_id", id_col, "sem_rank"))
+    fused = (lex.join(semr, ["q_id", id_col], "full_outer")
+             .withColumn(
+                 "rrf",
+                 F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sem_rank")),
+                              F.lit(0.0))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"),
+                                           F.col(id_col).asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("q_id", id_col, "rrf", "lex_rank", "sem_rank",
+                         "rank"))

@@ -1673,3 +1673,39 @@ def test_bm25_index_matches_adhoc(spark, docs, tmp_path):
     plan = I.formatted_plan(quality.bm25_index_topk(spark, idx, qlist))
     seg = plan[plan.index("PartitionFilters"):][:160]
     assert "pb" in seg, seg
+
+
+def test_hybrid_index_matches_adhoc(spark, docs, tmp_path):
+    """Index-served hybrid retrieval at full probe must equal the
+    ad-hoc hybrid_topk row-for-row: the BM25 leg is bit-equal by
+    construction, the IVF leg is exact when nprobe == nlist, and the
+    fusion arithmetic is shared."""
+    from sybil_spark.operators import quality
+    corpus = docs.withColumn(
+        "embedding",
+        F.array(*[F.pmod(F.xxhash64("doc_id") + i, F.lit(97))
+                   .cast("double") for i in range(4)]))
+    bm25 = str(tmp_path / "hbm25")
+    ivf = str(tmp_path / "hivf")
+    quality.build_bm25_index(corpus, "doc_id", "text", bm25,
+                             nbuckets=16)
+    similarity.build_ivf_index(corpus.select(
+        F.col("doc_id").alias("vec_id"), "embedding"),
+        "embedding", ivf, nlist=4)
+    qvecs = {r["doc_id"]: list(r["embedding"])
+             for r in corpus.where(F.col("doc_id") < 2).collect()}
+    qlist = [(1, "quick brown fox", qvecs[0]),
+             (2, "unrelated forest words", qvecs[1])]
+    qdf = spark.createDataFrame(
+        qlist, "q_id long, q_text string, q_vec array<double>")
+    # vec_id naming: hybrid_topk joins corpus on doc_id columns
+    adhoc = similarity.hybrid_topk(
+        corpus.select(F.col("doc_id").alias("vec_id"), "text",
+                      "embedding"),
+        qdf, "vec_id", "text", "embedding", k=5).orderBy(
+        "q_id", "rank").collect()
+    idxed = similarity.hybrid_index_topk(
+        spark, bm25, ivf, qlist, k=5, nprobe=4).orderBy(
+        "q_id", "rank").collect()
+    assert adhoc and [tuple(r) for r in idxed] \
+        == [tuple(r) for r in adhoc]
