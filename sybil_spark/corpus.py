@@ -1451,6 +1451,64 @@ def q_hybrid_search(spark, sf):
                                   "embedding", k=5)
 
 
+@_q("bm25_index_search", """
+    with q(q_id, q_text) as (values (1, 'hash join table'),
+                             (2, 'slow scan filter'),
+                             (3, 'vector merge')),
+    qt as (select distinct q_id, unnest(string_split(q_text, ' ')) as tok
+           from q),
+    toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+             from documents),
+    tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+    dl as (select doc_id, count(*) as dl from toks group by 1),
+    dfreq as (select tok, count(*) as df_t from tf group by 1),
+    st as (select cast(count(*) as double) as n,
+                  cast(cast(sum(dl) as bigint) as double)
+                    / cast(count(*) as double) as avgdl
+           from dl),
+    terms as (select qt.q_id, tf.doc_id,
+                     cast(ln(1.0 + ((select n from st) - df_t + 0.5)
+                             / (df_t + 0.5))
+                          * cast(tf as double) * 2.2
+                          / (cast(tf as double)
+                             + 1.2 * (0.25 + 0.75
+                                      * cast(dl as double)
+                                      / (select avgdl from st)))
+                          as decimal(38,6)) as t6
+              from qt join tf using (tok)
+                      join dfreq using (tok)
+                      join dl on tf.doc_id = dl.doc_id),
+    scored as (select q_id, doc_id, sum(t6) as s6
+               from terms group by 1, 2),
+    r as (select q_id, doc_id,
+                 cast(cast(s6 as varchar) as double) as score,
+                 row_number() over (partition by q_id
+                                    order by s6 desc, doc_id asc)
+                   as rank
+          from scored)
+    select q_id, doc_id, score, rank from r where rank <= 5""")
+def q_bm25_index_search(spark, sf):
+    """The PERSISTED BM25 index serving the bm25_search workload:
+    build the token-hash-bucketed postings into a temp dir, answer
+    the same three queries purely from the pruned buckets, and
+    hash-match the SAME full-corpus SQL oracle — the driver-board
+    proof that index-served scores are bit-equal to a direct scan
+    (the lexical analog of the cached_query row)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sybil_spark.operators import quality
+    iroot = tempfile.mkdtemp(prefix="sybil-bm25idx-")
+    atexit.register(shutil.rmtree, iroot, ignore_errors=True)
+    quality.build_bm25_index(_t(spark, sf, "documents"), "doc_id",
+                             "text", iroot, nbuckets=32)
+    return quality.bm25_index_topk(
+        spark, iroot,
+        [(1, "hash join table"), (2, "slow scan filter"),
+         (3, "vector merge")], k=5)
+
+
 @_q("chunk_docs", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -4088,6 +4146,7 @@ _DRIVER_FIRST = [
     "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
     "hybrid_search", "gopher_rules", "dsir_weights",
     "repetition_stats",
+    "bm25_index_search",
     # implementation changed this round (ngrams() ANSI slice fix):
     "repetition", "quality_cascade",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
