@@ -151,6 +151,20 @@ def span_first_flags(ex: DataFrame, id_col: str = "__id",
 SPAN_HASH_KEY_BYTES = 1 << 30
 
 
+def _auto_hash_key(df: DataFrame, text_col: str) -> bool:
+    """THE keying auto-decision shared by span_dedup and
+    exact_substr_dedup (one probe, so an estimation change cannot
+    drift between the two policies): hash-key above
+    SPAN_HASH_KEY_BYTES of the optimizer's text size estimate — a
+    plan-stats read, no job; unknown estimate assumes big."""
+    try:
+        size = int(str(df.select(text_col)._jdf.queryExecution()
+                       .optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        size = SPAN_HASH_KEY_BYTES + 1   # unknown: assume big
+    return size > SPAN_HASH_KEY_BYTES
+
+
 def span_dedup(df: DataFrame, id_col: str, text_col: str,
                span_words: int = 20,
                hash_key: bool | None = None) -> DataFrame:
@@ -196,12 +210,7 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     aligned-window policy itself is what keeps both join-free (a
     suffix-array ExactSubstr needs global sort order)."""
     if hash_key is None:
-        try:
-            size = int(str(df.select(text_col)._jdf.queryExecution()
-                           .optimizedPlan().stats().sizeInBytes()))
-        except Exception:
-            size = SPAN_HASH_KEY_BYTES + 1   # unknown: assume big
-        hash_key = size > SPAN_HASH_KEY_BYTES
+        hash_key = _auto_hash_key(df, text_col)
     ex = doc_spans(df, id_col, text_col, span_words) \
         .withColumnRenamed(id_col, "__id")
     if not hash_key:
@@ -1256,12 +1265,7 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
     array expressions: the per-doc filter costs
     O(n_tokens * n_intervals), never O(n_tokens * n_dup_windows)."""
     if hash_key is None:
-        try:
-            size = int(str(df.select(text_col)._jdf.queryExecution()
-                           .optimizedPlan().stats().sizeInBytes()))
-        except Exception:
-            size = SPAN_HASH_KEY_BYTES + 1   # unknown: assume big
-        hash_key = size > SPAN_HASH_KEY_BYTES
+        hash_key = _auto_hash_key(df, text_col)
     ex = doc_windows(df, id_col, text_col, window_words) \
         .withColumnRenamed(id_col, "__id")
     if hash_key:

@@ -685,26 +685,38 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
 
     from sybil_spark.sources.locks import path_lock
 
+    from pyspark import StorageLevel
+
     toks = df.select(F.col(id_col).alias("doc"),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
-    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("s")).collect()[0]
-    if not stats["n"]:
-        raise ValueError("build_bm25_index: empty corpus")
-    with path_lock(index_path):
-        (tf.join(dl, "doc").join(dfreq, "tok")
-           .withColumn("pb", F.pmod(F.xxhash64("tok"),
-                                    F.lit(nbuckets)))
-           .write.partitionBy("pb").mode("overwrite")
-           .parquet(os.path.join(index_path, "postings")))
-        with open(os.path.join(index_path, "bm25_meta.json"), "w") as f:
-            json.dump({"id_col": id_col, "text_col": text_col,
-                       "nbuckets": nbuckets,
-                       "n_docs": int(stats["n"]),
-                       "sum_dl": int(stats["s"])}, f)
+    # persist tf across the build's two jobs (the stats collect and
+    # the postings write) — without it the tokenize+shuffle, the
+    # most expensive stage of the build, runs twice; released before
+    # returning (self-contained, unlike bm25_topk's caller-owned
+    # handle)
+    tf = (toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+        dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+        stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dl").alias("s")).collect()[0]
+        if not stats["n"]:
+            raise ValueError("build_bm25_index: empty corpus")
+        with path_lock(index_path):
+            (tf.join(dl, "doc").join(dfreq, "tok")
+               .withColumn("pb", F.pmod(F.xxhash64("tok"),
+                                        F.lit(nbuckets)))
+               .write.partitionBy("pb").mode("overwrite")
+               .parquet(os.path.join(index_path, "postings")))
+            with open(os.path.join(index_path, "bm25_meta.json"),
+                      "w") as f:
+                json.dump({"id_col": id_col, "text_col": text_col,
+                           "nbuckets": nbuckets,
+                           "n_docs": int(stats["n"]),
+                           "sum_dl": int(stats["s"])}, f)
+    finally:
+        tf.unpersist()
 
 
 def bm25_index_topk(spark, index_path: str,
@@ -738,8 +750,13 @@ def bm25_index_topk(spark, index_path: str,
         doc_t = (spark.read.parquet(os.path.join(index_path,
                                                  "postings"))
                  .schema["doc"].dataType.simpleString())
+        # q_id type from the caller's ids (the non-empty branch
+        # infers it from data) so an empty query list yields a
+        # union-compatible schema for any id type
+        q_t = ("string" if queries and isinstance(queries[0][0], str)
+               else "long")
         return spark.createDataFrame(
-            [], f"q_id long, {meta['id_col']} {doc_t}, "
+            [], f"q_id {q_t}, {meta['id_col']} {doc_t}, "
                 "score double, rank int")
     qt = spark.createDataFrame(qt_rows, ["q_id", "tok"])
     # bucket the query tokens with the SAME JVM hash the index was

@@ -702,6 +702,31 @@ def quantized_topk(df: DataFrame, vec_col: str, k: int = 10,
              .limit(k))
 
 
+def _rrf_fuse(lex: DataFrame, semr: DataFrame, id_col: str,
+              k: int, c: int) -> DataFrame:
+    """THE reciprocal-rank fusion tail, shared by hybrid_topk and
+    hybrid_index_topk so the pinned ad-hoc == index-served
+    equivalence cannot drift: full-outer join of the (q_id, id,
+    lex_rank) and (q_id, id, sem_rank) leg frames, rrf = fixed
+    two-operand IEEE sum of 1/(c+rank) (missing leg contributes 0),
+    top-k per query by (rrf desc, id asc)."""
+    from pyspark.sql import Window
+
+    fused = (lex.join(semr, ["q_id", id_col], "full_outer")
+             .withColumn(
+                 "rrf",
+                 F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sem_rank")),
+                              F.lit(0.0))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"),
+                                           F.col(id_col).asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("q_id", id_col, "rrf", "lex_rank", "sem_rank",
+                         "rank"))
+
+
 def hybrid_topk(corpus: DataFrame, queries: DataFrame,
                 id_col: str, text_col: str, vec_col: str,
                 q_id_col: str = "q_id", q_text_col: str = "q_text",
@@ -740,12 +765,12 @@ def hybrid_topk(corpus: DataFrame, queries: DataFrame,
 
     k_lex = k if k_lex is None else k_lex
     k_sem = k if k_sem is None else k_sem
-    lex = bm25_topk(corpus, id_col, text_col,
-                    queries.select(q_id_col, q_text_col),
-                    q_id_col=q_id_col, q_text_col=q_text_col,
-                    k=k_lex, k1=k1, b=b) \
-        .select(F.col("q_id"), F.col(id_col),
-                F.col("rank").alias("lex_rank"))
+    lex_out = bm25_topk(corpus, id_col, text_col,
+                        queries.select(q_id_col, q_text_col),
+                        q_id_col=q_id_col, q_text_col=q_text_col,
+                        k=k_lex, k1=k1, b=b)
+    lex = lex_out.select(F.col("q_id"), F.col(id_col),
+                         F.col("rank").alias("lex_rank"))
     sem = cross_topk(
         queries.select(F.col(q_id_col), F.col(q_vec_col).alias(vec_col)),
         corpus.select(id_col, vec_col), vec_col,
@@ -754,19 +779,14 @@ def hybrid_topk(corpus: DataFrame, queries: DataFrame,
                                                F.col(id_col).asc())
     semr = (sem.withColumn("sem_rank", F.row_number().over(w_sem))
                .select("q_id", id_col, "sem_rank"))
-    fused = (lex.join(semr, ["q_id", id_col], "full_outer")
-             .withColumn(
-                 "rrf",
-                 F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")),
-                            F.lit(0.0))
-                 + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sem_rank")),
-                              F.lit(0.0))))
-    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"),
-                                           F.col(id_col).asc())
-    return (fused.withColumn("rank", F.row_number().over(w))
-                 .where(F.col("rank") <= k)
-                 .select("q_id", id_col, "rrf", "lex_rank", "sem_rank",
-                         "rank"))
+    out = _rrf_fuse(lex, semr, id_col, k, c)
+    if hasattr(lex_out, "_sybil_cached"):
+        # propagate bm25_topk's auto-persisted tf unpersist handle —
+        # .select() frames drop python attributes, and without this
+        # the caller-owns-unpersist contract (quality.py) is
+        # unfulfillable: every call would pin a corpus-sized tf
+        out._sybil_cached = lex_out._sybil_cached
+    return out
 
 
 def hybrid_index_topk(spark, bm25_index_path: str, ivf_index_path: str,
@@ -814,25 +834,15 @@ def hybrid_index_topk(spark, bm25_index_path: str, ivf_index_path: str,
            .select("q_id",
                    F.col(bmeta["id_col"]).alias(id_col),
                    F.col("rank").alias("lex_rank")))
+    q_id_t = ("string" if queries and isinstance(queries[0][0], str)
+              else "long")
     qdf = spark.createDataFrame(
         [(q, v) for q, _, v in queries],
-        schema=f"__qid long, {imeta['vec_col']} array<double>")
+        schema=f"__qid {q_id_t}, {imeta['vec_col']} array<double>")
     sem = cross_topk_ivf(spark, qdf, ivf_index_path, k=k_sem,
                          nprobe=nprobe, q_id_col="__qid")
     w_sem = Window.partitionBy("q_id").orderBy(F.desc("cos"),
                                                F.col(id_col).asc())
     semr = (sem.withColumn("sem_rank", F.row_number().over(w_sem))
                .select("q_id", id_col, "sem_rank"))
-    fused = (lex.join(semr, ["q_id", id_col], "full_outer")
-             .withColumn(
-                 "rrf",
-                 F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")),
-                            F.lit(0.0))
-                 + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("sem_rank")),
-                              F.lit(0.0))))
-    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"),
-                                           F.col(id_col).asc())
-    return (fused.withColumn("rank", F.row_number().over(w))
-                 .where(F.col("rank") <= k)
-                 .select("q_id", id_col, "rrf", "lex_rank", "sem_rank",
-                         "rank"))
+    return _rrf_fuse(lex, semr, id_col, k, c)

@@ -111,10 +111,16 @@ def main() -> None:
 
     def dsir(df, idc, tc):
         # target = a deterministic ~1/7 slice; both distributions and
-        # the scored corpus scale with the replica count
-        return quality.dsir_logratio(
-            df, df.where(F.pmod(F.col(idc), F.lit(7)) == 0),
-            idc, tc, buckets=4096)
+        # the scored corpus scale with the replica count. Aggregate
+        # the outputs so the harness's .count() cannot prune the
+        # logratio sum and eliminate the unique-key broadcast joins
+        # (the same measurement hole fixed for exsub below).
+        return (quality.dsir_logratio(
+                    df, df.where(F.pmod(F.col(idc), F.lit(7)) == 0),
+                    idc, tc, buckets=4096)
+                .groupBy()
+                .agg(F.sum("logratio").alias("s"),
+                     F.sum("n_feats").alias("f")))
 
     for name, fn, kw in (
             ("minhash_lsh", dedup.minhash_dedup_pairs, {}),
