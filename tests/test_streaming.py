@@ -915,3 +915,44 @@ def test_bootstrap_window_index(spark, tmp_path):
         q.stop()
     r = RSO(spark, out_path).collect()[0]
     assert r["dedup_text"] == "q" and r["n_kept"] == 1
+
+
+def test_compact_window_index_and_resume(spark, tmp_path):
+    """compact_dedup_index folds the fifth leg's window-hash batch
+    subdirs into one distinct fold, and a stream resumed AFTER the
+    compaction still cuts runs the pre-compaction batches saw —
+    the fold is semantically transparent to the unaligned policy."""
+    from sybil_spark.streaming.ingest_stream import (
+        compact_dedup_index, stream_exact_substr_against_index)
+    idx_path = str(tmp_path / "cwidx")
+    out_path = str(tmp_path / "cwout")
+    src = tmp_path / "cw-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", StringType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson",
+                 [{"doc_id": "A", "text": "a b c d e"}])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    ck = str(tmp_path / "cwck")
+    q = stream_exact_substr_against_index(stream, "doc_id", "text",
+                                          out_path, idx_path,
+                                          window_words=3,
+                                          checkpoint=ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_pre = RSO(spark, idx_path).distinct().count()
+    assert compact_dedup_index(spark, idx_path) == n_pre
+    _write_batch(src, "b2.ndjson",
+                 [{"doc_id": "B", "text": "x a b c y"}])  # run at offset 1
+    q2 = stream_exact_substr_against_index(stream, "doc_id", "text",
+                                           out_path, idx_path,
+                                           window_words=3,
+                                           checkpoint=ck)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = {r["doc_id"]: r for r in RSO(spark, out_path).collect()}
+    assert out["B"]["dedup_text"] == "x y"    # folded hashes still cut
