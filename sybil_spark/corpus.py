@@ -1256,9 +1256,15 @@ def q_repetition_stats(spark, sf):
     half): per-doc fraction of characters in the most frequent
     2/3/4-gram and in duplicated 5..10-grams — the boilerplate /
     keyword-stuffing / decoding-loop signals. One sort+fold array
-    expression per n (zero shuffle, zero UDF); every fraction is an
-    exact-integer double division, bit-stable cross-engine."""
-    return (_t(spark, sf, "documents")
+    expression per n (zero shuffle beyond the spread, zero UDF);
+    every fraction is an exact-integer double division, bit-stable
+    cross-engine. The nine per-row folds are the most compute-dense
+    projection in the corpus (~3 ms/doc), so the input is spread
+    across cores first — a compact parquet would otherwise run the
+    whole battery in ONE task (measured 14 s -> sub-second at
+    sf0.1)."""
+    from sybil_spark.operators._util import spread
+    return (spread(_t(spark, sf, "documents"))
             .withColumn("__s", T.repetition_stats(F.col("text")))
             .select("doc_id", "__s.*"))
 
