@@ -1628,8 +1628,12 @@ def q_exact_substr(spark, sf):
     offset, unlike span_dedup's aligned restriction. Oracle
     replicates the stride-1 windows, the global first-occurrence
     window function, the token-coverage expansion, and the ordered
-    token reassembly."""
-    return dedup.exact_substr_dedup(_t(spark, sf, "documents"),
+    token reassembly. The input is spread first: the stride-1
+    explode amplifies ~8x inside its stage, and a compact parquet
+    would run it in one task (same fix as repetition_stats; values
+    unchanged)."""
+    from sybil_spark.operators._util import spread
+    return dedup.exact_substr_dedup(spread(_t(spark, sf, "documents")),
                                     "doc_id", "text", window_words=8)
 
 
