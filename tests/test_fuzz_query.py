@@ -1361,3 +1361,69 @@ def test_repetition_stats_matches_python_ref(fuzz_spark, texts):
         g = rows[f"d{i}"]
         for k, v in e.items():
             assert abs(g[k] - v) < 1e-12, (i, k, g[k], v)
+
+
+_gopher_line_st = st.lists(
+    st.sampled_from(["- item one of the list",
+                     "* starred thing to do",
+                     "the plain prose line goes on...",
+                     "another of the usual lines",
+                     "# # # symbols here",
+                     "trailing thoughts..."]),
+    min_size=1, max_size=8).map("\n".join)
+
+
+@given(texts=st.lists(_gopher_line_st, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_gopher_rules_matches_duckdb_line_docs(fuzz_spark, texts):
+    """Gopher rules on LINE-STRUCTURED documents (bullets, ellipsis
+    tails, symbol runs — the branches the newline-free corpus data
+    never exercises) vs a DuckDB oracle mirroring the replace-length
+    and list-filter arithmetic — all eight booleans bit-equal."""
+    from sybil_spark.functions import text as T
+    spark = fuzz_spark
+    pdf, con = _register_docs(texts)
+    sdf = spark.createDataFrame(pdf)
+    got = (sdf.withColumn("g", T.gopher_rules(F.col("text"),
+                                              min_words=5,
+                                              min_stop_types=1))
+              .select("doc_id", "g.*").toPandas())
+    oracle = con.execute("""
+        with t as (select doc_id, text,
+                          string_split(text, ' ') as tk,
+                          string_split(text, chr(10)) as ln
+                   from documents)
+        select doc_id,
+          len(tk) >= 5 and len(tk) <= 100000 as word_count,
+          (length(text) - (length(text)
+               - length(replace(text, ' ', '')))) / len(tk) >= 3.0
+          and (length(text) - (length(text)
+               - length(replace(text, ' ', '')))) / len(tk) <= 10.0
+            as mean_word_len,
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3)
+            / len(tk) <= 0.1 as symbol_ratio,
+          len(list_filter(ln, l -> substr(l, 1, 2)
+                                   in ('- ', '* ', '• ')))
+            / len(ln) <= 0.9 as bullet_lines,
+          len(list_filter(ln, l -> ends_with(l, '...')))
+            / len(ln) <= 0.3 as ellipsis_lines,
+          len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+            / len(tk) >= 0.8 as alpha_words,
+          len(list_intersect(list_distinct(string_split(lower(text),
+              ' ')), ['the','be','to','of','and','that','have',
+                      'with'])) >= 1 as stop_words
+        from t""").df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    oracle = oracle.sort_values("doc_id").reset_index(drop=True)
+    for c in ("word_count", "mean_word_len", "symbol_ratio",
+              "bullet_lines", "ellipsis_lines", "alpha_words",
+              "stop_words"):
+        assert list(got[c]) == list(oracle[c].astype(bool)), c
+    conj = (got["word_count"] & got["mean_word_len"]
+            & got["symbol_ratio"] & got["bullet_lines"]
+            & got["ellipsis_lines"] & got["alpha_words"]
+            & got["stop_words"])
+    assert list(got["passes"]) == list(conj), "conjunction"
