@@ -1427,3 +1427,72 @@ def test_gopher_rules_matches_duckdb_line_docs(fuzz_spark, texts):
             & got["ellipsis_lines"] & got["alpha_words"]
             & got["stop_words"])
     assert list(got["passes"]) == list(conj), "conjunction"
+
+
+@given(texts=docs_st, buckets=st.sampled_from([4, 16, 256]),
+       smooth_k=st.sampled_from([1, 3]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_dsir_logratio_matches_python_ref(fuzz_spark, texts, buckets,
+                                          smooth_k):
+    """DSIR importance weights (portable hashing) vs an independent
+    python reference across tiny bucket counts — collision-dense by
+    construction, so the bucket-histogram arithmetic (not just the
+    happy path) is what's being checked — and across smooth_k. The
+    decimal(38,6) quantization is replicated via round-half-even at
+    6 dp, matching Spark's decimal cast."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+    from math import log
+
+    from sybil_spark.operators import quality
+    spark = fuzz_spark
+    M = 2_147_483_647
+
+    def bucket(bg):
+        h60 = int(hashlib.md5(bg.encode()).hexdigest()[:15], 16)
+        return (h60 % M) % buckets
+
+    def bigrams(t):
+        ws = t.split(" ")
+        return [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+
+    target_idx = {i for i in range(len(texts)) if i % 3 == 0}
+    tc: dict = {}
+    rc: dict = {}
+    feats: dict = {}
+    for i, t in enumerate(texts):
+        bs = [bucket(b) for b in bigrams(t)]
+        if bs:
+            feats[f"d{i}"] = bs
+        for b in bs:
+            rc[b] = rc.get(b, 0) + 1
+            if i in target_idx:
+                tc[b] = tc.get(b, 0) + 1
+    if not tc:
+        return   # empty target corpus — operator raises by contract
+    t_den = float(sum(tc.values()) + smooth_k * buckets)
+    r_den = float(sum(rc.values()) + smooth_k * buckets)
+
+    def q6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+    exp = {}
+    for did, bs in feats.items():
+        s = Decimal(0)
+        for b in bs:
+            s += q6(log((tc.get(b, 0) + smooth_k) / t_den)) \
+                - q6(log((rc.get(b, 0) + smooth_k) / r_den))
+        exp[did] = (len(bs), float(s))
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts,
+                      "grp": [i % 3 for i in range(len(texts))]}))
+    got = {r["doc_id"]: (r["n_feats"], r["logratio"])
+           for r in quality.dsir_logratio(
+               sdf, sdf.where(F.col("grp") == 0), "doc_id", "text",
+               buckets=buckets, smooth_k=smooth_k,
+               portable=True).collect()}
+    assert got == exp
