@@ -1269,6 +1269,42 @@ def q_repetition_stats(spark, sf):
             .select("doc_id", "__s.*"))
 
 
+@_q("source_mix", """
+    with t as (select source, lang,
+                      len(string_split(text, ' ')) as n_tok
+               from documents),
+    g as (select source,
+                 count(*) as n_docs,
+                 cast(sum(n_tok) as bigint) as n_tokens,
+                 count(distinct lang) as n_langs
+          from t group by source)
+    select source, n_docs, n_tokens, n_langs,
+           cast(n_tokens as double)
+             / (select cast(sum(n_tokens) as double) from g)
+             as token_share
+    from g""")
+def q_source_mix(spark, sf):
+    """Per-source corpus mix — the mixture-weights audit in front of
+    resample_to_mixture: doc/token counts, language spread, and each
+    source's share of total tokens. The share divides two exact
+    bigint sums as doubles (bit-stable); the 1-row total attaches
+    via a window over the 20-row aggregate, not a join."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    from sybil_spark.functions.text import token_count
+    g = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(token_count(F.col("text")).cast("long"))
+               .alias("n_tokens"),
+              F.count_distinct("lang").alias("n_langs")))
+    tot = F.sum("n_tokens").over(
+        Window.partitionBy())   # 20-row frame: single-partition OK
+    return g.select("source", "n_docs", "n_tokens", "n_langs",
+                    (F.col("n_tokens").cast("double")
+                     / tot.cast("double")).alias("token_share"))
+
+
 @_q("dsir_weights", """
     with w as (select doc_id, lang, string_split(text, ' ') as t
                from documents),
@@ -4156,7 +4192,7 @@ _DRIVER_FIRST = [
     "corpus_stats", "norm_dedup", "corpus_diff", "exact_substr",
     "hybrid_search", "gopher_rules", "dsir_weights",
     "repetition_stats",
-    "bm25_index_search",
+    "bm25_index_search", "source_mix",
     # implementation changed this round (ngrams() ANSI slice fix):
     "repetition", "quality_cascade",
     # (b) Stalest rows: last driver-rowed r3 or earlier. The dedup/
