@@ -72,6 +72,8 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    from sybil_spark.operators._util import unpersist_unscoped
+
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
@@ -82,6 +84,9 @@ def main() -> None:
         except Exception as e:  # keep the harness alive; flag the query
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        # release any operator-persisted intermediates (tfidf/bm25 tf
+        # frames) so one query's cache can't occupy memory for the rest
+        unpersist_unscoped()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({"metric": "corpus_total", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf}))

@@ -1280,7 +1280,8 @@ def q_repetition_stats(spark, sf):
           from t group by source)
     select source, n_docs, n_tokens, n_langs,
            cast(n_tokens as double)
-             / (select cast(sum(n_tokens) as double) from g)
+             / (select cast(cast(sum(n_tokens) as bigint)
+                           as double) from g)
              as token_share
     from g""")
 def q_source_mix(spark, sf):
@@ -1551,6 +1552,74 @@ def q_bm25_index_search(spark, sf):
          (3, "vector merge")], k=5)
 
 
+@_q("bm25_index_add_search", """
+    with q(q_id, q_text) as (values (1, 'hash join table'),
+                             (2, 'slow scan filter'),
+                             (3, 'vector merge')),
+    qt as (select distinct q_id, unnest(string_split(q_text, ' ')) as tok
+           from q),
+    toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+             from documents),
+    tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+    dl as (select doc_id, count(*) as dl from toks group by 1),
+    dfreq as (select tok, count(*) as df_t from tf group by 1),
+    st as (select cast(count(*) as double) as n,
+                  cast(cast(sum(dl) as bigint) as double)
+                    / cast(count(*) as double) as avgdl
+           from dl),
+    terms as (select qt.q_id, tf.doc_id,
+                     cast(ln(1.0 + ((select n from st) - df_t + 0.5)
+                             / (df_t + 0.5))
+                          * cast(tf as double) * 2.2
+                          / (cast(tf as double)
+                             + 1.2 * (0.25 + 0.75
+                                      * cast(dl as double)
+                                      / (select avgdl from st)))
+                          as decimal(38,6)) as t6
+              from qt join tf using (tok)
+                      join dfreq using (tok)
+                      join dl on tf.doc_id = dl.doc_id),
+    scored as (select q_id, doc_id, sum(t6) as s6
+               from terms group by 1, 2),
+    r as (select q_id, doc_id,
+                 cast(cast(s6 as varchar) as double) as score,
+                 row_number() over (partition by q_id
+                                    order by s6 desc, doc_id asc)
+                   as rank
+          from scored)
+    select q_id, doc_id, score, rank from r where rank <= 5""")
+def q_bm25_index_add_search(spark, sf):
+    """The INCREMENTAL BM25 index lifecycle serving the bm25_search
+    workload: build postings over a third of the corpus, append the
+    second third with mode='defer' (blind per-bucket append, df
+    recomputed at serve while the meta is flagged), append the final
+    third with mode='rescore' (repairs the defer-staled buckets and
+    its own, clears the flag) — then serve from the pruned buckets
+    and hash-match the SAME full-corpus SQL oracle as
+    bm25_index_search. The driver-board proof that bm25_index_add's
+    two append modes compose to bit-equality with a from-scratch
+    scan (quality.bm25_index_add; exactness argument in its
+    docstring: token-hash bucket colocation)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sybil_spark.operators import quality
+    docs = _t(spark, sf, "documents")
+    iroot = tempfile.mkdtemp(prefix="sybil-bm25add-")
+    atexit.register(shutil.rmtree, iroot, ignore_errors=True)
+    quality.build_bm25_index(docs.where(F.col("doc_id") % 3 == 0),
+                             "doc_id", "text", iroot, nbuckets=32)
+    quality.bm25_index_add(docs.where(F.col("doc_id") % 3 == 1),
+                           iroot, mode="defer")
+    quality.bm25_index_add(docs.where(F.col("doc_id") % 3 == 2),
+                           iroot, mode="rescore")
+    return quality.bm25_index_topk(
+        spark, iroot,
+        [(1, "hash join table"), (2, "slow scan filter"),
+         (3, "vector merge")], k=5)
+
+
 @_q("chunk_docs", """
     with w as (select doc_id, string_split(text, ' ') as t
                from documents),
@@ -1628,6 +1697,69 @@ def q_span_dedup(spark, sf):
     global first-occurrence window, and the ordered reassembly."""
     return dedup.span_dedup(_t(spark, sf, "documents"),
                             "doc_id", "text", span_words=5)
+
+
+@_q("line_dedup", """
+    with d as (select doc_id,
+                      string_split(replace(text, ' table ', chr(10)),
+                                   chr(10)) as ls
+               from documents),
+    e as (select doc_id, ls, unnest(generate_series(1, len(ls))) as i
+          from d),
+    l as (select doc_id, i - 1 as pos, ls[i] as ln from e),
+    k as (select l.*, row_number() over
+               (partition by ln order by doc_id, pos) as rn
+          from l)
+    select doc_id, cast(count(*) as int) as n_lines,
+           cast(sum(case when rn = 1 then 1 else 0 end) as int)
+             as n_kept,
+           coalesce(string_agg(case when rn = 1 then ln end,
+                               chr(10) order by pos), '') as dedup_text
+    from k group by doc_id""")
+def q_line_dedup(spark, sf):
+    """Corpus-wide line dedup, keep_first policy (RefinedWeb's line
+    dedup / CCNet paragraph dedup): first occurrence of each exact
+    line survives, later copies are cut, documents reassemble from
+    surviving lines (dedup.line_dedup — span_dup_rows hash machinery
+    at line granularity). The synthetic corpus has no newlines, so
+    line structure is derived by replacing a frequent word with \\n —
+    literal left-to-right replace, identical in both engines."""
+    docs = (_t(spark, sf, "documents")
+            .select("doc_id",
+                    F.replace(F.col("text"), F.lit(" table "),
+                              F.lit("\n")).alias("text")))
+    return dedup.line_dedup(docs, "doc_id", "text", sep="\n",
+                            policy="keep_first")
+
+
+@_q("boilerplate_lines", """
+    with d as (select doc_id,
+                      string_split(replace(text, ' table ', chr(10)),
+                                   chr(10)) as ls
+               from documents),
+    e as (select doc_id, ls, unnest(generate_series(1, len(ls))) as i
+          from d),
+    l as (select doc_id, i - 1 as pos, ls[i] as ln from e),
+    c as (select ln from l group by ln
+          having count(distinct doc_id) >= 3),
+    k as (select l.*, (ln in (select ln from c)) as rm from l)
+    select doc_id, cast(count(*) as int) as n_lines,
+           cast(sum(case when rm then 0 else 1 end) as int) as n_kept,
+           coalesce(string_agg(case when not rm then ln end,
+                               chr(10) order by pos), '') as dedup_text
+    from k group by doc_id""")
+def q_boilerplate_lines(spark, sf):
+    """Line dedup, drop_common policy: EVERY occurrence of a line
+    appearing in >= 3 distinct documents is removed — site-wide
+    boilerplate (navigation chrome, cookie banners) by definition
+    appears everywhere, and RefinedWeb drops all copies, not all but
+    one. Same derived line structure as line_dedup."""
+    docs = (_t(spark, sf, "documents")
+            .select("doc_id",
+                    F.replace(F.col("text"), F.lit(" table "),
+                              F.lit("\n")).alias("text")))
+    return dedup.line_dedup(docs, "doc_id", "text", sep="\n",
+                            policy="drop_common", min_docs=3)
 
 
 @_q("exact_substr", """
@@ -4180,6 +4312,39 @@ def q_tpch_q20(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
+    # Round-7 rotation (driver records only the first ~50 rows).
+    # Board state after r6: every declared query has a green driver
+    # row; freshness is the only decay (47 queries' latest row is r4
+    # or older, one — tpch_q18 — is r2). This round: the stalest 47
+    # first, oldest first, then the queries whose oracle or
+    # implementation changed this round.
+    "tpch_q18",                                   # r2 — the stalest
+    # r4-latest block, registration order:
+    "count", "avg", "hist", "time_avg", "group_count", "distinct",
+    "time_distinct", "group_avg", "group_avg_limit", "group_hist",
+    "regex_avg", "group2_count", "group2_avg", "time_group_avg_limit",
+    "filter_eq_avg", "filter_gt_count", "total_row", "filter_sweep",
+    "set_filter_nin", "distinct_multi", "str_replace_group",
+    "percentiles", "stddev", "sum_min_max", "weighted_hist",
+    "tpch_q1", "tpch_q3", "lsh_topk", "loghist", "loghist_group",
+    "samples", "rollup_counts", "icc", "distinct_limit",
+    "topk_per_group", "sessionize", "hash_sample", "stratified_sample",
+    "assign_splits", "asof_join", "range_join", "ivf_topk",
+    "rollup_serve", "resample_mixture", "time_hist",
+    "time_filter_aligned",
+    # changed this round: source_mix's oracle render round-trips
+    # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
+    # auto-persist lifetime to cache_scope (plan-neutral, re-verify
+    # anyway); bm25_index_search's query tokenization now routes
+    # through the shared tokenize_str:
+    "source_mix", "tfidf_terms", "bm25_search", "hybrid_search",
+    "bm25_index_search",
+    # brand-new this round — first driver rows:
+    "bm25_index_add_search", "line_dedup", "boilerplate_lines",
+    "exact_substr",
+]
+
+_DRIVER_FIRST_R6 = [
     # Round-6 rotation (driver records only the first ~50 rows).
     # (a) The ONLY 8 queries with no CORRECTNESS row in ANY round
     # r1-r5 (they sat past the ~50-row window each time; verified

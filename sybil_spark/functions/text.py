@@ -22,10 +22,25 @@ BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def tokens(col: Column, pattern: str | None = None) -> Column:
     """Whitespace tokens by default; regex *matches* when a pattern is
-    given (BPE-ish pre-tokenization)."""
+    given (BPE-ish pre-tokenization). Driver-side twin:
+    `tokenize_str` — change BOTH together."""
     if pattern is None:
         return F.split(col, " ")
     return F.regexp_extract_all(col, F.lit(pattern), 0)
+
+
+def tokenize_str(text: str, pattern: str | None = None) -> list[str]:
+    """Driver-side twin of `tokens()` for the handful of places that
+    tokenize a Python string on the driver (index-serving query
+    paths: bm25_index_topk, hybrid_index_topk). THE single
+    definition those callers share — routing them here is what keeps
+    index-served results bit-equal to the ad-hoc corpus operators if
+    the tokenizer ever changes (test_tokens_column_matches_driver
+    pins the column/driver agreement)."""
+    import re
+    if pattern is None:
+        return text.split(" ")
+    return re.findall(pattern, text)
 
 
 def token_count(col: Column, pattern: str | None = None) -> Column:

@@ -2,7 +2,95 @@
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------
+# Auto-persist lifetime: operators that .persist() an intermediate
+# (tfidf_top_terms / bm25_topk above TFIDF_PERSIST_BYTES) register it
+# here instead of riding an `_sybil_cached` attribute on the result —
+# DataFrame attributes silently vanish under any .select/.filter, so
+# the old caller-owns-unpersist contract was unfulfillable in practice
+# and long sessions pinned corpus-sized MEMORY_AND_DISK frames.
+# ---------------------------------------------------------------------
+
+_CACHE_SCOPE: contextvars.ContextVar["CacheHandle | None"] = \
+    contextvars.ContextVar("sybil_cache_scope", default=None)
+_UNSCOPED: list[DataFrame] = []
+
+
+class CacheHandle:
+    """Owns the persisted intermediates registered while a
+    `cache_scope()` is active; `unpersist()` releases them all
+    (idempotent, exception-safe per frame)."""
+
+    def __init__(self) -> None:
+        self.frames: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> DataFrame:
+        self.frames.append(df)
+        return df
+
+    def unpersist(self, blocking: bool = False) -> int:
+        n = 0
+        while self.frames:
+            f = self.frames.pop()
+            try:
+                f.unpersist(blocking)
+                n += 1
+            except Exception:
+                pass
+        return n
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """`with cache_scope(): run the action` — every intermediate an
+    operator auto-persists inside the block is unpersisted at exit.
+    The scope is ambient (contextvar), so it needs no plumbing
+    through call chains: hybrid_topk -> bm25_topk registers its tf
+    frame into the caller's scope without either function knowing.
+    Persisted frames only help WITHIN one action's subtrees, so the
+    natural unit is scope-per-action; run the action inside the
+    block (a lazy frame returned out of the scope stays correct —
+    Spark just recomputes the unpersisted subtree)."""
+    h = CacheHandle()
+    tok = _CACHE_SCOPE.set(h)
+    try:
+        yield h
+    finally:
+        _CACHE_SCOPE.reset(tok)
+        h.unpersist()
+
+
+def register_cached(df: DataFrame) -> DataFrame:
+    """Operators call this on every frame they `.persist()`: it lands
+    in the active cache_scope, or — with no scope on the calling
+    context (e.g. a lazy corpus callable whose action the grading
+    driver runs later) — in a module-level fallback that
+    `unpersist_unscoped()` drains (bench.py drains it per query)."""
+    h = _CACHE_SCOPE.get()
+    if h is not None:
+        return h.add(df)
+    _UNSCOPED.append(df)
+    return df
+
+
+def unpersist_unscoped(blocking: bool = False) -> int:
+    """Release every fallback-registered persisted frame; returns
+    how many were released. Safe to call at any point AFTER the
+    actions that wanted the reuse have run."""
+    n = 0
+    while _UNSCOPED:
+        f = _UNSCOPED.pop()
+        try:
+            f.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -1229,9 +1229,81 @@ def doc_windows(df: DataFrame, id_col: str, text_col: str,
                      F.posexplode(wins).alias("pos", "span"))
 
 
+def span_dup_rows(ex: DataFrame, id_col: str = "__id",
+                  hash_fn=None) -> DataFrame:
+    """(id_col, pos) of the NON-first occurrences only — the dup-set
+    complement of span_first_flags, for consumers (exact_substr_dedup)
+    that never look at kept rows. Same winner rule and collision
+    re-check, one full-width shuffle FEWER: span_first_flags must
+    join every (hash, id, pos) row back to its group to emit kept
+    flags for solo rows, but solo rows (count == 1 — the dominant
+    mass at stride 1, where most windows are unique) can never be
+    duplicates, so here they die at the count aggregate: the only
+    wide work left is the narrow (hash) groupBy count (map-side
+    partial aggregation collapses repeated windows early) and the
+    re-check join over multi-member groups alone — span text still
+    shuffles only for candidate duplicates.
+
+    `hash_fn` as in span_first_flags (fuzz hook: a weak hash floods
+    the collision path; the dup set must not change)."""
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    multi_h = (ex.select(hf(F.col("span")).alias("__h"))
+                 .groupBy("__h")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .where(F.col("__n") > 1)
+                 .select("__h"))
+    multi_ex = (ex.withColumn("__h", hf(F.col("span")))
+                  .join(multi_h, "__h", "left_semi"))
+    fm = (multi_ex.groupBy("span")
+                  .agg(F.min(F.struct(id_col, "pos")).alias("__w2")))
+    return (multi_ex.join(fm, "span")
+            .where(F.struct(id_col, "pos") != F.col("__w2"))
+            .select(id_col, "pos"))
+
+
+def _full_doc_copies(df: DataFrame, id_col: str, text_col: str,
+                     window_words: int) -> DataFrame:
+    """(id_col, n_tokens) of exact full-text duplicate docs — every
+    NON-min-id member of an exact text group with >= window_words
+    tokens. exact_substr_dedup removes these wholesale without
+    windowing them: each copy's windows are the earliest copy's
+    windows at the same positions, so (a) every one of its tokens is
+    covered by a window won earlier — the copy always comes back
+    n_kept = 0 — and (b) for every OTHER doc's window the earliest
+    copy beats it wherever it would have won, so skipping the copies
+    changes no other doc's outcome. Shorter-than-window copies are
+    NOT included: they emit no windows, so they pass through whole
+    (the operator contract) and cost nothing to keep in the main
+    path.
+
+    Shape: the exact_keep_first narrow protocol — (xxhash64(text),
+    id) groupBy, then a real-text re-check over multi-member groups
+    only. Text shuffles only for rows that ARE candidate copies, and
+    each such row's text is window_words x cheaper to shuffle once
+    here than to explode into stride-1 windows."""
+    words = F.size(F.split(F.col(text_col), " "))
+    big = (df.where(F.col(text_col).isNotNull()
+                    & (words >= window_words))
+             .select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__t"),
+                     words.alias("n_tokens")))
+    h = F.xxhash64(F.col("__t"))
+    g = (big.select(h.alias("__k"), "__id")
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select("__k"))
+    multi = big.withColumn("__k", h).join(g, "__k", "left_semi")
+    fm = multi.groupBy("__t").agg(F.min("__id").alias("__w"))
+    return (multi.join(fm, "__t")
+                 .where(F.col("__id") != F.col("__w"))
+                 .select(F.col("__id").alias(id_col), "n_tokens"))
+
+
 def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
                        window_words: int = 10,
-                       hash_key: bool | None = None) -> DataFrame:
+                       hash_key: bool | None = None,
+                       collapse_dup_docs: bool = True) -> DataFrame:
     """UNALIGNED exact-substring dedup — the full ExactSubstr policy
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     Models Better"), word-granular: a token is REMOVED iff it is
@@ -1255,30 +1327,50 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
     Scale shape: stride-1 windows are a window_words× text blowup if
     the window TEXT shuffles, so keying is AUTO like span_dedup —
     text-keyed window plan below SPAN_HASH_KEY_BYTES (fewest stages;
-    measured fastest on single-JVM scales), hash-keyed
-    span_first_flags above it (only (xxhash64, id, pos) shuffles;
-    collision re-check keeps it exact — the 100 TB form). Duplicated
-    positions then reduce to ONE narrow row per affected doc (sorted
-    positions merged into disjoint covered intervals — at most
+    measured fastest on single-JVM scales), hash-keyed span_dup_rows
+    above it (only (xxhash64, id, pos) shuffles; collision re-check
+    keeps it exact — the 100 TB form; the dup-only formulation skips
+    the join-back that span_first_flags needs for kept flags, so
+    unique windows — the dominant stride-1 mass — die at the narrow
+    count aggregate's map-side partial aggregation). Before any
+    windowing, `collapse_dup_docs` removes exact full-text COPY docs
+    wholesale (_full_doc_copies — provably n_kept = 0, provably
+    outcome-neutral for every other doc): on real web corpora whole-
+    document duplication is the bulk of the duplicate mass, and one
+    narrow (hash, id) pass replaces window_words× that text volume
+    in window form; on a copy-free corpus it costs one narrow
+    groupBy + a broadcast-size anti join. Duplicated positions then
+    reduce to ONE narrow row per affected doc (sorted positions
+    merged into disjoint covered intervals — at most
     n/window_words of them — with a single F.aggregate), and the
     surviving text is rebuilt at the final id-equi-join with pure
     array expressions: the per-doc filter costs
     O(n_tokens * n_intervals), never O(n_tokens * n_dup_windows)."""
     if hash_key is None:
         hash_key = _auto_hash_key(df, text_col)
-    ex = doc_windows(df, id_col, text_col, window_words) \
+    copies = None
+    work = df
+    if collapse_dup_docs:
+        copies = _full_doc_copies(df, id_col, text_col, window_words)
+        work = df.join(copies.select(id_col), id_col, "left_anti")
+    ex = doc_windows(work, id_col, text_col, window_words) \
         .withColumnRenamed(id_col, "__id")
     if hash_key:
-        flags = span_first_flags(ex)
-        dup = flags.where(~F.col("__kept"))
+        dup = span_dup_rows(ex)
     else:
         from pyspark.sql import Window
 
         w = Window.partitionBy("span").orderBy("__id", "pos")
         dup = (ex.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") > 1))
-    return token_removal_rebuild(df, dup, id_col, text_col,
-                                 window_words)
+    out = token_removal_rebuild(work, dup, id_col, text_col,
+                                window_words)
+    if copies is not None:
+        out = out.unionByName(
+            copies.select(F.col(id_col), F.col("n_tokens"),
+                          F.lit(0).alias("n_kept"),
+                          F.lit("").alias("dedup_text")))
+    return out
 
 
 def token_removal_rebuild(df: DataFrame, dup: DataFrame, id_col: str,
@@ -1327,4 +1419,97 @@ def token_removal_rebuild(df: DataFrame, dup: DataFrame, id_col: str,
                       F.concat_ws(" ", F.transform(
                           F.col("__kt"),
                           lambda t: F.element_at(words, t + 1)))
+                      .alias("dedup_text")))
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (RefinedWeb / CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def doc_lines(df: DataFrame, id_col: str, text_col: str,
+              sep: str = "\n") -> DataFrame:
+    """(id_col, pos, span): each document's lines (split on the
+    literal `sep`, empty lines included — they are real positions
+    and dedup like any line). Column names match doc_spans/
+    doc_windows so the span hash machinery (span_dup_rows) is shared
+    verbatim. Pure split + posexplode, no shuffle."""
+    import re
+    lines = F.split(F.col(text_col), re.escape(sep))
+    return df.select(F.col(id_col),
+                     F.posexplode(lines).alias("pos", "span"))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               sep: str = "\n", policy: str = "keep_first",
+               min_docs: int = 2) -> DataFrame:
+    """Corpus-wide LINE-level dedup — the boilerplate-removal pass of
+    web-corpus pipelines (RefinedWeb's line dedup; CCNet dedups
+    paragraphs the same way): repeated lines like navigation chrome,
+    cookie banners, or signature blocks are removed while the
+    surrounding document survives. Two policies:
+
+    - `keep_first`: the corpus-wide FIRST occurrence of each exact
+      line survives (earlier doc id wins; within a doc, earlier
+      position); later copies are removed — exactly span_dedup's
+      winner rule at line granularity.
+    - `drop_common`: EVERY occurrence of a line appearing in >=
+      `min_docs` DISTINCT documents is removed (boilerplate by
+      definition appears everywhere; nothing survives, not even the
+      first) — RefinedWeb's stance for site-wide chrome.
+
+    Returns (id_col, n_lines, n_kept, dedup_text): line counts
+    before/after and the surviving lines re-joined with `sep` in
+    document order. NULL-text rows are absent (LEFT-join back to
+    carry them). CONTRACT: id_col unique per row.
+
+    Scale shape: lines shuffle as (xxhash64(line), id, pos) — the
+    span_dup_rows dup-only plan for keep_first (unique lines die at
+    the narrow count aggregate; collision re-check on the real line
+    text keeps removal exact), and the same narrow-first protocol
+    for drop_common (candidate line hashes by distinct-doc count,
+    re-checked on text). Removed positions then collapse to ONE
+    sorted-array row per affected doc and the text is rebuilt with
+    array expressions at the final id-equi-join — line text never
+    enters a wide shuffle except for candidate duplicates."""
+    if policy not in ("keep_first", "drop_common"):
+        raise ValueError(f"line_dedup: unknown policy {policy!r}")
+    ex = doc_lines(df, id_col, text_col, sep) \
+        .withColumnRenamed(id_col, "__id")
+    if policy == "keep_first":
+        dup = span_dup_rows(ex)
+    else:
+        h = F.xxhash64(F.col("span"))
+        cand = (ex.select(h.alias("__h"), "__id").distinct()
+                  .groupBy("__h")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .where(F.col("__n") >= min_docs)
+                  .select("__h"))
+        multi = (ex.withColumn("__h", h)
+                   .join(cand, "__h", "left_semi"))
+        bad = (multi.groupBy("span")
+                    .agg(F.count_distinct("__id").alias("__nd"))
+                    .where(F.col("__nd") >= min_docs)
+                    .select("span"))
+        dup = (multi.join(bad, "span", "left_semi")
+                    .select("__id", "pos"))
+    per_doc = (dup.groupBy("__id")
+                  .agg(F.sort_array(F.collect_list("pos"))
+                        .alias("__rp")))
+    import re
+    lines = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(lines) - 1),
+        lambda t: ~F.array_contains(
+            F.coalesce(F.col("__rp"), F.array().cast("array<int>")),
+            t))
+    return (df.select(id_col, text_col).dropDuplicates([id_col])
+              .where(F.col(text_col).isNotNull())
+              .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+              .withColumn("__kt", kept)
+              .select(id_col,
+                      F.size(lines).alias("n_lines"),
+                      F.size("__kt").alias("n_kept"),
+                      F.concat_ws(sep, F.transform(
+                          F.col("__kt"),
+                          lambda t: F.element_at(lines, t + 1)))
                       .alias("dedup_text")))

@@ -131,10 +131,11 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     SCALE_REHEARSAL_r06_100x.json): rescan wins 1x (1.81 vs 2.31 s),
     persist wins 10x (4.11 vs 4.91 s) and 100x (7.20 vs 9.82 s;
     growth 3.12x vs the rescan 5.43x that was r5's steepest curve).
-    Pass True/False to pin a path; with persist the caller owns the
-    unpersist — the cached frame rides on the result as
-    `._sybil_cached` (call `.unpersist()` on it after the action) so
-    long-lived sessions need not nuke the whole Spark cache."""
+    Pass True/False to pin a path; the persisted frame's lifetime is
+    owned by the ambient `_util.cache_scope()` (unpersisted at scope
+    exit; callers wrap their action in one) or, with no scope
+    active, by `_util.unpersist_unscoped()` — so long-lived sessions
+    need not nuke the whole Spark cache."""
     if persist_tf is None:
         try:
             est = int(str(df._jdf.queryExecution().optimizedPlan()
@@ -148,7 +149,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     tf = toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     if persist_tf:
         from pyspark import StorageLevel
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+        from sybil_spark.operators._util import register_cached
+        tf = register_cached(tf.persist(StorageLevel.MEMORY_AND_DISK))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     from pyspark.sql import Window
     # quantize tf·idf to decimal(38,6) BEFORE ranking: raw doubles
@@ -168,8 +171,6 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                  .select(F.col("__id").alias(id_col), "tok", "tf",
                          F.col("__s").cast("string").cast("double")
                           .alias("score"), "term_rank"))
-    if persist_tf:
-        out._sybil_cached = tf   # unpersist handle for the caller
     return out
 
 
@@ -515,9 +516,9 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     k before the shuffle. Because tf is referenced by four
     downstream subtrees, it auto-persists above TFIDF_PERSIST_BYTES
     of input estimate exactly like tfidf_top_terms (the 1-row stats
-    collect materializes it before the main job); same caller-owns-
-    unpersist note — the handle rides on the result as
-    `._sybil_cached`."""
+    collect materializes it before the main job); same lifetime
+    contract — the frame registers into the ambient
+    `_util.cache_scope()` (or the unscoped fallback)."""
     from pyspark.sql import Window
 
     if persist_tf is None:
@@ -532,7 +533,9 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     tf = toks.groupBy("__doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     if persist_tf:
         from pyspark import StorageLevel
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+        from sybil_spark.operators._util import register_cached
+        tf = register_cached(tf.persist(StorageLevel.MEMORY_AND_DISK))
     dl = tf.groupBy("__doc").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
@@ -566,8 +569,6 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
                  .select("q_id", F.col("__doc").alias(id_col),
                          F.col("__s").cast("string").cast("double")
                           .alias("score"), "rank"))
-    if persist_tf:
-        out._sybil_cached = tf   # unpersist handle for the caller
     return out
 
 
@@ -676,10 +677,11 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
     side joins against full tables. Scoring arithmetic is
     bm25_topk's exactly, so the two forms are bit-identical.
 
-    Index is frozen at build time (df/avgdl are corpus-global —
-    adding documents changes every score); rebuild on corpus
-    change, like the IVF quantizer. Holds the index path lock
-    across the overwrite + meta rewrite."""
+    Continuous ingestion appends through `bm25_index_add` (exact —
+    see its docstring for why the token-hash partitioning makes
+    incremental df maintenance bounded); a full rebuild is only the
+    compaction/defrag path. Holds the index path lock across the
+    overwrite + meta rewrite, shared with bm25_index_add."""
     import json
     import os
 
@@ -719,6 +721,258 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
         tf.unpersist()
 
 
+def bm25_index_add(df: DataFrame, index_path: str,
+                   mode: str = "rescore") -> int:
+    """Incrementally add documents to a persisted BM25 index — the
+    lexical mirror of similarity.ivf_index_add, closing the gap
+    where continuous ingestion (the engine's own streaming story)
+    forced a full index rebuild per batch. Returns the number of
+    documents added. Contract: append-only NEW doc ids (re-adding
+    an id double-counts its postings — same as ivf_index_add).
+
+    Exactness is cheaper here than the "frozen index" framing
+    suggests, because of how the layout was chosen: postings are
+    partitioned by `pb = pmod(xxhash64(tok), nbuckets)`, so ALL
+    postings of any token — old and new — are colocated in one
+    bucket directory. The three corpus-global quantities BM25 needs
+    therefore split cleanly:
+
+    - n_docs / avgdl: serve-time scalars in bm25_meta.json — one
+      meta rewrite makes them exact;
+    - dl: per-doc, immutable once written — appends never touch it;
+    - df_t: per-token. Only tokens PRESENT IN THE BATCH change, and
+      each lives wholly inside one touched bucket.
+
+    `mode="rescore"` (default): dynamic-partition-overwrite ONLY the
+    touched buckets (old pruned read ∪ new rows, df recomputed per
+    token inside them). Work is bounded by the batch's token-bucket
+    footprint — ≤ min(distinct batch tokens, nbuckets) partitions —
+    never the index size; untouched buckets are never listed or
+    read. Serving stays on the fast denormalized-df path,
+    bit-identical to a full rebuild.
+
+    `mode="defer"`: blind append of the new postings (no old-bucket
+    read — the cheapest possible write, for high-frequency
+    micro-batches) and set `df_on_read` in the meta. Row-level df_t
+    is now stale, so bm25_index_topk RECOMPUTES df per token from
+    the pruned scan while the flag is set — results stay EXACT
+    (token colocation again); the cost moves to serve time as one
+    extra aggregation over the pruned postings. The staled bucket
+    set is tracked in the meta (`stale_pb`); a later
+    `mode="rescore"` add repairs those buckets along with its own
+    (so does a full rebuild) and clears the flag, restoring fast
+    serving.
+
+    Serializes on the index path lock shared with build/serve-side
+    rebuilds, so concurrent adds can't interleave their
+    read-modify-write of the touched buckets or the meta."""
+    import json
+    import os
+
+    from pyspark import StorageLevel
+
+    from sybil_spark.sources.locks import path_lock
+
+    if mode not in ("rescore", "defer"):
+        raise ValueError(f"bm25_index_add: unknown mode {mode!r}")
+    spark = df.sparkSession
+    with path_lock(index_path):
+        meta_p = os.path.join(index_path, "bm25_meta.json")
+        with open(meta_p) as f:
+            meta = json.load(f)
+        post_p = os.path.join(index_path, "postings")
+        toks = df.select(F.col(meta["id_col"]).alias("doc"),
+                         F.explode(tokens(F.col(meta["text_col"])))
+                          .alias("tok"))
+        tf = (toks.groupBy("doc", "tok")
+                  .agg(F.count(F.lit(1)).alias("tf"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+            stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("dl").alias("s")).collect()[0]
+            n_new = int(stats["n"] or 0)
+            if n_new == 0:
+                return 0
+            pb = F.pmod(F.xxhash64("tok"), F.lit(meta["nbuckets"]))
+            new_post = (tf.join(dl, "doc")
+                          .withColumn("pb", pb))
+            batch_pb = [r["pb"] for r in
+                        new_post.select("pb").distinct().collect()]
+            if mode == "defer":
+                # df_t = within-batch df; serving ignores it while
+                # df_on_read is set. Record WHICH buckets went stale
+                # so a later rescore can repair exactly those.
+                bdf = tf.groupBy("tok").agg(
+                    F.count(F.lit(1)).alias("df_t"))
+                (new_post.join(bdf, "tok")
+                         .write.partitionBy("pb").mode("append")
+                         .parquet(post_p))
+                meta["df_on_read"] = True
+                meta["stale_pb"] = sorted(
+                    set(meta.get("stale_pb", [])) | set(batch_pb))
+            else:
+                # touched buckets: the batch's own token buckets
+                # PLUS any buckets staled by earlier defer appends —
+                # repairing them here is what lets this add clear
+                # df_on_read. Bounded: ≤ nbuckets values.
+                buckets = sorted(set(batch_pb)
+                                 | set(meta.get("stale_pb", [])))
+                old = (spark.read.parquet(post_p)
+                       .where(F.col("pb").isin(buckets))
+                       .select("doc", "tok", "tf", "dl", "pb"))
+                merged = old.unionByName(new_post)
+                # exact df inside the touched buckets: every posting
+                # of any token in them is here (token-hash layout)
+                dfreq = merged.groupBy("tok").agg(
+                    F.count(F.lit(1)).alias("df_t"))
+                # localCheckpoint breaks the plan's lineage to
+                # post_p: the dynamic overwrite below cannot read
+                # the very partitions it is replacing
+                out = (merged.join(dfreq, "tok")
+                             .localCheckpoint(eager=True))
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", None)
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode",
+                    "dynamic")
+                try:
+                    (out.write.partitionBy("pb").mode("overwrite")
+                        .parquet(post_p))
+                finally:
+                    if prev is None:
+                        spark.conf.unset(
+                            "spark.sql.sources.partitionOverwriteMode")
+                    else:
+                        spark.conf.set(
+                            "spark.sql.sources."
+                            "partitionOverwriteMode", prev)
+                meta.pop("df_on_read", None)
+                meta.pop("stale_pb", None)
+            meta["n_docs"] = int(meta["n_docs"]) + n_new
+            meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["s"])
+            with open(meta_p, "w") as f:
+                json.dump(meta, f)
+            return n_new
+        finally:
+            tf.unpersist()
+
+
+def _bm25_stream_state(index_path: str):
+    """Committed streamed-append batches under
+    `<index>/postings_stream/` (stream_bm25_index_add's exactly-once
+    layout: per-batch overwrite dirs, committed = Spark's _SUCCESS
+    plus the _delta.json count sidecar written after the parquet).
+    Returns (batch_dirs, n_docs_delta, sum_dl_delta, max_batch_id) —
+    the serve-time merge state; half-written batches (crashed
+    mid-write, no sidecar) are invisible and will be replaced by
+    their replay."""
+    import json
+    import os
+
+    root = os.path.join(index_path, "postings_stream")
+    dirs, n, s, mx = [], 0, 0, -1
+    if not os.path.isdir(root):
+        return dirs, n, s, mx
+    for name in sorted(os.listdir(root)):
+        d = os.path.join(root, name)
+        if not name.startswith("batch-") or not os.path.isdir(d):
+            continue
+        try:
+            bid = int(name[len("batch-"):])
+        except ValueError:
+            continue
+        delta_p = os.path.join(d, "_delta.json")
+        if not (os.path.exists(os.path.join(d, "_SUCCESS"))
+                and os.path.exists(delta_p)):
+            continue
+        with open(delta_p) as f:
+            delta = json.load(f)
+        dirs.append(d)
+        n += int(delta["n"])
+        s += int(delta["s"])
+        mx = max(mx, bid)
+    return dirs, n, s, mx
+
+
+def bm25_index_compact(spark, index_path: str,
+                       files_per_bucket: int = 1) -> int:
+    """Defragment a BM25 index and FOLD its streamed appends: every
+    `bm25_index_add` leaves new files beside old ones, every
+    committed `stream_bm25_index_add` micro-batch leaves a
+    postings_stream/batch-<id> dir (the classic streaming
+    small-files problem), and a defer-staled/stream-merged index
+    pays a serve-time df aggregation until repaired. This job
+    rewrites the postings from the postings THEMSELVES — no
+    re-tokenization, the expensive stage of a full build — merged
+    with the committed stream batches, coalesced to
+    `files_per_bucket` files per bucket with df_t recomputed exactly
+    (token-hash colocation again), clears `df_on_read`/`stale_pb`,
+    folds the stream deltas into the meta scalars, and advances
+    `stream_fold_watermark` so a replayed already-folded micro-batch
+    skips instead of double-appending (the compact_dedup_index
+    protocol). Returns the number of posting rows written.
+
+    The ENTIRE index dir is swapped as one unit (rollup's
+    _staged_swap; the path lock lives beside the store, so it
+    survives the rename): a crash leaves either the old index —
+    postings + batch dirs + old meta, still consistent — or the new
+    one, never a state where folded rows are counted twice through
+    both postings and a surviving batch dir. Uncommitted (crashed
+    mid-write) batch dirs are dropped with the old dir — their
+    batch ids are above every folded id, so the stream's replay
+    recreates them.
+
+    Scale: one hash exchange on the partition key; at 100 TB run it
+    per-bucket-range if a full-table rewrite is too large a unit of
+    work. Holds the index path lock — adds, streams, and rebuilds
+    serialize behind it."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+    from sybil_spark.sources.rollup import _staged_swap
+
+    with path_lock(index_path):
+        meta_p = os.path.join(index_path, "bm25_meta.json")
+        with open(meta_p) as f:
+            meta = json.load(f)
+        post_p = os.path.join(index_path, "postings")
+        sdirs, sn, ss, smax = _bm25_stream_state(index_path)
+        cols = ["doc", "tok", "tf", "dl", "pb"]
+        post = spark.read.parquet(post_p).select(*cols)
+        for d in sdirs:
+            post = post.unionByName(
+                spark.read.parquet(d).select(*cols))
+        dfreq = post.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("df_t"))
+        # hash-exchange on the partition key: files_per_bucket write
+        # tasks per bucket => that many files per bucket dir;
+        # localCheckpoint breaks the lineage so the staged write
+        # never re-reads the dirs the swap renames away
+        out = (post.join(dfreq, "tok")
+                   .repartition(max(1, files_per_bucket
+                                    * meta["nbuckets"]), F.col("pb"))
+                   .localCheckpoint(eager=True))
+        n = out.count()
+        meta["n_docs"] = int(meta["n_docs"]) + sn
+        meta["sum_dl"] = int(meta["sum_dl"]) + ss
+        if smax >= 0:
+            meta["stream_fold_watermark"] = max(
+                int(meta.get("stream_fold_watermark", -1)), smax)
+        meta.pop("df_on_read", None)
+        meta.pop("stale_pb", None)
+
+        def write(tmp: str) -> None:
+            out.write.partitionBy("pb").parquet(
+                os.path.join(tmp, "postings"))
+            with open(os.path.join(tmp, "bm25_meta.json"), "w") as f:
+                json.dump(meta, f)
+
+        _staged_swap(index_path, write)
+        return n
+
+
 def bm25_index_topk(spark, index_path: str,
                     queries: list[tuple], k: int = 10,
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
@@ -734,7 +988,15 @@ def bm25_index_topk(spark, index_path: str,
     a partition-directory predicate: unmatched buckets are never
     listed, read, or scored (pin: test_plans asserts PartitionFilters
     on the scan). k1/b are serve-time knobs — only df/dl/avgdl are
-    frozen in the index."""
+    frozen in the index.
+
+    Committed `stream_bm25_index_add` micro-batches merge at serve
+    time: their postings (also pb-partitioned, so pruning applies)
+    union the base scan, their doc/length deltas correct
+    n_docs/avgdl, and df is recomputed from the pruned scan exactly
+    as in defer mode — results stay bit-equal to a full rebuild
+    over base + streamed docs until bm25_index_compact folds them
+    back onto the fast path."""
     import json
     import os
 
@@ -742,10 +1004,12 @@ def bm25_index_topk(spark, index_path: str,
 
     with open(os.path.join(index_path, "bm25_meta.json")) as f:
         meta = json.load(f)
-    n_docs = meta["n_docs"]
-    avgdl = float(meta["sum_dl"]) / float(n_docs)
+    sdirs, sn, ss, _smax = _bm25_stream_state(index_path)
+    n_docs = int(meta["n_docs"]) + sn
+    avgdl = float(int(meta["sum_dl"]) + ss) / float(n_docs)
+    from sybil_spark.functions.text import tokenize_str
     qt_rows = [(qid, t) for qid, qtext in queries
-               for t in dict.fromkeys(qtext.split(" "))]
+               for t in dict.fromkeys(tokenize_str(qtext))]
     if not qt_rows:
         doc_t = (spark.read.parquet(os.path.join(index_path,
                                                  "postings"))
@@ -767,6 +1031,24 @@ def bm25_index_topk(spark, index_path: str,
                  .distinct().collect()]
     post = (spark.read.parquet(os.path.join(index_path, "postings"))
             .where(F.col("pb").isin(buckets)))
+    if sdirs:
+        cols = ["doc", "tok", "tf", "dl", "df_t", "pb"]
+        post = post.select(*cols)
+        for d in sdirs:
+            post = post.unionByName(
+                spark.read.parquet(d).select(*cols)
+                     .where(F.col("pb").isin(buckets)))
+    if meta.get("df_on_read") or sdirs:
+        # defer-mode appends / streamed batches staled the
+        # denormalized df_t; recompute it from the pruned scan —
+        # exact, because the token-hash partitioning colocates every
+        # posting of a token (old AND appended) in one bucket. One
+        # extra aggregation over only the query-token buckets;
+        # rescore/compact restores the fast path.
+        post = (post.drop("df_t")
+                .withColumn("df_t",
+                            F.count(F.lit(1)).over(
+                                Window.partitionBy("tok"))))
     idf = F.log(F.lit(1.0)
                 + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
                 / (F.col("df_t") + F.lit(0.5)))

@@ -251,10 +251,11 @@ def ivf_index_add(df: DataFrame, index_path: str) -> int:
 
     This is the continuous-corpus path: build once, then each
     ingest batch lands in the probed layout without rewriting the
-    table; queries keep their PartitionFilters pruning. Re-build
-    when the data distribution drifts far from the frozen centroids
-    (the recall of unprobed-list exclusion degrades, never the
-    exactness of what IS scanned). Serializes on the index path
+    table; queries keep their PartitionFilters pruning. When the
+    data distribution drifts far from the frozen centroids (the
+    recall of unprobed-list exclusion degrades, never the exactness
+    of what IS scanned), run `ivf_index_refresh` to re-train the
+    quantizer on the current contents. Serializes on the index path
     lock so concurrent adds / a rebuild can't interleave writes."""
     import json
     import os
@@ -271,6 +272,62 @@ def ivf_index_add(df: DataFrame, index_path: str) -> int:
         (out.write.partitionBy("cluster").mode("append")
             .parquet(os.path.join(index_path, "vectors")))
         return obs.get["n"]
+
+
+def ivf_index_refresh(spark, index_path: str, nlist: int | None = None,
+                      kmeans: bool = True, seed: int = 7,
+                      max_iter: int = 10) -> list[list[float]]:
+    """Re-train the coarse quantizer on the index's CURRENT contents
+    and re-partition the vectors under the new centroids — the
+    remedy for quantizer drift after many `ivf_index_add` appends
+    (adds assign against the build-time centroids, so as the
+    appended distribution drifts, lists imbalance and the recall of
+    unprobed-list exclusion degrades; this is FAISS's "retrain the
+    index" step expressed as a table rewrite). Returns the new
+    centroids.
+
+    One full pass: read vectors (cluster column dropped), train
+    (seeded k-means by default — the same trainer as
+    build_ivf_index(kmeans=True) — or the hash-sample quantizer),
+    re-assign with the pure-JVM fold, and write the re-partitioned
+    table to a staging dir that is swapped in whole (rollup's
+    _staged_swap: write new -> rename old away -> rename new in),
+    so a crash mid-refresh leaves either the old or the new layout,
+    never a mix. Serving is unaffected mid-swap: a scan that has
+    listed its files reads them regardless of the renames.
+
+    Holds the index path lock for the duration, serializing against
+    build/add — an add landing mid-refresh would otherwise write
+    old-centroid assignments into the new layout (or into the
+    renamed-away dir). `nlist=None` keeps the current list count."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+    from sybil_spark.sources.rollup import _staged_swap
+
+    with path_lock(index_path):
+        meta_p = os.path.join(index_path, "ivf_meta.json")
+        with open(meta_p) as f:
+            meta = json.load(f)
+        k = nlist or meta["nlist"]
+        vec_col = meta["vec_col"]
+        vecs_p = os.path.join(index_path, "vectors")
+        # localCheckpoint: the staged write must not re-read vecs_p
+        # after the swap renames it away, and training + assignment
+        # would otherwise scan the parquet twice anyway
+        vecs = (spark.read.parquet(vecs_p).drop("cluster")
+                .localCheckpoint(eager=True))
+        cents = (ivf_centroids_kmeans(vecs, vec_col, k, seed=seed,
+                                      max_iter=max_iter) if kmeans
+                 else ivf_centroids(vecs, vec_col, meta["id_col"], k))
+        assigned = ivf_assign(vecs, vec_col, cents)
+        _staged_swap(vecs_p, lambda tmp: (
+            assigned.write.partitionBy("cluster").parquet(tmp)))
+        meta.update({"nlist": len(cents), "centroids": cents})
+        with open(meta_p, "w") as f:
+            json.dump(meta, f)
+    return cents
 
 
 def _seq_cos(a: list[float], b: list[float]) -> float:
@@ -779,14 +836,10 @@ def hybrid_topk(corpus: DataFrame, queries: DataFrame,
                                                F.col(id_col).asc())
     semr = (sem.withColumn("sem_rank", F.row_number().over(w_sem))
                .select("q_id", id_col, "sem_rank"))
-    out = _rrf_fuse(lex, semr, id_col, k, c)
-    if hasattr(lex_out, "_sybil_cached"):
-        # propagate bm25_topk's auto-persisted tf unpersist handle —
-        # .select() frames drop python attributes, and without this
-        # the caller-owns-unpersist contract (quality.py) is
-        # unfulfillable: every call would pin a corpus-sized tf
-        out._sybil_cached = lex_out._sybil_cached
-    return out
+    # bm25_topk's auto-persisted tf (if any) registers itself into
+    # the caller's ambient _util.cache_scope — no attribute
+    # propagation needed here anymore
+    return _rrf_fuse(lex, semr, id_col, k, c)
 
 
 def hybrid_index_topk(spark, bm25_index_path: str, ivf_index_path: str,

@@ -15,8 +15,13 @@ same protocol re-expressed for the Spark lifecycle:
 - the owner stamps `pid` inside; contenders poll it with signal 0.
   A lock whose owner is dead — or that has no pid past a grace
   window (owner crashed between mkdir and stamp) — is STOLEN by
-  renaming the lock dir to a tombstone first, so exactly one of N
-  contenders wins the rename and the others go back to polling;
+  renaming the lock dir to a tombstone. Takeover is two-phase to
+  close the observe/steal TOCTOU: a stealer must first win an
+  O_EXCL `claim` file INSIDE the lock dir (exactly one contender
+  holds it), then RE-VERIFY the owner is still dead before the
+  rename — so a faster stealer that already took over and
+  re-created a LIVE lock can never have its fresh lock tombstoned
+  by a contender acting on a stale observation;
 - stale-lock RECOVERY is not a lock concern here, by design: every
   guarded writer is already crash-recoverable on entry
   (recover_stages re-adopts stranded staging dirs, _staged_swap's
@@ -99,15 +104,18 @@ class DirLock:
             except FileExistsError:
                 owner = self._owner()
                 if owner == "stale":
-                    self._steal()
+                    if not self._steal():
+                        time.sleep(self.POLL_S)   # claim contended
                     continue
+                desc = (f"pid {owner}" if isinstance(owner, int)
+                        else "an unstamped young lock (owner "
+                             "between mkdir and pid stamp)")
                 if not self.blocking:
-                    raise LockHeld(
-                        f"{self.dir} held by pid {owner}")
+                    raise LockHeld(f"{self.dir} held by {desc}")
                 if time.monotonic() >= deadline:
                     raise LockHeld(
-                        f"{self.dir} held by pid {owner} past "
-                        f"{self.timeout_s}s — if that pid is a "
+                        f"{self.dir} held by {desc} past "
+                        f"{self.timeout_s}s — if the owner is a "
                         "stuck job, kill it; takeover is automatic "
                         "once it dies")
                 time.sleep(self.POLL_S)
@@ -145,21 +153,99 @@ class DirLock:
                 age = time.time() - os.stat(self.dir).st_mtime
             except FileNotFoundError:
                 return "stale"     # released under us; retry mkdir
-            return "stale" if age > self.STAMP_GRACE_S else 0
+            return "stale" if age > self.STAMP_GRACE_S else "young"
         except (OSError, ValueError):
             return "stale"         # unreadable stamp == broken lock
         return pid if _pid_alive(pid) else "stale"
 
-    def _steal(self) -> None:
-        """Tombstone-rename then delete: of N contenders that saw
-        the same dead owner, exactly one wins the rename — the rest
-        hit FileNotFoundError and loop back to mkdir."""
+    def _try_claim(self) -> bool:
+        """O_EXCL-create the steal-claim file inside the lock dir —
+        at most one contender holds it, so at most one process can
+        be in the verify→rename critical section. A claim whose
+        stamped claimer is dead (or that is unstamped past the
+        grace window — claimer crashed mid-stamp) is cleared so a
+        crashed stealer can't wedge takeover forever."""
+        claim = os.path.join(self.dir, "claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileNotFoundError:
+            return False           # dir vanished; retry mkdir
+        except FileExistsError:
+            try:
+                with open(claim) as f:
+                    dead = not _pid_alive(int(f.read().strip()))
+            except FileNotFoundError:
+                return False       # claimer just finished; re-loop
+            except (OSError, ValueError):
+                try:               # unstamped claim: age decides
+                    dead = (time.time() - os.stat(claim).st_mtime
+                            > self.STAMP_GRACE_S)
+                except FileNotFoundError:
+                    return False
+            if dead:
+                try:
+                    os.unlink(claim)
+                except FileNotFoundError:
+                    pass
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+        return True
+
+    def _steal(self) -> bool:
+        """Two-phase takeover of a stale lock. Phase 1: win the
+        exclusive claim file (serializes stealers). Phase 2:
+        RE-VERIFY the owner is still dead, then tombstone-rename and
+        delete. The re-verify under the claim is what closes the
+        TOCTOU where a faster stealer completed its takeover and
+        re-created a LIVE lock between this contender's _owner()
+        observation and its rename — acting on that stale
+        observation would tombstone the fresh live lock and leave
+        two processes holding it. Returns True when the dir was
+        removed (or vanished) and mkdir is worth retrying now."""
+        try:
+            pre = os.stat(self.dir)
+        except FileNotFoundError:
+            return True
+        if not self._try_claim():
+            return False
+        owner = self._owner()
+        if owner == "young":
+            # our own claim-create just refreshed the dir mtime, so
+            # the age probe can no longer see staleness. Same inode
+            # as the pre-claim stat proves this is the SAME dir we
+            # observed stale (a takeover re-creates the dir under a
+            # new inode); pid still absent + pre-claim age past
+            # grace re-confirms the crashed-mid-stamp case.
+            try:
+                cur = os.stat(self.dir)
+                if (cur.st_ino == pre.st_ino
+                        and time.time() - pre.st_mtime
+                        > self.STAMP_GRACE_S
+                        and not os.path.exists(
+                            os.path.join(self.dir, "pid"))):
+                    owner = "stale"
+            except FileNotFoundError:
+                owner = "stale"
+        if owner != "stale":
+            # live re-owner appeared between observation and claim:
+            # back off WITHOUT touching the dir. (Unlink of our
+            # claim races only with the owner's own rmtree-release.)
+            try:
+                os.unlink(os.path.join(self.dir, "claim"))
+            except FileNotFoundError:
+                pass
+            return False
+        # claim held + owner verifiably dead: nobody else can rename
+        # (claim is exclusive), nobody can mkdir (dir exists), the
+        # owner cannot release (it is dead) — the rename is safe.
         tomb = f"{self.dir}.tomb-{uuid.uuid4().hex[:8]}"
         try:
             os.rename(self.dir, tomb)
         except FileNotFoundError:
-            return
+            return True
         self._remove(tomb)
+        return True
 
     @staticmethod
     def _remove(d: str) -> None:

@@ -1205,3 +1205,81 @@ def stream_media_ingest(spark: SparkSession, source_dir: str,
             .option("checkpointLocation",
                     checkpoint or out_path + "_checkpoint")
             .outputMode("append").start(out_path))
+
+
+def stream_bm25_index_add(df: DataFrame, index_path: str,
+                          checkpoint: str | None = None
+                          ) -> StreamingQuery:
+    """Continuously maintained BM25 inverted index: each micro-batch
+    of (id, text) documents tokenizes into pb-partitioned postings
+    committed under `<index>/postings_stream/batch-<id>/` — the
+    exactly-once per-batch-overwrite layout of the dedup legs. The
+    index stays SERVABLE and EXACT throughout: bm25_index_topk
+    merges committed batches (their pb layout keeps partition
+    pruning), corrects n_docs/avgdl from each batch's _delta.json
+    sidecar, and recomputes df from the pruned scan (the defer-mode
+    contract — token-hash colocation makes that exact);
+    `quality.bm25_index_compact` periodically folds the batches into
+    the main postings and advances `stream_fold_watermark`, after
+    which a replayed already-folded batch SKIPS instead of
+    double-appending (compact_dedup_index's protocol).
+
+    Exactly-once: replay of an uncommitted batch overwrites its own
+    dir (never appends beside a half-write; the _delta.json sidecar
+    is written after the parquet, so a dir without it is invisible
+    to serve/compact); replay of a committed-and-folded batch is
+    fenced by the watermark; the path lock serializes micro-batches
+    against a concurrent compact/rescore-add renaming the index.
+
+    The smallness contract is per-batch (a micro-batch's tokens),
+    never per-corpus — this is the lexical mirror of the IVF
+    index's continuous-ingestion path."""
+    import json
+    import os
+
+    from sybil_spark.functions.text import tokens
+    from sybil_spark.sources.locks import path_lock
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with path_lock(index_path, timeout_s=300.0):
+            with open(os.path.join(index_path,
+                                   "bm25_meta.json")) as f:
+                meta = json.load(f)
+            if batch_id <= int(meta.get("stream_fold_watermark", -1)):
+                return   # committed AND folded before an unclean stop
+            toks = batch_df.select(
+                F.col(meta["id_col"]).alias("doc"),
+                F.explode(tokens(F.col(meta["text_col"])))
+                 .alias("tok"))
+            tf = (toks.groupBy("doc", "tok")
+                      .agg(F.count(F.lit(1)).alias("tf"))
+                      .localCheckpoint())   # one snapshot, three uses
+            dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+            stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("dl").alias("s")).collect()[0]
+            if not stats["n"]:
+                return   # no tokenizable docs in the batch
+            bdf = tf.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("df_t"))
+            rows = (tf.join(dl, "doc").join(bdf, "tok")
+                      .withColumn("pb", F.pmod(F.xxhash64("tok"),
+                                               F.lit(meta["nbuckets"]))))
+            bdir = os.path.join(index_path, "postings_stream",
+                                f"batch-{batch_id}")
+            (rows.write.partitionBy("pb").mode("overwrite")
+                 .parquet(bdir))
+            # sidecar LAST: its presence is the commit marker that
+            # makes the batch visible to serve/compact
+            tmp = os.path.join(bdir, "_delta.json.partial")
+            with open(tmp, "w") as f:
+                json.dump({"n": int(stats["n"]),
+                           "s": int(stats["s"])}, f)
+            os.replace(tmp, os.path.join(bdir, "_delta.json"))
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or index_path + "_checkpoint")
+            .outputMode("append").start())

@@ -917,6 +917,38 @@ def test_span_dedup_hash_key_collision_adversarial(fuzz_spark, texts,
     assert got == exp
 
 
+@given(texts=docs_st, window_words=st.sampled_from([2, 3, 5]),
+       mod=st.sampled_from([1, 2, 4]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_span_dup_rows_collision_adversarial(fuzz_spark, texts,
+                                             window_words, mod):
+    """span_dup_rows (the dup-only hash plan exact_substr uses) vs
+    the text-keyed row_number dup set, under a deliberately weak
+    hash flooding the re-check path with cross-span collisions — the
+    dup SET must be identical: no first occurrence cut, no duplicate
+    missed. Runs on stride-1 windows (the consumer's own candidate
+    generator), where unique-window mass dominates."""
+    from pyspark.sql import Window
+
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
+                      "text": texts}))
+    ex = dedup.doc_windows(sdf, "doc_id", "text", window_words) \
+        .withColumnRenamed("doc_id", "__id")
+    weak = dedup.span_dup_rows(
+        ex, hash_fn=lambda c: F.pmod(F.xxhash64(c), F.lit(mod)))
+    w = Window.partitionBy("span").orderBy("__id", "pos")
+    oracle = (ex.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > 1))
+    got = {(r["__id"], r["pos"]) for r in weak.collect()}
+    exp = {(r["__id"], r["pos"]) for r in oracle.collect()}
+    assert got == exp
+
+
 @given(texts=docs_st, span_words=st.sampled_from([2, 4]))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
@@ -930,7 +962,11 @@ def test_span_dedup_hash_vs_text_keyed(fuzz_spark, texts, span_words):
     sdf = spark.createDataFrame(
         pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
                       "text": texts}))
-    a = dedup.span_dedup(sdf, "doc_id", "text", span_words).toPandas()
+    # hash_key=True explicitly: the auto size probe resolves tiny
+    # fuzz corpora to the text plan, which would compare the text
+    # plan to itself and leave the hash-keyed rebuild untested
+    a = dedup.span_dedup(sdf, "doc_id", "text", span_words,
+                         hash_key=True).toPandas()
     b = dedup.span_dedup(sdf, "doc_id", "text", span_words,
                          hash_key=False).toPandas()
     _cmp_frames(a, b)
@@ -1307,12 +1343,16 @@ def test_exact_substr_matches_python_ref(fuzz_spark, texts, dup_first,
     sdf = spark.createDataFrame(
         pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
                       "text": texts}))
-    for hk in (False, True):
+    # (keying, collapse_dup_docs) combos: both keyings under the
+    # default doc-copy collapse, plus the hash plan with collapse
+    # off — pinning that the wholesale-removal shortcut and the
+    # windowed path agree on planted whole-doc duplicates
+    for hk, cd in ((False, True), (True, True), (True, False)):
         got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["dedup_text"])
                for r in dedup.exact_substr_dedup(
                    sdf, "doc_id", "text", window_words,
-                   hash_key=hk).collect()}
-        assert got == exp, (window_words, hk)
+                   hash_key=hk, collapse_dup_docs=cd).collect()}
+        assert got == exp, (window_words, hk, cd)
 
 
 @given(texts=docs_st)
@@ -1496,3 +1536,55 @@ def test_dsir_logratio_matches_python_ref(fuzz_spark, texts, buckets,
                buckets=buckets, smooth_k=smooth_k,
                portable=True).collect()}
     assert got == exp
+
+
+_line_docs_st = st.lists(
+    st.lists(st.sampled_from(["subscribe now", "alpha line",
+                              "beta line", "gamma", "", "delta text",
+                              "alpha line"]),
+             min_size=1, max_size=6).map("\n".join),
+    min_size=1, max_size=10)
+
+
+@given(texts=_line_docs_st, policy_docs=st.sampled_from(
+    [("keep_first", 2), ("drop_common", 2), ("drop_common", 3)]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_line_dedup_matches_duckdb(fuzz_spark, texts, policy_docs):
+    """line_dedup on random line-structured corpora (dense repeated
+    lines + empty lines by construction) vs a DuckDB oracle for both
+    policies: keep_first = corpus-wide row_number over (line) by
+    (doc, pos); drop_common = every copy of a line spanning >=
+    min_docs distinct docs removed. Counts and reassembled text
+    bit-exact."""
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    policy, min_docs = policy_docs
+    pdf, con = _register_docs(texts)
+    got = dedup.line_dedup(spark.createDataFrame(pdf), "doc_id",
+                           "text", policy=policy,
+                           min_docs=min_docs).toPandas()
+    if policy == "keep_first":
+        marker = ("row_number() over (partition by ln "
+                  "order by doc_id, pos) = 1")
+    else:
+        marker = (f"ln not in (select ln from l group by ln having "
+                  f"count(distinct doc_id) >= {min_docs})")
+    oracle = con.execute(f"""
+        with d as (select doc_id,
+                          string_split(text, chr(10)) as ls
+                   from documents),
+        e as (select doc_id, ls,
+                     unnest(generate_series(1, len(ls))) as i
+              from d),
+        l as (select doc_id, i - 1 as pos, ls[i] as ln from e),
+        k as (select doc_id, pos, ln, ({marker}) as keep from l)
+        select doc_id, cast(count(*) as int) as n_lines,
+               cast(sum(case when keep then 1 else 0 end) as int)
+                 as n_kept,
+               coalesce(string_agg(case when keep then ln end,
+                                   chr(10) order by pos), '')
+                 as dedup_text
+        from k group by doc_id""").df()
+    _cmp_frames(got, oracle)

@@ -65,6 +65,61 @@ def test_dirlock_unstamped_grace(tmp_path):
         pass
 
 
+def test_dirlock_steal_respects_live_reowner(tmp_path):
+    """TOCTOU regression: contender A observes a dead owner; before
+    A acts, contender B completes its own steal, re-mkdirs, and
+    stamps a LIVE pid. A's takeover (acting on the stale
+    observation) must NOT tombstone B's fresh live lock — the
+    claim-then-reverify protocol backs off instead."""
+    lock_dir = tmp_path / "t.lock"
+    # A's observation: dir exists with a dead owner
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    lock_dir.mkdir()
+    (lock_dir / "pid").write_text(str(child.pid))
+    a = DirLock(str(tmp_path), "t")
+    assert a._owner() == "stale"          # A sees the dead owner
+    # B's full takeover lands between A's observation and A's steal
+    (lock_dir / "pid").write_text(str(os.getpid()))
+    assert a._steal() is False            # A backs off...
+    assert (lock_dir / "pid").read_text() == str(os.getpid())
+    assert not (lock_dir / "claim").exists()   # ...and drops claim
+    # and no tombstone of the live lock was left behind
+    assert [d for d in os.listdir(tmp_path) if ".tomb-" in d] == []
+
+
+def test_dirlock_steal_claim_serializes_and_clears_dead(tmp_path):
+    """Only the claim holder may rename: a live rival claim blocks
+    this contender's steal (no progress, dir untouched); a claim
+    stamped by a DEAD process is cleared so a crashed stealer can't
+    wedge takeover forever."""
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    lock_dir = tmp_path / "t.lock"
+    lock_dir.mkdir()
+    (lock_dir / "pid").write_text(str(child.pid))      # dead owner
+    a = DirLock(str(tmp_path), "t")
+    (lock_dir / "claim").write_text(str(os.getpid()))  # live rival
+    assert a._steal() is False
+    assert lock_dir.is_dir()
+    (lock_dir / "claim").write_text(str(child.pid))    # dead rival
+    assert a._steal() is False                 # pass 1 clears claim
+    assert not (lock_dir / "claim").exists()
+    assert a._steal() is True                  # pass 2 takes over
+    assert not lock_dir.exists()
+    with DirLock(str(tmp_path), "t", timeout_s=2.0):
+        pass
+
+
+def test_dirlock_unstamped_message_names_no_pid(tmp_path):
+    """A young pid-less lock (owner between mkdir and stamp) must
+    not be reported as 'held by pid 0' — the diagnostic names the
+    mid-stamp state instead of a nonexistent owner."""
+    (tmp_path / "t.lock").mkdir()
+    with pytest.raises(LockHeld, match="unstamped young lock"):
+        DirLock(str(tmp_path), "t", blocking=False).acquire()
+
+
 def test_path_lock_lives_beside_store(tmp_path):
     """The staged compactors RENAME the store dir away mid-swap; a
     lock inside the store would travel with it."""

@@ -925,6 +925,69 @@ def test_exact_substr_unaligned_catch(spark):
     assert out[4]["dedup_text"] == "tiny" and out[4]["n_tokens"] == 1
 
 
+def test_exact_substr_doc_copy_collapse(spark):
+    """collapse_dup_docs: exact full-text copies are removed
+    wholesale without being windowed — same answers as the windowed
+    path (collapse off) on every doc class: the earliest copy keeps
+    whole (minus other overlaps), later copies zero out, a SHORT
+    copy (< window) is NOT collapsed (it emits no windows, so it
+    passes through unchanged — the contract), and a doc overlapping
+    the copied text still loses exactly its covered run."""
+    rows = [Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=5, text="a b c d e f"),       # copy of 1
+            Row(doc_id=3, text="q r c d e s"),       # overlaps run c d e
+            Row(doc_id=7, text="hi yo"),
+            Row(doc_id=9, text="hi yo"),             # short copy: kept
+            Row(doc_id=4, text=None)]                # absent per contract
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hk in (False, True):
+        on = {r["doc_id"]: tuple(r)[1:] for r in dedup.exact_substr_dedup(
+            df, "doc_id", "text", window_words=3, hash_key=hk,
+            collapse_dup_docs=True).collect()}
+        off = {r["doc_id"]: tuple(r)[1:] for r in dedup.exact_substr_dedup(
+            df, "doc_id", "text", window_words=3, hash_key=hk,
+            collapse_dup_docs=False).collect()}
+        assert on == off, hk
+        assert on[5] == (6, 0, "")                  # wholesale removal
+        assert on[9] == (2, 2, "hi yo")             # short copy survives
+        assert on[3] == (6, 3, "q r s")             # overlap still cut
+        assert 4 not in on
+
+
+def test_line_dedup_policies(spark):
+    """line_dedup semantics on a hand-built corpus: keep_first keeps
+    the corpus-wide first copy of a repeated line (doc order, then
+    position); drop_common removes EVERY copy of a line spanning >=
+    min_docs distinct docs (boilerplate), including the first, while
+    a line repeated only WITHIN one doc survives it; unique lines
+    always survive; NULL text absent; empty lines dedup like any
+    line."""
+    rows = [(1, "subscribe now\nalpha\nsubscribe now"),
+            (2, "subscribe now\nbeta"),
+            (3, "subscribe now\ngamma\n\ndelta"),
+            (4, "\nepsilon"),
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kf = {r["doc_id"]: r for r in dedup.line_dedup(
+        df, "doc_id", "text", policy="keep_first").collect()}
+    assert kf[1]["dedup_text"] == "subscribe now\nalpha"
+    assert (kf[1]["n_lines"], kf[1]["n_kept"]) == (3, 2)
+    assert kf[2]["dedup_text"] == "beta"
+    assert kf[3]["dedup_text"] == "gamma\n\ndelta"   # first '' kept
+    assert kf[4]["dedup_text"] == "epsilon"          # '' already seen
+    assert 5 not in kf
+    dc = {r["doc_id"]: r for r in dedup.line_dedup(
+        df, "doc_id", "text", policy="drop_common",
+        min_docs=3).collect()}
+    # 'subscribe now' spans docs 1,2,3 -> every copy removed
+    assert dc[1]["dedup_text"] == "alpha" and dc[1]["n_kept"] == 1
+    assert dc[2]["dedup_text"] == "beta"
+    assert dc[3]["dedup_text"] == "gamma\n\ndelta"
+    assert dc[4]["dedup_text"] == "\nepsilon"        # '' in 2 docs only
+    with pytest.raises(ValueError):
+        dedup.line_dedup(df, "doc_id", "text", policy="nope")
+
+
 def test_semantic_dedup_within_cluster_only(spark):
     """SemDeDup semantics: near-dups are dropped only when they share
     a cluster; a cross-cluster pair at cosine ~1 must BOTH survive
@@ -1042,6 +1105,42 @@ def test_tfidf_top_terms(spark):
     assert all(r["score"] == 0.0 for r in shared)
     # doc 2 has only two tokens: cherry (df=2) outranks idf-0 shared
     assert [r["tok"] for r in by_doc[2]] == ["cherry", "shared"]
+
+
+def test_cache_scope_owns_autopersisted_tf(spark):
+    """Auto-persist lifetime contract: an operator's persisted tf
+    frame registers into the ambient cache_scope and is unpersisted
+    at scope exit (no reliance on a droppable DataFrame attribute);
+    with no scope active it lands in the unscoped fallback that
+    unpersist_unscoped() drains."""
+    from sybil_spark.operators import quality
+    from sybil_spark.operators._util import (cache_scope,
+                                             unpersist_unscoped)
+    sc = spark.sparkContext
+    unpersist_unscoped()   # clean slate from other tests
+    before = len(sc._jsc.getPersistentRDDs())
+    df = spark.createDataFrame([
+        Row(doc_id=i, text=f"alpha beta tok{i}") for i in range(6)])
+    with cache_scope() as h:
+        out = quality.tfidf_top_terms(df, "doc_id", "text", k=2,
+                                      persist_tf=True)
+        assert len(out.collect()) > 0
+        assert len(h.frames) == 1          # tf registered here
+        assert len(sc._jsc.getPersistentRDDs()) == before + 1
+    assert len(sc._jsc.getPersistentRDDs()) == before  # released
+    # scopes also catch nested operators (hybrid -> bm25 tf)
+    qdf = spark.createDataFrame([Row(q_id=1, q_text="alpha tok3")])
+    with cache_scope() as h:
+        quality.bm25_topk(df, "doc_id", "text", qdf, k=2,
+                          persist_tf=True).collect()
+        assert len(h.frames) == 1
+    assert len(sc._jsc.getPersistentRDDs()) == before
+    # no scope: the fallback registry holds it until drained
+    quality.tfidf_top_terms(df, "doc_id", "text", k=2,
+                            persist_tf=True).collect()
+    assert len(sc._jsc.getPersistentRDDs()) == before + 1
+    assert unpersist_unscoped() == 1
+    assert len(sc._jsc.getPersistentRDDs()) == before
 
 
 def test_cap_per_group(spark):
@@ -1551,6 +1650,66 @@ def test_ivf_index_add_incremental(spark, emb, tmp_path):
                      formatted_plan(inc_ans))
 
 
+def test_ivf_index_refresh_recovers_drift_recall(spark, tmp_path):
+    """ivf_index_refresh: after appends from a distribution the
+    build-time quantizer never saw, low-nprobe recall degrades (the
+    drifted mass hides in lists the query doesn't probe); a refresh
+    re-trains the centroids on the current contents and recall
+    recovers. Also pins the staged swap: the refreshed index still
+    serves, still partition-prunes, and at full probe remains exact
+    vs brute force."""
+    import re
+
+    from pyspark.sql import Row as R
+
+    from sybil_spark.plans.inspect import formatted_plan
+
+    def vec(axis, jit_axis, jit):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[jit_axis] = jit
+        return v
+
+    # build-time corpus: four tight clusters along e0..e3
+    base = [R(vec_id=i, embedding=vec(i % 4, (i % 4), 1.0 + 0.01 * i))
+            for i in range(40)]
+    # drifted appends: a NEW tight mass along e4, slightly leaning e1
+    drift = [R(vec_id=100 + i, embedding=vec(4, 1, 0.05))
+             for i in range(40)]
+    idx = str(tmp_path / "ivf-drift")
+    similarity.build_ivf_index(spark.createDataFrame(base),
+                               "embedding", idx, nlist=4)
+    assert similarity.ivf_index_add(
+        spark.createDataFrame(drift), idx) == 40
+    q = vec(4, 2, 0.05)   # near the drifted mass, leaning e2
+    truth = {r["vec_id"] for r in similarity.brute_force_topk(
+        spark.read.parquet(f"{idx}/vectors"), "embedding", q,
+        k=10, id_col="vec_id").collect()}
+    assert truth <= {100 + i for i in range(40)}   # sanity: drift wins
+
+    def recall(nprobe):
+        got = {r["vec_id"] for r in similarity.ivf_index_topk(
+            spark, idx, q, k=10, nprobe=nprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    before = recall(1)
+    cents = similarity.ivf_index_refresh(spark, idx, nlist=8)
+    after = recall(1)
+    assert after == 1.0 and before < after   # drift mass probed now
+    assert len(cents) == 8
+    # exactness invariant survives the swap: full probe == brute force
+    full = {r["vec_id"] for r in similarity.ivf_index_topk(
+        spark, idx, q, k=10, nprobe=8).collect()}
+    assert full == truth
+    ans = similarity.ivf_index_topk(spark, idx, q, k=5, nprobe=2)
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
+                     formatted_plan(ans))
+    # no staging/old dirs left behind
+    strays = [d for d in __import__("os").listdir(idx)
+              if "__stage-" in d or "__old-" in d]
+    assert strays == []
+
+
 def test_corpus_diff_labels(spark):
     """corpus_diff: added/removed/changed/unchanged labels; summary
     counts; text never shipped (hash compare)."""
@@ -1652,6 +1811,25 @@ def test_dsir_logratio_tilts_toward_target(spark):
     assert out[0]["n_feats"] == 5 and out[1]["n_feats"] == 5
 
 
+def test_tokens_column_matches_driver(spark):
+    """tokenize_str is the driver-side twin of the tokens() column
+    expression — the index-serving paths (bm25_index_topk) tokenize
+    queries with it, so it must agree with the column fn on awkward
+    inputs (empty string, repeated/leading/trailing spaces, BPE
+    pattern) or index-vs-adhoc bit-equality silently drifts."""
+    from sybil_spark.functions.text import (BPE_SPLIT_PATTERN, tokens,
+                                            tokenize_str)
+    cases = ["quick brown fox", "", " lead", "trail ", "a  b",
+             "one", "don't stop, 42x!"]
+    df = spark.createDataFrame([(s,) for s in cases], ["t"])
+    for pat in (None, BPE_SPLIT_PATTERN):
+        got = {r["t"]: r["toks"] for r in
+               df.select("t", tokens(F.col("t"), pat).alias("toks"))
+                 .collect()}
+        for s in cases:
+            assert got[s] == tokenize_str(s, pat), (s, pat)
+
+
 def test_bm25_index_matches_adhoc(spark, docs, tmp_path):
     """Persisted BM25 inverted index: bm25_index_topk must be
     bit-identical to the ad-hoc bm25_topk on the same corpus/queries
@@ -1673,6 +1851,138 @@ def test_bm25_index_matches_adhoc(spark, docs, tmp_path):
     plan = I.formatted_plan(quality.bm25_index_topk(spark, idx, qlist))
     seg = plan[plan.index("PartitionFilters"):][:160]
     assert "pb" in seg, seg
+
+
+def test_bm25_index_add_rescore_matches_rebuild(spark, docs, tmp_path):
+    """Incremental append (mode=rescore): after bm25_index_add, the
+    index-served top-k must be BIT-IDENTICAL to a full rebuild over
+    the combined corpus — the token-hash layout makes the df repair
+    exact with only the touched buckets rewritten — and the meta
+    scalars (n_docs, sum_dl) must match the rebuilt index's."""
+    import json
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    base = docs.where(F.col("doc_id") < 100)
+    extra = spark.createDataFrame([
+        R(doc_id=200, text="quick silver fox under brown moonlight"),
+        R(doc_id=201, text="forest words echo in the green night")])
+    both = base.unionByName(extra)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    quality.build_bm25_index(base, "doc_id", "text", inc, nbuckets=16)
+    assert quality.bm25_index_add(extra, inc) == 2
+    quality.build_bm25_index(both, "doc_id", "text", full, nbuckets=16)
+    qlist = [(1, "quick brown fox"), (2, "green forest night words")]
+    a = quality.bm25_index_topk(spark, inc, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    b = quality.bm25_index_topk(spark, full, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a and any(r["doc_id"] in (200, 201) for r in a)
+    ma = json.load(open(f"{inc}/bm25_meta.json"))
+    mb = json.load(open(f"{full}/bm25_meta.json"))
+    assert (ma["n_docs"], ma["sum_dl"]) == (mb["n_docs"], mb["sum_dl"])
+    assert "df_on_read" not in ma
+    # adding zero docs is a no-op
+    assert quality.bm25_index_add(
+        extra.where(F.col("doc_id") < 0), inc) == 0
+
+
+def test_bm25_index_add_defer_then_rescore(spark, docs, tmp_path):
+    """mode=defer: blind append stales the row-level df_t but marks
+    df_on_read, and serving RECOMPUTES df from the pruned scan — so
+    results stay bit-equal to a full rebuild even before any repair.
+    A later rescore add repairs the staled buckets (not just its
+    own), clears the flag, and fast-path serving is again exact."""
+    import json
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    from sybil_spark.plans import inspect as I
+    base = docs.where(F.col("doc_id") < 100)
+    b1 = spark.createDataFrame([
+        R(doc_id=200, text="quick silver fox under brown moonlight")])
+    b2 = spark.createDataFrame([
+        R(doc_id=201, text="forest words echo in the green night")])
+    inc = str(tmp_path / "inc")
+    quality.build_bm25_index(base, "doc_id", "text", inc, nbuckets=16)
+    assert quality.bm25_index_add(b1, inc, mode="defer") == 1
+    meta = json.load(open(f"{inc}/bm25_meta.json"))
+    assert meta["df_on_read"] and meta["stale_pb"]
+    qlist = [(1, "quick brown fox"), (2, "green forest night words")]
+    full1 = str(tmp_path / "full1")
+    quality.build_bm25_index(base.unionByName(b1), "doc_id", "text",
+                             full1, nbuckets=16)
+    a = quality.bm25_index_topk(spark, inc, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    b = quality.bm25_index_topk(spark, full1, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # pruning survives the deferred-df serving path
+    plan = I.formatted_plan(quality.bm25_index_topk(spark, inc, qlist))
+    seg = plan[plan.index("PartitionFilters"):][:160]
+    assert "pb" in seg, seg
+    # rescore add repairs the defer-staled buckets too
+    assert quality.bm25_index_add(b2, inc, mode="rescore") == 1
+    meta = json.load(open(f"{inc}/bm25_meta.json"))
+    assert "df_on_read" not in meta and "stale_pb" not in meta
+    full2 = str(tmp_path / "full2")
+    quality.build_bm25_index(
+        base.unionByName(b1).unionByName(b2), "doc_id", "text",
+        full2, nbuckets=16)
+    a = quality.bm25_index_topk(spark, inc, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    b = quality.bm25_index_topk(spark, full2, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_index_compact_defrags_and_repairs(spark, docs, tmp_path):
+    """bm25_index_compact after defer appends: file count per bucket
+    collapses, df_on_read/stale_pb clear, results stay bit-equal to
+    a full rebuild — the rewrite derives df from the postings alone,
+    never re-tokenizing."""
+    import glob
+    import json
+
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    base = docs.where(F.col("doc_id") < 100)
+    inc = str(tmp_path / "inc")
+    quality.build_bm25_index(base, "doc_id", "text", inc, nbuckets=8)
+    for i, t in enumerate(["quick silver fox under brown moonlight",
+                           "forest words echo in the green night",
+                           "lazy rivers forget the quick dog"]):
+        quality.bm25_index_add(
+            spark.createDataFrame([R(doc_id=200 + i, text=t)]),
+            inc, mode="defer")
+    files_before = len(glob.glob(f"{inc}/postings/pb=*/*.parquet"))
+    n = quality.bm25_index_compact(spark, inc)
+    assert n > 0
+    files_after = len(glob.glob(f"{inc}/postings/pb=*/*.parquet"))
+    assert files_after < files_before
+    assert files_after <= 8                     # ≤1 file per bucket
+    meta = json.load(open(f"{inc}/bm25_meta.json"))
+    assert "df_on_read" not in meta and "stale_pb" not in meta
+    full = str(tmp_path / "full")
+    extra = spark.createDataFrame([
+        R(doc_id=200, text="quick silver fox under brown moonlight"),
+        R(doc_id=201, text="forest words echo in the green night"),
+        R(doc_id=202, text="lazy rivers forget the quick dog")])
+    quality.build_bm25_index(base.unionByName(extra), "doc_id",
+                             "text", full, nbuckets=8)
+    qlist = [(1, "quick brown fox"), (2, "green forest night words")]
+    a = quality.bm25_index_topk(spark, inc, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    b = quality.bm25_index_topk(spark, full, qlist, k=5) \
+        .orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # no staging/old dirs left behind by the swap
+    strays = [d for d in __import__("os").listdir(inc)
+              if "__stage-" in d or "__old-" in d]
+    assert strays == []
 
 
 def test_hybrid_index_matches_adhoc(spark, docs, tmp_path):

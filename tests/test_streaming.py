@@ -956,3 +956,68 @@ def test_compact_window_index_and_resume(spark, tmp_path):
         q2.stop()
     out = {r["doc_id"]: r for r in RSO(spark, out_path).collect()}
     assert out["B"]["dedup_text"] == "x y"    # folded hashes still cut
+
+
+def test_stream_bm25_index_add(spark, tmp_path):
+    """Continuous BM25 index maintenance: streamed micro-batches are
+    servable and BIT-EXACT immediately (serve merges committed batch
+    dirs, corrects n_docs/avgdl, recomputes df), bm25_index_compact
+    folds them onto the fast path (batch dirs consumed, watermark
+    advanced, still exact), and a batch arriving AFTER the fold
+    keeps working."""
+    from sybil_spark.operators import quality
+
+    base_rows = [(i, t) for i, t in enumerate(
+        ["the quick brown fox jumps over the lazy dog",
+         "a slow green turtle walks under the warm sun",
+         "rivers run quick through the quiet brown valley"])]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    idx = str(tmp_path / "sbm25")
+    quality.build_bm25_index(base, "doc_id", "text", idx, nbuckets=8)
+
+    src = tmp_path / "bm-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+    _write_batch(src, "b1.ndjson", [
+        {"doc_id": 100, "text": "quick silver fox under brown moonlight"}])
+    from sybil_spark.streaming.ingest_stream import stream_bm25_index_add
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_bm25_index_add(stream, idx)
+    qlist = [(1, "quick brown fox"), (2, "warm green sun")]
+
+    def rebuild_and_serve(extra_rows):
+        full = str(tmp_path / f"full{len(extra_rows)}")
+        extra = spark.createDataFrame(extra_rows,
+                                      "doc_id long, text string")
+        quality.build_bm25_index(base.unionByName(extra), "doc_id",
+                                 "text", full, nbuckets=8)
+        return [tuple(r) for r in
+                quality.bm25_index_topk(spark, full, qlist, k=5)
+                       .orderBy("q_id", "rank").collect()]
+
+    def serve():
+        return [tuple(r) for r in
+                quality.bm25_index_topk(spark, idx, qlist, k=5)
+                       .orderBy("q_id", "rank").collect()]
+
+    try:
+        q.processAllAvailable()
+        rows1 = [(100, "quick silver fox under brown moonlight")]
+        assert serve() == rebuild_and_serve(rows1)     # pending batch
+        assert quality.bm25_index_compact(spark, idx) > 0
+        meta = json.load(open(f"{idx}/bm25_meta.json"))
+        assert meta["stream_fold_watermark"] >= 0
+        assert meta["n_docs"] == 4
+        import os
+        assert not os.path.isdir(f"{idx}/postings_stream")  # folded
+        assert serve() == rebuild_and_serve(rows1)     # still exact
+        _write_batch(src, "b2.ndjson", [
+            {"doc_id": 101,
+             "text": "green turtles dream of warm quick rivers"}])
+        q.processAllAvailable()                        # post-fold batch
+        rows2 = rows1 + [(101,
+                          "green turtles dream of warm quick rivers")]
+        assert serve() == rebuild_and_serve(rows2)
+    finally:
+        q.stop()

@@ -87,7 +87,9 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            from sybil_spark.operators._util import cache_scope
+            with cache_scope():   # release auto-persisted tf frames
+                sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1

@@ -65,8 +65,10 @@ def main() -> None:
     big = big.localCheckpoint(eager=True)
 
     def timed(fn, df, **kw):
+        from sybil_spark.operators._util import cache_scope
         t0 = time.time()
-        n = fn(df, "doc_id", "text", **kw).count()
+        with cache_scope():   # release auto-persisted tf per run
+            n = fn(df, "doc_id", "text", **kw).count()
         return time.time() - t0, n
 
     def simhash(df, idc, tc):

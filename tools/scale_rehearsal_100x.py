@@ -122,9 +122,11 @@ def main() -> None:
     from sybil_spark.operators import quality
 
     def run_tfidf(df, persist):
+        from sybil_spark.operators._util import cache_scope
         t0 = time.time()
-        quality.tfidf_top_terms(df, "doc_id", "text", k=5,
-                                persist_tf=persist).count()
+        with cache_scope():   # release the persisted tf per run
+            quality.tfidf_top_terms(df, "doc_id", "text", k=5,
+                                    persist_tf=persist).count()
         el = round(time.time() - t0, 2)
         spark.catalog.clearCache()
         return el
