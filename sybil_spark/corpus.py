@@ -2690,6 +2690,144 @@ def q_ivf_topk(spark, sf):
                                nlist=16, nprobe=4, centroids=cents)
 
 
+def _pq_sql(m: int = 4, sub: int = 16, kcb: int = 8) -> str:
+    """Oracle for pq_topk: codebooks = slices of the first `kcb`
+    embeddings (SQL-replicable, like the explicit IVF centroids),
+    per-subspace argmin encode, ADC distance re-derived by joining
+    each code back to its codeword. Every L2² is the dot-product
+    form (list_dot_product composed exactly as vectors.dot folds),
+    so encode argmins and the summed distance are bit-identical."""
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a},{a})"
+                f" - 2*list_dot_product({a},{b})"
+                f" + list_dot_product({b},{b}))")
+
+    code_cols, joins, terms = [], [], []
+    for s in range(m):
+        lo, hi = sub * s + 1, sub * (s + 1)
+        code_cols.append(
+            f"(select j from cb order by "
+            f"{l2(f'e.ev[{lo}:{hi}]', f'cb.cv[{lo}:{hi}]')} asc, "
+            f"j asc limit 1) as c{s}")
+        joins.append(f"join cb cb{s} on cb{s}.j = c.c{s}")
+        terms.append(l2(f"q.qv[{lo}:{hi}]", f"cb{s}.cv[{lo}:{hi}]"))
+    return f"""
+    with cb as (select vec_id as j, CAST(embedding AS DOUBLE[]) cv
+                from embeddings where vec_id < {kcb}),
+    q as (select CAST(embedding AS DOUBLE[]) qv
+          from embeddings where vec_id = 0),
+    e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+          from embeddings),
+    codes as (select e.vec_id, {', '.join(code_cols)} from e)
+    select c.vec_id, {' + '.join(terms)} as pq_dist
+    from codes c
+    {' '.join(joins)}, q
+    order by pq_dist asc, c.vec_id asc limit 10"""
+
+
+@_q("pq_topk", _pq_sql())
+def q_pq_topk(spark, sf):
+    """Product-quantization ANN (similarity.pq_codebooks/pq_encode/
+    pq_topk): vectors compress to m=4 codes from 8-codeword
+    subspace codebooks (the first 8 embeddings' slices — explicit,
+    so the oracle rebuilds them), the query scores rows through a
+    driver-built ADC lookup table (m element_at lookups per row —
+    no vector math at the scan), top-10 by (distance asc, id asc).
+    The compressed-serving path a RAM-resident 100 TB vector corpus
+    actually uses; recall/compression trade documented in
+    pq_encode."""
+    emb = _t(spark, sf, "embeddings")
+    rows = (emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+               .select("embedding").collect())
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    cbs = [[v[s * 16:(s + 1) * 16] for v in vecs] for s in range(4)]
+    enc = similarity.pq_encode(emb, "embedding", cbs)
+    return similarity.pq_topk(enc, vecs[0], cbs, k=10)
+
+
+def _ivfpq_sql(m: int = 4, sub: int = 16, kcb: int = 8,
+               nlist: int = 16, nprobe: int = 4) -> str:
+    """Oracle for ivfpq_topk: the ivf_topk oracle's explicit-
+    centroid coarse layer (argmax cosine assignment, top-nprobe
+    probes) composed with the pq_topk oracle's argmin encode +
+    re-joined ADC sum, restricted to rows whose assigned list is
+    probed. All cosines and L2²s are the sequential-fold dot forms,
+    so assignment, probing, encoding, and distances are all
+    bit-identical to the Spark plan."""
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a},{a})"
+                f" - 2*list_dot_product({a},{b})"
+                f" + list_dot_product({b},{b}))")
+
+    code_cols, joins, terms = [], [], []
+    for s in range(m):
+        lo, hi = sub * s + 1, sub * (s + 1)
+        code_cols.append(
+            f"(select j from cb order by "
+            f"{l2(f'pe.ev[{lo}:{hi}]', f'cb.cv[{lo}:{hi}]')} asc, "
+            f"j asc limit 1) as c{s}")
+        joins.append(f"join cb cb{s} on cb{s}.j = c.c{s}")
+        terms.append(l2(f"q.qv[{lo}:{hi}]", f"cb{s}.cv[{lo}:{hi}]"))
+    return f"""
+    with cb as (select vec_id as j, CAST(embedding AS DOUBLE[]) cv
+                from embeddings where vec_id < {kcb}),
+    q as (select CAST(embedding AS DOUBLE[]) qv
+          from embeddings where vec_id = 0),
+    cc as (select vec_id as cid, CAST(embedding AS DOUBLE[]) ccv
+           from embeddings where vec_id < {nlist}),
+    e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+          from embeddings),
+    probes as (select cid from cc, q
+               order by {_IVF_COS.format(a='cc.ccv', b='q.qv')} desc,
+                        cid asc
+               limit {nprobe}),
+    assign as (select e.vec_id, e.ev,
+                      (select cc.cid from cc
+                       order by {_IVF_COS.format(a='e.ev',
+                                                 b='cc.ccv')} desc,
+                                cc.cid asc
+                       limit 1) as cluster
+               from e),
+    pe as (select * from assign
+           where cluster in (select cid from probes)),
+    codes as (select pe.vec_id, {', '.join(code_cols)} from pe)
+    select c.vec_id, {' + '.join(terms)} as pq_dist
+    from codes c
+    {' '.join(joins)}, q
+    order by pq_dist asc, c.vec_id asc limit 10"""
+
+
+@_q("ivfpq_topk", _ivfpq_sql())
+def q_ivfpq_topk(spark, sf):
+    """IVF-PQ served from the persisted composed index
+    (similarity.build_ivfpq_index / ivfpq_index_topk): coarse probe
+    pruning (cluster IN probes — PartitionFilters) over rows that
+    store ONLY m PQ codes, scored through the driver-built ADC
+    lookup table. Explicit coarse centroids (first 16 embeddings)
+    and codebooks (first 8 embeddings' slices) keep every layer
+    SQL-replicable; assignment/probing use the same sequential-fold
+    cosine as ivf_topk, encode/distance the same dot-form L2² as
+    pq_topk — end-to-end bit-exact."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    rows = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+               .select("embedding").collect())
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    cents = vecs
+    cbs = [[v[s * 16:(s + 1) * 16] for v in vecs[:8]]
+           for s in range(4)]
+    iroot = tempfile.mkdtemp(prefix="sybil-ivfpq-")
+    atexit.register(shutil.rmtree, iroot, ignore_errors=True)
+    similarity.build_ivfpq_index(emb, "embedding", iroot, nlist=16,
+                                 m=4, kcb=8, centroids=cents,
+                                 codebooks=cbs)
+    return similarity.ivfpq_index_topk(spark, iroot, vecs[0], k=10,
+                                       nprobe=4)
+
+
 @_q("semantic_dedup", f"""
     with e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
                from embeddings),
@@ -4341,7 +4479,7 @@ _DRIVER_FIRST = [
     "bm25_index_search",
     # brand-new this round — first driver rows:
     "bm25_index_add_search", "line_dedup", "boilerplate_lines",
-    "exact_substr",
+    "pq_topk", "ivfpq_topk", "exact_substr",
 ]
 
 _DRIVER_FIRST_R6 = [

@@ -1300,6 +1300,84 @@ def _full_doc_copies(df: DataFrame, id_col: str, text_col: str,
                  .select(F.col("__id").alias(id_col), "n_tokens"))
 
 
+def doc_window_keys(df: DataFrame, id_col: str, text_col: str,
+                    window_words: int = 10) -> DataFrame:
+    """(id_col, pos, wh): a 64-bit key for EVERY stride-1 window,
+    built as an xxhash64 CHAIN over per-token hashes — h_0 = 0,
+    h_{j+1} = xxhash64(h_j, tok_hash[i+j]) — so no window STRING is
+    ever materialized. doc_windows' concat_ws builds ~n·window_words
+    characters of span text per document and re-hashes every byte;
+    at 100x-rehearsal scale that string construction dominated the
+    whole hash plan. Here the same O(n·window_words) loop is pure
+    64-bit mixing (token text is hashed ONCE per token), and
+    xxhash64's two-column form chains without any overflow-prone
+    arithmetic (ANSI-safe). Equal windows always collide (the chain
+    is a function of the token strings); unequal windows collide at
+    hash-collision rates — consumers re-check candidates on real
+    text exactly like span_first_flags."""
+    if window_words < 1:
+        raise ValueError("window_words must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    th = F.transform(words, lambda t: F.xxhash64(t))
+    wins = F.when(
+        F.size(words) >= window_words,
+        F.transform(
+            F.sequence(F.lit(0),
+                       (F.size(words) - window_words).cast("int")),
+            lambda i: F.aggregate(
+                F.slice(th, i + 1, window_words),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x)))) \
+        .otherwise(F.array().cast("array<long>"))
+    return df.select(F.col(id_col),
+                     F.posexplode(wins).alias("pos", "wh"))
+
+
+def _window_dup_rows(df: DataFrame, id_col: str, text_col: str,
+                     window_words: int,
+                     key_mod: int | None = None) -> DataFrame:
+    """("__id", pos) of non-first stride-1 windows — the hash-keyed
+    candidate pass of exact_substr_dedup, over doc_window_keys
+    instead of window strings: the narrow (wh, id, pos) stream hits
+    one count aggregate (map-side partials collapse repeated
+    windows), only multi-member hash groups survive, and span TEXT
+    is constructed just for those candidate positions (re-sliced
+    from the source row at an id-equi-join) before the real-text
+    winner re-check. Unique windows — the dominant mass — never
+    build a string, never shuffle one."""
+    nx = doc_window_keys(df, id_col, text_col, window_words) \
+        .withColumnRenamed(id_col, "__id")
+    if key_mod is not None:
+        # fuzz hook: a deliberately weak key floods the candidate
+        # path with cross-window collisions — the real-text re-check
+        # must keep the dup set exact regardless
+        nx = nx.withColumn("wh", F.pmod(F.col("wh"), F.lit(key_mod)))
+    multi_h = (nx.groupBy("wh")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .where(F.col("__n") > 1)
+                 .select("wh"))
+    cand = nx.join(multi_h, "wh", "left_semi")
+    per_doc = (cand.groupBy("__id")
+                   .agg(F.collect_list("pos").alias("__cp")))
+    words = F.split(F.col(text_col), " ")
+    cand_spans = (df.select(F.col(id_col).alias("__id"), text_col)
+                  .join(per_doc, "__id")
+                  .select("__id",
+                          F.explode(F.transform(
+                              F.col("__cp"),
+                              lambda p: F.struct(
+                                  p.alias("pos"),
+                                  F.concat_ws(" ", F.slice(
+                                      words, p + 1, window_words))
+                                   .alias("span")))).alias("__e"))
+                  .select("__id", "__e.pos", "__e.span"))
+    fm = (cand_spans.groupBy("span")
+                    .agg(F.min(F.struct("__id", "pos")).alias("__w2")))
+    return (cand_spans.join(fm, "span")
+            .where(F.struct("__id", "pos") != F.col("__w2"))
+            .select("__id", "pos"))
+
+
 def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
                        window_words: int = 10,
                        hash_key: bool | None = None,
@@ -1325,14 +1403,18 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
     id_col to carry them). CONTRACT: id_col unique per row.
 
     Scale shape: stride-1 windows are a window_words× text blowup if
-    the window TEXT shuffles, so keying is AUTO like span_dedup —
+    the window TEXT shuffles — or even if it is merely BUILT (the
+    concat_ws construction of ~n·window_words chars/doc dominated
+    the 100x rehearsal) — so keying is AUTO like span_dedup:
     text-keyed window plan below SPAN_HASH_KEY_BYTES (fewest stages;
-    measured fastest on single-JVM scales), hash-keyed span_dup_rows
-    above it (only (xxhash64, id, pos) shuffles; collision re-check
-    keeps it exact — the 100 TB form; the dup-only formulation skips
-    the join-back that span_first_flags needs for kept flags, so
-    unique windows — the dominant stride-1 mass — die at the narrow
-    count aggregate's map-side partial aggregation). Before any
+    measured fastest on single-JVM scales), string-free
+    _window_dup_rows above it (doc_window_keys chains xxhash64 over
+    per-token hashes, so unique windows — the dominant stride-1
+    mass — never materialize a string and die at the narrow count
+    aggregate's map-side partial aggregation; span text is re-sliced
+    only for hash-collision candidates before the real-text winner
+    re-check, which keeps removal exact — the 100 TB form). Before
+    any
     windowing, `collapse_dup_docs` removes exact full-text COPY docs
     wholesale (_full_doc_copies — provably n_kept = 0, provably
     outcome-neutral for every other doc): on real web corpora whole-
@@ -1351,15 +1433,21 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
     copies = None
     work = df
     if collapse_dup_docs:
-        copies = _full_doc_copies(df, id_col, text_col, window_words)
+        # localCheckpoint (tiny: one (id, n_tokens) row per copy doc):
+        # `copies` feeds BOTH the anti join and the output union, and
+        # `work` is itself consumed twice — without materialization
+        # Catalyst re-expands the copy-detection subtree (and its
+        # corpus scans) several times over
+        copies = _full_doc_copies(df, id_col, text_col, window_words) \
+            .localCheckpoint(eager=True)
         work = df.join(copies.select(id_col), id_col, "left_anti")
-    ex = doc_windows(work, id_col, text_col, window_words) \
-        .withColumnRenamed(id_col, "__id")
     if hash_key:
-        dup = span_dup_rows(ex)
+        dup = _window_dup_rows(work, id_col, text_col, window_words)
     else:
         from pyspark.sql import Window
 
+        ex = doc_windows(work, id_col, text_col, window_words) \
+            .withColumnRenamed(id_col, "__id")
         w = Window.partitionBy("span").orderBy("__id", "pos")
         dup = (ex.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") > 1))

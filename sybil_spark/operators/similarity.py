@@ -899,3 +899,214 @@ def hybrid_index_topk(spark, bm25_index_path: str, ivf_index_path: str,
     semr = (sem.withColumn("sem_rank", F.row_number().over(w_sem))
                .select("q_id", id_col, "sem_rank"))
     return _rrf_fuse(lex, semr, id_col, k, c)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jegou et al. 2011) — compressed ANN serving
+# ---------------------------------------------------------------------------
+
+def _l2sq_expr(a, c: list[float]):
+    """L2² of an array column slice against a constant codeword,
+    written in DOT-PRODUCT FORM — dot(a,a) - 2·dot(a,c) + dot(c,c),
+    each dot a sequential index-order fold — so the value is
+    bit-identical to oracle SQL composing list_dot_product the same
+    way (the vectors.py contract). The c·c term is a Python-summed
+    literal: same doubles, same left-to-right order."""
+    from sybil_spark.functions.vectors import dot, norm_sq
+    cl = F.lit([float(x) for x in c]).cast("array<double>")
+    cc = 0.0
+    for x in c:
+        cc = cc + float(x) * float(x)
+    return norm_sq(a) - F.lit(2.0) * dot(a, cl) + F.lit(cc)
+
+
+def _l2sq_py(a: list[float], c: list[float]) -> float:
+    """Driver-side twin of _l2sq_expr (ADC lookup tables): identical
+    dot-form arithmetic, identical fold order."""
+    aa = 0.0
+    ac = 0.0
+    cc = 0.0
+    for x, y in zip(a, c):
+        aa = aa + float(x) * float(x)
+        ac = ac + float(x) * float(y)
+        cc = cc + float(y) * float(y)
+    return aa - 2.0 * ac + cc
+
+
+def pq_codebooks(df: DataFrame, vec_col: str, id_col: str = "vec_id",
+                 m: int = 4, k: int = 8) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the `k` hash-
+    sampled vectors' s-th slices are subspace s's codewords — the
+    same replicable-sample stance as ivf_centroids (a k-means-per-
+    subspace trainer would compress better but is not SQL-
+    replicable; callers can pass their own trained codebooks to
+    pq_encode/pq_topk). Returns codebooks[s][j] = the j-th codeword
+    of subspace s (d/m floats). Requires dim % m == 0."""
+    rows = (df.select(vec_col, F.col(id_col).alias("__id"))
+              .orderBy(F.xxhash64(F.col(id_col)).asc(),
+                       F.col(id_col).asc())
+              .limit(k).collect())
+    if not rows:
+        raise ValueError("pq_codebooks: empty input")
+    d = len(rows[0][0])
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[[float(x) for x in r[0][s * sub:(s + 1) * sub]]
+             for r in rows] for s in range(m)]
+
+
+def pq_encode(df: DataFrame, vec_col: str,
+              codebooks: list[list[list[float]]],
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode vectors to PQ codes: code[s] = argmin_j L2²(v_s, c_sj)
+    (ties → lowest j, the struct-min rule shared with ivf_assign).
+    Output adds `code_col` array<int> of length m — m·log2(k) bits
+    of payload replacing d floats (d=64, m=4, k=8 → 12 bits vs
+    256 bytes): the memory shape that lets a 100 TB vector corpus
+    serve from RAM. Pure JVM fold expressions, no UDF, no
+    shuffle."""
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub = len(cb[0])
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = F.array(*[
+            F.struct(_l2sq_expr(sl, c).alias("d"),
+                     F.lit(j).alias("j"))
+            for j, c in enumerate(cb)])
+        codes.append(F.array_min(dists)["j"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(df_codes: DataFrame, query: list[float],
+            codebooks: list[list[list[float]]], k: int = 10,
+            id_col: str = "vec_id", code_col: str = "pq_code",
+            dist_col: str = "pq_dist") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the m×k lookup
+    table LUT[s][j] = L2²(q_s, c_sj) is computed on the driver
+    (m·k doubles — trivial) and folded into the plan as array
+    literals, so the per-row distance is m element_at lookups and
+    m-1 additions — NO vector arithmetic touches the scan, the whole
+    point of PQ serving. dist = Σ_s LUT[s][code_s] in ascending-s
+    left-associated order (the oracle writes the same chain);
+    ranking ties break by id ascending. Returns (id_col, dist_col)
+    rows, smallest distance first.
+
+    Approximate by construction (quantization error), exact given
+    the codes — the same contract as ivf_topk's probed recall."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query) != m * sub:
+        raise ValueError("pq_topk: query dim != m * sub")
+    dist = None
+    for s, cb in enumerate(codebooks):
+        qs = [float(x) for x in query[s * sub:(s + 1) * sub]]
+        lut = F.lit([_l2sq_py(qs, c) for c in cb]) \
+            .cast("array<double>")
+        term = F.element_at(
+            lut, F.element_at(F.col(code_col), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (df_codes.withColumn(dist_col, dist)
+            .select(id_col, dist_col)
+            .orderBy(F.asc(dist_col), F.asc(id_col))
+            .limit(k))
+
+
+def build_ivfpq_index(df: DataFrame, vec_col: str, index_path: str,
+                      id_col: str = "vec_id", nlist: int = 16,
+                      m: int = 4, kcb: int = 8,
+                      centroids: list[list[float]] | None = None,
+                      codebooks: list[list[list[float]]] | None = None,
+                      kmeans: bool = False) -> dict:
+    """Persist an IVF-PQ index — the FAISS IVFPQ composition of the
+    two persisted ANN forms: rows are assigned to their max-cosine
+    coarse list (ivf_assign), PQ-encoded (pq_encode), and written
+    partitioned by `cluster=N` carrying ONLY (id, pq_code) — the
+    original vectors are NOT stored. Serving combines both scale
+    levers: the probe filter prunes IO to nprobe/nlist of the files
+    (PartitionFilters), and what IS read is m small ints per row
+    scored through an ADC lookup table — no vector ever leaves the
+    build. d floats/row become m·log2(kcb) bits (64-dim float32 →
+    12 bits at m=4, kcb=8: ~170x), the layout that keeps a 100 TB
+    corpus's candidate lists RAM-resident.
+
+    Trains the coarse quantizer (hash-sample or seeded k-means, as
+    build_ivf_index) and the subspace codebooks (pq_codebooks) when
+    not supplied. Holds the index path lock across the overwrite +
+    meta rewrite; returns {"centroids", "codebooks"}."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+
+    cents = centroids if centroids is not None else (
+        ivf_centroids_kmeans(df, vec_col, nlist) if kmeans
+        else ivf_centroids(df, vec_col, id_col, nlist))
+    cbs = codebooks if codebooks is not None else \
+        pq_codebooks(df, vec_col, id_col, m=m, k=kcb)
+    with path_lock(index_path):
+        enc = pq_encode(ivf_assign(df, vec_col, cents), vec_col, cbs)
+        (enc.select(id_col, "pq_code", "cluster")
+            .write.partitionBy("cluster").mode("overwrite")
+            .parquet(os.path.join(index_path, "codes")))
+        with open(os.path.join(index_path, "ivfpq_meta.json"),
+                  "w") as f:
+            json.dump({"vec_col": vec_col, "id_col": id_col,
+                       "nlist": len(cents), "centroids": cents,
+                       "codebooks": cbs}, f)
+    return {"centroids": cents, "codebooks": cbs}
+
+
+def ivfpq_index_topk(spark, index_path: str, query: list[float],
+                     k: int = 10, nprobe: int = 4) -> DataFrame:
+    """Query a persisted IVF-PQ index: rank the coarse centroids on
+    the driver (_rank_probes — the shared probe rule), scan ONLY the
+    `cluster=N` partitions of the nprobe nearest lists (partition-
+    directory pruning, like ivf_index_topk), and score the codes via
+    pq_topk's ADC lookup table — per row, m element_at lookups and
+    m-1 adds. Output (id_col, pq_dist), ascending, ties by id.
+    Approximation is two-layer and explicit: probe recall (unprobed
+    lists are never scored) x quantization error (distances are to
+    the codewords, not the vectors) — the standard IVFPQ trade."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    probes = _rank_probes(meta["centroids"], query, nprobe)
+    codes = (spark.read.parquet(os.path.join(index_path, "codes"))
+             .where(F.col("cluster").isin(probes)))
+    return pq_topk(codes, query, meta["codebooks"], k=k,
+                   id_col=meta["id_col"])
+
+
+def ivfpq_index_add(df: DataFrame, index_path: str) -> int:
+    """Incrementally add vectors to a persisted IVF-PQ index: assign
+    against the FROZEN coarse centroids, encode with the FROZEN
+    codebooks (both quantizers freeze at build — FAISS's add()
+    contract), and append the (id, pq_code) rows into their
+    cluster=N partition dirs. Returns rows added. Distances for the
+    appended rows are exactly what a full rebuild with the same
+    quantizers would serve (encoding is deterministic); only RECALL
+    drifts as the appended distribution leaves the trained
+    centroids/codebooks behind — re-train via build_ivfpq_index (or
+    adapt ivf_index_refresh) when it does. Path-locked against
+    concurrent adds/rebuilds."""
+    import json
+    import os
+
+    from sybil_spark.sources.locks import path_lock
+
+    with path_lock(index_path):
+        with open(os.path.join(index_path, "ivfpq_meta.json")) as f:
+            meta = json.load(f)
+        out = pq_encode(
+            ivf_assign(df, meta["vec_col"], meta["centroids"]),
+            meta["vec_col"], meta["codebooks"])
+        from pyspark.sql import Observation
+        obs = Observation()
+        out = (out.select(meta["id_col"], "pq_code", "cluster")
+                  .observe(obs, F.count(F.lit(1)).alias("n")))
+        (out.write.partitionBy("cluster").mode("append")
+            .parquet(os.path.join(index_path, "codes")))
+        return obs.get["n"]

@@ -1588,3 +1588,34 @@ def test_line_dedup_matches_duckdb(fuzz_spark, texts, policy_docs):
                  as dedup_text
         from k group by doc_id""").df()
     _cmp_frames(got, oracle)
+
+
+@given(texts=docs_st, window_words=st.sampled_from([2, 3, 5]),
+       mod=st.sampled_from([1, 2, 4]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_window_dup_rows_collision_adversarial(fuzz_spark, texts,
+                                               window_words, mod):
+    """_window_dup_rows (the string-free chain-key plan behind
+    exact_substr's hash keying) under a deliberately weak key (chain
+    hash mod 1/2/4 — mod 1 sends EVERY window to one group): the
+    real-text re-check must keep the dup set identical to the
+    text-keyed row_number oracle."""
+    from pyspark.sql import Window
+
+    from sybil_spark.operators import dedup
+    spark = fuzz_spark
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
+                      "text": texts}))
+    weak = dedup._window_dup_rows(sdf, "doc_id", "text", window_words,
+                                  key_mod=mod)
+    ex = dedup.doc_windows(sdf, "doc_id", "text", window_words) \
+        .withColumnRenamed("doc_id", "__id")
+    w = Window.partitionBy("span").orderBy("__id", "pos")
+    oracle = (ex.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > 1))
+    got = {(r["__id"], r["pos"]) for r in weak.collect()}
+    exp = {(r["__id"], r["pos"]) for r in oracle.collect()}
+    assert got == exp

@@ -2019,3 +2019,108 @@ def test_hybrid_index_matches_adhoc(spark, docs, tmp_path):
         "q_id", "rank").collect()
     assert adhoc and [tuple(r) for r in idxed] \
         == [tuple(r) for r in adhoc]
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization: encode picks the argmin-L2 codeword per
+    subspace (ties -> lowest index), ADC distance equals the
+    driver-side LUT sum over the chosen codewords, a vector that IS
+    a codeword combination scores exactly 0 to its own query and
+    ranks first, and ranking ties break by id ascending."""
+    from sybil_spark.operators import similarity as S
+    # 4-dim vectors, m=2 subspaces of 2 dims, 2 codewords each
+    cbs = [[[0.0, 0.0], [1.0, 1.0]],
+           [[0.0, 1.0], [1.0, 0.0]]]
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0, 0.0, 1.0]),  # codes 0,0
+            Row(vec_id=1, embedding=[1.0, 1.0, 1.0, 0.0]),  # codes 1,1
+            Row(vec_id=2, embedding=[0.9, 0.9, 0.4, 0.6]),  # 1, then tie
+            Row(vec_id=3, embedding=[0.0, 0.0, 0.0, 1.0])]  # dup of 0
+    df = spark.createDataFrame(rows)
+    enc = S.pq_encode(df, "embedding", cbs)
+    codes = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+    assert codes[0] == [0, 0] and codes[1] == [1, 1]
+    # vec 2: subspace 2 = [0.4, 0.6] is equidistant to both
+    # codewords (L2^2 = 0.32) -> tie -> lowest index 0
+    assert codes[2] == [1, 0]
+    out = S.pq_topk(enc, [0.0, 0.0, 0.0, 1.0], cbs, k=4).collect()
+    # query == codeword combo (0,0): vectors 0 and 3 at distance 0,
+    # id tie-break ascending
+    assert [(r["vec_id"], r["pq_dist"]) for r in out[:2]] \
+        == [(0, 0.0), (3, 0.0)]
+    got = {r["vec_id"]: r["pq_dist"] for r in out}
+    ref = {}
+    for vid, code in codes.items():
+        d = 0.0
+        for s, cb in enumerate(cbs):
+            q = [0.0, 0.0, 0.0, 1.0][s * 2:(s + 1) * 2]
+            d = d + S._l2sq_py(q, cb[code[s]])
+        ref[vid] = d
+    assert got == {v: ref[v] for v in got}
+    with pytest.raises(ValueError):
+        S.pq_codebooks(df, "embedding", m=3)     # 4 % 3 != 0
+    with pytest.raises(ValueError):
+        S.pq_topk(enc, [0.0, 0.0], cbs)          # query dim
+    # deterministic sampled codebooks: shape and values from data
+    auto = S.pq_codebooks(df, "embedding", m=2, k=2)
+    assert len(auto) == 2 and len(auto[0]) == 2 \
+        and len(auto[0][0]) == 2
+
+
+def test_ivfpq_index_topk(spark, emb, tmp_path):
+    """IVF-PQ persisted index: at FULL probe the served result must
+    equal flat PQ over the whole table (the coarse layer only
+    prunes, never changes a scored distance); the codes table stores
+    no vectors; the probe filter partition-prunes; and low-probe
+    recall against exact cosine top-k is non-trivial (the planted
+    same-direction/near-dup vectors surface)."""
+    import re
+
+    from sybil_spark.plans.inspect import formatted_plan
+    idx = str(tmp_path / "ivfpq")
+    q = [float(x) for x in
+         emb.where("vec_id = 0").first()["embedding"]]
+    art = similarity.build_ivfpq_index(emb, "embedding", idx,
+                                       nlist=8, m=4, kcb=8)
+    cols = spark.read.parquet(f"{idx}/codes").columns
+    assert "embedding" not in cols          # vectors never persisted
+    flat = similarity.pq_topk(
+        similarity.pq_encode(emb, "embedding", art["codebooks"]),
+        q, art["codebooks"], k=10)
+    served = similarity.ivfpq_index_topk(spark, idx, q, k=10,
+                                         nprobe=8)   # full probe
+    assert [tuple(r) for r in served.collect()] \
+        == [tuple(r) for r in flat.collect()]
+    low = similarity.ivfpq_index_topk(spark, idx, q, k=10, nprobe=2)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(
+        emb, "embedding", q, k=10).collect()}
+    got = {r["vec_id"] for r in low.collect()}
+    assert len(got & exact) >= 3            # planted dups surface
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
+                     formatted_plan(low))
+
+
+def test_ivfpq_index_add_incremental(spark, emb, tmp_path):
+    """ivfpq_index_add: frozen-quantizer appends must serve exactly
+    what a from-scratch build over the union serves with the SAME
+    centroids + codebooks, and pruning survives the append."""
+    import re
+
+    from sybil_spark.plans.inspect import formatted_plan
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    idx = str(tmp_path / "ivfpq-inc")
+    art = similarity.build_ivfpq_index(old, "embedding", idx,
+                                       nlist=8, m=4, kcb=8)
+    assert similarity.ivfpq_index_add(new, idx) == new.count()
+    full = str(tmp_path / "ivfpq-full")
+    similarity.build_ivfpq_index(emb, "embedding", full, nlist=8,
+                                 centroids=art["centroids"],
+                                 codebooks=art["codebooks"])
+    q = [float(x) for x in
+         emb.where("vec_id = 3").first()["embedding"]]
+    a = similarity.ivfpq_index_topk(spark, idx, q, k=5, nprobe=3)
+    b = similarity.ivfpq_index_topk(spark, full, q, k=5, nprobe=3)
+    assert [tuple(r) for r in a.collect()] \
+        == [tuple(r) for r in b.collect()]
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
+                     formatted_plan(a))

@@ -461,17 +461,23 @@ def test_tfidf_rank_limit_pushdown(spark, sf_dir):
 
 
 def test_exact_substr_plan_hash_keyed_narrow(spark, sf_dir):
-    """exact_substr_dedup's hash-keyed plan inherits span_dedup's
-    narrow-shuffle shape for stride-1 windows — the regime where it
-    matters most (window text volume = window_words x corpus text):
-    no window-partitioned sort Window, first-occurrence exchanges on
-    the 8-byte hash, exactly one span-keyed re-check exchange."""
+    """exact_substr_dedup's hash-keyed plan keeps the stride-1
+    window mass narrow — the regime where it matters most (window
+    text volume = window_words x corpus text): no window-partitioned
+    sort Window, candidate exchanges on the 8-byte chain key `wh`
+    (doc_window_keys — no window string is built for the unique
+    mass), exactly one span-keyed re-check exchange, and NO
+    exchange ever carries document text keyed by text (the copy
+    detector is checkpointed out of the serving plan)."""
+    import re
+
     from sybil_spark.operators import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = dedup.exact_substr_dedup(docs, "doc_id", "text",
                                  window_words=8, hash_key=True)
     p = I.formatted_plan(q)
     assert "Window (" not in p, p
-    assert "hashpartitioning(__h" in p, p
-    assert p.count("hashpartitioning(span") == 1, p
+    assert re.search(r"hashpartitioning\(wh#", p), p
+    assert len(re.findall(r"hashpartitioning\(span#", p)) == 1, p
+    assert not re.search(r"hashpartitioning\(__t#", p), p
     assert "posexplode" in p.lower(), p
