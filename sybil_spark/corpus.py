@@ -1591,15 +1591,16 @@ def q_bm25_index_search(spark, sf):
 def q_bm25_index_add_search(spark, sf):
     """The INCREMENTAL BM25 index lifecycle serving the bm25_search
     workload: build postings over a third of the corpus, append the
-    second third with mode='defer' (blind per-bucket append, df
-    recomputed at serve while the meta is flagged), append the final
-    third with mode='rescore' (repairs the defer-staled buckets and
-    its own, clears the flag) — then serve from the pruned buckets
-    and hash-match the SAME full-corpus SQL oracle as
-    bm25_index_search. The driver-board proof that bm25_index_add's
-    two append modes compose to bit-equality with a from-scratch
-    scan (quality.bm25_index_add; exactness argument in its
-    docstring: token-hash bucket colocation)."""
+    second third with mode='defer' (one atomic sidecar-committed
+    piece; serving merges it with df recomputed over the pruned
+    scan), append the final third with mode='rescore' (commits its
+    piece, then folds ALL pending pieces into the base postings
+    under the same lock) — then serve from the pruned buckets and
+    hash-match the SAME full-corpus SQL oracle as bm25_index_search.
+    The driver-board proof that bm25_index_add's two append modes
+    compose to bit-equality with a from-scratch scan
+    (quality.bm25_index_add; exactness argument in its docstring:
+    token-hash bucket colocation + sidecar atomicity)."""
     import atexit
     import shutil
     import tempfile

@@ -730,44 +730,37 @@ def bm25_index_add(df: DataFrame, index_path: str,
     documents added. Contract: append-only NEW doc ids (re-adding
     an id double-counts its postings — same as ivf_index_add).
 
-    Exactness is cheaper here than the "frozen index" framing
-    suggests, because of how the layout was chosen: postings are
-    partitioned by `pb = pmod(xxhash64(tok), nbuckets)`, so ALL
-    postings of any token — old and new — are colocated in one
-    bucket directory. The three corpus-global quantities BM25 needs
-    therefore split cleanly:
+    The append itself is ONE atomic commit: the batch tokenizes
+    into a pb-partitioned `postings_adds/add-<uuid>` piece whose
+    _delta.json count sidecar is written LAST — before the sidecar
+    exists the piece is invisible, after it the piece is complete,
+    so a crash anywhere leaves no torn state (counts ride WITH the
+    rows; the base meta is never mutated by an append — an earlier
+    design bumped n_docs/sum_dl in the meta as a second write, and
+    a crash between the two commits served wrong idf/avgdl).
+    Serving merges committed pieces: bm25_index_topk unions their
+    pruned scans (they are pb-partitioned, so partition pruning
+    applies), corrects n_docs/avgdl from the sidecars, and
+    recomputes df from the pruned scan — EXACT at every point, by
+    the token-hash colocation argument (every posting of a token,
+    base or appended, lives in one bucket).
 
-    - n_docs / avgdl: serve-time scalars in bm25_meta.json — one
-      meta rewrite makes them exact;
-    - dl: per-doc, immutable once written — appends never touch it;
-    - df_t: per-token. Only tokens PRESENT IN THE BATCH change, and
-      each lives wholly inside one touched bucket.
-
-    `mode="rescore"` (default): dynamic-partition-overwrite ONLY the
-    touched buckets (old pruned read ∪ new rows, df recomputed per
-    token inside them). Work is bounded by the batch's token-bucket
-    footprint — ≤ min(distinct batch tokens, nbuckets) partitions —
-    never the index size; untouched buckets are never listed or
-    read. Serving stays on the fast denormalized-df path,
-    bit-identical to a full rebuild.
-
-    `mode="defer"`: blind append of the new postings (no old-bucket
-    read — the cheapest possible write, for high-frequency
-    micro-batches) and set `df_on_read` in the meta. Row-level df_t
-    is now stale, so bm25_index_topk RECOMPUTES df per token from
-    the pruned scan while the flag is set — results stay EXACT
-    (token colocation again); the cost moves to serve time as one
-    extra aggregation over the pruned postings. The staled bucket
-    set is tracked in the meta (`stale_pb`); a later
-    `mode="rescore"` add repairs those buckets along with its own
-    (so does a full rebuild) and clears the flag, restoring fast
-    serving.
+    `mode="defer"` stops there — the cheapest write, for
+    high-frequency appends; serving pays one extra aggregation over
+    the pruned buckets until a compact. `mode="rescore"` (default)
+    additionally runs the compactor under the SAME lock hold,
+    folding all pending pieces into the base postings with exact
+    denormalized df (bm25_index_compact — a whole-index-dir staged
+    swap, the one crash-atomic unit for in-place repair), restoring
+    the fast no-recompute serving path immediately. Both modes are
+    exact; they trade write cost against serve cost.
 
     Serializes on the index path lock shared with build/serve-side
-    rebuilds, so concurrent adds can't interleave their
-    read-modify-write of the touched buckets or the meta."""
+    rebuilds, so concurrent adds can't interleave with a compact's
+    read-fold-swap."""
     import json
     import os
+    import uuid
 
     from pyspark import StorageLevel
 
@@ -777,10 +770,8 @@ def bm25_index_add(df: DataFrame, index_path: str,
         raise ValueError(f"bm25_index_add: unknown mode {mode!r}")
     spark = df.sparkSession
     with path_lock(index_path):
-        meta_p = os.path.join(index_path, "bm25_meta.json")
-        with open(meta_p) as f:
+        with open(os.path.join(index_path, "bm25_meta.json")) as f:
             meta = json.load(f)
-        post_p = os.path.join(index_path, "postings")
         toks = df.select(F.col(meta["id_col"]).alias("doc"),
                          F.explode(tokens(F.col(meta["text_col"])))
                           .alias("tok"))
@@ -794,183 +785,166 @@ def bm25_index_add(df: DataFrame, index_path: str,
             n_new = int(stats["n"] or 0)
             if n_new == 0:
                 return 0
-            pb = F.pmod(F.xxhash64("tok"), F.lit(meta["nbuckets"]))
-            new_post = (tf.join(dl, "doc")
-                          .withColumn("pb", pb))
-            batch_pb = [r["pb"] for r in
-                        new_post.select("pb").distinct().collect()]
-            if mode == "defer":
-                # df_t = within-batch df; serving ignores it while
-                # df_on_read is set. Record WHICH buckets went stale
-                # so a later rescore can repair exactly those.
-                bdf = tf.groupBy("tok").agg(
-                    F.count(F.lit(1)).alias("df_t"))
-                (new_post.join(bdf, "tok")
-                         .write.partitionBy("pb").mode("append")
-                         .parquet(post_p))
-                meta["df_on_read"] = True
-                meta["stale_pb"] = sorted(
-                    set(meta.get("stale_pb", [])) | set(batch_pb))
-            else:
-                # touched buckets: the batch's own token buckets
-                # PLUS any buckets staled by earlier defer appends —
-                # repairing them here is what lets this add clear
-                # df_on_read. Bounded: ≤ nbuckets values.
-                buckets = sorted(set(batch_pb)
-                                 | set(meta.get("stale_pb", [])))
-                old = (spark.read.parquet(post_p)
-                       .where(F.col("pb").isin(buckets))
-                       .select("doc", "tok", "tf", "dl", "pb"))
-                merged = old.unionByName(new_post)
-                # exact df inside the touched buckets: every posting
-                # of any token in them is here (token-hash layout)
-                dfreq = merged.groupBy("tok").agg(
-                    F.count(F.lit(1)).alias("df_t"))
-                # localCheckpoint breaks the plan's lineage to
-                # post_p: the dynamic overwrite below cannot read
-                # the very partitions it is replacing
-                out = (merged.join(dfreq, "tok")
-                             .localCheckpoint(eager=True))
-                prev = spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", None)
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode",
-                    "dynamic")
-                try:
-                    (out.write.partitionBy("pb").mode("overwrite")
-                        .parquet(post_p))
-                finally:
-                    if prev is None:
-                        spark.conf.unset(
-                            "spark.sql.sources.partitionOverwriteMode")
-                    else:
-                        spark.conf.set(
-                            "spark.sql.sources."
-                            "partitionOverwriteMode", prev)
-                meta.pop("df_on_read", None)
-                meta.pop("stale_pb", None)
-            meta["n_docs"] = int(meta["n_docs"]) + n_new
-            meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["s"])
-            with open(meta_p, "w") as f:
-                json.dump(meta, f)
-            return n_new
+            # df_t = within-batch df, a placeholder for schema
+            # parity with the base postings: serving recomputes df
+            # whenever pending pieces exist, and the compact fold
+            # recomputes it globally
+            bdf = tf.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("df_t"))
+            piece = (tf.join(dl, "doc").join(bdf, "tok")
+                       .withColumn("pb",
+                                   F.pmod(F.xxhash64("tok"),
+                                          F.lit(meta["nbuckets"]))))
+            adir = os.path.join(index_path, "postings_adds",
+                                f"add-{uuid.uuid4().hex[:12]}")
+            (piece.write.partitionBy("pb").mode("overwrite")
+                  .parquet(adir))
+            # sidecar LAST: the single commit point
+            tmp = os.path.join(adir, "_delta.json.partial")
+            with open(tmp, "w") as f:
+                json.dump({"n": n_new, "s": int(stats["s"])}, f)
+            os.replace(tmp, os.path.join(adir, "_delta.json"))
         finally:
             tf.unpersist()
+        if mode == "rescore":
+            _bm25_compact_locked(spark, index_path)
+        return n_new
 
 
-def _bm25_stream_state(index_path: str):
-    """Committed streamed-append batches under
-    `<index>/postings_stream/` (stream_bm25_index_add's exactly-once
-    layout: per-batch overwrite dirs, committed = Spark's _SUCCESS
-    plus the _delta.json count sidecar written after the parquet).
-    Returns (batch_dirs, n_docs_delta, sum_dl_delta, max_batch_id) —
-    the serve-time merge state; half-written batches (crashed
-    mid-write, no sidecar) are invisible and will be replaced by
-    their replay."""
+def _bm25_pending_state(index_path: str):
+    """Committed-but-unfolded append pieces of a BM25 index:
+    streamed micro-batches under `<index>/postings_stream/batch-<n>`
+    (stream_bm25_index_add) and batch appends under
+    `<index>/postings_adds/add-<uuid>` (bm25_index_add). Both use
+    the same sidecar-LAST commit protocol — a dir counts only with
+    Spark's _SUCCESS and the _delta.json count sidecar, so a crash
+    mid-append leaves NO observable state change (the sidecar is the
+    single commit point; counts ride with the rows instead of a
+    separate meta mutation that could tear from them). Returns
+    (piece_dirs, n_docs_delta, sum_dl_delta, max_stream_batch_id);
+    half-written pieces are invisible and are replaced by their
+    replay (stream) or re-issued by the caller (add)."""
     import json
     import os
 
-    root = os.path.join(index_path, "postings_stream")
     dirs, n, s, mx = [], 0, 0, -1
-    if not os.path.isdir(root):
-        return dirs, n, s, mx
-    for name in sorted(os.listdir(root)):
-        d = os.path.join(root, name)
-        if not name.startswith("batch-") or not os.path.isdir(d):
+    for sub, prefix, track_id in (("postings_stream", "batch-", True),
+                                  ("postings_adds", "add-", False)):
+        root = os.path.join(index_path, sub)
+        if not os.path.isdir(root):
             continue
-        try:
-            bid = int(name[len("batch-"):])
-        except ValueError:
-            continue
-        delta_p = os.path.join(d, "_delta.json")
-        if not (os.path.exists(os.path.join(d, "_SUCCESS"))
-                and os.path.exists(delta_p)):
-            continue
-        with open(delta_p) as f:
-            delta = json.load(f)
-        dirs.append(d)
-        n += int(delta["n"])
-        s += int(delta["s"])
-        mx = max(mx, bid)
+        for name in sorted(os.listdir(root)):
+            d = os.path.join(root, name)
+            if not name.startswith(prefix) or not os.path.isdir(d):
+                continue
+            delta_p = os.path.join(d, "_delta.json")
+            if not (os.path.exists(os.path.join(d, "_SUCCESS"))
+                    and os.path.exists(delta_p)):
+                continue
+            if track_id:
+                try:
+                    bid = int(name[len(prefix):])
+                except ValueError:
+                    continue
+                mx = max(mx, bid)
+            with open(delta_p) as f:
+                delta = json.load(f)
+            dirs.append(d)
+            n += int(delta["n"])
+            s += int(delta["s"])
     return dirs, n, s, mx
 
 
 def bm25_index_compact(spark, index_path: str,
                        files_per_bucket: int = 1) -> int:
-    """Defragment a BM25 index and FOLD its streamed appends: every
-    `bm25_index_add` leaves new files beside old ones, every
-    committed `stream_bm25_index_add` micro-batch leaves a
-    postings_stream/batch-<id> dir (the classic streaming
-    small-files problem), and a defer-staled/stream-merged index
-    pays a serve-time df aggregation until repaired. This job
-    rewrites the postings from the postings THEMSELVES — no
+    """Defragment a BM25 index and FOLD its pending appends: every
+    committed `bm25_index_add` piece (postings_adds/add-<uuid>) and
+    `stream_bm25_index_add` micro-batch (postings_stream/batch-<id>)
+    sits beside the base postings until folded — the classic
+    streaming small-files problem — and serving pays a df
+    aggregation over the pruned scan while any pending piece exists.
+    This job rewrites the postings from the postings THEMSELVES — no
     re-tokenization, the expensive stage of a full build — merged
-    with the committed stream batches, coalesced to
+    with every committed pending piece, coalesced to
     `files_per_bucket` files per bucket with df_t recomputed exactly
-    (token-hash colocation again), clears `df_on_read`/`stale_pb`,
-    folds the stream deltas into the meta scalars, and advances
-    `stream_fold_watermark` so a replayed already-folded micro-batch
-    skips instead of double-appending (the compact_dedup_index
-    protocol). Returns the number of posting rows written.
+    (token-hash colocation again), folds the piece deltas into the
+    meta scalars, clears the legacy `df_on_read`/`stale_pb` flags,
+    and advances `stream_fold_watermark` so a replayed
+    already-folded micro-batch skips instead of double-appending
+    (the compact_dedup_index protocol). Returns the number of
+    posting rows written.
 
     The ENTIRE index dir is swapped as one unit (rollup's
     _staged_swap; the path lock lives beside the store, so it
     survives the rename): a crash leaves either the old index —
-    postings + batch dirs + old meta, still consistent — or the new
-    one, never a state where folded rows are counted twice through
-    both postings and a surviving batch dir. Uncommitted (crashed
-    mid-write) batch dirs are dropped with the old dir — their
-    batch ids are above every folded id, so the stream's replay
-    recreates them.
+    postings + pending pieces + old meta, still consistent — or the
+    new one, never a state where folded rows are counted twice
+    through both postings and a surviving piece dir. This whole-dir
+    swap is the ONE crash-atomic unit for in-place repair, which is
+    why appends never rewrite buckets themselves. Uncommitted
+    (crashed mid-write) pieces are dropped with the old dir — a
+    stream replay recreates its batch (its id is above every folded
+    id), and an uncommitted add was never acknowledged to its
+    caller.
 
     Scale: one hash exchange on the partition key; at 100 TB run it
     per-bucket-range if a full-table rewrite is too large a unit of
     work. Holds the index path lock — adds, streams, and rebuilds
     serialize behind it."""
+    from sybil_spark.sources.locks import path_lock
+
+    with path_lock(index_path):
+        return _bm25_compact_locked(spark, index_path,
+                                    files_per_bucket)
+
+
+def _bm25_compact_locked(spark, index_path: str,
+                         files_per_bucket: int = 1) -> int:
+    """bm25_index_compact's body, for callers already holding the
+    index path lock (bm25_index_add's rescore mode runs the fold
+    inside its own lock hold)."""
     import json
     import os
 
-    from sybil_spark.sources.locks import path_lock
     from sybil_spark.sources.rollup import _staged_swap
 
-    with path_lock(index_path):
-        meta_p = os.path.join(index_path, "bm25_meta.json")
-        with open(meta_p) as f:
-            meta = json.load(f)
-        post_p = os.path.join(index_path, "postings")
-        sdirs, sn, ss, smax = _bm25_stream_state(index_path)
-        cols = ["doc", "tok", "tf", "dl", "pb"]
-        post = spark.read.parquet(post_p).select(*cols)
-        for d in sdirs:
-            post = post.unionByName(
-                spark.read.parquet(d).select(*cols))
-        dfreq = post.groupBy("tok").agg(
-            F.count(F.lit(1)).alias("df_t"))
-        # hash-exchange on the partition key: files_per_bucket write
-        # tasks per bucket => that many files per bucket dir;
-        # localCheckpoint breaks the lineage so the staged write
-        # never re-reads the dirs the swap renames away
-        out = (post.join(dfreq, "tok")
-                   .repartition(max(1, files_per_bucket
-                                    * meta["nbuckets"]), F.col("pb"))
-                   .localCheckpoint(eager=True))
-        n = out.count()
-        meta["n_docs"] = int(meta["n_docs"]) + sn
-        meta["sum_dl"] = int(meta["sum_dl"]) + ss
-        if smax >= 0:
-            meta["stream_fold_watermark"] = max(
-                int(meta.get("stream_fold_watermark", -1)), smax)
-        meta.pop("df_on_read", None)
-        meta.pop("stale_pb", None)
+    meta_p = os.path.join(index_path, "bm25_meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    post_p = os.path.join(index_path, "postings")
+    pdirs, pn, ps_, smax = _bm25_pending_state(index_path)
+    cols = ["doc", "tok", "tf", "dl", "pb"]
+    post = spark.read.parquet(post_p).select(*cols)
+    for d in pdirs:
+        post = post.unionByName(
+            spark.read.parquet(d).select(*cols))
+    dfreq = post.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df_t"))
+    # hash-exchange on the partition key: files_per_bucket write
+    # tasks per bucket => that many files per bucket dir;
+    # localCheckpoint breaks the lineage so the staged write never
+    # re-reads the dirs the swap renames away
+    out = (post.join(dfreq, "tok")
+               .repartition(max(1, files_per_bucket
+                                * meta["nbuckets"]), F.col("pb"))
+               .localCheckpoint(eager=True))
+    n = out.count()
+    meta["n_docs"] = int(meta["n_docs"]) + pn
+    meta["sum_dl"] = int(meta["sum_dl"]) + ps_
+    if smax >= 0:
+        meta["stream_fold_watermark"] = max(
+            int(meta.get("stream_fold_watermark", -1)), smax)
+    meta.pop("df_on_read", None)
+    meta.pop("stale_pb", None)
 
-        def write(tmp: str) -> None:
-            out.write.partitionBy("pb").parquet(
-                os.path.join(tmp, "postings"))
-            with open(os.path.join(tmp, "bm25_meta.json"), "w") as f:
-                json.dump(meta, f)
+    def write(tmp: str) -> None:
+        out.write.partitionBy("pb").parquet(
+            os.path.join(tmp, "postings"))
+        with open(os.path.join(tmp, "bm25_meta.json"), "w") as f:
+            json.dump(meta, f)
 
-        _staged_swap(index_path, write)
-        return n
+    _staged_swap(index_path, write)
+    return n
 
 
 def bm25_index_topk(spark, index_path: str,
@@ -990,13 +964,13 @@ def bm25_index_topk(spark, index_path: str,
     on the scan). k1/b are serve-time knobs — only df/dl/avgdl are
     frozen in the index.
 
-    Committed `stream_bm25_index_add` micro-batches merge at serve
-    time: their postings (also pb-partitioned, so pruning applies)
-    union the base scan, their doc/length deltas correct
-    n_docs/avgdl, and df is recomputed from the pruned scan exactly
-    as in defer mode — results stay bit-equal to a full rebuild
-    over base + streamed docs until bm25_index_compact folds them
-    back onto the fast path."""
+    Committed pending pieces — `bm25_index_add` add dirs and
+    `stream_bm25_index_add` micro-batches — merge at serve time:
+    their postings (also pb-partitioned, so pruning applies) union
+    the base scan, their sidecar deltas correct n_docs/avgdl, and df
+    is recomputed from the pruned scan — results stay bit-equal to a
+    full rebuild over base + appended docs at every point until
+    bm25_index_compact folds them back onto the fast path."""
     import json
     import os
 
@@ -1004,7 +978,7 @@ def bm25_index_topk(spark, index_path: str,
 
     with open(os.path.join(index_path, "bm25_meta.json")) as f:
         meta = json.load(f)
-    sdirs, sn, ss, _smax = _bm25_stream_state(index_path)
+    sdirs, sn, ss, _smax = _bm25_pending_state(index_path)
     n_docs = int(meta["n_docs"]) + sn
     avgdl = float(int(meta["sum_dl"]) + ss) / float(n_docs)
     from sybil_spark.functions.text import tokenize_str

@@ -1890,12 +1890,17 @@ def test_bm25_index_add_rescore_matches_rebuild(spark, docs, tmp_path):
 
 
 def test_bm25_index_add_defer_then_rescore(spark, docs, tmp_path):
-    """mode=defer: blind append stales the row-level df_t but marks
-    df_on_read, and serving RECOMPUTES df from the pruned scan — so
-    results stay bit-equal to a full rebuild even before any repair.
-    A later rescore add repairs the staled buckets (not just its
-    own), clears the flag, and fast-path serving is again exact."""
+    """mode=defer: the append commits as ONE atomic piece dir
+    (sidecar-last) under postings_adds — the base meta is NOT
+    mutated (counts ride in the sidecar, so no crash can tear rows
+    from counts) — and serving merges the piece + recomputes df, so
+    results stay bit-equal to a full rebuild before any repair. A
+    later rescore add folds ALL pending pieces (not just its own),
+    consumes the piece dirs, and fast-path serving is again
+    exact."""
+    import glob
     import json
+
     from pyspark.sql import Row as R
 
     from sybil_spark.operators import quality
@@ -1907,9 +1912,14 @@ def test_bm25_index_add_defer_then_rescore(spark, docs, tmp_path):
         R(doc_id=201, text="forest words echo in the green night")])
     inc = str(tmp_path / "inc")
     quality.build_bm25_index(base, "doc_id", "text", inc, nbuckets=16)
+    meta0 = json.load(open(f"{inc}/bm25_meta.json"))
     assert quality.bm25_index_add(b1, inc, mode="defer") == 1
     meta = json.load(open(f"{inc}/bm25_meta.json"))
-    assert meta["df_on_read"] and meta["stale_pb"]
+    # atomic append: meta untouched, one committed piece dir
+    assert (meta["n_docs"], meta["sum_dl"]) \
+        == (meta0["n_docs"], meta0["sum_dl"])
+    pieces = glob.glob(f"{inc}/postings_adds/add-*/_delta.json")
+    assert len(pieces) == 1
     qlist = [(1, "quick brown fox"), (2, "green forest night words")]
     full1 = str(tmp_path / "full1")
     quality.build_bm25_index(base.unionByName(b1), "doc_id", "text",
@@ -1923,10 +1933,11 @@ def test_bm25_index_add_defer_then_rescore(spark, docs, tmp_path):
     plan = I.formatted_plan(quality.bm25_index_topk(spark, inc, qlist))
     seg = plan[plan.index("PartitionFilters"):][:160]
     assert "pb" in seg, seg
-    # rescore add repairs the defer-staled buckets too
+    # rescore add folds the earlier defer piece along with its own
     assert quality.bm25_index_add(b2, inc, mode="rescore") == 1
     meta = json.load(open(f"{inc}/bm25_meta.json"))
-    assert "df_on_read" not in meta and "stale_pb" not in meta
+    assert meta["n_docs"] == meta0["n_docs"] + 2   # both folded
+    assert glob.glob(f"{inc}/postings_adds/add-*") == []  # consumed
     full2 = str(tmp_path / "full2")
     quality.build_bm25_index(
         base.unionByName(b1).unionByName(b2), "doc_id", "text",
@@ -1939,10 +1950,12 @@ def test_bm25_index_add_defer_then_rescore(spark, docs, tmp_path):
 
 
 def test_bm25_index_compact_defrags_and_repairs(spark, docs, tmp_path):
-    """bm25_index_compact after defer appends: file count per bucket
-    collapses, df_on_read/stale_pb clear, results stay bit-equal to
-    a full rebuild — the rewrite derives df from the postings alone,
-    never re-tokenizing."""
+    """bm25_index_compact after defer appends: the pending piece
+    dirs fold into the base postings (consumed by the whole-dir
+    swap), total file count collapses to <= files_per_bucket per
+    bucket, meta counts absorb the sidecar deltas, and results stay
+    bit-equal to a full rebuild — the rewrite derives df from the
+    postings alone, never re-tokenizing."""
     import glob
     import json
 
@@ -1952,20 +1965,24 @@ def test_bm25_index_compact_defrags_and_repairs(spark, docs, tmp_path):
     base = docs.where(F.col("doc_id") < 100)
     inc = str(tmp_path / "inc")
     quality.build_bm25_index(base, "doc_id", "text", inc, nbuckets=8)
+    meta0 = json.load(open(f"{inc}/bm25_meta.json"))
     for i, t in enumerate(["quick silver fox under brown moonlight",
                            "forest words echo in the green night",
                            "lazy rivers forget the quick dog"]):
         quality.bm25_index_add(
             spark.createDataFrame([R(doc_id=200 + i, text=t)]),
             inc, mode="defer")
-    files_before = len(glob.glob(f"{inc}/postings/pb=*/*.parquet"))
+    files_before = (
+        len(glob.glob(f"{inc}/postings/pb=*/*.parquet"))
+        + len(glob.glob(f"{inc}/postings_adds/add-*/pb=*/*.parquet")))
     n = quality.bm25_index_compact(spark, inc)
     assert n > 0
     files_after = len(glob.glob(f"{inc}/postings/pb=*/*.parquet"))
     assert files_after < files_before
     assert files_after <= 8                     # ≤1 file per bucket
+    assert glob.glob(f"{inc}/postings_adds/add-*") == []  # consumed
     meta = json.load(open(f"{inc}/bm25_meta.json"))
-    assert "df_on_read" not in meta and "stale_pb" not in meta
+    assert meta["n_docs"] == meta0["n_docs"] + 3
     full = str(tmp_path / "full")
     extra = spark.createDataFrame([
         R(doc_id=200, text="quick silver fox under brown moonlight"),
@@ -2124,3 +2141,41 @@ def test_ivfpq_index_add_incremental(spark, emb, tmp_path):
         == [tuple(r) for r in b.collect()]
     assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(",
                      formatted_plan(a))
+
+
+def test_bm25_index_halfwritten_piece_invisible(spark, docs, tmp_path):
+    """Crash-atomicity: an append piece WITHOUT its _delta.json
+    sidecar (crashed between parquet commit and sidecar rename) is
+    invisible to serving — results equal the base index — and a
+    compact drops it with the old dir rather than folding it."""
+    import glob
+    import json
+    import shutil
+
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    base = docs.where(F.col("doc_id") < 100)
+    inc = str(tmp_path / "inc")
+    ref = str(tmp_path / "ref")
+    quality.build_bm25_index(base, "doc_id", "text", inc, nbuckets=8)
+    quality.build_bm25_index(base, "doc_id", "text", ref, nbuckets=8)
+    # a committed piece, then surgically un-commit it (drop sidecar)
+    quality.bm25_index_add(spark.createDataFrame(
+        [R(doc_id=200, text="quick silver fox under moonlight")]),
+        inc, mode="defer")
+    (piece,) = glob.glob(f"{inc}/postings_adds/add-*")
+    import os
+    os.unlink(os.path.join(piece, "_delta.json"))
+    qlist = [(1, "quick brown fox")]
+    a = quality.bm25_index_topk(spark, inc, qlist, k=5) \
+        .orderBy("rank").collect()
+    b = quality.bm25_index_topk(spark, ref, qlist, k=5) \
+        .orderBy("rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    n0 = json.load(open(f"{inc}/bm25_meta.json"))["n_docs"]
+    quality.bm25_index_compact(spark, inc)
+    meta = json.load(open(f"{inc}/bm25_meta.json"))
+    assert meta["n_docs"] == n0                  # not folded
+    assert not os.path.isdir(f"{inc}/postings_adds")  # dropped
+    shutil.rmtree(ref)
