@@ -194,15 +194,18 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     it (the optimizer's sizeInBytes estimate; a plan-stats read, no
     job). Both plans are exact; pass True/False to pin one.
 
-    Scale (hash_key=True — the 100 TB form): span text
-    NEVER enters a wide shuffle. First-occurrence flags come from
-    span_first_flags (narrow (hash, id, pos) shuffles + collision
-    re-check over only multi-member groups); the flags reduce to one
-    narrow per-doc row (n_spans, n_kept, sorted kept positions); and
-    dedup_text is REBUILT from the original text at the final
-    id-equi-join with pure array expressions (re-slicing the spans
-    costs a re-scan of text already being read for the join — no
-    shuffle). Exactness is identical to the text-keyed plan.
+    Scale (hash_key=True — the 100 TB form): span text is never
+    BUILT for the unique mass, let alone shuffled. Duplicated
+    positions come from _keyed_dup_rows (aligned chain keys over
+    per-token hashes; narrow (wh, id, pos) shuffles; span text
+    re-sliced only for hash-collision candidates ahead of the
+    real-text winner re-check); they reduce to one narrow per-doc
+    sorted-positions row for only the AFFECTED docs, and dedup_text
+    is REBUILT from the original text at the final id-equi-join
+    with pure array expressions (unaffected docs pass the LEFT join
+    whole). Exactness is identical to the text-keyed plan.
+    span_first_flags (the kept-flag variant of the same protocol)
+    remains the streaming legs' within-batch pass.
 
     hash_key=False keeps the direct plan — one window shuffle
     partitioned by the raw span text — as the fuzz oracle for the
@@ -211,39 +214,46 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     suffix-array ExactSubstr needs global sort order)."""
     if hash_key is None:
         hash_key = _auto_hash_key(df, text_col)
-    ex = doc_spans(df, id_col, text_col, span_words) \
-        .withColumnRenamed(id_col, "__id")
     if not hash_key:
         from pyspark.sql import Window
 
+        ex = doc_spans(df, id_col, text_col, span_words) \
+            .withColumnRenamed(id_col, "__id")
         w = Window.partitionBy("span").orderBy("__id", "pos")
         flagged = ex.withColumn("__rn", F.row_number().over(w))
         return (flagged.groupBy("__id")
                 .agg(*span_reassembly_aggs(F.col("__rn") == 1))
                 .withColumnRenamed("__id", id_col))
-    flags = span_first_flags(ex)
-    per_doc = (flags.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.when(F.col("__kept"), 1).otherwise(0)).alias("n_kept"),
-        F.sort_array(F.collect_list(
-            F.when(F.col("__kept"), F.col("pos")))).alias("__kp")))
-    # rebuild the surviving text from the source row: same span
-    # slicing as doc_spans, indexed by the kept positions (asc ==
-    # document order)
+    # hash plan: string-free chain keys (_keyed_dup_rows,
+    # aligned=True) yield only the DUPLICATED positions — usually a
+    # tiny fraction — and the reassembly derives everything else
+    # from the source row: affected docs carry a sorted dup-position
+    # array, unaffected docs pass through the LEFT join whole with
+    # an empty one
+    dup = _keyed_dup_rows(df, id_col, text_col, span_words,
+                          aligned=True)
+    per_doc = (dup.groupBy("__id")
+                  .agg(F.sort_array(F.collect_list("pos"))
+                        .alias("__dp")))
     words = F.split(F.col(text_col), " ")
+    last = (((F.size(words) - F.lit(1))
+             - F.pmod(F.size(words) - F.lit(1), F.lit(span_words)))
+            / F.lit(span_words)).cast("int")
     spans = F.transform(
-        F.sequence(F.lit(0),
-                   (((F.size(words) - F.lit(1))
-                     - F.pmod(F.size(words) - F.lit(1),
-                              F.lit(span_words))) / F.lit(span_words))
-                   .cast("int")),
+        F.sequence(F.lit(0), last),
         lambda i: F.concat_ws(" ", F.slice(words, i * span_words + 1,
                                            span_words)))
+    dp = F.coalesce(F.col("__dp"), F.array().cast("array<int>"))
+    kept = F.filter(F.sequence(F.lit(0), last),
+                    lambda p: ~F.array_contains(dp, p))
     return (df.select(id_col, text_col).dropDuplicates([id_col])
-              .join(per_doc, F.col(id_col) == F.col("__id"))
-              .select(id_col, "n_spans", "n_kept",
+              .where(F.col(text_col).isNotNull())
+              .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+              .select(id_col,
+                      (last + F.lit(1)).cast("long").alias("n_spans"),
+                      F.size(kept).cast("long").alias("n_kept"),
                       F.concat_ws(" ", F.transform(
-                          F.col("__kp"),
+                          kept,
                           lambda p: F.element_at(spans, p + 1)))
                       .alias("dedup_text")))
 
@@ -1333,24 +1343,55 @@ def doc_window_keys(df: DataFrame, id_col: str, text_col: str,
                      F.posexplode(wins).alias("pos", "wh"))
 
 
-def _window_dup_rows(df: DataFrame, id_col: str, text_col: str,
-                     window_words: int,
-                     key_mod: int | None = None) -> DataFrame:
-    """("__id", pos) of non-first stride-1 windows — the hash-keyed
-    candidate pass of exact_substr_dedup, over doc_window_keys
-    instead of window strings: the narrow (wh, id, pos) stream hits
-    one count aggregate (map-side partials collapse repeated
-    windows), only multi-member hash groups survive, and span TEXT
+def _keyed_dup_rows(df: DataFrame, id_col: str, text_col: str,
+                    window_words: int, aligned: bool,
+                    key_mod: int | None = None) -> DataFrame:
+    """("__id", pos) of non-first window occurrences, keyed WITHOUT
+    materializing window strings — the shared candidate pass behind
+    exact_substr_dedup (aligned=False: stride-1 windows) and
+    span_dedup (aligned=True: non-overlapping spans incl. the
+    trailing partial). Keys come from doc_window_keys' xxhash64
+    chain over per-token hashes; the narrow (wh, id, pos) stream
+    hits one count aggregate (map-side partials collapse repeated
+    windows), only multi-member hash groups survive, and window TEXT
     is constructed just for those candidate positions (re-sliced
     from the source row at an id-equi-join) before the real-text
-    winner re-check. Unique windows — the dominant mass — never
-    build a string, never shuffle one."""
-    nx = doc_window_keys(df, id_col, text_col, window_words) \
-        .withColumnRenamed(id_col, "__id")
+    winner re-check — so removal stays exact under any hash
+    collision. Unique windows — the dominant mass — never build a
+    string, never shuffle one.
+
+    `key_mod` is the fuzz hook: a deliberately weak key floods the
+    candidate path with cross-window collisions; the re-check must
+    keep the dup set identical regardless."""
+    words = F.split(F.col(text_col), " ")
+    th = F.transform(words, lambda t: F.xxhash64(t))
+    W = window_words
+    if aligned:
+        # doc_spans geometry: span i covers words [i*W+1, i*W+W]
+        # (trailing partial included); every non-null doc emits >= 1
+        last = (((F.size(words) - F.lit(1))
+                 - F.pmod(F.size(words) - F.lit(1), F.lit(W)))
+                / F.lit(W)).cast("int")
+        keys = F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.aggregate(
+                F.slice(th, i * W + 1, W),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x)))
+        start_of = lambda p: p * W + 1
+    else:
+        keys = F.when(
+            F.size(words) >= W,
+            F.transform(
+                F.sequence(F.lit(0), (F.size(words) - W).cast("int")),
+                lambda i: F.aggregate(
+                    F.slice(th, i + 1, W),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.xxhash64(acc, x))))             .otherwise(F.array().cast("array<long>"))
+        start_of = lambda p: p + 1
+    nx = df.select(F.col(id_col).alias("__id"),
+                   F.posexplode(keys).alias("pos", "wh"))
     if key_mod is not None:
-        # fuzz hook: a deliberately weak key floods the candidate
-        # path with cross-window collisions — the real-text re-check
-        # must keep the dup set exact regardless
         nx = nx.withColumn("wh", F.pmod(F.col("wh"), F.lit(key_mod)))
     multi_h = (nx.groupBy("wh")
                  .agg(F.count(F.lit(1)).alias("__n"))
@@ -1359,7 +1400,6 @@ def _window_dup_rows(df: DataFrame, id_col: str, text_col: str,
     cand = nx.join(multi_h, "wh", "left_semi")
     per_doc = (cand.groupBy("__id")
                    .agg(F.collect_list("pos").alias("__cp")))
-    words = F.split(F.col(text_col), " ")
     cand_spans = (df.select(F.col(id_col).alias("__id"), text_col)
                   .join(per_doc, "__id")
                   .select("__id",
@@ -1368,7 +1408,7 @@ def _window_dup_rows(df: DataFrame, id_col: str, text_col: str,
                               lambda p: F.struct(
                                   p.alias("pos"),
                                   F.concat_ws(" ", F.slice(
-                                      words, p + 1, window_words))
+                                      words, start_of(p), W))
                                    .alias("span")))).alias("__e"))
                   .select("__id", "__e.pos", "__e.span"))
     fm = (cand_spans.groupBy("span")
@@ -1376,6 +1416,15 @@ def _window_dup_rows(df: DataFrame, id_col: str, text_col: str,
     return (cand_spans.join(fm, "span")
             .where(F.struct("__id", "pos") != F.col("__w2"))
             .select("__id", "pos"))
+
+
+def _window_dup_rows(df: DataFrame, id_col: str, text_col: str,
+                     window_words: int,
+                     key_mod: int | None = None) -> DataFrame:
+    """exact_substr_dedup's stride-1 candidate pass — see
+    _keyed_dup_rows (aligned=False)."""
+    return _keyed_dup_rows(df, id_col, text_col, window_words,
+                           aligned=False, key_mod=key_mod)
 
 
 def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,

@@ -380,20 +380,23 @@ def test_quantized_topk_plan(spark, sf_dir):
 
 def test_span_dedup_plan_hash_keyed_narrow(spark, sf_dir):
     """span_dedup's default (hash-keyed) plan keeps span text out of
-    the wide shuffles: no span-partitioned Window anywhere; the
-    first-occurrence exchanges partition on the 8-byte __h; the only
-    span-partitioned exchange is the multi-group re-check aggregate
-    (duplicate/collision rows only); text rebuild happens at the
-    final doc-id join, not via a span shuffle."""
+    the wide shuffles — and, since the chain-key rework, out of
+    CONSTRUCTION for the unique mass: no span-partitioned Window
+    anywhere; the candidate exchanges partition on the 8-byte chain
+    key `wh`; the only span-partitioned exchange is the multi-group
+    re-check aggregate (duplicate/collision rows only); text rebuild
+    happens at the final doc-id join, not via a span shuffle."""
+    import re
+
     from sybil_spark.operators import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = dedup.span_dedup(docs, "doc_id", "text", span_words=5,
                          hash_key=True)
     p = I.formatted_plan(q)
     assert "Window (" not in p, p              # no sort-based window
-    assert "hashpartitioning(__h" in p, p      # narrow first pass
+    assert re.search(r"hashpartitioning\(wh#", p), p  # narrow pass
     # exactly one span-keyed exchange: the re-check over multi groups
-    assert p.count("hashpartitioning(span") == 1, p
+    assert len(re.findall(r"hashpartitioning\(span#", p)) == 1, p
     assert "posexplode" in p.lower(), p
 
 
@@ -409,7 +412,9 @@ def test_span_dedup_auto_keying_by_size(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "SPAN_HASH_KEY_BYTES", 0)
     big = I.formatted_plan(
         dedup.span_dedup(docs, "doc_id", "text", span_words=5))
-    assert "hashpartitioning(__h" in big and "Window (" not in big, big
+    import re
+    assert re.search(r"hashpartitioning\(wh#", big) \
+        and "Window (" not in big, big
 
 
 def test_span_dedup_plan_text_keyed_two_shuffles(spark, sf_dir):

@@ -78,7 +78,13 @@ def main() -> None:
 
     out = {"sf": SF_DIR, "replicas": 10, "pipelines": {}}
     def span5(df, idc, tc):
-        return dedup.span_dedup(df, idc, tc, span_words=5)
+        # aggregate over n_kept/dedup_text so the timed .count()
+        # cannot eliminate the hash plan's unique-key LEFT join
+        # (same forcing as exsub below)
+        return (dedup.span_dedup(df, idc, tc, span_words=5)
+                .groupBy()
+                .agg(F.sum("n_kept").alias("k"),
+                     F.sum(F.length("dedup_text")).alias("c")))
 
     def tfidf3(df, idc, tc):
         return quality.tfidf_top_terms(df, idc, tc, k=3)

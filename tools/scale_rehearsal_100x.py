@@ -147,9 +147,16 @@ def main() -> None:
     # the r6 hash plan's claim is a flatter curve at scale (span
     # text never enters a wide shuffle); measure both plans
     def run_span(df, hk):
+        # NOT .count(): the hash plan ends in a LEFT join on the
+        # unique doc id, which Catalyst ELIMINATES under a bare
+        # count — the same measurement hole run_exsub documents.
+        # Summing n_kept + rebuilt-text length forces the full
+        # dedup machinery on BOTH plans.
         t0 = time.time()
-        dedup.span_dedup(df, "doc_id", "text", span_words=5,
-                         hash_key=hk).count()
+        (dedup.span_dedup(df, "doc_id", "text", span_words=5,
+                          hash_key=hk)
+              .agg(F.sum("n_kept"),
+                   F.sum(F.length("dedup_text"))).collect())
         return round(time.time() - t0, 2)
 
     frames = {n: _replicate_docs(spark, F, n) for n in (1, 10, 100)}
