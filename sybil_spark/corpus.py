@@ -1413,6 +1413,192 @@ def q_gopher_rules(spark, sf):
             .select("doc_id", "__g.*"))
 
 
+@_q("char_entropy", """
+    with cs as (select doc_id, list_sort(string_split(text, '')) as c
+                from documents),
+    pos as (select doc_id, unnest(c) as ch,
+                   generate_subscripts(c, 1) as i, len(c) as n
+            from cs),
+    k as (select doc_id, i, n,
+                 row_number() over (partition by doc_id, ch
+                                    order by i) as k
+          from pos),
+    terms as (select doc_id, i, n,
+                     case when k >= 2
+                          then cast(cast(cast(
+                                 k * ln(k) - (k - 1) * ln(k - 1)
+                               as decimal(38,6)) as varchar) as double)
+                          else 0.0 end as t
+              from k),
+    s as (select doc_id, any_value(n) as n,
+                 list_reduce(list(t order by i),
+                             (a, b) -> a + b) as s
+          from terms group by doc_id)
+    select doc_id,
+           cast(cast(cast((ln(n) - s / n) / 0.6931471805599453
+                as decimal(38,6)) as varchar) as double) as entropy
+    from s order by doc_id""")
+def q_char_entropy(spark, sf):
+    """Per-document character Shannon entropy
+    (functions/text.char_entropy) — bit-exact doubles cross-engine:
+    the oracle replays the fold's incremental term sequence
+    (k·ln k − (k−1)·ln(k−1) at the k-th occurrence, in sorted-char
+    position order) with an ordered list_reduce, so both engines add
+    the identical doubles in the identical order. Natural log + an
+    explicit ln-2 literal, not log2(): JVM log2 is ln(x)/ln(2),
+    DuckDB's is native — 1 ulp apart on this very corpus."""
+    d = _t(spark, sf, "documents")
+    return (d.select("doc_id",
+                     T.char_entropy(F.col("text")).alias("entropy"))
+             .orderBy("doc_id"))
+
+
+@_q("vocab_growth", """
+    with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                  from documents),
+    first as (select tok, min(doc_id) as first_id from toks group by 1),
+    nv as (select first_id // 50 as bucket, count(*) as new_types
+           from first group by 1),
+    nt as (select doc_id // 50 as bucket, count(*) as n_tokens
+           from toks group by 1),
+    nd as (select doc_id // 50 as bucket, count(*) as n_docs
+           from documents group by 1)
+    select nd.bucket,
+           cast(sum(coalesce(nd.n_docs, 0)) over w as bigint) as docs_cum,
+           cast(sum(coalesce(nt.n_tokens, 0)) over w as bigint)
+             as tokens_cum,
+           cast(sum(coalesce(nv.new_types, 0)) over w as bigint)
+             as vocab_cum
+    from nd
+    left join nt on nt.bucket = nd.bucket
+    left join nv on nv.bucket = nd.bucket
+    window w as (order by nd.bucket
+                 rows between unbounded preceding and current row)
+    order by nd.bucket""")
+def q_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth at doc-id bucket boundaries
+    (quality.vocab_growth): cumulative docs/tokens/distinct-types.
+    The oracle mirrors the first-occurrence inversion (min doc_id
+    per token), not the quadratic prefix-distinct definition —
+    they are equal by construction. Every doc bucket appears in nd,
+    so driving the join from nd loses nothing."""
+    from sybil_spark.operators import quality
+    d = _t(spark, sf, "documents")
+    return (quality.vocab_growth(d, "doc_id", "text", bucket_width=50)
+            .orderBy("bucket"))
+
+
+@_q("zipf_fit", """
+    with f as (select tok, count(*) as cnt
+               from (select unnest(string_split(text, ' ')) as tok
+                     from documents)
+               group by 1 order by cnt desc, tok limit 256),
+    r as (select cnt, row_number() over (order by cnt desc, tok) as rk
+          from f),
+    xy as (select ln(cast(rk as double)) as x,
+                  ln(cast(cnt as double)) as y from r),
+    s as (select count(*) as n_terms,
+                 cast(cast(sum(cast(x as decimal(38,6))) as varchar)
+                      as double) as sx,
+                 cast(cast(sum(cast(y as decimal(38,6))) as varchar)
+                      as double) as sy,
+                 cast(cast(sum(cast(x * x as decimal(38,6))) as varchar)
+                      as double) as sxx,
+                 cast(cast(sum(cast(x * y as decimal(38,6))) as varchar)
+                      as double) as sxy
+          from xy)
+    select n_terms,
+           (cast(n_terms as double) * sxy - sx * sy)
+             / (cast(n_terms as double) * sxx - sx * sx) as slope,
+           (sy - ((cast(n_terms as double) * sxy - sx * sy)
+                  / (cast(n_terms as double) * sxx - sx * sx)) * sx)
+             / cast(n_terms as double) as intercept
+    from s""")
+def q_zipf_fit(spark, sf):
+    """Zipf-exponent least-squares fit over the top-256 terms
+    (quality.zipf_fit): slope of log(freq) ~ log(rank). The four
+    moment sums accumulate as decimal(38,6) (order-independent),
+    render via the varchar round-trip, and the closed-form
+    slope/intercept is the same double expression on both engines."""
+    from sybil_spark.operators import quality
+    return quality.zipf_fit(_t(spark, sf, "documents"), "text",
+                            top_n=256)
+
+
+@_q("cluster_splits", """
+    with rep as (select d.doc_id,
+                        (select min(x.doc_id) from documents x
+                         where x.text = d.text) as rep
+                 from documents d),
+    b as (select doc_id, rep,
+                 cast(concat('0x', substr(md5(cast(rep as varchar)),
+                                          1, 4)) as bigint) as h
+          from rep)
+    select doc_id, rep,
+           case when h < 58982 then 'train'
+                when h < 62259 then 'val' else 'test' end as split
+    from b order by doc_id""")
+def q_cluster_splits(spark, sf):
+    """Leakage-safe split assignment: near-dup clusters (connected
+    components over same-text pairs, dedup.components) are assigned
+    to train/val/test BY CLUSTER REPRESENTATIVE, so no two copies of
+    a document can land in different splits — the composition that
+    closes the train/test-contamination hole a per-doc split leaves
+    open. Oracle-checkable because the rep of an exact-text cluster
+    is min(doc_id) over the text group and the split is the same
+    md5 bucket assign_splits uses."""
+    from sybil_spark.operators import sampling
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = (a.join(b, (F.col("ta") == F.col("tb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    labels = (dedup.components(pairs)
+              .withColumnRenamed("id", "doc_id"))
+    docs = (d.select("doc_id").join(labels, "doc_id", "left")
+            .withColumn("rep", F.coalesce(F.col("rep"),
+                                          F.col("doc_id"))))
+    return (sampling.assign_splits(docs, "rep")
+            .select("doc_id", "rep", "split").orderBy("doc_id"))
+
+
+@_q("bpe_pairs", """
+    with w as (select unnest(string_split(text, ' ')) as word
+               from documents),
+    wc as (select word, count(*) as cnt from w
+           where word <> '' group by 1),
+    p as (select string_split(word, '') as s, cnt from wc),
+    pp as (select unnest(list_transform(
+                      generate_series(1, len(s) - 1),
+                      i -> struct_pack(l := s[i], r := s[i+1]))) as pr,
+                  cnt from p)
+    select pr.l as l, pr.r as r, cast(sum(cnt) as bigint) as freq
+    from pp group by 1, 2
+    order by freq desc, l, r limit 20""")
+def q_bpe_pairs(spark, sf):
+    """BPE iteration zero — top adjacent character pairs weighted by
+    word frequency (operators/bpe.bpe_pair_counts), the
+    oracle-checkable core step of the tokenizer trainer. The full
+    merge loop is iterative (bpe_merges, python-reference-fuzzed);
+    this row pins the distributed pair-count machinery exactly."""
+    from sybil_spark.operators import bpe
+    return bpe.bpe_pair_counts(_t(spark, sf, "documents"), "text",
+                               top_n=20)
+
+
+@_q("bpe_merges")
+def q_bpe_merges(spark, sf):
+    """Learned BPE merge rules (operators/bpe.bpe_train, 12 merges)
+    — genuinely iterative (each merge depends on the argmax of the
+    previous rewrite), so no single SQL oracle exists; the driver
+    records the rows-only check and tests/test_bpe.py pins the full
+    loop against a pure-python reference under hypothesis fuzz."""
+    from sybil_spark.operators import bpe
+    d = _t(spark, sf, "documents")
+    return bpe.merges_df(spark, bpe.bpe_train(d, "text", 12))
+
+
 @_q("hybrid_search", """
     with corpus as (select d.doc_id, d.text,
                            CAST(e.embedding AS DOUBLE[]) as ev
@@ -4458,6 +4644,20 @@ _DRIVER_FIRST = [
     # first, oldest first, then the queries whose oracle or
     # implementation changed this round.
     "tpch_q18",                                   # r2 — the stalest
+    # brand-new this round — first driver rows (zero-row queries
+    # outrank stale-but-green ones for the ~50-row window):
+    "bm25_index_add_search", "line_dedup", "boilerplate_lines",
+    "pq_topk", "ivfpq_topk",
+    "char_entropy", "vocab_growth", "zipf_fit", "cluster_splits",
+    "bpe_pairs", "bpe_merges",
+    # changed this round: source_mix's oracle render round-trips
+    # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
+    # auto-persist lifetime to cache_scope (plan-neutral, re-verify
+    # anyway); bm25_index_search's query tokenization now routes
+    # through the shared tokenize_str; exact_substr gained the
+    # chain-key dup-only plan:
+    "source_mix", "tfidf_terms", "bm25_search", "hybrid_search",
+    "bm25_index_search", "exact_substr", "span_dedup",
     # r4-latest block, registration order:
     "count", "avg", "hist", "time_avg", "group_count", "distinct",
     "time_distinct", "group_avg", "group_avg_limit", "group_hist",
@@ -4471,16 +4671,6 @@ _DRIVER_FIRST = [
     "assign_splits", "asof_join", "range_join", "ivf_topk",
     "rollup_serve", "resample_mixture", "time_hist",
     "time_filter_aligned",
-    # changed this round: source_mix's oracle render round-trips
-    # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
-    # auto-persist lifetime to cache_scope (plan-neutral, re-verify
-    # anyway); bm25_index_search's query tokenization now routes
-    # through the shared tokenize_str:
-    "source_mix", "tfidf_terms", "bm25_search", "hybrid_search",
-    "bm25_index_search",
-    # brand-new this round — first driver rows:
-    "bm25_index_add_search", "line_dedup", "boilerplate_lines",
-    "pq_topk", "ivfpq_topk", "exact_substr",
 ]
 
 _DRIVER_FIRST_R6 = [

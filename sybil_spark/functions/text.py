@@ -123,6 +123,57 @@ def fingerprint(col: Column, nibbles: int = 8) -> Column:
     return F.substring(F.md5(col), 1, nibbles)
 
 
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    compression-style quality signal (gibberish and binary spill score
+    high, keyboard-mash and repeated-char padding score low; CCNet/C4
+    pipelines cut both tails).
+
+    Zero shuffle, zero UDF: sort the char array, then one run-length
+    fold accumulates S = Σ c·ln(c) INCREMENTALLY — when a run
+    reaches length r the term r·ln(r) − (r−1)·ln(r−1) is added,
+    so the fold never needs a second pass over completed runs.
+    H = (ln(n) − S/n) / ln 2. The summation order (sorted-char
+    position order) and the incremental term shape are part of the
+    contract: the DuckDB oracle replays the identical term sequence
+    with an ordered list_reduce, making per-document doubles
+    bit-equal cross-engine (same recipe as repetition_stats' fold).
+
+    Transcendental parity is handled head-on, not hoped for: the
+    JVM's Math.log intrinsic differs from libm/DuckDB ln by 1 ulp on
+    ~2% of integer arguments (measured: 37 of the first 2000), and
+    log2 is worse (JVM composes ln(x)/ln(2), DuckDB calls native
+    log2). So every ln-derived term is QUANTIZED to decimal(38,6)
+    through the repo's varchar round-trip before it enters the sum —
+    both engines then fold the identical doubles in the identical
+    order — and the final entropy is quantized the same way to
+    absorb the ln(n) ulp. Entropy resolution 1e-6 bits: far below
+    any filtering threshold's sensitivity."""
+    dec = "decimal(38,6)"
+    cs = F.array_sort(F.split(col, ""))
+    n = F.size(cs)
+    ln2 = F.lit(0.6931471805599453)  # nearest double to ln 2
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0.0).alias("s"))
+
+    def step(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+        rd = run.cast("double")
+        # run==1 contributes 0 (1·ln 1 = 0, and the 0·ln 0 limit is
+        # handled by never emitting it, not by computing NaN)
+        term = F.when(run >= 2,
+                      (rd * F.log(rd) - (rd - 1) * F.log(rd - 1))
+                      .cast(dec).cast("string").cast("double")) \
+                .otherwise(F.lit(0.0))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        (acc["s"] + term).alias("s"))
+
+    st = F.aggregate(cs, init, step)
+    h = (F.log(n.cast("double")) - st["s"] / n.cast("double")) / ln2
+    return F.when(n > 0, h.cast(dec).cast("string").cast("double")) \
+            .otherwise(F.lit(0.0))
+
+
 def ngrams(col: Column, n: int = 3) -> Column:
     """Word n-grams as an array<string>, duplicates kept (one entry
     per position). Documents shorter than n words yield a single

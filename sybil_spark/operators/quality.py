@@ -1041,3 +1041,89 @@ def bm25_index_topk(spark, index_path: str,
                   .select("q_id", F.col("doc").alias(meta["id_col"]),
                           F.col("__s").cast("string").cast("double")
                            .alias("score"), "rank"))
+
+
+def vocab_growth(df: DataFrame, id_col: str, text_col: str,
+                 bucket_width: int = 50) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative document,
+    token, and DISTINCT-token counts at doc-id bucket boundaries —
+    the tokenizer-sizing / corpus-saturation diagnostic ("is more
+    data still adding vocabulary?").
+
+    The naive formulation (distinct-so-far per prefix) is quadratic;
+    the scale shape here is the standard inversion: a token's
+    contribution to the vocabulary curve is fully determined by its
+    FIRST-occurrence doc id, so one explode + groupBy(token) min(id)
+    (the only corpus-sized shuffle) reduces the curve to per-bucket
+    new-type counts, and the cumulative sums run as a window over the
+    bucket frame — thousands of rows at any corpus size, so the
+    single-partition window is bounded by construction.
+
+    Output: (bucket, docs_cum, tokens_cum, vocab_cum), bucket =
+    id div bucket_width. All counts exact integers."""
+    from pyspark.sql import Window
+
+    bucket = F.expr(f"{id_col} div {bucket_width}").alias("bucket")
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    new_types = (toks.groupBy("tok").agg(F.min("__id").alias("first_id"))
+                 .groupBy(F.expr(f"first_id div {bucket_width}")
+                          .alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("new_types")))
+    n_toks = (toks.groupBy(F.expr(f"__id div {bucket_width}")
+                           .alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_tokens")))
+    n_docs = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = (n_docs.join(n_toks, "bucket", "full")
+                    .join(new_types, "bucket", "full"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return (joined.select(
+        "bucket",
+        F.sum(z("n_docs")).over(w).alias("docs_cum"),
+        F.sum(z("n_tokens")).over(w).alias("tokens_cum"),
+        F.sum(z("new_types")).over(w).alias("vocab_cum")))
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 256) -> DataFrame:
+    """Least-squares fit of log(freq) ~ log(rank) over the top-N
+    terms — the Zipf-law exponent (slope ≈ −1 for natural language;
+    a flat slope flags templated/synthetic text, a cliff flags
+    boilerplate domination). Corpus-health metric from the same
+    family as corpus_divergence.
+
+    One corpus-sized explode+groupBy builds term frequencies; the
+    fit itself runs on the top-N frame (orderBy+limit — top-N is a
+    driver knob, hundreds of rows at any corpus size, so the rank
+    window's single partition is bounded). Rank ties break (cnt
+    desc, tok asc) — deterministic on any engine.
+
+    Cross-engine exactness: Σx, Σy, Σx², Σxy accumulate as
+    decimal(38,6) casts of the ln() doubles (order-independent exact
+    sums, ln bit-parity already load-bearing for bm25/doc_logprob),
+    render through the varchar round-trip, and the closed-form
+    slope/intercept arithmetic is the IDENTICAL double expression on
+    both engines. Output: 1 row (n_terms, slope, intercept)."""
+    from pyspark.sql import Window
+
+    freqs = (unigram_model(df, text_col)
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(top_n))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    xy = freqs.select(
+        F.log(rk.cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).alias("sxy"))
+    n = F.col("n_terms").cast("double")
+    slope = ((n * d("sxy") - d("sx") * d("sy"))
+             / (n * d("sxx") - d("sx") * d("sx")))
+    return sums.select(
+        "n_terms", slope.alias("slope"),
+        ((d("sy") - slope * d("sx")) / n).alias("intercept"))

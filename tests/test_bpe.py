@@ -1,0 +1,239 @@
+"""BPE trainer/encoder vs a pure-python reference, plus the new
+text-analysis operators (char_entropy, vocab_growth, zipf_fit,
+cluster-safe splits).
+
+The BPE merge loop is the one corpus operator whose oracle is
+genuinely SQL-inexpressible (each merge depends on the argmax of the
+previous rewrite), so its value-level guarantee lives HERE: a
+hypothesis fuzz against a reference implementation of Sennrich-style
+training (adjacent-pair counts weighted by word frequency, argmax
+with (freq desc, left, right) tie-break, greedy left-to-right
+non-overlapping merge application).
+"""
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- reference
+
+def py_merge(syms, l, r):
+    out = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+def py_pairs(vocab):
+    pc = Counter()
+    for syms, cnt in vocab:
+        for i in range(len(syms) - 1):
+            pc[(syms[i], syms[i + 1])] += cnt
+    return pc
+
+
+def py_train(texts, n, min_freq=2):
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = [(list(w), c) for w, c in wc.items()]
+    merges = []
+    for rank in range(n):
+        pc = py_pairs(vocab)
+        if not pc:
+            break
+        (l, r), f = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_freq:
+            break
+        merges.append((rank, l, r, f))
+        vocab = [(py_merge(s, l, r), c) for s, c in vocab]
+    return merges
+
+
+def py_encode(t, merges):
+    out = []
+    for w in t.split(" "):
+        if not w:
+            continue
+        s = list(w)
+        for _, l, r, _f in merges:
+            s = py_merge(s, l, r)
+        out.extend(s)
+    return out
+
+
+# ---------------------------------------------------------------- fixed cases
+
+def test_bpe_train_matches_reference_fixed(spark):
+    from sybil_spark.operators import bpe
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "a cat and a rat and a mat", "thethe the t", "aaa aa a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    assert bpe.bpe_train(df, "text", 10) == py_train(texts, 10)
+
+
+def test_bpe_encode_matches_reference_fixed(spark):
+    from sybil_spark.operators import bpe
+    texts = ["the cat sat on the mat", "aaa aaaa a", "x", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    merges = py_train(texts, 6)
+    got = {r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+           for r in bpe.bpe_encode(df, "doc_id", "text", merges).collect()}
+    for i, t in enumerate(texts):
+        exp = py_encode(t, merges)
+        assert got[i] == (exp, len(exp)), (i, t, got[i], exp)
+
+
+def test_bpe_overlapping_run_merge(spark):
+    """'aaa' under rule (a,a) must become [aa, a] — greedy
+    left-to-right NON-overlapping, the classic scan."""
+    from sybil_spark.operators import bpe
+    df = spark.createDataFrame([(0, "aaa aaaa aaaaa")], ["doc_id", "text"])
+    got = bpe.bpe_encode(df, "doc_id", "text",
+                         [(0, "a", "a", 9)]).collect()[0]
+    assert list(got["pieces"]) == ["aa", "a", "aa", "aa", "aa", "aa", "a"]
+
+
+bpe_texts_st = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1, max_size=8)
+
+
+@given(texts=bpe_texts_st, n=st.integers(1, 6))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_encode_fuzz(spark, texts, n):
+    from sybil_spark.operators import bpe
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    ref = py_train(texts, n)
+    got = bpe.bpe_train(df, "text", n)
+    assert got == ref
+    enc = {r["doc_id"]: list(r["pieces"])
+           for r in bpe.bpe_encode(df, "doc_id", "text", got).collect()}
+    for i, t in enumerate(texts):
+        assert enc[i] == py_encode(t, got), (i, t)
+
+
+def test_bpe_pair_counts_matches_reference(spark):
+    from sybil_spark.operators import bpe
+    texts = ["abab abab ab", "ba baba", "ccc"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    ref = py_pairs([(list(w), c) for w, c in wc.items()])
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    got = [(r["l"], r["r"], r["freq"])
+           for r in bpe.bpe_pair_counts(df, "text", top_n=5).collect()]
+    assert got == [(l, r, f) for (l, r), f in top[:5]]
+
+
+# ---------------------------------------------------------------- entropy
+
+def _py_entropy(text):
+    """Replicates char_entropy's quantization contract: per-term
+    decimal(38,6) round-trip, fold in sorted-char order, final
+    quantize."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def q(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                rounding=ROUND_HALF_UP))
+    cs = sorted(text)
+    if not cs:
+        return 0.0
+    s, run, prev = 0.0, 0, ""
+    for x in cs:
+        run = run + 1 if x == prev else 1
+        prev = x
+        if run >= 2:
+            s += q(run * math.log(run) - (run - 1) * math.log(run - 1))
+    n = len(cs)
+    return q((math.log(n) - s / n) / 0.6931471805599453)
+
+
+@pytest.mark.parametrize("text,expect", [
+    ("aaaa", 0.0),                 # single symbol: zero entropy
+    ("", 0.0),                     # empty: defined as zero
+    ("abcd", 2.0),                 # 4 equiprobable symbols: 2 bits
+    ("aabb", 1.0),
+])
+def test_char_entropy_known_values(spark, text, expect):
+    from sybil_spark.functions.text import char_entropy
+    df = spark.createDataFrame([(text,)], ["t"])
+    got = df.select(char_entropy(F.col("t")).alias("h")).collect()[0]["h"]
+    assert got == pytest.approx(expect, abs=2e-6)
+
+
+@given(texts=st.lists(st.text(alphabet="abcxyz 01.", max_size=60),
+                      min_size=1, max_size=12))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_char_entropy_fuzz(spark, texts):
+    from sybil_spark.functions.text import char_entropy
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    got = {r["i"]: r["h"] for r in
+           df.select("i", char_entropy(F.col("t")).alias("h")).collect()}
+    for i, t in enumerate(texts):
+        # quantization contract makes this near-exact; the tiny abs
+        # slack covers double-vs-Decimal repr() edge rounding in the
+        # python replica, not engine drift
+        assert got[i] == pytest.approx(_py_entropy(t), abs=2e-6), (i, t)
+
+
+# ---------------------------------------------------------------- growth/zipf
+
+def test_vocab_growth_matches_prefix_distinct(spark):
+    """The min-first-doc inversion equals the quadratic definition:
+    vocab_cum at bucket b == |distinct tokens over docs with
+    id div w <= b|."""
+    from sybil_spark.operators.quality import vocab_growth
+    texts = ["a b c", "a b", "d", "e a", "f f f", "g", "a", "h i"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    w = 3
+    rows = {r["bucket"]: r for r in
+            vocab_growth(df, "doc_id", "text", bucket_width=w).collect()}
+    for b in rows:
+        prefix = [t for i, t in enumerate(texts) if i // w <= b]
+        toks = [x for t in prefix for x in t.split(" ")]
+        assert rows[b]["docs_cum"] == len(prefix)
+        assert rows[b]["tokens_cum"] == len(toks)
+        assert rows[b]["vocab_cum"] == len(set(toks))
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """Frequencies built as an exact power law freq = round(C/rank^s)
+    must fit back close to -s."""
+    import itertools
+    s = 1.0
+    C = 100000
+    # synthesize a corpus whose token counts are exactly C/rank^s
+    words = []
+    for rank in range(1, 41):
+        cnt = int(C / rank ** s)
+        words.extend([f"w{rank:03d}"] * cnt)
+    # chunk into documents
+    docs, it = [], iter(words)
+    while True:
+        chunk = list(itertools.islice(it, 5000))
+        if not chunk:
+            break
+        docs.append(" ".join(chunk))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               ["doc_id", "text"])
+    from sybil_spark.operators.quality import zipf_fit
+    row = zipf_fit(df, "text", top_n=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert row["slope"] == pytest.approx(-s, abs=0.02)
+    assert row["intercept"] == pytest.approx(math.log(C), abs=0.05)
