@@ -1599,6 +1599,101 @@ def q_bpe_merges(spark, sf):
     return bpe.merges_df(spark, bpe.bpe_train(d, "text", 12))
 
 
+#: fixed logistic-scorer weights for the quality_lr row — literals
+#: shared verbatim between the Spark plan and the SQL oracle (order:
+#: n_tokens, stop_ratio, mean_word_len, rep_ratio)
+_LR_W = (0.004, 30.0, -0.8, -6.0)
+_LR_B = 1.0
+
+
+@_q("quality_lr", f"""
+    with tk as (select doc_id, text, string_split(text, ' ') as t
+                from documents),
+    ng as (select doc_id, list_transform(
+                generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) as g
+           from tk),
+    f as (select tk.doc_id,
+                 cast(len(t) as double) as n_tokens,
+                 cast(len(list_filter(t,
+                      x -> x in ('the','a','of','and','in','to','is',
+                                 'it','that','for'))) as double)
+                   / len(t) as stop_ratio,
+                 cast(length(replace(text, ' ', '')) as double)
+                   / len(t) as mean_word_len,
+                 1.0 - cast(len(list_distinct(g)) as double)
+                     / cast(len(g) as double) as rep_ratio
+          from tk join ng on ng.doc_id = tk.doc_id),
+    z as (select doc_id,
+                 {_LR_B}e0 + {_LR_W[0]}e0 * n_tokens
+                     + {_LR_W[1]}e0 * stop_ratio
+                     + {_LR_W[2]}e0 * mean_word_len
+                     + {_LR_W[3]}e0 * rep_ratio as z
+          from f),
+    p as (select doc_id,
+                 cast(cast(cast(1.0 / (1.0 + exp(-z)) as decimal(38,6))
+                      as varchar) as double) as prob
+          from z)
+    select doc_id, prob, cast(prob >= 0.5 as int) as pred
+    from p order by doc_id""")
+def q_quality_lr(spark, sf):
+    """Model-based quality scoring (operators/classify): sigmoid of
+    a literal-weight dot product over the codegen feature battery —
+    the fastText/CCNet-style classifier's SCORING pass, the part
+    that runs over 100 TB. Weights here are fixed constants (the
+    oracle needs the same literals); training them is
+    classify.train_logistic, covered by test_classify. The sigmoid
+    quantizes through the decimal varchar round-trip (JVM exp, like
+    ln, is not bit-equal to libm's)."""
+    from sybil_spark.operators import classify
+    d = _t(spark, sf, "documents")
+    feats = (d.withColumn("__f", classify.quality_features(F.col("text")))
+              .select("doc_id", "__f.*"))
+    return (classify.score_logistic(feats,
+                                    list(classify.QUALITY_FEATURES),
+                                    list(_LR_W), _LR_B)
+            .select("doc_id", "prob", "pred").orderBy("doc_id"))
+
+
+@_q("hard_negatives", """
+    with q as (select vec_id as q_id, CAST(embedding AS DOUBLE[]) qv
+               from embeddings where vec_id < 8),
+         g as (select q_id, q_id as gid from q
+               union all
+               select q_id, q_id + 1 as gid from q),
+         e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+               from embeddings),
+         s as (select q.q_id, e.vec_id,
+                      list_dot_product(q.qv, e.ev)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(e.ev, e.ev))) as cos
+               from q, e
+               where not exists (select 1 from g
+                                 where g.q_id = q.q_id
+                                   and g.gid = e.vec_id)),
+         r as (select *, row_number() over
+                  (partition by q_id order by cos desc, vec_id asc)
+                  as rank
+               from s)
+    select q_id, vec_id, cos, rank from r where rank <= 5
+    order by q_id, rank""")
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    top-5 nearest corpus vectors per query EXCLUDING the query's
+    gold positives (here: itself and its successor id — a
+    deterministic stand-in for a labeled qrels frame). One corpus
+    scan through cross_topk; the oracle is brute force with a
+    NOT EXISTS on the same gold set."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    gold = (qs.select(F.col("vec_id").alias("q_id"),
+                      F.col("vec_id").alias("gid"))
+            .unionByName(
+                qs.select(F.col("vec_id").alias("q_id"),
+                          (F.col("vec_id") + 1).alias("gid"))))
+    return similarity.hard_negatives(qs, emb, gold, "embedding", k=5)
+
+
 @_q("hybrid_search", """
     with corpus as (select d.doc_id, d.text,
                            CAST(e.embedding AS DOUBLE[]) as ev
@@ -2115,6 +2210,65 @@ def q_minhash_lsh(spark, sf):
                                      "doc_id", "text",
                                      num_hashes=64, bands=16,
                                      portable=True)
+
+
+@_q("lsh_recall", f"""
+    with {_PORT_SHINGLES},
+    perms(i, a, b) as (values {_minhash_perm_values(64)}),
+    sig as (
+      select id, i // 4 as band, i, min((a * h + b) % 2147483647) as m
+      from sh, perms group by id, i),
+    bh as (
+      select id, band, list(m order by i) as lm
+      from sig group by id, band),
+    bh2 as (
+      select id, band,
+             (((lm[1] * 1000003 + lm[2]) % 2147483647 * 1000003
+                + lm[3]) % 2147483647 * 1000003 + lm[4]) % 2147483647
+               as bhash
+      from bh),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from bh2 a join bh2 b
+        on a.band = b.band and a.bhash = b.bhash and a.id < b.id),
+    sizes as (select id, count(*) as n from sh group by id),
+    inter as (
+      select a.id as id_a, b.id as id_b, count(*) as i
+      from sh a join sh b on a.h = b.h and a.id < b.id
+      group by 1, 2),
+    tru as (
+      select inter.id_a, inter.id_b
+      from inter
+      join sizes na on na.id = inter.id_a
+      join sizes nb on nb.id = inter.id_b
+      where cast(i as double) / (na.n + nb.n - i) >= 0.5),
+    j as (select t.id_a as ta, c.id_a as ca
+          from tru t full join cand c
+            on t.id_a = c.id_a and t.id_b = c.id_b),
+    m as (select cast(count(ta) as bigint) as n_true,
+                 cast(count(ca) as bigint) as n_cand,
+                 cast(count(case when ta is not null and ca is not null
+                            then 1 end) as bigint) as n_hit
+          from j)
+    select n_true, n_cand, n_hit,
+           cast(n_hit as double)
+             / cast(case when n_true > 0 then n_true end as double)
+             as recall,
+           cast(n_hit as double)
+             / cast(case when n_cand > 0 then n_cand end as double)
+             as precision
+    from m""")
+def q_lsh_recall(spark, sf):
+    """LSH tuning harness (dedup.lsh_recall_report): measured recall
+    and precision of the 64-hash/16-band scheme against exhaustive
+    Jaccard >= 0.5 ground truth, on the portable hash family so the
+    oracle reproduces BOTH sides — the banding candidates and the
+    exact-Jaccard truth set — from the same shingle CTE the
+    minhash_lsh row uses."""
+    return dedup.lsh_recall_report(_t(spark, sf, "documents"),
+                                   "doc_id", "text", threshold=0.5,
+                                   num_hashes=64, bands=16,
+                                   portable=True)
 
 
 @_q("simhash_dup", f"""
@@ -4650,6 +4804,7 @@ _DRIVER_FIRST = [
     "pq_topk", "ivfpq_topk",
     "char_entropy", "vocab_growth", "zipf_fit", "cluster_splits",
     "bpe_pairs", "bpe_merges",
+    "lsh_recall", "quality_lr", "hard_negatives",
     # changed this round: source_mix's oracle render round-trips
     # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
     # auto-persist lifetime to cache_scope (plan-neutral, re-verify

@@ -1,0 +1,97 @@
+"""Model-based quality scoring: a fastText/CCNet-style document
+quality classifier as (a) pure-codegen featurization, (b) MLlib
+logistic-regression training, (c) pure-codegen scoring.
+
+The pipeline pattern (CCNet, GPT-3's WebText classifier, LLaMA's
+quality filters): train a cheap linear classifier on weak labels
+("looks like curated text" vs "looks like raw crawl") and score the
+whole corpus with it. The expensive part at 100 TB is SCORING, and
+scoring here is a single codegen expression — a dot product of
+literal weights with columnar features, a sigmoid, and a threshold;
+no model object, no UDF, no shuffle, vectorized through the scan.
+Training runs on a (sampled) labeled frame via pyspark.ml's
+distributed LBFGS — the standard Spark tool for exactly this — and
+hands back plain python floats, decoupling the heavy scorer from any
+MLlib runtime dependency.
+
+Cross-engine exactness for the oracle row: every feature is a ratio
+of exact integer counts (or an exactly-derived double), the dot
+product is written in fixed left-to-right order, and the sigmoid
+output quantizes through the decimal(38,6) varchar round-trip before
+the label comparison — the same transcendental-parity discipline as
+functions.text.char_entropy (JVM exp, like JVM ln, is not bit-equal
+to libm's on all inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sybil_spark.functions.text import (avg_word_len, repetition_ratio,
+                                        stopword_ratio, token_count)
+
+#: the default feature battery: cheap, language-agnostic-ish,
+#: all ratios of exact integer counts computable in one codegen pass
+QUALITY_FEATURES = ("n_tokens", "stop_ratio", "mean_word_len",
+                    "rep_ratio")
+
+
+def quality_features(col: Column) -> Column:
+    """struct of the default feature battery over a text column —
+    one codegen pass, no shuffle, no UDF."""
+    return F.struct(
+        token_count(col).cast("double").alias("n_tokens"),
+        stopword_ratio(col).alias("stop_ratio"),
+        avg_word_len(col).alias("mean_word_len"),
+        repetition_ratio(col).alias("rep_ratio"))
+
+
+def score_logistic(df: DataFrame, feature_cols: list[str],
+                   weights: list[float], intercept: float,
+                   prob_col: str = "prob",
+                   label_col: str = "pred",
+                   threshold: float = 0.5) -> DataFrame:
+    """Score rows with a FIXED logistic model: p = sigmoid(w·x + b),
+    pred = p >= threshold. Weights are inlined as literals, so the
+    whole scorer is one whole-stage-codegen projection over the scan
+    — the shape that turns "classify 100 TB" into a map-only job.
+
+    z accumulates left-to-right in feature order (the oracle mirrors
+    the same association); p quantizes through the decimal varchar
+    round-trip so the JVM-vs-libm exp() ulp cannot leak into the
+    output or flip the threshold comparison."""
+    if len(weights) != len(feature_cols):
+        raise ValueError("weights/features length mismatch")
+    z = F.lit(float(intercept))
+    for w, c in zip(weights, feature_cols):
+        z = z + F.lit(float(w)) * F.col(c)
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
+        .cast("decimal(38,6)").cast("string").cast("double")
+    return (df.withColumn(prob_col, p)
+              .withColumn(label_col,
+                          (F.col(prob_col) >= F.lit(threshold))
+                          .cast("int")))
+
+
+def train_logistic(df: DataFrame, feature_cols: list[str],
+                   label_col: str,
+                   reg_param: float = 0.0,
+                   max_iter: int = 100) -> tuple[list[float], float]:
+    """Fit a logistic-regression quality classifier with pyspark.ml
+    (distributed LBFGS) and return (weights, intercept) as plain
+    floats for score_logistic. The MLlib dependency stays INSIDE
+    this function: training happens once on a labeled (usually
+    sampled) frame; the corpus-sized scoring pass never touches
+    MLlib."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    asm = VectorAssembler(inputCols=list(feature_cols),
+                          outputCol="__features")
+    lr = LogisticRegression(featuresCol="__features",
+                            labelCol=label_col,
+                            regParam=reg_param, maxIter=max_iter)
+    model = lr.fit(asm.transform(
+        df.select(*feature_cols, label_col)))
+    return ([float(w) for w in model.coefficients],
+            float(model.intercept))

@@ -689,6 +689,67 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                          candidates=cands, shingles=sh)
 
 
+def lsh_recall_report(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3,
+                      portable: bool = False) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH banding scheme
+    against ground-truth Jaccard — the tuning harness for
+    (num_hashes, bands) at a target similarity threshold. Running
+    blind with textbook (b, r) is how production dedup silently
+    misses half its near-dups; this report turns the S-curve
+    guarantee into a number measured on YOUR corpus.
+
+    Output (1 row): n_true (pairs with exact jaccard >= threshold),
+    n_cand (LSH candidate pairs, pre-verification), n_hit (their
+    intersection), recall = n_hit/n_true, precision = n_hit/n_cand
+    (NULL where the denominator is 0). All ratios are double
+    divisions of exact integer counts — cross-engine bit-stable.
+
+    One corpus scan: a single DISTINCT (id, h) shingle frame
+    (localCheckpoint) feeds the ground-truth join AND the signature
+    pipeline (the minhash_dedup_pairs trick). The ground-truth side
+    is the EXHAUSTIVE posting join (max_posting=None) — quadratic in
+    the hottest posting and deliberately so (an audit that silently
+    caps postings would overstate recall); at 100 TB this runs on a
+    hash_sample'd slice, not the full corpus, and the report
+    generalizes because recall is a property of the (b, r) S-curve,
+    not of corpus size."""
+    sh = shingle_hashes(df, id_col, text_col, shingle_n,
+                        portable=portable) \
+        .localCheckpoint(eager=True)
+    true_pairs = jaccard_pairs(df, id_col, text_col, shingle_n,
+                               threshold=threshold, shingles=sh,
+                               max_posting=None)
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
+                                   bands, shingle_n, shingles=sh,
+                                   portable=portable)
+    t = true_pairs.select("id_a", "id_b").withColumn("it", F.lit(1))
+    c = cands.select("id_a", "id_b").withColumn("ic", F.lit(1))
+    j = t.join(c, ["id_a", "id_b"], "full")
+    # coalesce AFTER the sum too: an entirely empty pair frame (no
+    # true pairs, no candidates) sums to NULL, and the report's
+    # contract is exact zeros with NULL recall/precision
+    n_true = F.coalesce(F.sum(F.coalesce(F.col("it"), F.lit(0))),
+                        F.lit(0).cast("long"))
+    n_cand = F.coalesce(F.sum(F.coalesce(F.col("ic"), F.lit(0))),
+                        F.lit(0).cast("long"))
+    n_hit = F.coalesce(F.sum(F.when(F.col("it").isNotNull()
+                                    & F.col("ic").isNotNull(), 1)
+                             .otherwise(0)),
+                       F.lit(0).cast("long"))
+    return (j.agg(n_true.alias("n_true"), n_cand.alias("n_cand"),
+                  n_hit.alias("n_hit"))
+             .select("n_true", "n_cand", "n_hit",
+                     (F.col("n_hit").cast("double")
+                      / F.when(F.col("n_true") > 0, F.col("n_true"))
+                      .cast("double")).alias("recall"),
+                     (F.col("n_hit").cast("double")
+                      / F.when(F.col("n_cand") > 0, F.col("n_cand"))
+                      .cast("double")).alias("precision")))
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

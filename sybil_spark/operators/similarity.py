@@ -1110,3 +1110,42 @@ def ivfpq_index_add(df: DataFrame, index_path: str) -> int:
         (out.write.partitionBy("cluster").mode("append")
             .parquet(os.path.join(index_path, "codes")))
         return obs.get["n"]
+
+
+def hard_negatives(queries: DataFrame, corpus: DataFrame, gold: DataFrame,
+                   vec_col: str, k: int = 10,
+                   q_id_col: str = "vec_id", id_col: str = "vec_id",
+                   margin: int = 32) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most similar corpus rows EXCLUDING that query's gold
+    positives (`gold` = (q_id, id) pairs). The negatives that sit
+    closest to the decision boundary are the ones worth training
+    against — random negatives are trivially separable.
+
+    Built on cross_topk (one corpus scan, broadcast query matrix):
+    the candidate depth is k + max positives per query — a bounded
+    1-row aggregate, same contract as cross_topk's Q×d collect — so
+    after the anti-join each query still has >= k survivors; a
+    per-query window re-ranks to exactly k. The gold frame
+    broadcasts (labeled pairs are minuscule next to the corpus).
+
+    Output: (q_id, id_col, cos, rank) — rank 1..k per query, ties
+    (cos desc, id asc), bit-exact against a SQL oracle through
+    cross_topk's sequential-fold cosine contract."""
+    from pyspark.sql import Window
+
+    g = gold.select(F.col(gold.columns[0]).alias("q_id"),
+                    F.col(gold.columns[1]).alias("__gid"))
+    gmax = g.groupBy("q_id").agg(F.count(F.lit(1)).alias("c")) \
+            .agg(F.max("c").alias("m")).collect()[0]["m"] or 0
+    cands = cross_topk(queries, corpus, vec_col, k=k + gmax,
+                       q_id_col=q_id_col, id_col=id_col, margin=margin)
+    kept = cands.join(
+        F.broadcast(g),
+        (cands["q_id"] == g["q_id"]) & (cands[id_col] == g["__gid"]),
+        "left_anti")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                           F.asc(id_col))
+    return (kept.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .orderBy("q_id", "rank"))

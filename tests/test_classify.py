@@ -1,0 +1,130 @@
+"""Quality classifier (operators/classify), hard-negative mining,
+and the LSH recall report."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_score_logistic_matches_python(spark):
+    """Fixed-weight scoring equals the python sigmoid on the same
+    features (quantized to 1e-6 per the decimal round-trip)."""
+    from sybil_spark.operators import classify
+    rows = [(0, 10.0, 0.05, 4.2, 0.1), (1, 500.0, 0.0, 7.5, 0.9),
+            (2, 80.0, 0.08, 5.0, 0.0)]
+    df = spark.createDataFrame(rows, ["id", "a", "b", "c", "d"])
+    w, b = [0.01, 20.0, -0.5, -4.0], 0.3
+    got = {r["id"]: (r["prob"], r["pred"]) for r in
+           classify.score_logistic(df, ["a", "b", "c", "d"], w, b)
+           .collect()}
+    for rid, *f in rows:
+        z = b + sum(wi * fi for wi, fi in zip(w, f))
+        p = 1.0 / (1.0 + math.exp(-z))
+        assert got[rid][0] == pytest.approx(p, abs=2e-6)
+        assert got[rid][1] == int(got[rid][0] >= 0.5)
+
+
+def test_train_logistic_separates(spark):
+    """LBFGS on linearly separable data: near-perfect accuracy, and
+    the learned weights drive score_logistic to the same labels —
+    the train→freeze→codegen-score handoff works end to end."""
+    from sybil_spark.operators import classify
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        y = i % 2
+        # class 1 sits at higher x1, lower x2 — separable with noise
+        x1 = (3.0 if y else 1.0) + rng.random() * 0.5
+        x2 = (1.0 if y else 3.0) + rng.random() * 0.5
+        rows.append((x1, x2, y))
+    df = spark.createDataFrame(rows, ["x1", "x2", "label"])
+    w, b = classify.train_logistic(df, ["x1", "x2"], "label")
+    assert w[0] > 0 and w[1] < 0
+    scored = classify.score_logistic(df, ["x1", "x2"], w, b)
+    acc = (scored.where(F.col("pred") == F.col("label")).count()
+           / float(len(rows)))
+    assert acc >= 0.99
+
+
+def test_quality_features_shape(spark):
+    from sybil_spark.operators import classify
+    df = spark.createDataFrame([("the cat sat on the mat",)], ["text"])
+    row = df.select(classify.quality_features(F.col("text"))
+                    .alias("f")).collect()[0]["f"]
+    assert row["n_tokens"] == 6.0
+    assert row["stop_ratio"] == pytest.approx(2 / 6)
+    assert row["mean_word_len"] == pytest.approx((22 - 5) / 6)
+    assert row["rep_ratio"] == 0.0
+
+
+def test_hard_negatives_excludes_gold(spark):
+    """Negatives never contain a gold id, ranks are 1..k dense, and
+    the kept ids equal brute-force top-k after exclusion."""
+    from sybil_spark.operators import similarity
+    import itertools
+    dim = 4
+    vecs = [(i, [float((i * 7 + j * 3) % 11 + 1) for j in range(dim)])
+            for i in range(30)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = emb.where(F.col("vec_id") < 3)
+    gold = spark.createDataFrame(
+        [(q, q) for q in range(3)] + [(q, q + 1) for q in range(3)],
+        ["q_id", "gid"])
+    k = 4
+    out = similarity.hard_negatives(qs, emb, gold, "embedding", k=k)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    golds = {(q, g) for q in range(3) for g in (q, q + 1)}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) \
+            / math.sqrt(sum(x * x for x in b))
+
+    vd = dict(vecs)
+    for q in range(3):
+        got = by_q[q]
+        assert [r["rank"] for r in got] == list(range(1, k + 1))
+        assert all((q, r["vec_id"]) not in golds for r in got)
+        ref = sorted(
+            ((cos(vd[q], v), i) for i, v in vecs
+             if (q, i) not in golds),
+            key=lambda t: (-t[0], t[1]))[:k]
+        assert [r["vec_id"] for r in got] == [i for _, i in ref]
+
+
+def test_lsh_recall_report_counts(spark):
+    """On a corpus with exact-duplicate pairs the report's truth set
+    matches brute-force jaccard and recall lands in (0, 1]; identical
+    docs must be both true and found (recall numerator > 0)."""
+    from sybil_spark.operators import dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(0, base), (1, base),                       # exact dup
+            (2, base + " iota"), (3, "totally different words here x"),
+            (4, "another unrelated document entirely y z w")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    row = dedup.lsh_recall_report(df, "doc_id", "text",
+                                  threshold=0.5).collect()[0]
+    assert row["n_true"] >= 2           # (0,1), (0,2)/(1,2) family
+    assert row["n_hit"] >= 1            # identical docs always band
+    assert row["n_cand"] >= row["n_hit"]
+    assert 0.0 < row["recall"] <= 1.0
+    assert 0.0 < row["precision"] <= 1.0
+
+
+def test_lsh_recall_report_empty_truth(spark):
+    """No near-dups at all: n_true == 0 and recall is NULL (never a
+    divide-by-zero or a fake 1.0)."""
+    from sybil_spark.operators import dedup
+    docs = [(i, f"totally unique document number {i} "
+                f"with words w{i}a w{i}b w{i}c") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    row = dedup.lsh_recall_report(df, "doc_id", "text",
+                                  threshold=0.9).collect()[0]
+    assert row["n_true"] == 0
+    assert row["recall"] is None
