@@ -3031,6 +3031,60 @@ def q_ivf_topk(spark, sf):
                                nlist=16, nprobe=4, centroids=cents)
 
 
+@_q("ivf_recall", f"""
+    with c as (select vec_id as cid, CAST(embedding AS DOUBLE[]) cv
+               from embeddings where vec_id < 16),
+    q as (select vec_id as q_id, CAST(embedding AS DOUBLE[]) qv
+          from embeddings where vec_id < 8),
+    e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+          from embeddings),
+    pr as (select q.q_id, c.cid,
+                  row_number() over (partition by q.q_id
+                      order by {_IVF_COS.format(a='c.cv', b='q.qv')}
+                      desc, c.cid asc) as rn
+           from q, c),
+    probes as (select q_id, cid from pr where rn <= 4),
+    assign as (select e.vec_id, e.ev,
+                      (select c.cid from c
+                       order by {_IVF_COS.format(a='e.ev', b='c.cv')}
+                       desc, c.cid asc limit 1) as cluster
+               from e),
+    br as (select q.q_id, e.vec_id,
+                  row_number() over (partition by q.q_id
+                      order by {_IVF_COS.format(a='e.ev', b='q.qv')}
+                      desc, e.vec_id asc) as rn
+           from q, e),
+    brute as (select q_id, vec_id from br where rn <= 10),
+    iv as (select p.q_id, a.vec_id,
+                  row_number() over (partition by p.q_id
+                      order by {_IVF_COS.format(a='a.ev', b='q.qv')}
+                      desc, a.vec_id asc) as rn
+           from probes p
+           join assign a on a.cluster = p.cid
+           join q on q.q_id = p.q_id),
+    ivf as (select q_id, vec_id from iv where rn <= 10),
+    h as (select b.q_id, cast(count(i.vec_id) as bigint) as n_hit
+          from brute b
+          left join ivf i on i.q_id = b.q_id and i.vec_id = b.vec_id
+          group by 1)
+    select q_id, n_hit, cast(n_hit as double) / 10.0e0 as recall
+    from h order by q_id""")
+def q_ivf_recall(spark, sf):
+    """ANN tuning harness (similarity.ivf_recall_report): measured
+    recall@10 of IVF nprobe=4 vs exact brute force, per query — the
+    number that picks nprobe before an index ships (the ANN twin of
+    lsh_recall). Explicit centroids (embeddings 0..15) and the
+    sequential-fold assignment keep BOTH retrieval sides
+    SQL-replicable end to end."""
+    emb = _t(spark, sf, "embeddings")
+    cents = [[float(x) for x in r[0]]
+             for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+                         .select("embedding").collect()]
+    return similarity.ivf_recall_report(
+        emb.where(F.col("vec_id") < 8), emb, "embedding", cents,
+        k=10, nprobe=4)
+
+
 def _pq_sql(m: int = 4, sub: int = 16, kcb: int = 8) -> str:
     """Oracle for pq_topk: codebooks = slices of the first `kcb`
     embeddings (SQL-replicable, like the explicit IVF centroids),
@@ -3465,6 +3519,34 @@ def q_resample_mixture(spark, sf):
         _events(spark, sf), "event_type", "event_id",
         {"view": 0.7, "error": 0.3})
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
+
+
+@_q("temperature_mix", """
+    with n as (select source, count(*) as n from documents group by 1),
+    tot as (select cast(sum(n) as bigint) as tot from n),
+    w as (select source, n, sqrt(cast(n as double) / tot) as w
+          from n, tot),
+    t as (select min(n / w) as t from w),
+    r as (select source, cast(floor(w * t.t / n * 65536) as bigint)
+                 as th
+          from w, t)
+    select d.source, count(*) as count
+    from documents d join r on d.source = r.source
+    where cast(concat('0x', substr(md5(cast(d.doc_id as varchar)),
+                                   1, 4)) as bigint) < r.th
+    group by 1""")
+def q_temperature_mix(spark, sf):
+    """Temperature-scaled mixture resampling at α=0.5
+    (sampling.temperature_mixture — mT5-style share^α flattening):
+    head sources downsample toward the tail. α=0.5 makes the oracle
+    exact — weights are UNNORMALIZED sqrt(share) (sqrt is
+    IEEE-correctly-rounded on both engines, and the kept-rate is
+    scale-invariant in the weights so no order-dependent
+    normalizing sum exists)."""
+    from sybil_spark.operators import sampling
+    out = sampling.temperature_mixture(
+        _t(spark, sf, "documents"), "source", "doc_id", alpha=0.5)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("count"))
 
 
 @_q("tpch_q14", f"""
@@ -4804,7 +4886,8 @@ _DRIVER_FIRST = [
     "pq_topk", "ivfpq_topk",
     "char_entropy", "vocab_growth", "zipf_fit", "cluster_splits",
     "bpe_pairs", "bpe_merges",
-    "lsh_recall", "quality_lr", "hard_negatives",
+    "lsh_recall", "quality_lr", "hard_negatives", "ivf_recall",
+    "temperature_mix",
     # changed this round: source_mix's oracle render round-trips
     # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
     # auto-persist lifetime to cache_scope (plan-neutral, re-verify

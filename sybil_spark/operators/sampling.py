@@ -59,7 +59,8 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
 
 
 def resample_to_mixture(df: DataFrame, strata_col: str, key_col: str,
-                        weights: dict) -> DataFrame:
+                        weights: dict,
+                        counts: dict | None = None) -> DataFrame:
     """Downsample strata so the OUTPUT follows the target mixture
     `weights` (the domain/language-mixture rebalancing step of a
     training-data pipeline: e.g. {'web': 0.6, 'code': 0.3,
@@ -73,10 +74,13 @@ def resample_to_mixture(df: DataFrame, strata_col: str, key_col: str,
     and run; strata not in `weights` are dropped. One count
     aggregate plans the rates; the sample itself is a codegen
     filter, zero shuffles. Thresholds floor (not round) so a SQL
-    oracle reproduces them exactly."""
-    counts = {r[strata_col]: r["n"] for r in
-              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
-                .collect()}
+    oracle reproduces them exactly. `counts` injects precomputed
+    stratum counts so composed callers (temperature_mixture) plan
+    rates from ONE aggregate."""
+    if counts is None:
+        counts = {r[strata_col]: r["n"] for r in
+                  df.groupBy(strata_col)
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
     present = {g: w for g, w in weights.items() if counts.get(g)}
     if not present:
         return df.where(F.lit(False))
@@ -88,6 +92,42 @@ def resample_to_mixture(df: DataFrame, strata_col: str, key_col: str,
                         F.lit(int(w * t / counts[g] * 65536))) \
                   .otherwise(thresh)
     return df.where(b < thresh)
+
+
+def temperature_mixture(df: DataFrame, strata_col: str, key_col: str,
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual /
+    multi-domain α-sampling of mT5/XLM-R): target stratum weight
+    ∝ share^α, flattening head domains and boosting the tail as α
+    drops from 1 (keep the natural mixture) toward 0 (uniform).
+    Composes the observed shares with resample_to_mixture's
+    deterministic hash-membership downsampling.
+
+    Weights stay UNNORMALIZED (share^α directly): the kept-rate
+    w·T/n is scale-invariant in w, and skipping the normalizing sum
+    removes the one summation whose double result would depend on
+    stratum enumeration order — what keeps the α=0.5 oracle
+    bit-exact (sqrt is IEEE-correctly-rounded on every engine;
+    general α is pow-based and pytest-covered instead). At α=1 the
+    kept-rate is 1 for every stratum up to float round-trip (the
+    16-bit threshold floors, so at most ~1/65536 of rows shave off).
+
+    One stratum-count aggregate total; the sample is a codegen
+    filter, zero shuffle — the 100 TB shape."""
+    import math
+
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col)
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return df.where(F.lit(False))
+    total = sum(counts.values())
+    if alpha == 0.5:
+        weights = {g: math.sqrt(n / total) for g, n in counts.items()}
+    else:
+        weights = {g: (n / total) ** alpha for g, n in counts.items()}
+    return resample_to_mixture(df, strata_col, key_col, weights,
+                               counts=counts)
 
 
 def reservoir_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:

@@ -1149,3 +1149,72 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, gold: DataFrame,
     return (kept.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .orderBy("q_id", "rank"))
+
+
+def ivf_recall_report(queries: DataFrame, corpus: DataFrame,
+                      vec_col: str, centroids: list[list[float]],
+                      k: int = 10, nprobe: int = 4,
+                      q_id_col: str = "vec_id",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Measured recall@k of IVF(nprobe) retrieval against exact
+    brute force, per query — the ANN twin of dedup.lsh_recall_report
+    and the number that decides nprobe before anyone ships an index:
+    FAISS-style IVF recall is a property of (nlist, nprobe) AND the
+    data's cluster structure, so the honest way to pick the knob is
+    to measure it on the corpus, not read it off a paper.
+
+    One corpus scan per side: exact top-k via cross_topk (broadcast
+    query matrix), IVF top-k via assignment + a broadcast
+    (q_id, cluster) probe frame (the cross_topk_ivf shape without
+    requiring a persisted index — tuning runs precede index builds).
+    Probe ranking and all cosines use the sequential-fold
+    definitions, so both sides — and therefore the report — are
+    bit-reproducible by a SQL oracle.
+
+    Output: (q_id, n_hit, recall) with recall = |IVF∩exact| / k.
+    At scale the queries frame is an eval probe set (hundreds of
+    rows); both retrieval passes stay one-scan each."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    brute = cross_topk(queries, corpus, vec_col, k=k,
+                       q_id_col=q_id_col, id_col=id_col) \
+        .select("q_id", F.col(id_col).alias("__bid"))
+    qrows = queries.select(q_id_col, vec_col).collect()
+    q_t = dict(queries.dtypes)[q_id_col]
+    vec_t = queries.schema[vec_col].dataType.simpleString()
+    probe_rows = [(r[0], int(c)) for r in qrows
+                  for c in _rank_probes(centroids,
+                                        [float(x) for x in r[1]],
+                                        nprobe)]
+    probes = spark.createDataFrame(probe_rows,
+                                   schema=f"q_id {q_t}, cluster int")
+    qdf = spark.createDataFrame([(r[0], r[1]) for r in qrows],
+                                schema=f"q_id {q_t}, __qv {vec_t}")
+    from sybil_spark.functions.vectors import cosine
+    # sequential-fold assignment (not the numpy batch path): the
+    # report IS the oracle-facing artifact, so argmax ties must
+    # resolve identically in SQL
+    assigned = ivf_assign(corpus.select(id_col, vec_col), vec_col,
+                          centroids)
+    scored = (assigned.join(F.broadcast(probes), "cluster")
+                      .join(F.broadcast(qdf), "q_id")
+                      .select("q_id", F.col(id_col).alias("__iid"),
+                              cosine(F.col("__qv"),
+                                     F.col(vec_col)).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                           F.asc("__iid"))
+    ivf = (scored.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= k)
+                 .select("q_id", "__iid"))
+    hits = (brute.join(ivf, (brute["q_id"] == ivf["q_id"])
+                       & (brute["__bid"] == ivf["__iid"]))
+            .groupBy(brute["q_id"]).agg(F.count(F.lit(1)).alias("n_hit")))
+    base = brute.select("q_id").distinct()
+    return (base.join(hits, "q_id", "left")
+                .select("q_id",
+                        F.coalesce(F.col("n_hit"),
+                                   F.lit(0).cast("long")).alias("n_hit"))
+                .withColumn("recall",
+                            F.col("n_hit").cast("double") / F.lit(float(k)))
+                .orderBy("q_id"))

@@ -128,3 +128,94 @@ def test_lsh_recall_report_empty_truth(spark):
                                   threshold=0.9).collect()[0]
     assert row["n_true"] == 0
     assert row["recall"] is None
+
+
+def test_ivf_recall_full_probe_is_exact(spark):
+    """nprobe == nlist probes every list, so IVF == brute force and
+    recall is exactly 1.0 for every query; fewer probes can only
+    lower it."""
+    from sybil_spark.operators import similarity
+    dim = 6
+    vecs = [(i, [float((i * 13 + j * 5) % 17 + 1) for j in range(dim)])
+            for i in range(40)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = [v for _, v in vecs[:4]]
+    qs = emb.where(F.col("vec_id") < 3)
+    full = similarity.ivf_recall_report(qs, emb, "embedding", cents,
+                                        k=5, nprobe=len(cents))
+    rows = full.collect()
+    assert len(rows) == 3
+    assert all(r["recall"] == 1.0 and r["n_hit"] == 5 for r in rows)
+    partial = {r["q_id"]: r["recall"] for r in
+               similarity.ivf_recall_report(qs, emb, "embedding",
+                                            cents, k=5, nprobe=1)
+               .collect()}
+    for r in rows:
+        assert partial[r["q_id"]] <= r["recall"]
+
+
+def test_temperature_mixture_flattens(spark):
+    """α=0.5 moves the output mixture toward uniform: the dominant
+    stratum's share strictly drops, the minority stratum keeps 100%
+    of its rows (it is the argmin stratum), and the sample is
+    deterministic (same rows on every run)."""
+    from sybil_spark.operators import sampling
+    rows = [(i, "head") for i in range(900)] + \
+           [(i + 1000, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out = sampling.temperature_mixture(df, "src", "k", alpha=0.5)
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    # tail is argmin(n/w) under sqrt weights here: kept whole
+    assert got["tail"] == 100
+    in_share = 900 / 1000
+    out_share = got["head"] / (got["head"] + got["tail"])
+    assert out_share < in_share
+    # expected head rate = sqrt(100/900) = 1/3 → ~300 rows; the
+    # 16-bit hash threshold gives binomial-ish scatter around it
+    assert 200 < got["head"] < 400
+    again = sorted(r["k"] for r in out.collect())
+    assert again == sorted(r["k"] for r in out.collect())
+
+
+def test_temperature_mixture_alpha_one_keeps_nearly_all(spark):
+    from sybil_spark.operators import sampling
+    rows = [(i, "a" if i % 4 else "b") for i in range(800)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    kept = sampling.temperature_mixture(df, "src", "k", alpha=1.0).count()
+    # rate-1 thresholds can shave at most the 1/65536 floor sliver
+    assert kept >= 798
+
+
+def test_quality_lr_scoring_is_map_only(spark, sf_dir):
+    """The classifier SCORING pass must plan as a pure projection
+    over the scan — zero exchanges, zero Python nodes. This is the
+    invariant that makes 'classify 100 TB' a map-only job."""
+    from sybil_spark.operators import classify
+    from sybil_spark.plans import inspect as I
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = (d.withColumn("__f", classify.quality_features(F.col("text")))
+              .select("doc_id", "__f.*"))
+    scored = classify.score_logistic(
+        feats, list(classify.QUALITY_FEATURES),
+        [0.004, 30.0, -0.8, -6.0], 1.0)
+    plan = I.formatted_plan(scored)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_gold_join_broadcasts(spark):
+    """The gold-exclusion anti-join must broadcast the (tiny) gold
+    frame — never sort-merge the candidate stream."""
+    from sybil_spark.operators import similarity
+    from sybil_spark.plans import inspect as I
+    vecs = [(i, [float(j + i % 5) for j in range(4)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = emb.where(F.col("vec_id") < 2)
+    gold = spark.createDataFrame([(0, 0), (1, 1)], ["q_id", "gid"])
+    out = similarity.hard_negatives(qs, emb, gold, "embedding", k=3)
+    plan = I.formatted_plan(out)
+    import re
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan) \
+        or ("LeftAnti" in plan and "BroadcastExchange" in plan)
