@@ -1076,8 +1076,86 @@ def ivfpq_index_topk(spark, index_path: str, query: list[float],
     probes = _rank_probes(meta["centroids"], query, nprobe)
     codes = (spark.read.parquet(os.path.join(index_path, "codes"))
              .where(F.col("cluster").isin(probes)))
+    # merge committed streamed batches (stream_ivfpq_index_add):
+    # their cluster=N layout keeps the probe pruning, and — unlike
+    # BM25 — PQ distances carry NO corpus-global state (only the
+    # frozen quantizers), so a plain union is exact at every point
+    cols = [meta["id_col"], "pq_code", "cluster"]
+    for bdir in _ivfpq_stream_batches(index_path):
+        codes = codes.select(*cols).unionByName(
+            spark.read.parquet(bdir)
+                 .where(F.col("cluster").isin(probes)).select(*cols))
     return pq_topk(codes, query, meta["codebooks"], k=k,
                    id_col=meta["id_col"])
+
+
+def _ivfpq_stream_batches(index_path: str) -> list[str]:
+    """Committed streamed-batch dirs under codes_stream/, batch-id
+    order. Commit marker = `_count.json` written after the parquet
+    (the sidecar-last protocol every streamed index leg shares): a
+    dir without it is a torn write — invisible to serve and compact,
+    deleted by the next compact."""
+    import os
+
+    root = os.path.join(index_path, "codes_stream")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if d.startswith("batch-") and \
+                os.path.exists(os.path.join(full, "_count.json")):
+            out.append(full)
+    return out
+
+
+def ivfpq_index_compact(spark, index_path: str) -> int:
+    """Fold committed streamed batches into the base codes dir with
+    a whole-dir staged swap (write codes_new from base + batches,
+    rename over, drop codes_stream), then advance
+    `stream_fold_watermark` in the meta so a replayed already-folded
+    batch SKIPS instead of double-appending — the same fencing
+    contract as bm25_index_compact / compact_dedup_index. Returns
+    the number of batches folded (0 = nothing to do). Torn
+    (marker-less) batch dirs are deleted, not folded."""
+    import json
+    import os
+    import shutil
+
+    from sybil_spark.sources.locks import path_lock
+
+    with path_lock(index_path):
+        batches = _ivfpq_stream_batches(index_path)
+        root = os.path.join(index_path, "codes_stream")
+        if not batches:
+            if os.path.isdir(root):
+                shutil.rmtree(root)   # only torn dirs remain
+            return 0
+        with open(os.path.join(index_path, "ivfpq_meta.json")) as f:
+            meta = json.load(f)
+        cols = [meta["id_col"], "pq_code", "cluster"]
+        base = os.path.join(index_path, "codes")
+        merged = spark.read.parquet(base).select(*cols)
+        hi = -1
+        for bdir in batches:
+            merged = merged.unionByName(
+                spark.read.parquet(bdir).select(*cols))
+            hi = max(hi, int(os.path.basename(bdir).split("-", 1)[1]))
+        staged = base + ".staged"
+        (merged.write.partitionBy("cluster").mode("overwrite")
+               .parquet(staged))
+        old = base + ".old"
+        os.rename(base, old)
+        os.rename(staged, base)
+        shutil.rmtree(old)
+        shutil.rmtree(root)
+        meta["stream_fold_watermark"] = max(
+            hi, int(meta.get("stream_fold_watermark", -1)))
+        tmp = os.path.join(index_path, "ivfpq_meta.json.partial")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(index_path, "ivfpq_meta.json"))
+        return len(batches)
 
 
 def ivfpq_index_add(df: DataFrame, index_path: str) -> int:

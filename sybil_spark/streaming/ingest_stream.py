@@ -1283,3 +1283,64 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
             .option("checkpointLocation",
                     checkpoint or index_path + "_checkpoint")
             .outputMode("append").start())
+
+
+def stream_ivfpq_index_add(df: DataFrame, index_path: str,
+                           checkpoint: str | None = None
+                           ) -> StreamingQuery:
+    """Continuously maintained IVF-PQ vector index — the embedding
+    mirror of stream_bm25_index_add: each micro-batch of
+    (id, vector) rows is assigned against the FROZEN coarse
+    centroids, encoded with the FROZEN codebooks, and committed
+    under `<index>/codes_stream/batch-<id>/` partitioned by
+    `cluster` (probe pruning applies to pending batches too). The
+    index is servable and exact throughout: PQ distances carry no
+    corpus-global state, so ivfpq_index_topk just unions committed
+    batches; `similarity.ivfpq_index_compact` folds them into the
+    base codes behind a staged swap and advances the fold
+    watermark.
+
+    Exactly-once: replay of an uncommitted batch overwrites its own
+    dir; the `_count.json` sidecar is written last (a dir without
+    it is invisible); a replayed already-folded batch is fenced by
+    `stream_fold_watermark`; the path lock serializes batches
+    against a concurrent compact/rebuild. Frozen-quantizer drift is
+    the documented trade (ivfpq_index_add) — re-train via
+    build_ivfpq_index when recall decays."""
+    import json
+    import os
+
+    from sybil_spark.operators.similarity import ivf_assign, pq_encode
+    from sybil_spark.sources.locks import path_lock
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with path_lock(index_path, timeout_s=300.0):
+            with open(os.path.join(index_path,
+                                   "ivfpq_meta.json")) as f:
+                meta = json.load(f)
+            if batch_id <= int(meta.get("stream_fold_watermark", -1)):
+                return   # committed AND folded before an unclean stop
+            enc = pq_encode(
+                ivf_assign(batch_df, meta["vec_col"],
+                           meta["centroids"]),
+                meta["vec_col"], meta["codebooks"])
+            from pyspark.sql import Observation
+            obs = Observation()
+            out = (enc.select(meta["id_col"], "pq_code", "cluster")
+                      .observe(obs, F.count(F.lit(1)).alias("n")))
+            bdir = os.path.join(index_path, "codes_stream",
+                                f"batch-{batch_id}")
+            (out.write.partitionBy("cluster").mode("overwrite")
+                .parquet(bdir))
+            n = int(obs.get["n"])
+            tmp = os.path.join(bdir, "_count.json.partial")
+            with open(tmp, "w") as f:
+                json.dump({"n": n}, f)
+            os.replace(tmp, os.path.join(bdir, "_count.json"))
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or index_path + "_checkpoint")
+            .outputMode("append").start())

@@ -219,3 +219,37 @@ def test_hard_negatives_gold_join_broadcasts(spark):
     import re
     assert re.search(r"BroadcastHashJoin.*LeftAnti", plan) \
         or ("LeftAnti" in plan and "BroadcastExchange" in plan)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_lsh_recall_report_matches_component_sets(spark, seed):
+    """The report's counts must equal python-set arithmetic over the
+    same ground-truth and candidate frames collected independently —
+    pins the full-join/aggregate logic against planted-duplicate
+    corpora of varying density."""
+    import random
+    from sybil_spark.operators import dedup
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(14):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+    # plant exact and near duplicates
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " extra"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    thr = 0.4
+    sh = dedup.shingle_hashes(df, "doc_id", "text", 3) \
+        .localCheckpoint(eager=True)
+    true = {(r["id_a"], r["id_b"]) for r in
+            dedup.jaccard_pairs(df, "doc_id", "text", 3,
+                                threshold=thr, shingles=sh,
+                                max_posting=None).collect()}
+    cand = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_candidates(df, "doc_id", "text",
+                                         shingles=sh).collect()}
+    row = dedup.lsh_recall_report(df, "doc_id", "text",
+                                  threshold=thr).collect()[0]
+    assert row["n_true"] == len(true)
+    assert row["n_cand"] == len(cand)
+    assert row["n_hit"] == len(true & cand)

@@ -1021,3 +1021,117 @@ def test_stream_bm25_index_add(spark, tmp_path):
         assert serve() == rebuild_and_serve(rows2)
     finally:
         q.stop()
+
+
+def test_stream_ivfpq_index_add(spark, tmp_path):
+    """Continuous IVF-PQ maintenance: streamed vectors are servable
+    immediately and the served top-k is IDENTICAL to a batch
+    ivfpq_index_add of the same rows (frozen quantizers make both
+    paths deterministic); ivfpq_index_compact folds the batch dirs
+    (consumed, watermark advanced, results unchanged) and a
+    post-fold batch keeps working."""
+    import os
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import similarity
+    from sybil_spark.streaming.ingest_stream import stream_ivfpq_index_add
+
+    dim = 8
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(dim)]
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(24)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding",
+                                ArrayType(DoubleType()))]))
+    idx = str(tmp_path / "sivfpq")
+    similarity.build_ivfpq_index(base, "embedding", idx,
+                                 nlist=4, m=4, kcb=4)
+
+    src = tmp_path / "pq-in"
+    src.mkdir()
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    _write_batch(src, "b1.ndjson",
+                 [{"vec_id": 100 + i, "embedding": vec(100 + i)}
+                  for i in range(4)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_ivfpq_index_add(stream, idx)
+
+    query = vec(5)
+
+    def serve():
+        return [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, idx, query, k=6,
+                                            nprobe=4).collect()]
+
+    def batch_ref(extra_rows):
+        ref = str(tmp_path / f"ref{len(extra_rows)}")
+        similarity.build_ivfpq_index(base, "embedding", ref,
+                                     nlist=4, m=4, kcb=4)
+        extra = spark.createDataFrame(extra_rows, schema)
+        similarity.ivfpq_index_add(extra, ref)
+        return [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, ref, query, k=6,
+                                            nprobe=4).collect()]
+
+    try:
+        q.processAllAvailable()
+        rows1 = [(100 + i, vec(100 + i)) for i in range(4)]
+        assert serve() == batch_ref(rows1)        # pending batch exact
+        assert similarity.ivfpq_index_compact(spark, idx) == 1
+        meta = json.load(open(f"{idx}/ivfpq_meta.json"))
+        assert meta["stream_fold_watermark"] >= 0
+        assert not os.path.isdir(f"{idx}/codes_stream")   # folded
+        assert serve() == batch_ref(rows1)        # still exact
+        _write_batch(src, "b2.ndjson",
+                     [{"vec_id": 200, "embedding": vec(200)}])
+        q.processAllAvailable()                   # post-fold batch
+        rows2 = rows1 + [(200, vec(200))]
+        assert serve() == batch_ref(rows2)
+    finally:
+        q.stop()
+
+
+def test_ivfpq_stream_torn_batch_invisible(spark, tmp_path):
+    """A batch dir without its _count.json commit marker (torn
+    write) is served around and dropped by compact — never folded,
+    never scored."""
+    import os
+    import shutil
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import similarity
+
+    dim = 8
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(dim)]
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding",
+                                ArrayType(DoubleType()))]))
+    idx = str(tmp_path / "tornpq")
+    similarity.build_ivfpq_index(base, "embedding", idx,
+                                 nlist=4, m=4, kcb=4)
+    before = [tuple(r) for r in
+              similarity.ivfpq_index_topk(spark, idx, vec(3), k=5,
+                                          nprobe=4).collect()]
+    # fabricate a torn batch: parquet without the marker
+    torn = spark.createDataFrame([(999, vec(999))],
+                                 "vec_id long, embedding array<double>")
+    from sybil_spark.operators.similarity import ivf_assign, pq_encode
+    import json as _json
+    meta = _json.load(open(f"{idx}/ivfpq_meta.json"))
+    enc = pq_encode(ivf_assign(torn, "embedding", meta["centroids"]),
+                    "embedding", meta["codebooks"])
+    (enc.select("vec_id", "pq_code", "cluster")
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(f"{idx}/codes_stream/batch-7"))
+    assert [tuple(r) for r in
+            similarity.ivfpq_index_topk(spark, idx, vec(3), k=5,
+                                        nprobe=4).collect()] == before
+    assert similarity.ivfpq_index_compact(spark, idx) == 0
+    assert not os.path.isdir(f"{idx}/codes_stream")       # swept
+    assert [tuple(r) for r in
+            similarity.ivfpq_index_topk(spark, idx, vec(3), k=5,
+                                        nprobe=4).collect()] == before
