@@ -3521,6 +3521,46 @@ def q_resample_mixture(spark, sf):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
 
 
+@_q("ngram_overlap", """
+    with pairs as (select d.doc_id, d.text as cand, r.text as ref
+                   from documents d
+                   join documents r on r.doc_id = d.doc_id + 1),
+    ct as (select doc_id, string_split(cand, ' ') as t from pairs),
+    cg as (select doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) as g from ct),
+    cc as (select doc_id, g, count(*) as c from cg group by 1, 2),
+    rt as (select doc_id, string_split(ref, ' ') as t from pairs),
+    rg as (select doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) as g from rt),
+    rc as (select doc_id, g, count(*) as r from rg group by 1, 2),
+    j as (select cc.doc_id, cc.c,
+                 least(cc.c, coalesce(rc.r, 0)) as clip
+          from cc left join rc
+            on rc.doc_id = cc.doc_id and rc.g = cc.g)
+    select doc_id, cast(sum(c) as bigint) as n_cand,
+           cast(sum(clip) as bigint) as n_clip,
+           cast(sum(clip) as double) / cast(sum(c) as bigint)
+             as precision
+    from j group by 1 order by doc_id""")
+def q_ngram_overlap(spark, sf):
+    """Clipped bigram precision (quality.ngram_precision — the BLEU
+    p_n building block) of each document against its successor: the
+    eval-pipeline overlap metric, exercised on a deterministic
+    candidate/reference pairing. All counts exact ints; the oracle
+    replays the explode → clip-join → per-doc sums."""
+    from sybil_spark.operators import quality
+    d = _t(spark, sf, "documents")
+    r = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("text").alias("__ref"))
+    pairs = (d.join(r, "doc_id")
+             .select("doc_id", F.col("text").alias("cand"), "__ref"))
+    return (quality.ngram_precision(pairs, "doc_id", "cand", "__ref",
+                                    n=2)
+            .orderBy("doc_id"))
+
+
 @_q("temperature_mix", """
     with n as (select source, count(*) as n from documents group by 1),
     tot as (select cast(sum(n) as bigint) as tot from n),
@@ -4887,7 +4927,7 @@ _DRIVER_FIRST = [
     "char_entropy", "vocab_growth", "zipf_fit", "cluster_splits",
     "bpe_pairs", "bpe_merges",
     "lsh_recall", "quality_lr", "hard_negatives", "ivf_recall",
-    "temperature_mix",
+    "temperature_mix", "ngram_overlap",
     # changed this round: source_mix's oracle render round-trips
     # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
     # auto-persist lifetime to cache_scope (plan-neutral, re-verify

@@ -1127,3 +1127,42 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 256) -> DataFrame:
     return sums.select(
         "n_terms", slope.alias("slope"),
         ((d("sy") - slope * d("sx")) / n).alias("intercept"))
+
+
+def ngram_precision(df: DataFrame, id_col: str, cand_col: str,
+                    ref_col: str, n: int = 2) -> DataFrame:
+    """Clipped n-gram precision (the BLEU p_n building block) per
+    (candidate, reference) row — the eval-pipeline overlap metric:
+    of the candidate's n-grams, how many appear in the reference,
+    each match CLIPPED by the reference's own count of that n-gram
+    (Papineni et al. 2002 — clipping is what stops "the the the"
+    from scoring 1.0 against any reference containing "the").
+
+    Scale shape: explode both sides to (id, ngram) counts — two
+    groupBys that hash-partition on the SAME (id, g) key, so the
+    clip join is co-partitioned — then one per-id aggregate. All
+    counts exact integers; precision is one double division of two
+    bigints, cross-engine bit-stable.
+
+    Output: (id_col, n_cand, n_clip, precision); precision NULL for
+    a candidate with no n-grams."""
+    from sybil_spark.functions.text import ngrams
+
+    cg = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(ngrams(F.col(cand_col), n)).alias("g"))
+            .groupBy("__id", "g").agg(F.count(F.lit(1)).alias("c")))
+    rg = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(ngrams(F.col(ref_col), n)).alias("g"))
+            .groupBy("__id", "g").agg(F.count(F.lit(1)).alias("r")))
+    j = (cg.join(rg, ["__id", "g"], "left")
+           .select("__id", "c",
+                   F.least(F.col("c"),
+                           F.coalesce(F.col("r"),
+                                      F.lit(0).cast("long")))
+                    .alias("clip")))
+    return (j.groupBy("__id")
+             .agg(F.sum("c").alias("n_cand"),
+                  F.sum("clip").alias("n_clip"))
+             .select(F.col("__id").alias(id_col), "n_cand", "n_clip",
+                     (F.col("n_clip").cast("double")
+                      / F.col("n_cand")).alias("precision")))

@@ -253,3 +253,22 @@ def test_lsh_recall_report_matches_component_sets(spark, seed):
     assert row["n_true"] == len(true)
     assert row["n_cand"] == len(cand)
     assert row["n_hit"] == len(true & cand)
+
+
+def test_ngram_precision_clips(spark):
+    """BLEU-style clipping: a candidate repeating an n-gram scores
+    only as many matches as the reference contains."""
+    from sybil_spark.operators.quality import ngram_precision
+    rows = [(0, "the the the", "the x"),
+            (1, "x y x y", "x y z"),
+            (2, "a b c", "a b c")]
+    df = spark.createDataFrame(rows, ["id", "cand", "ref"])
+    uni = {r["id"]: (r["n_cand"], r["n_clip"], r["precision"])
+           for r in ngram_precision(df, "id", "cand", "ref", n=1)
+           .collect()}
+    assert uni[0] == (3, 1, pytest.approx(1 / 3))
+    bi = {r["id"]: (r["n_cand"], r["n_clip"], r["precision"])
+          for r in ngram_precision(df, "id", "cand", "ref", n=2)
+          .collect()}
+    assert bi[1] == (3, 1, pytest.approx(1 / 3))
+    assert bi[2] == (2, 2, 1.0)
