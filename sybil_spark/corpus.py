@@ -3521,6 +3521,100 @@ def q_resample_mixture(spark, sf):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
 
 
+@_q("lang_id_trained", """
+    with g as (select doc_id, lang,
+               unnest(list_transform(
+                   generate_series(1, length(text) - 2),
+                   i -> substr(text, i, 3))) as g
+               from documents),
+    dg as (select doc_id, g, count(*) as c from g group by 1, 2),
+    lg as (select lang, g, count(*) as cnt from g group by 1, 2),
+    nd as (select doc_id, cast(sum(c * c) as bigint) as nd2
+           from dg group by 1),
+    nl as (select lang, cast(sum(cnt * cnt) as bigint) as nl2
+           from lg group by 1),
+    dt as (select dg.doc_id, lg.lang,
+                  cast(sum(dg.c * lg.cnt) as bigint) as dp
+           from dg join lg on lg.g = dg.g group by 1, 2),
+    cs as (select dt.doc_id, dt.lang,
+                  cast(dp as double)
+                    / (sqrt(cast(nd2 as double))
+                       * sqrt(cast(nl2 as double))) as score
+           from dt
+           join nd on nd.doc_id = dt.doc_id
+           join nl on nl.lang = dt.lang),
+    r as (select doc_id, lang, score,
+                 row_number() over (partition by doc_id
+                     order by score desc, lang asc) as rn
+          from cs)
+    select d.doc_id, d.lang, r.lang as pred_lang, r.score
+    from documents d join r on r.doc_id = d.doc_id and r.rn = 1
+    order by d.doc_id""")
+def q_lang_id_trained(spark, sf):
+    """TRAINED language ID (classify.lang_profiles +
+    lang_id_trained): per-language char-trigram profiles, documents
+    classified by count-vector cosine — Cavnar & Trenkle, the
+    model-based upgrade of the stopword heuristic (lang_id row).
+    Bit-exact WITHOUT quantization: dots and norms are exact integer
+    sums; the only float ops are IEEE sqrt/mult/div composed
+    identically on both engines, so the argmax can't diverge."""
+    from sybil_spark.operators import classify
+    d = _t(spark, sf, "documents")
+    profiles = classify.lang_profiles(d, "lang", "text", n=3)
+    pred = classify.lang_id_trained(d, "doc_id", "text", profiles,
+                                    n=3)
+    return (d.select("doc_id", "lang").join(pred, "doc_id")
+             .select("doc_id", "lang", "pred_lang", "score")
+             .orderBy("doc_id"))
+
+
+@_q("domain_report", f"""
+    with aug as (select doc_id, text,
+           text || ' see https://site' || doc_id % 7 ||
+           '.example.com/page/' || doc_id as t
+         from documents),
+    f as (select doc_id,
+            unnest(regexp_extract_all(t,
+                'https?://([A-Za-z0-9.-]+)', 1)) as domain,
+            len(string_split(text, ' ')) as nt,
+            (cast(least(len(string_split(text, ' ')), 100) as double)
+             / 100.0)
+            * (case when cast(len(list_filter(string_split(text, ' '),
+                   x -> x in ('the','a','of','and','in','to','is',
+                              'it','that','for'))) as double)
+                   / len(string_split(text, ' ')) > 0.01
+               then 1.0 else 0.5 end) as score
+          from aug)
+    select domain, count(*) as docs,
+           cast(sum(nt) as bigint) as sum_tokens,
+           {_dsum('score')}/count(*) as avg_quality
+    from f group by 1""")
+def q_domain_report(spark, sf):
+    """Per-domain corpus report — docs, token mass, mean quality by
+    source domain (the C4/RefinedWeb domain-level filter input: cut
+    or reweight domains below a quality bar). URLs are synthetic
+    (same augmentation as the url_domains row: the corpus text
+    carries none); the analysis — regexp domain extraction, explode,
+    per-domain decimal-exact quality aggregation — is the real
+    pipeline step."""
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id", "text",
+        F.concat(F.col("text"), F.lit(" see https://site"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/page/"),
+                 F.col("doc_id").cast("string")).alias("t"))
+    f = aug.select(
+        F.explode(T.url_domains(F.col("t"))).alias("domain"),
+        T.token_count(F.col("text")).alias("nt"),
+        T.quality_score(F.col("text")).alias("score"))
+    return (f.groupBy("domain")
+             .agg(F.count(F.lit(1)).alias("docs"),
+                  F.sum("nt").alias("sum_tokens"),
+                  (F.sum(F.col("score").cast(_DEC)).cast("double")
+                   / F.count(F.lit(1))).alias("avg_quality")))
+
+
 @_q("ngram_overlap", """
     with pairs as (select d.doc_id, d.text as cand, r.text as ref
                    from documents d
@@ -3541,8 +3635,8 @@ def q_resample_mixture(spark, sf):
             on rc.doc_id = cc.doc_id and rc.g = cc.g)
     select doc_id, cast(sum(c) as bigint) as n_cand,
            cast(sum(clip) as bigint) as n_clip,
-           cast(sum(clip) as double) / cast(sum(c) as bigint)
-             as precision
+           cast(cast(sum(clip) as bigint) as double)
+             / cast(sum(c) as bigint) as precision
     from j group by 1 order by doc_id""")
 def q_ngram_overlap(spark, sf):
     """Clipped bigram precision (quality.ngram_precision — the BLEU
@@ -4927,7 +5021,8 @@ _DRIVER_FIRST = [
     "char_entropy", "vocab_growth", "zipf_fit", "cluster_splits",
     "bpe_pairs", "bpe_merges",
     "lsh_recall", "quality_lr", "hard_negatives", "ivf_recall",
-    "temperature_mix", "ngram_overlap",
+    "temperature_mix", "ngram_overlap", "lang_id_trained",
+    "domain_report",
     # changed this round: source_mix's oracle render round-trips
     # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
     # auto-persist lifetime to cache_scope (plan-neutral, re-verify

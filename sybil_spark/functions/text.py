@@ -174,6 +174,19 @@ def char_entropy(col: Column) -> Column:
             .otherwise(F.lit(0.0))
 
 
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-grams as array<string>, one entry per position
+    (duplicates kept) — the raw material of trained language-ID
+    profiles (Cavnar & Trenkle 1994 / CLD-style). Pure codegen
+    substring windows; a text shorter than n chars yields an empty
+    array (the sequence() guard — sequence(1,0) would DESCEND)."""
+    idx = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    # Column.substr takes Column args; F.substring needs literals
+    grams = F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+    return F.when(F.length(col) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def ngrams(col: Column, n: int = 3) -> Column:
     """Word n-grams as an array<string>, duplicates kept (one entry
     per position). Documents shorter than n words yield a single

@@ -95,3 +95,67 @@ def train_logistic(df: DataFrame, feature_cols: list[str],
         df.select(*feature_cols, label_col)))
     return ([float(w) for w in model.coefficients],
             float(model.intercept))
+
+
+def lang_profiles(df: DataFrame, lang_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """(lang, g, cnt): per-language character-n-gram frequency
+    profiles (Cavnar & Trenkle 1994 — the trained replacement for
+    the stopword-heuristic functions.text.lang_id). One explode +
+    one groupBy; the profile table is #langs × #grams rows —
+    alphabet-bounded, broadcastable at any corpus size."""
+    from sybil_spark.functions.text import char_ngrams
+
+    return (df.select(F.col(lang_col).alias("lang"),
+                      F.explode(char_ngrams(F.col(text_col), n))
+                       .alias("g"))
+              .groupBy("lang", "g")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def lang_id_trained(df: DataFrame, id_col: str, text_col: str,
+                    profiles: DataFrame, n: int = 3) -> DataFrame:
+    """Predict each document's language by cosine similarity between
+    its char-n-gram count vector and every language profile —
+    argmax language, ties → lexicographically first.
+
+    Cross-engine exactness by construction: dot products and squared
+    norms are EXACT INTEGER sums of count products; the only float
+    ops are two IEEE-correctly-rounded sqrts, one multiply, one
+    divide, composed identically on both engines — so scores (and
+    therefore the argmax) are bit-equal with no quantization needed,
+    unlike the ln/exp-based operators.
+
+    Scale shape: docs explode to (doc, g, cnt) once; the profile
+    join is an equi-join on the gram (profiles broadcast when small)
+    feeding one (doc, lang) aggregate; norms are one tiny frame per
+    side. Output: (id_col, pred_lang, score), one row per doc that
+    has at least one n-gram."""
+    from pyspark.sql import Window
+
+    from sybil_spark.functions.text import char_ngrams
+
+    dg = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(char_ngrams(F.col(text_col), n))
+                     .alias("g"))
+            .groupBy("__id", "g")
+            .agg(F.count(F.lit(1)).alias("c")))
+    nd = dg.groupBy("__id").agg(F.sum(F.col("c") * F.col("c"))
+                                .alias("nd2"))
+    nl = profiles.groupBy("lang").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("nl2"))
+    dot = (dg.join(profiles.select("lang", "g", "cnt"), "g")
+             .groupBy("__id", "lang")
+             .agg(F.sum(F.col("c") * F.col("cnt")).alias("dot")))
+    cos = (dot.join(nd, "__id").join(F.broadcast(nl), "lang")
+              .select("__id", "lang",
+                      (F.col("dot").cast("double")
+                       / (F.sqrt(F.col("nd2").cast("double"))
+                          * F.sqrt(F.col("nl2").cast("double"))))
+                      .alias("score")))
+    w = Window.partitionBy("__id").orderBy(F.desc("score"),
+                                           F.asc("lang"))
+    return (cos.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1)
+               .select(F.col("__id").alias(id_col),
+                       F.col("lang").alias("pred_lang"), "score"))

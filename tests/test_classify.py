@@ -272,3 +272,40 @@ def test_ngram_precision_clips(spark):
           .collect()}
     assert bi[1] == (3, 1, pytest.approx(1 / 3))
     assert bi[2] == (2, 2, 1.0)
+
+
+def test_char_ngrams_edges(spark):
+    from sybil_spark.functions.text import char_ngrams
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], ["t"])
+    got = [r["g"] for r in
+           df.select(char_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == [] and got[2] == []
+
+
+def test_lang_id_trained_separates_scripts(spark):
+    """Documents from two synthetic 'languages' with disjoint
+    character inventories classify perfectly; prediction is
+    deterministic under reruns."""
+    from sybil_spark.operators import classify
+    import random
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        if i % 2:
+            txt = " ".join("".join(rng.choice("abcdef")
+                                   for _ in range(6))
+                           for _ in range(10))
+            rows.append((i, "alpha", txt))
+        else:
+            txt = " ".join("".join(rng.choice("uvwxyz")
+                                   for _ in range(6))
+                           for _ in range(10))
+            rows.append((i, "omega", txt))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    prof = classify.lang_profiles(df, "lang", "text")
+    pred = classify.lang_id_trained(df, "doc_id", "text", prof)
+    joined = (df.select("doc_id", "lang").join(pred, "doc_id")
+              .collect())
+    assert len(joined) == 40
+    assert all(r["lang"] == r["pred_lang"] for r in joined)
