@@ -3521,6 +3521,50 @@ def q_resample_mixture(spark, sf):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
 
 
+@_q("dataset_card", f"""
+    with t as (select source, lang, md5(text) as h,
+                      len(string_split(text, ' ')) as nt,
+                      (cast(least(len(string_split(text, ' ')), 100)
+                            as double)/100.0)
+                      * (case when cast(len(list_filter(
+                               string_split(text, ' '),
+                               x -> x in ('the','a','of','and','in',
+                                          'to','is','it','that','for')))
+                               as double)
+                               / len(string_split(text, ' ')) > 0.01
+                         then 1.0 else 0.5 end) as score
+               from documents)
+    select cast(count(*) as bigint) as n_docs,
+           cast(count(distinct source) as bigint) as n_sources,
+           cast(count(distinct lang) as bigint) as n_langs,
+           cast(sum(nt) as bigint) as n_tokens,
+           cast(count(distinct h) as bigint) as n_distinct_texts,
+           cast(count(*) - count(distinct h) as double)
+             / count(*) as dup_frac,
+           {_dsum('score')}/count(*) as mean_quality
+    from t""")
+def q_dataset_card(spark, sf):
+    """The dataset-card summary a data lead asks for first: corpus
+    size, source/language diversity, token mass, exact-duplicate
+    fraction, mean quality — ONE aggregation pass. Duplicate
+    detection counts distinct md5(text) on BOTH engines (texts never
+    shuffle; only 16-byte digests enter the distinct), and the
+    quality mean is the decimal-exact accumulation every corpus
+    average uses."""
+    d = _t(spark, sf, "documents")
+    n = F.count(F.lit(1))
+    ndist = F.countDistinct(F.md5(F.col("text")))
+    return d.agg(
+        n.alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+        ndist.alias("n_distinct_texts"),
+        ((n - ndist).cast("double") / n).alias("dup_frac"),
+        (F.sum(T.quality_score(F.col("text")).cast(_DEC))
+         .cast("double") / n).alias("mean_quality"))
+
+
 @_q("lang_id_trained", """
     with g as (select doc_id, lang,
                unnest(list_transform(
@@ -5010,9 +5054,10 @@ _DRIVER_FIRST = [
     # Round-7 rotation (driver records only the first ~50 rows).
     # Board state after r6: every declared query has a green driver
     # row; freshness is the only decay (47 queries' latest row is r4
-    # or older, one — tpch_q18 — is r2). This round: the stalest 47
-    # first, oldest first, then the queries whose oracle or
-    # implementation changed this round.
+    # or older, one — tpch_q18 — is r2). Priority: tpch_q18, then
+    # the 20 BRAND-NEW r7 queries (zero-row > stale-but-green for
+    # the window), then rows whose oracle/impl changed, then the r4
+    # block oldest-first (its tail rolls to r8's rotation).
     "tpch_q18",                                   # r2 — the stalest
     # brand-new this round — first driver rows (zero-row queries
     # outrank stale-but-green ones for the ~50-row window):
@@ -5022,7 +5067,7 @@ _DRIVER_FIRST = [
     "bpe_pairs", "bpe_merges",
     "lsh_recall", "quality_lr", "hard_negatives", "ivf_recall",
     "temperature_mix", "ngram_overlap", "lang_id_trained",
-    "domain_report",
+    "domain_report", "dataset_card",
     # changed this round: source_mix's oracle render round-trips
     # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
     # auto-persist lifetime to cache_scope (plan-neutral, re-verify
