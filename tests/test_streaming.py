@@ -1135,3 +1135,71 @@ def test_ivfpq_stream_torn_batch_invisible(spark, tmp_path):
     assert [tuple(r) for r in
             similarity.ivfpq_index_topk(spark, idx, vec(3), k=5,
                                         nprobe=4).collect()] == before
+
+
+def test_ivfpq_stream_compact_interleaved(spark, tmp_path):
+    """Alternating micro-batches and compactions: the index serves
+    exactly at EVERY step (pending, just-folded, pending-again), and
+    repeated folds keep advancing the watermark monotonically."""
+    import os
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import similarity
+    from sybil_spark.streaming.ingest_stream import stream_ivfpq_index_add
+
+    dim = 8
+    def vec(i):
+        return [float((i * 11 + j * 5) % 17 + 1) for j in range(dim)]
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding",
+                                ArrayType(DoubleType()))]))
+    idx = str(tmp_path / "interpq")
+    similarity.build_ivfpq_index(base, "embedding", idx,
+                                 nlist=4, m=4, kcb=4)
+    src = tmp_path / "ipq-in"
+    src.mkdir()
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_ivfpq_index_add(stream, idx)
+    query = vec(7)
+
+    def serve():
+        return [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, idx, query, k=6,
+                                            nprobe=4).collect()]
+
+    def batch_ref(extra_rows):
+        ref = str(tmp_path / f"iref{len(extra_rows)}")
+        similarity.build_ivfpq_index(base, "embedding", ref,
+                                     nlist=4, m=4, kcb=4)
+        if extra_rows:
+            similarity.ivfpq_index_add(
+                spark.createDataFrame(extra_rows, schema), ref)
+        return [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, ref, query, k=6,
+                                            nprobe=4).collect()]
+
+    try:
+        added = []
+        last_wm = -1
+        for step in range(4):
+            rows = [(300 + step * 10 + j, vec(300 + step * 10 + j))
+                    for j in range(3)]
+            _write_batch(src, f"s{step}.ndjson",
+                         [{"vec_id": i, "embedding": v}
+                          for i, v in rows])
+            q.processAllAvailable()
+            added += rows
+            assert serve() == batch_ref(added), f"pending step {step}"
+            if step % 2 == 1:
+                assert similarity.ivfpq_index_compact(spark, idx) >= 1
+                meta = json.load(open(f"{idx}/ivfpq_meta.json"))
+                assert meta["stream_fold_watermark"] > last_wm
+                last_wm = meta["stream_fold_watermark"]
+                assert serve() == batch_ref(added), f"folded step {step}"
+        assert not os.path.isdir(f"{idx}/codes_stream")
+    finally:
+        q.stop()
