@@ -3521,6 +3521,52 @@ def q_resample_mixture(spark, sf):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
 
 
+@_q("backoff_logprob", """
+    with w as (select doc_id, string_split(text, ' ') as t
+               from documents),
+    p as (select doc_id, unnest(t) as tok,
+                 generate_subscripts(t, 1) as i from w),
+    pp as (select p.doc_id, p.i, p.tok,
+                  case when p.i > 1 then w.t[p.i - 1] end as prev
+           from p join w using (doc_id)),
+    m1 as (select tok, cast(count(*) as bigint) as c1
+           from pp group by 1),
+    nn as (select cast(count(*) as bigint) as n from pp),
+    m2 as (select prev, tok, cast(count(*) as bigint) as c2
+           from pp where prev is not null group by 1, 2),
+    cc as (select prev, cast(count(*) as bigint) as ccc
+           from pp where prev is not null group by 1),
+    s as (select pp.doc_id,
+                 cast(case
+                   when pp.prev is null
+                     then ln(cast(m1.c1 as double) / nn.n)
+                   when m2.c2 is not null
+                     then ln(cast(m2.c2 as double)
+                             / cast(cc.ccc as double))
+                   else ln(0.4e0 * (cast(m1.c1 as double) / nn.n))
+                 end as decimal(38,6)) as sc
+          from pp
+          join m1 on m1.tok = pp.tok
+          left join m2 on m2.prev = pp.prev and m2.tok = pp.tok
+          left join cc on cc.prev = pp.prev
+          cross join nn)
+    select doc_id, cast(count(*) as bigint) as n_tokens,
+           cast(cast(sum(sc) as varchar) as double) as sum_score,
+           cast(cast(sum(sc) as varchar) as double)
+             / cast(count(*) as bigint) as mean_score
+    from s group by 1 order by doc_id""")
+def q_backoff_logprob(spark, sf):
+    """Stupid Backoff document scoring (Brants et al. 2007 —
+    quality.stupid_backoff_logprob): the distributed-scale LM
+    smoothing (no normalization pass), self-scored; per-token ln
+    scores quantize to decimal(38,6) before the order-independent
+    sum, the doc_logprob exactness discipline."""
+    from sybil_spark.operators import quality
+    return (quality.stupid_backoff_logprob(
+                _t(spark, sf, "documents"), "doc_id", "text")
+            .orderBy("doc_id"))
+
+
 @_q("dataset_card", f"""
     with t as (select source, lang, md5(text) as h,
                       len(string_split(text, ' ')) as nt,
@@ -5067,7 +5113,7 @@ _DRIVER_FIRST = [
     "bpe_pairs", "bpe_merges",
     "lsh_recall", "quality_lr", "hard_negatives", "ivf_recall",
     "temperature_mix", "ngram_overlap", "lang_id_trained",
-    "domain_report", "dataset_card",
+    "domain_report", "dataset_card", "backoff_logprob",
     # changed this round: source_mix's oracle render round-trips
     # through bigint (decimal lint fix); tfidf/bm25/hybrid moved
     # auto-persist lifetime to cache_scope (plan-neutral, re-verify

@@ -1166,3 +1166,57 @@ def ngram_precision(df: DataFrame, id_col: str, cand_col: str,
              .select(F.col("__id").alias(id_col), "n_cand", "n_clip",
                      (F.col("n_clip").cast("double")
                       / F.col("n_cand")).alias("precision")))
+
+
+def stupid_backoff_logprob(df: DataFrame, id_col: str, text_col: str,
+                           alpha: float = 0.4) -> DataFrame:
+    """Per-document mean log-score under Stupid Backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation") — the
+    smoothing DESIGNED for distributed, corpus-scale LMs: no
+    discount mass to normalize across the cluster, just
+    S(w|prev) = cnt(prev,w)/cnt(prev) when the bigram is seen, else
+    alpha * cnt(w)/N. The first token of a document (no context)
+    scores at its unigram MLE without the backoff penalty.
+
+    Self-scoring (models built from `df` itself), so every token is
+    in-vocabulary by construction. Exactness contract: every
+    ln-score quantizes through the decimal(38,6) varchar round-trip
+    before the order-independent decimal sum (the doc_logprob/
+    char_entropy discipline — JVM ln is not libm-bit-equal).
+
+    Output: (id_col, n_tokens, sum_score, mean_score).
+    Scale: one posexplode scan; scoring is three narrow equi-joins
+    (pair, context, unigram — Catalyst broadcasts small models) and
+    one doc groupBy."""
+    words = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col).alias("__id"), words.alias("__w")) \
+           .select("__id", F.posexplode(F.col("__w")).alias("pos", "tok"),
+                   F.col("__w"))
+    ex = ex.select(
+        "__id", "pos", "tok",
+        F.when(F.col("pos") >= 1,
+               F.element_at(F.col("__w"), F.col("pos"))).alias("prev"))
+    m1 = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    n_total = m1.agg(F.sum("c1").alias("n")).collect()[0]["n"]
+    pairs = ex.where(F.col("prev").isNotNull())
+    m2 = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    cc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("ccc"))
+    j = (ex.join(m1, "tok")
+           .join(m2, ["prev", "tok"], "left")
+           .join(cc, "prev", "left"))
+    nf = F.lit(float(n_total))
+    uni = F.col("c1").cast("double") / nf
+    sc = F.when(F.col("prev").isNull(), F.log(uni)) \
+          .when(F.col("c2").isNotNull(),
+                F.log(F.col("c2").cast("double")
+                      / F.col("ccc").cast("double"))) \
+          .otherwise(F.log(F.lit(float(alpha)) * uni))
+    term = sc.cast(_DEC)
+    return (j.groupBy("__id")
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  F.sum(term).alias("__s"))
+             .select(F.col("__id").alias(id_col), "n_tokens",
+                     F.col("__s").cast("string").cast("double")
+                      .alias("sum_score"),
+                     (F.col("__s").cast("string").cast("double")
+                      / F.col("n_tokens")).alias("mean_score")))

@@ -309,3 +309,50 @@ def test_lang_id_trained_separates_scripts(spark):
               .collect())
     assert len(joined) == 40
     assert all(r["lang"] == r["pred_lang"] for r in joined)
+
+
+def test_stupid_backoff_matches_python(spark):
+    """Stupid Backoff semantics pinned against a python reference:
+    first token scores unigram MLE, seen bigrams score their MLE,
+    unseen bigrams back off with the 0.4 penalty; per-token scores
+    quantized to 1e-6 like the operator."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+    from collections import Counter
+    from sybil_spark.operators.quality import stupid_backoff_logprob
+
+    texts = ["a b a b", "b a c", "c c a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+
+    toks = [t.split(" ") for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    n = sum(uni.values())
+    bi = Counter((ws[i - 1], ws[i]) for ws in toks
+                 for i in range(1, len(ws)))
+    ctx = Counter(ws[i - 1] for ws in toks for i in range(1, len(ws)))
+
+    def q(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    def score(ws):
+        s = Decimal(0)
+        for i, w in enumerate(ws):
+            if i == 0:
+                v = math.log(uni[w] / n)
+            elif (ws[i - 1], w) in bi:
+                v = math.log(bi[(ws[i - 1], w)] / ctx[ws[i - 1]])
+            else:
+                v = math.log(0.4 * (uni[w] / n))
+            s += Decimal(repr(q(v)))
+        return float(s), float(s) / len(ws)
+
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_score"], r["mean_score"])
+           for r in stupid_backoff_logprob(df, "doc_id", "text")
+           .collect()}
+    for i, ws in enumerate(toks):
+        sm, mn = score(ws)
+        assert got[i][0] == len(ws)
+        assert got[i][1] == pytest.approx(sm, abs=3e-6)
+        assert got[i][2] == pytest.approx(mn, abs=3e-6)
