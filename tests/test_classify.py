@@ -4,6 +4,7 @@ and the LSH recall report."""
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -356,3 +357,47 @@ def test_stupid_backoff_matches_python(spark):
         assert got[i][0] == len(ws)
         assert got[i][1] == pytest.approx(sm, abs=3e-6)
         assert got[i][2] == pytest.approx(mn, abs=3e-6)
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=1,
+                              max_size=20), min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stupid_backoff_fuzz(spark, texts):
+    """Random corpora over a tiny alphabet (dense bigram collisions,
+    empty-token edge cases from double spaces) against the python
+    reference."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+    from collections import Counter
+    from sybil_spark.operators.quality import stupid_backoff_logprob
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    toks = [t.split(" ") for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    n = sum(uni.values())
+    bi = Counter((ws[i - 1], ws[i]) for ws in toks
+                 for i in range(1, len(ws)))
+    ctx = Counter(ws[i - 1] for ws in toks for i in range(1, len(ws)))
+
+    def q(x):
+        return Decimal(repr(float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))))
+
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_score"])
+           for r in stupid_backoff_logprob(df, "doc_id", "text")
+           .collect()}
+    for i, ws in enumerate(toks):
+        s = Decimal(0)
+        for j, w in enumerate(ws):
+            if j == 0:
+                v = math.log(uni[w] / n)
+            elif (ws[j - 1], w) in bi:
+                v = math.log(bi[(ws[j - 1], w)] / ctx[ws[j - 1]])
+            else:
+                v = math.log(0.4 * (uni[w] / n))
+            s += q(v)
+        assert got[i][0] == len(ws)
+        assert got[i][1] == pytest.approx(float(s), abs=3e-6), \
+            (i, texts[i])
