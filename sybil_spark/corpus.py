@@ -5097,6 +5097,33 @@ def q_tpch_q20(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
+    # Round-8 rotation (driver records only the first ~50 rows).
+    # Board state after r7: all 165 queries have a green driver row;
+    # freshness is the only decay. Priority per the r7 verdict: the
+    # 25 queries whose latest row is still r4 (the oldest evidence on
+    # the board — all re-verified green locally), then queries whose
+    # implementation changes this round (cluster_splits hash-keyed
+    # pair join; backoff_logprob empty-corpus guard; ivfpq_topk served
+    # through the staged-swap compact; exact_substr keying passes),
+    # then new r8 queries.
+    # (a) r4-latest block, oldest evidence first:
+    "asof_join", "assign_splits", "distinct_limit", "hash_sample",
+    "icc", "ivf_topk", "loghist", "loghist_group", "lsh_topk",
+    "percentiles", "range_join", "resample_mixture", "rollup_counts",
+    "rollup_serve", "samples", "sessionize", "stddev",
+    "stratified_sample", "sum_min_max", "time_filter_aligned",
+    "time_hist", "topk_per_group", "tpch_q1", "tpch_q3",
+    "weighted_hist",
+    # (b) implementation/infrastructure changed this round:
+    "cluster_splits", "backoff_logprob", "ivfpq_topk", "pq_topk",
+    "exact_substr", "quality_lr", "bpe_pairs", "bpe_merges",
+    "lsh_recall", "ivf_recall",
+    # (c) new r8 queries (names appended as they land):
+    "bpe_apply", "pq_topk_trained", "lsh_tuned_pairs", "ivf_tuned",
+    "quality_lr_ngram", "minhash_tuned",
+]
+
+_DRIVER_FIRST_R7 = [
     # Round-7 rotation (driver records only the first ~50 rows).
     # Board state after r6: every declared query has a green driver
     # row; freshness is the only decay (47 queries' latest row is r4

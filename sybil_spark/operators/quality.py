@@ -1198,6 +1198,15 @@ def stupid_backoff_logprob(df: DataFrame, id_col: str, text_col: str,
                F.element_at(F.col("__w"), F.col("pos"))).alias("prev"))
     m1 = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     n_total = m1.agg(F.sum("c1").alias("n")).collect()[0]["n"]
+    if not n_total:
+        # empty / all-empty-text corpus: no model to score against —
+        # return the empty frame with the output schema instead of
+        # building F.lit(float(None))
+        spark = df.sparkSession
+        id_t = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{id_col} {id_t}, n_tokens bigint, "
+                "sum_score double, mean_score double")
     pairs = ex.where(F.col("prev").isNotNull())
     m2 = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
     cc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("ccc"))

@@ -1067,7 +1067,15 @@ def ivfpq_index_topk(spark, index_path: str, query: list[float],
     m-1 adds. Output (id_col, pq_dist), ascending, ties by id.
     Approximation is two-layer and explicit: probe recall (unprobed
     lists are never scored) x quantization error (distances are to
-    the codewords, not the vectors) — the standard IVFPQ trade."""
+    the codewords, not the vectors) — the standard IVFPQ trade.
+
+    Serves locklessly, like bm25_index_topk: the only mutations a
+    serve can race are (a) a new batch dir appearing (invisible
+    until its _count.json lands), and (b) ivfpq_index_compact's
+    single whole-dir rename — committed batches are never rewritten
+    in place (a replay of a committed batch is a no-op in
+    stream_ivfpq_index_add), so there is no window where a listed
+    batch's files vanish except the rename itself."""
     import json
     import os
 
@@ -1110,19 +1118,27 @@ def _ivfpq_stream_batches(index_path: str) -> list[str]:
 
 
 def ivfpq_index_compact(spark, index_path: str) -> int:
-    """Fold committed streamed batches into the base codes dir with
-    a whole-dir staged swap (write codes_new from base + batches,
-    rename over, drop codes_stream), then advance
-    `stream_fold_watermark` in the meta so a replayed already-folded
-    batch SKIPS instead of double-appending — the same fencing
-    contract as bm25_index_compact / compact_dedup_index. Returns
-    the number of batches folded (0 = nothing to do). Torn
-    (marker-less) batch dirs are deleted, not folded."""
+    """Fold committed streamed batches into the base codes dir by
+    swapping the ENTIRE index dir as one unit (rollup's
+    _staged_swap, the bm25_index_compact protocol): the replacement
+    dir holds the merged codes, a meta whose
+    `stream_fold_watermark` is already advanced, and NO
+    codes_stream — so fold + watermark + stream-dir removal commit
+    at one rename. A crash leaves either the old index (codes +
+    pending batches + old meta, still consistent) or the new one,
+    never a state where a folded batch survives beside the folded
+    codes (double-serve) or a folded batch's watermark advance is
+    lost (replay double-append). A lockless concurrent
+    ivfpq_index_topk races only the single rename — the same
+    accepted window as bm25 serving. Returns the number of batches
+    folded (0 = nothing to do). Torn (marker-less) batch dirs are
+    dropped with the old dir, not folded."""
     import json
     import os
     import shutil
 
     from sybil_spark.sources.locks import path_lock
+    from sybil_spark.sources.rollup import _staged_swap
 
     with path_lock(index_path):
         batches = _ivfpq_stream_batches(index_path)
@@ -1141,20 +1157,19 @@ def ivfpq_index_compact(spark, index_path: str) -> int:
             merged = merged.unionByName(
                 spark.read.parquet(bdir).select(*cols))
             hi = max(hi, int(os.path.basename(bdir).split("-", 1)[1]))
-        staged = base + ".staged"
-        (merged.write.partitionBy("cluster").mode("overwrite")
-               .parquet(staged))
-        old = base + ".old"
-        os.rename(base, old)
-        os.rename(staged, base)
-        shutil.rmtree(old)
-        shutil.rmtree(root)
+        # snapshot before the swap renames the dirs the plan reads
+        merged = merged.localCheckpoint(eager=True)
         meta["stream_fold_watermark"] = max(
             hi, int(meta.get("stream_fold_watermark", -1)))
-        tmp = os.path.join(index_path, "ivfpq_meta.json.partial")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(index_path, "ivfpq_meta.json"))
+
+        def write(tmp: str) -> None:
+            (merged.write.partitionBy("cluster")
+                   .parquet(os.path.join(tmp, "codes")))
+            with open(os.path.join(tmp, "ivfpq_meta.json"),
+                      "w") as f:
+                json.dump(meta, f)
+
+        _staged_swap(index_path, write)
         return len(batches)
 
 

@@ -1250,6 +1250,14 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
                 meta = json.load(f)
             if batch_id <= int(meta.get("stream_fold_watermark", -1)):
                 return   # committed AND folded before an unclean stop
+            bdir = os.path.join(index_path, "postings_stream",
+                                f"batch-{batch_id}")
+            if os.path.exists(os.path.join(bdir, "_delta.json")):
+                # committed but the checkpoint never advanced:
+                # tokenization is deterministic, so the dir already
+                # holds this replay's exact content — skip rather
+                # than rewrite a committed dir under a serve
+                return
             toks = batch_df.select(
                 F.col(meta["id_col"]).alias("doc"),
                 F.explode(tokens(F.col(meta["text_col"])))
@@ -1267,8 +1275,6 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
             rows = (tf.join(dl, "doc").join(bdf, "tok")
                       .withColumn("pb", F.pmod(F.xxhash64("tok"),
                                                F.lit(meta["nbuckets"]))))
-            bdir = os.path.join(index_path, "postings_stream",
-                                f"batch-{batch_id}")
             (rows.write.partitionBy("pb").mode("overwrite")
                  .parquet(bdir))
             # sidecar LAST: its presence is the commit marker that
@@ -1322,6 +1328,17 @@ def stream_ivfpq_index_add(df: DataFrame, index_path: str,
                 meta = json.load(f)
             if batch_id <= int(meta.get("stream_fold_watermark", -1)):
                 return   # committed AND folded before an unclean stop
+            bdir = os.path.join(index_path, "codes_stream",
+                                f"batch-{batch_id}")
+            if os.path.exists(os.path.join(bdir, "_count.json")):
+                # committed but the checkpoint never advanced: the
+                # encode is deterministic under the frozen
+                # quantizers, so the dir already holds exactly what
+                # this replay would write — skipping (instead of
+                # mode-overwrite rewriting) means a committed batch
+                # is NEVER rewritten in place, closing the window
+                # where a concurrent serve saw its files vanish
+                return
             enc = pq_encode(
                 ivf_assign(batch_df, meta["vec_col"],
                            meta["centroids"]),
@@ -1330,8 +1347,6 @@ def stream_ivfpq_index_add(df: DataFrame, index_path: str,
             obs = Observation()
             out = (enc.select(meta["id_col"], "pq_code", "cluster")
                       .observe(obs, F.count(F.lit(1)).alias("n")))
-            bdir = os.path.join(index_path, "codes_stream",
-                                f"batch-{batch_id}")
             (out.write.partitionBy("cluster").mode("overwrite")
                 .parquet(bdir))
             n = int(obs.get["n"])

@@ -237,3 +237,67 @@ def test_zipf_fit_recovers_known_slope(spark):
     assert row["n_terms"] == 40
     assert row["slope"] == pytest.approx(-s, abs=0.02)
     assert row["intercept"] == pytest.approx(math.log(C), abs=0.05)
+
+
+# ------------------------------------------------------------- batched train
+
+def test_bpe_train_batched_matches_sequential_fixed(spark):
+    """batch_k > 1 must be bit-identical to the sequential loop —
+    _safe_batch only admits merges whose greedy order is PROVEN from
+    the collected pair table. Dense corpus with tie clusters and
+    run-merges (the hazard cases: created pairs, symbol collisions,
+    equal-freq tie-breaks)."""
+    from sybil_spark.operators import bpe
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "a cat and a rat and a mat", "thethe the t", "aaa aa a",
+             "in the thin inn", "at the mat at the rat"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    ref = py_train(texts, 14)
+    assert bpe.bpe_train(df, "text", 14) == ref
+    for k in (2, 4, 8):
+        assert bpe.bpe_train(df, "text", 14, batch_k=k) == ref, k
+
+
+@given(texts=bpe_texts_st, n=st.integers(2, 8),
+       k=st.integers(2, 5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_batched_fuzz(spark, texts, n, k):
+    """Hypothesis: batched training == python reference == the
+    sequential Spark loop, over dense tiny-alphabet corpora where
+    batch admission constantly hits the created-pair and collision
+    bounds."""
+    from sybil_spark.operators import bpe
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    assert bpe.bpe_train(df, "text", n, batch_k=k) == py_train(texts, n)
+
+
+def test_bpe_train_batched_fewer_rounds(spark):
+    """The point of batching: on a corpus with a steep pair-frequency
+    curve the batched trainer takes measurably fewer driver
+    round-trips (pair_counts collects) than merges learned."""
+    from sybil_spark.operators import bpe
+    # frequencies engineered to decay steeply so prefixes batch:
+    # distinct-letter words with counts 512, 256, ... — every pair
+    # is symbol-disjoint from the others
+    words = ["ab"] * 512 + ["cd"] * 200 + ["ef"] * 80 + ["gh"] * 30 \
+        + ["ij"] * 11 + ["kl"] * 4
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               ["doc_id", "text"])
+    ref = py_train([" ".join(words)], 6)
+    calls = {"n": 0}
+    orig = bpe.pair_counts
+
+    def counting(vocab):
+        calls["n"] += 1
+        return orig(vocab)
+
+    bpe.pair_counts = counting
+    try:
+        got = bpe.bpe_train(df, "text", 6, batch_k=6)
+    finally:
+        bpe.pair_counts = orig
+    assert got == ref
+    assert calls["n"] < 6, calls["n"]   # fewer collects than merges

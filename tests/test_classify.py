@@ -401,3 +401,26 @@ def test_stupid_backoff_fuzz(spark, texts):
         assert got[i][0] == len(ws)
         assert got[i][1] == pytest.approx(float(s), abs=3e-6), \
             (i, texts[i])
+
+
+def test_stupid_backoff_empty_corpus(spark):
+    """An empty (or all-empty-text) corpus has no model to score
+    against: the operator returns an EMPTY frame with the normal
+    output schema instead of raising on F.lit(float(None))
+    (ADVICE r7)."""
+    from sybil_spark.operators.quality import stupid_backoff_logprob
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = stupid_backoff_logprob(empty, "doc_id", "text")
+    assert out.columns == ["doc_id", "n_tokens", "sum_score",
+                           "mean_score"]
+    assert out.count() == 0
+
+    # "" tokenizes as [""] (python split-parity, pinned by the fuzz
+    # test) so blank docs still score — only a ZERO-token corpus
+    # takes the guard; it must keep working
+    blank = spark.createDataFrame([(0, ""), (1, "")],
+                                  ["doc_id", "text"])
+    out2 = stupid_backoff_logprob(blank, "doc_id", "text")
+    assert out2.columns == out.columns
+    assert out2.count() == 2

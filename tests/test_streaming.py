@@ -1203,3 +1203,182 @@ def test_ivfpq_stream_compact_interleaved(spark, tmp_path):
         assert not os.path.isdir(f"{idx}/codes_stream")
     finally:
         q.stop()
+
+
+def test_ivfpq_stream_replay_skips_committed_batch(spark, tmp_path):
+    """A replayed COMMITTED micro-batch (crash after the sidecar but
+    before the checkpoint advanced — simulated with a fresh
+    checkpoint dir over the same source) is a no-op: the batch dir's
+    files are never rewritten in place, so a concurrent serve can
+    never observe a committed batch's parquet vanish mid-overwrite,
+    and the served rows stay exact (ADVICE r7)."""
+    import os
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import similarity
+    from sybil_spark.streaming.ingest_stream import stream_ivfpq_index_add
+
+    dim = 8
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(dim)]
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding", ArrayType(DoubleType()))]))
+    idx = str(tmp_path / "replaypq")
+    similarity.build_ivfpq_index(base, "embedding", idx,
+                                 nlist=4, m=4, kcb=4)
+    src = tmp_path / "rp-in"
+    src.mkdir()
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    _write_batch(src, "b1.ndjson",
+                 [{"vec_id": 100 + i, "embedding": vec(100 + i)}
+                  for i in range(4)])
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = stream_ivfpq_index_add(stream, idx, checkpoint=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ck1"))
+    bdir = f"{idx}/codes_stream/batch-0"
+    marker = os.path.join(bdir, "_count.json")
+    assert os.path.exists(marker)
+    stamp = {p: os.stat(os.path.join(dp, p)).st_mtime_ns
+             for dp, _, fs in os.walk(bdir) for p in fs}
+
+    def serve():
+        return [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, idx, vec(5), k=6,
+                                            nprobe=4).collect()]
+
+    before = serve()
+    run(str(tmp_path / "ck2"))          # fresh checkpoint => replay b0
+    stamp2 = {p: os.stat(os.path.join(dp, p)).st_mtime_ns
+              for dp, _, fs in os.walk(bdir) for p in fs}
+    assert stamp2 == stamp              # dir untouched, not rewritten
+    assert serve() == before            # no duplicate rows served
+
+
+def test_bm25_stream_replay_skips_committed_batch(spark, tmp_path):
+    """Same contract for the lexical index: a committed
+    postings_stream batch is skipped on replay, never overwritten
+    under a serve."""
+    import os
+    from sybil_spark.operators import quality
+    from sybil_spark.streaming.ingest_stream import stream_bm25_index_add
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(12)],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "replaybm")
+    quality.build_bm25_index(base, "doc_id", "text", idx, nbuckets=8)
+    src = tmp_path / "rb-in"
+    src.mkdir()
+    _write_batch(src, "b1.ndjson",
+                 [{"doc_id": 100 + i, "text": f"delta epsilon doc{i}"}
+                  for i in range(3)])
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = stream_bm25_index_add(stream, idx, checkpoint=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "bk1"))
+    bdir = f"{idx}/postings_stream/batch-0"
+    assert os.path.exists(os.path.join(bdir, "_delta.json"))
+    stamp = {p: os.stat(os.path.join(dp, p)).st_mtime_ns
+             for dp, _, fs in os.walk(bdir) for p in fs}
+    qlist = [(1, "alpha delta"), (2, "epsilon gamma")]
+    before = [tuple(r) for r in
+              quality.bm25_index_topk(spark, idx, qlist,
+                                      k=5).collect()]
+    run(str(tmp_path / "bk2"))
+    stamp2 = {p: os.stat(os.path.join(dp, p)).st_mtime_ns
+              for dp, _, fs in os.walk(bdir) for p in fs}
+    assert stamp2 == stamp
+    assert [tuple(r) for r in
+            quality.bm25_index_topk(spark, idx, qlist,
+                                    k=5).collect()] == before
+
+
+def test_ivfpq_compact_crash_atomic(spark, tmp_path):
+    """ivfpq_index_compact commits fold + watermark + stream-dir
+    removal at ONE rename (_staged_swap). A crash while staging the
+    replacement dir leaves the old index fully intact — codes,
+    pending batches, meta — and still serving exactly (ADVICE r7:
+    the old two-rename + separate meta write could lose the
+    watermark advance or double-serve)."""
+    import json as _json
+    import os
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import similarity
+    from sybil_spark.sources import rollup as _rollup
+
+    dim = 8
+    def vec(i):
+        return [float((i * 5 + j * 7) % 11 + 1) for j in range(dim)]
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding", ArrayType(DoubleType()))]))
+    idx = str(tmp_path / "crashpq")
+    similarity.build_ivfpq_index(base, "embedding", idx,
+                                 nlist=4, m=4, kcb=4)
+    extra = spark.createDataFrame([(200, vec(200)), (201, vec(201))],
+                                  "vec_id long, embedding array<double>")
+    # stage a committed stream batch by hand (the add path's layout)
+    meta = _json.load(open(f"{idx}/ivfpq_meta.json"))
+    from sybil_spark.operators.similarity import ivf_assign, pq_encode
+    enc = pq_encode(ivf_assign(extra, "embedding", meta["centroids"]),
+                    "embedding", meta["codebooks"])
+    bdir = f"{idx}/codes_stream/batch-0"
+    (enc.select("vec_id", "pq_code", "cluster")
+        .write.partitionBy("cluster").parquet(bdir))
+    with open(os.path.join(bdir, "_count.json"), "w") as f:
+        _json.dump({"n": 2}, f)
+
+    def serve():
+        return [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, idx, vec(3), k=8,
+                                            nprobe=4).collect()]
+
+    before = serve()
+    assert any(r[0] in (200, 201) for r in before)   # batch served
+
+    orig_swap = _rollup._staged_swap
+
+    def crashing(path, write_fn):
+        def boom(tmp):
+            write_fn(tmp)
+            raise RuntimeError("crash before rename")
+        orig_swap(path, boom)
+
+    _rollup._staged_swap = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            similarity.ivfpq_index_compact(spark, idx)
+    finally:
+        _rollup._staged_swap = orig_swap
+    # old index fully intact: batch still pending, meta unchanged,
+    # serve identical
+    assert os.path.exists(os.path.join(bdir, "_count.json"))
+    meta2 = _json.load(open(f"{idx}/ivfpq_meta.json"))
+    assert int(meta2.get("stream_fold_watermark", -1)) == -1
+    assert serve() == before
+    # the retried compact succeeds and the swap is total: watermark
+    # advanced, stream dir gone, serve unchanged
+    assert similarity.ivfpq_index_compact(spark, idx) == 1
+    assert not os.path.isdir(f"{idx}/codes_stream")
+    meta3 = _json.load(open(f"{idx}/ivfpq_meta.json"))
+    assert meta3["stream_fold_watermark"] == 0
+    assert serve() == before
