@@ -1587,6 +1587,68 @@ def q_bpe_pairs(spark, sf):
                                top_n=20)
 
 
+#: fixed rule list for the bpe_apply row — a literal tokenizer
+#: (each rule references only chars or earlier merges) shared
+#: verbatim between the Spark plan and the SQL oracle
+_BPE_APPLY_RULES = [
+    (0, "t", "h", 0), (1, "th", "e", 0), (2, "i", "n", 0),
+    (3, "a", "n", 0), (4, "an", "d", 0), (5, "e", "r", 0),
+    (6, "o", "n", 0), (7, "r", "e", 0), (8, "in", "g", 0),
+    (9, "o", "u", 0),
+]
+
+
+def _bpe_apply_oracle(rules) -> str:
+    """Render the bpe_apply DuckDB oracle: BPE apply is expressible
+    in SQL for a FIXED rule list because one replace() pass IS a
+    greedy left-to-right non-overlapping merge — map every merged
+    symbol to a fresh private-use standin char, chain one replace
+    per rule in rank order (symbol adjacency == 2-char adjacency
+    once every symbol is one char), then read pieces straight off
+    the encoded string: n_pieces = non-space chars; pieces_str =
+    chr(31)-separated chars with word spaces dropped and standins
+    expanded back to their symbol text."""
+    sym: dict[str, str] = {}
+
+    def ch(s: str) -> str:
+        return sym.get(s, f"'{s}'")
+
+    expr = "text"
+    for i, (_rank, l, r, _f) in enumerate(sorted(rules)):
+        expr = (f"replace({expr}, {ch(l)} || {ch(r)}, "
+                f"chr({57344 + i}))")
+        sym[l + r] = f"chr({57344 + i})"
+    back = ("rtrim(replace(regexp_replace(e, '(.)', "
+            r"'\1' || chr(31), 'gs'), ' ' || chr(31), ''), chr(31))")
+    for s, standin in sym.items():
+        back = f"replace({back}, {standin}, '{s}')"
+    return f"""
+    with enc as (select doc_id, {expr} as e from documents)
+    select doc_id, {back} as pieces_str,
+           cast(length(replace(e, ' ', '')) as int) as n_pieces
+    from enc order by doc_id"""
+
+
+@_q("bpe_apply", _bpe_apply_oracle(_BPE_APPLY_RULES))
+def q_bpe_apply(spark, sf):
+    """Production tokenizer apply (operators/bpe.bpe_apply, mode
+    'udf' — the broadcast-rules + Arrow-batched encode path a
+    32k-rule tokenizer needs; the fold path is pinned separately by
+    tests). Fixed 10-rule tokenizer over documents; full value
+    check: the piece sequence itself (chr(31)-joined) plus the
+    piece count, both replicated in DuckDB via the standin-char
+    replace chain."""
+    from sybil_spark.operators import bpe
+    d = _t(spark, sf, "documents")
+    enc = bpe.bpe_apply(d, "doc_id", "text", _BPE_APPLY_RULES,
+                        mode="udf")
+    return (enc.select(
+        "doc_id",
+        F.array_join("pieces", "\x1f").alias("pieces_str"),
+        F.col("n_pieces"))
+        .orderBy("doc_id"))
+
+
 @_q("bpe_merges")
 def q_bpe_merges(spark, sf):
     """Learned BPE merge rules (operators/bpe.bpe_train, 12 merges)

@@ -33,6 +33,8 @@ engine — the property the python-reference fuzz test pins.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -276,3 +278,110 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     pieces = F.flatten(syms)
     return df.select(F.col(id_col), pieces.alias(pieces_col)) \
              .withColumn("n_pieces", F.size(F.col(pieces_col)))
+
+
+def _encode_word(word: str, rules: list[tuple],
+                 cache: dict) -> list[str]:
+    """Sennrich apply for ONE word, python-side: one greedy
+    left-to-right non-overlapping pass PER RULE in rank order —
+    bit-equal to `_merge_fold` chaining (and deliberately NOT the
+    GPT-2 min-rank loop, which re-merges pairs a later rule
+    re-creates and so diverges from single-pass semantics on
+    adversarial rule sets). Two prunes keep 32k-rule cost sane:
+    a per-batch cache over distinct words (Zipf: most tokens are
+    repeats) and a symbol-set membership check that skips rules
+    whose sides can't occur (recomputed only when a merge fired —
+    for a short word almost every rule is a set-miss)."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    present = set(syms)
+    for l, r, merged in rules:
+        if len(syms) < 2 or l not in present or r not in present:
+            continue
+        out = []
+        fired = False
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                out.append(merged)
+                fired = True
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        if fired:
+            syms = out
+            present = set(syms)
+    cache[word] = syms
+    return syms
+
+
+def bpe_apply(df: DataFrame, id_col: str, text_col: str,
+              merges: list[tuple],
+              pattern: str | None = None,
+              pieces_col: str = "pieces",
+              mode: str = "auto",
+              fold_max_rules: int = 48) -> DataFrame:
+    """Production tokenizer apply — encodes every document under the
+    learned merges, auto-selecting the execution strategy the way
+    span_dedup selects its keying:
+
+    - `fold` (<= fold_max_rules rules): `bpe_encode`'s chained JVM
+      fold expressions — zero Python, zero shuffle, ideal for small
+      rule sets, but the expression tree grows one nested fold per
+      rule and Janino falls over long before 32k.
+    - `udf` (above the crossover): the merge table is broadcast once
+      per executor (spark.sparkContext.broadcast — a 32k-rule
+      tokenizer is ~1 MB) and applied by ONE Arrow-batched pandas
+      UDF: per Arrow batch, python tokenizes with the `tokenize_str`
+      twin of `tokens()` and encodes each DISTINCT word once
+      (Zipf-cached), one greedy pass per rule with symbol-set
+      pruning. The scan stays a single ArrowEvalPython node however
+      many rules there are (plan-pinned in tests) — rule count
+      changes the closure, not the plan.
+
+    Both paths are bit-equal to the python Sennrich reference
+    (hypothesis-fuzzed) and to each other. Output matches
+    bpe_encode: (id_col, pieces array<string>, n_pieces).
+
+    100 TB shape: map-only either way — no shuffle, no driver
+    round-trips; the UDF path's per-executor state is the broadcast
+    rule list plus a per-batch word cache."""
+    if mode not in ("auto", "fold", "udf"):
+        raise ValueError(f"bpe_apply: unknown mode {mode!r}")
+    if mode == "fold" or (mode == "auto" and
+                          len(merges) <= fold_max_rules):
+        return bpe_encode(df, id_col, text_col, merges,
+                          pattern=pattern, pieces_col=pieces_col)
+
+    from pyspark.sql.functions import pandas_udf
+
+    rules = [(l, r, l + r) for _, l, r, _f in sorted(merges)]
+    bc = df.sparkSession.sparkContext.broadcast(rules)
+    pat = pattern
+
+    @pandas_udf("array<string>")
+    def encode_series(texts: pd.Series) -> pd.Series:
+        import re
+        rls = bc.value
+        cache: dict = {}
+        findall = re.compile(pat).findall if pat is not None else None
+
+        def enc(t):
+            if t is None:
+                return None
+            words = findall(t) if findall is not None \
+                else t.split(" ")          # tokenize_str twin
+            out: list[str] = []
+            for w in words:
+                if w:
+                    out.extend(_encode_word(w, rls, cache))
+            return out
+
+        return texts.map(enc)
+
+    return (df.select(F.col(id_col),
+                      encode_series(F.col(text_col)).alias(pieces_col))
+              .withColumn("n_pieces", F.size(F.col(pieces_col))))

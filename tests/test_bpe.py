@@ -301,3 +301,96 @@ def test_bpe_train_batched_fewer_rounds(spark):
         bpe.pair_counts = orig
     assert got == ref
     assert calls["n"] < 6, calls["n"]   # fewer collects than merges
+
+
+# ------------------------------------------------------------ production apply
+
+def _synthetic_rules(n_rules, alphabet="abcdefgh", seed=11):
+    """Deterministic synthetic rule set: grow a symbol pool by
+    merging seeded-random pairs of existing symbols — includes
+    rules that never fire, chains (rule k's output feeding rule
+    k+1's input), and same-symbol runs."""
+    import random
+    rng = random.Random(seed)
+    pool = list(alphabet)
+    rules = []
+    for rank in range(n_rules):
+        l = rng.choice(pool)
+        r = rng.choice(pool)
+        rules.append((rank, l, r, n_rules - rank))
+        pool.append(l + r)
+    return rules
+
+
+def test_bpe_apply_udf_matches_fold(spark):
+    """The Arrow-batched apply path is bit-equal to the JVM fold
+    encoder on the same rules (mode forced both ways)."""
+    from sybil_spark.operators import bpe
+    texts = ["the cat sat on the mat", "aaa aaaa a", "x", "",
+             "thethe the t", "cat cat cat mat"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    merges = py_train(texts, 12)
+
+    def collect(mode):
+        return {r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+                for r in bpe.bpe_apply(df, "doc_id", "text", merges,
+                                       mode=mode).collect()}
+
+    assert collect("udf") == collect("fold")
+
+
+def test_bpe_apply_large_ruleset_matches_python(spark):
+    """1,000-rule synthetic tokenizer (far past the fold path's
+    expression-tree ceiling) applied via the UDF path == the python
+    Sennrich reference, including null text."""
+    import random
+    from sybil_spark.operators import bpe
+    rules = _synthetic_rules(1000)
+    rng = random.Random(3)
+    texts = [" ".join("".join(rng.choice("abcdefgh")
+                              for _ in range(rng.randint(1, 12)))
+                      for _ in range(rng.randint(1, 20)))
+             for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (None if r["pieces"] is None
+                         else list(r["pieces"]))
+           for r in bpe.bpe_apply(df, "doc_id", "text", rules,
+                                  mode="udf").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_encode(t, rules), (i, t)
+    assert got[99] is None
+
+
+@given(texts=bpe_texts_st, n=st.integers(1, 6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_apply_udf_fuzz(spark, texts, n):
+    from sybil_spark.operators import bpe
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    merges = py_train(texts, n)
+    got = {r["doc_id"]: list(r["pieces"])
+           for r in bpe.bpe_apply(df, "doc_id", "text", merges,
+                                  mode="udf").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_encode(t, merges), (i, t)
+
+
+def test_bpe_apply_plan_single_arrow_pass(spark):
+    """Rule count must NOT leak into the plan: the UDF path is ONE
+    ArrowEvalPython node whether 100 or 1,000 rules, and auto mode
+    picks fold (zero python) below the crossover."""
+    from sybil_spark.operators import bpe
+    df = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    for n in (100, 1000):
+        plan = bpe.bpe_apply(df, "doc_id", "text",
+                             _synthetic_rules(n), mode="auto") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+    fold_plan = bpe.bpe_apply(df, "doc_id", "text",
+                              _synthetic_rules(10), mode="auto") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in fold_plan
+    assert "BatchEvalPython" not in fold_plan
