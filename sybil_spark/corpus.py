@@ -3202,6 +3202,101 @@ def q_pq_topk(spark, sf):
     return similarity.pq_topk(enc, vecs[0], cbs, k=10)
 
 
+def _pq_trained_sql(iters: int = 2, m: int = 4, sub: int = 16,
+                    kcb: int = 8) -> str:
+    """Oracle for pq_topk_trained: pq_codebooks_kmeans' Lloyd loop
+    UNROLLED to CTEs — possible because the trainer was designed
+    SQL-replicable: assignment is the pq_topk oracle's argmin
+    (dot-form L2², ties lowest j), each new codeword dimension is
+    an order-independent decimal(38,6) sum rendered varchar->double
+    then one double division by the count, and empty clusters keep
+    their codeword (left-join + case). Iteration t derives cb{t}
+    from cb{t-1}; serving is _pq_sql's encode + re-joined ADC sum
+    against cb{iters}."""
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a},{a})"
+                f" - 2*list_dot_product({a},{b})"
+                f" + list_dot_product({b},{b}))")
+
+    def dmean(expr: str) -> str:
+        return (f"cast(cast(sum(cast({expr} as decimal(38,6))) "
+                f"as varchar) as double)/count(*)")
+
+    # every CTE is MATERIALIZED: the correlated argmin subqueries
+    # would otherwise re-inline (and re-run) the whole upstream
+    # training chain per row — observed 88 s -> sub-second
+    ctes = [f"""cb0 as materialized (select vec_id as j,
+                CAST(embedding AS DOUBLE[]) cv
+                from embeddings where vec_id < {kcb})""",
+            """q as materialized (select CAST(embedding AS DOUBLE[]) qv
+          from embeddings where vec_id = 0)""",
+            """e as materialized (select vec_id, CAST(embedding AS DOUBLE[]) ev
+          from embeddings)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        assign_cols = ", ".join(
+            f"(select j from cb{p} c order by "
+            f"{l2(f'e.ev[{sub*s+1}:{sub*(s+1)}]', f'c.cv[{sub*s+1}:{sub*(s+1)}]')}"
+            f" asc, j asc limit 1) as c{s}"
+            for s in range(m))
+        ctes.append(f"a{t} as materialized (select e.vec_id, e.ev, "
+                    f"{assign_cols} from e)")
+        for s in range(m):
+            dims = ", ".join(
+                f"{dmean(f'ev[{sub*s+1+i}]')} as d{i}"
+                for i in range(sub))
+            ctes.append(f"m{t}_{s} as materialized (select c{s} as j, "
+                        f"{dims} from a{t} group by 1)")
+        elems = ", ".join(
+            f"case when m{t}_{s}.j is null then b.cv[{sub*s+1+i}] "
+            f"else m{t}_{s}.d{i} end"
+            for s in range(m) for i in range(sub))
+        joins = " ".join(f"left join m{t}_{s} on m{t}_{s}.j = b.j"
+                         for s in range(m))
+        ctes.append(f"cb{t} as materialized (select b.j, "
+                    f"list_value({elems}) as cv from cb{p} b {joins})")
+    T = iters
+    code_cols, joins, terms = [], [], []
+    for s in range(m):
+        lo, hi = sub * s + 1, sub * (s + 1)
+        code_cols.append(
+            f"(select j from cb{T} c order by "
+            f"{l2(f'e.ev[{lo}:{hi}]', f'c.cv[{lo}:{hi}]')} asc, "
+            f"j asc limit 1) as c{s}")
+        joins.append(f"join cb{T} cb{T}_{s} on cb{T}_{s}.j = c.c{s}")
+        terms.append(l2(f"q.qv[{lo}:{hi}]", f"cb{T}_{s}.cv[{lo}:{hi}]"))
+    ctes.append(f"codes as materialized (select e.vec_id, "
+                f"{', '.join(code_cols)} from e)")
+    return f"""
+    with {','.join(ctes)}
+    select c.vec_id, {' + '.join(terms)} as pq_dist
+    from codes c
+    {' '.join(joins)}, q
+    order by pq_dist asc, c.vec_id asc limit 10"""
+
+
+@_q("pq_topk_trained", _pq_trained_sql())
+def q_pq_topk_trained(spark, sf):
+    """PQ ANN served with TRAINED codebooks
+    (similarity.pq_codebooks_kmeans, 2 Lloyd iterations from the
+    explicit first-8-embeddings init): the compression-quality
+    upgrade over pq_topk's hash-sampled codewords, end-to-end
+    bit-exact — the trainer's assignment/mean/empty-cluster rules
+    were designed to unroll into the SQL oracle (decimal-rendered
+    means, dot-form argmins), so the driver hash-checks training
+    AND serving in one row."""
+    emb = _t(spark, sf, "embeddings")
+    rows = (emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+               .select("embedding").collect())
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    init = [[v[s * 16:(s + 1) * 16] for v in vecs] for s in range(4)]
+    cbs = similarity.pq_codebooks_kmeans(emb, "embedding",
+                                         id_col="vec_id", m=4, k=8,
+                                         max_iter=2, init=init)
+    enc = similarity.pq_encode(emb, "embedding", cbs)
+    return similarity.pq_topk(enc, vecs[0], cbs, k=10)
+
+
 def _ivfpq_sql(m: int = 4, sub: int = 16, kcb: int = 8,
                nlist: int = 16, nprobe: int = 4) -> str:
     """Oracle for ivfpq_topk: the ivf_topk oracle's explicit-

@@ -1012,12 +1012,76 @@ def pq_topk(df_codes: DataFrame, query: list[float],
             .limit(k))
 
 
+def pq_codebooks_kmeans(df: DataFrame, vec_col: str,
+                        id_col: str = "vec_id", m: int = 4, k: int = 8,
+                        max_iter: int = 2,
+                        sample_n: int | None = None,
+                        init: list[list[list[float]]] | None = None
+                        ) -> list[list[list[float]]]:
+    """Trained product-quantization codebooks: per-subspace Lloyd
+    iterations, the compression upgrade over pq_codebooks' hash-
+    sampled codewords (mirrors ivf_centroids_kmeans for the coarse
+    quantizer; FAISS trains its PQ the same way). Fully
+    deterministic AND SQL-replicable, unlike pyspark.ml KMeans:
+
+    - assignment IS pq_encode (dot-form L2², ties -> lowest j), the
+      argmin the oracle already replicates;
+    - each new codeword dimension is an ORDER-INDEPENDENT
+      decimal(38,6) sum rendered through varchar->double, divided
+      by the exact count in one IEEE double op — so a fixed
+      max_iter unrolls to oracle CTEs bit-exactly (the corpus row's
+      contract);
+    - empty clusters keep their previous codeword.
+
+    All m subspaces train in ONE job per iteration: encode, explode
+    to (s, j, subvector), a single (s, j) groupBy whose partial
+    aggregation happens map-side; only m·k mean rows reach the
+    driver per round. `sample_n` bounds the training set with the
+    deterministic hash-order sample (FAISS-style train-on-sample —
+    the 100 TB path: the fitted codebooks are frozen artifacts, so
+    training never needs the full corpus)."""
+    if init is None:
+        init = pq_codebooks(df, vec_col, id_col, m=m, k=k)
+    cbs = [[list(map(float, cw)) for cw in row] for row in init]
+    sub = len(cbs[0][0])
+    if sample_n is not None:
+        df = (df.orderBy(F.xxhash64(F.col(id_col)).asc(),
+                         F.col(id_col).asc())
+                .limit(sample_n)
+                .localCheckpoint())
+    df = df.select(id_col, vec_col)
+    for _ in range(max_iter):
+        enc = pq_encode(df, vec_col, cbs)
+        parts = F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.element_at(F.col("pq_code"), s + 1).alias("j"),
+                     F.slice(F.col(vec_col), s * sub + 1, sub)
+                      .alias("v"))
+            for s in range(m)])
+        ex = (enc.select(F.explode(parts).alias("p"))
+                 .select("p.s", "p.j", "p.v"))
+        aggs = [F.sum(F.element_at(F.col("v"), i + 1)
+                      .cast("decimal(38,6)"))
+                 .cast("string").cast("double").alias(f"d{i}")
+                for i in range(sub)]
+        aggs.append(F.count(F.lit(1)).alias("n"))
+        got = {(r["s"], r["j"]): r
+               for r in ex.groupBy("s", "j").agg(*aggs).collect()}
+        cbs = [[([got[(s, j)][f"d{i}"] / got[(s, j)]["n"]
+                  for i in range(sub)]
+                 if (s, j) in got else cbs[s][j])
+                for j in range(k)]
+               for s in range(m)]
+    return cbs
+
+
 def build_ivfpq_index(df: DataFrame, vec_col: str, index_path: str,
                       id_col: str = "vec_id", nlist: int = 16,
                       m: int = 4, kcb: int = 8,
                       centroids: list[list[float]] | None = None,
                       codebooks: list[list[list[float]]] | None = None,
-                      kmeans: bool = False) -> dict:
+                      kmeans: bool = False,
+                      pq_kmeans: bool = False) -> dict:
     """Persist an IVF-PQ index — the FAISS IVFPQ composition of the
     two persisted ANN forms: rows are assigned to their max-cosine
     coarse list (ivf_assign), PQ-encoded (pq_encode), and written
@@ -1031,7 +1095,8 @@ def build_ivfpq_index(df: DataFrame, vec_col: str, index_path: str,
     corpus's candidate lists RAM-resident.
 
     Trains the coarse quantizer (hash-sample or seeded k-means, as
-    build_ivf_index) and the subspace codebooks (pq_codebooks) when
+    build_ivf_index) and the subspace codebooks (pq_codebooks, or
+    per-subspace Lloyd via pq_codebooks_kmeans when pq_kmeans) when
     not supplied. Holds the index path lock across the overwrite +
     meta rewrite; returns {"centroids", "codebooks"}."""
     import json
@@ -1042,8 +1107,9 @@ def build_ivfpq_index(df: DataFrame, vec_col: str, index_path: str,
     cents = centroids if centroids is not None else (
         ivf_centroids_kmeans(df, vec_col, nlist) if kmeans
         else ivf_centroids(df, vec_col, id_col, nlist))
-    cbs = codebooks if codebooks is not None else \
-        pq_codebooks(df, vec_col, id_col, m=m, k=kcb)
+    cbs = codebooks if codebooks is not None else (
+        pq_codebooks_kmeans(df, vec_col, id_col, m=m, k=kcb)
+        if pq_kmeans else pq_codebooks(df, vec_col, id_col, m=m, k=kcb))
     with path_lock(index_path):
         enc = pq_encode(ivf_assign(df, vec_col, cents), vec_col, cbs)
         (enc.select(id_col, "pq_code", "cluster")

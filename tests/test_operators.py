@@ -2179,3 +2179,95 @@ def test_bm25_index_halfwritten_piece_invisible(spark, docs, tmp_path):
     assert meta["n_docs"] == n0                  # not folded
     assert not os.path.isdir(f"{inc}/postings_adds")  # dropped
     shutil.rmtree(ref)
+
+
+def test_pq_codebooks_kmeans_beats_hash_sample(spark):
+    """Trained codebooks (per-subspace Lloyd) must reconstruct
+    clustered vectors with LOWER total L2^2 error than the
+    hash-sampled ones — the reason to train. Synthetic data: each
+    subspace's sub-vectors drawn tightly around 4 well-separated
+    per-subspace centers."""
+    import random
+    from sybil_spark.operators import similarity
+
+    rng = random.Random(5)
+    m, sub, kcb = 4, 4, 4
+    centers = [[[float(10 * c + i) for i in range(sub)]
+                for c in range(kcb)] for _ in range(m)]
+
+    def make_vec():
+        v = []
+        for s in range(m):
+            c = centers[s][rng.randrange(kcb)]
+            v.extend(x + rng.uniform(-0.5, 0.5) for x in c)
+        return v
+
+    rows = [(i, make_vec()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def err(cbs):
+        total = 0.0
+        for _, v in rows:
+            for s in range(m):
+                sv = v[s * sub:(s + 1) * sub]
+                best = min(sum((a - b) ** 2 for a, b in zip(sv, cw))
+                           for cw in cbs[s])
+                total += best
+        return total
+
+    hashed = similarity.pq_codebooks(df, "embedding", m=m, k=kcb)
+    trained = similarity.pq_codebooks_kmeans(df, "embedding", m=m,
+                                             k=kcb, max_iter=4)
+    assert err(trained) < err(hashed) * 0.5, (err(trained), err(hashed))
+
+
+def test_pq_codebooks_kmeans_deterministic_and_pluggable(spark, tmp_path):
+    """Two runs produce bit-identical codebooks (decimal sums are
+    order-independent); the trained books plug into the full IVF-PQ
+    lifecycle (build with pq_kmeans=True == build with the
+    explicitly trained books passed in)."""
+    from sybil_spark.operators import similarity
+
+    dim = 8
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(dim)]
+    df = spark.createDataFrame([(i, vec(i)) for i in range(40)],
+                               "vec_id long, embedding array<double>")
+    a = similarity.pq_codebooks_kmeans(df, "embedding", m=4, k=4,
+                                       max_iter=3)
+    b = similarity.pq_codebooks_kmeans(df, "embedding", m=4, k=4,
+                                       max_iter=3)
+    assert a == b
+
+    idx1 = str(tmp_path / "pqk1")
+    idx2 = str(tmp_path / "pqk2")
+    similarity.build_ivfpq_index(df, "embedding", idx1, nlist=4,
+                                 m=4, kcb=4, pq_kmeans=True)
+    similarity.build_ivfpq_index(df, "embedding", idx2, nlist=4,
+                                 m=4, kcb=4, codebooks=a)
+    q = vec(3)
+    r1 = [tuple(r) for r in similarity.ivfpq_index_topk(
+        spark, idx1, q, k=6, nprobe=4).collect()]
+    r2 = [tuple(r) for r in similarity.ivfpq_index_topk(
+        spark, idx2, q, k=6, nprobe=4).collect()]
+    assert r1 == r2
+
+
+def test_pq_codebooks_kmeans_empty_cluster_keeps_codeword(spark):
+    """A codeword no vector picks survives the iteration unchanged
+    (the empty-cluster rule the SQL oracle mirrors with its
+    left-join coalesce)."""
+    from sybil_spark.operators import similarity
+
+    # all vectors identical: only ONE codeword per subspace ever
+    # wins the argmin; the rest must persist from init
+    df = spark.createDataFrame([(i, [1.0, 2.0, 3.0, 4.0])
+                                for i in range(10)],
+                               "vec_id long, embedding array<double>")
+    init = [[[0.0, 0.0], [9.0, 9.0]], [[0.0, 0.0], [9.0, 9.0]]]
+    out = similarity.pq_codebooks_kmeans(df, "embedding", m=2, k=2,
+                                         max_iter=2, init=init)
+    assert out[0][0] == [1.0, 2.0]      # winning cluster -> mean
+    assert out[0][1] == [9.0, 9.0]      # empty cluster -> unchanged
+    assert out[1][0] == [3.0, 4.0]
+    assert out[1][1] == [9.0, 9.0]
