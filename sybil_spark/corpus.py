@@ -1041,9 +1041,10 @@ def q_norm_dedup(spark, sf):
 def q_corpus_stats(spark, sf):
     """One-row corpus health panel: doc/token/vocab counts, exact
     duplicate-document count (docs minus distinct texts), mean doc
-    length — the first audit a training-data pipeline prints. Two
-    bounded aggregates (doc-level + token-level) stitched by
-    null-padded union + a 2-row max() merge — NOT a 1-row crossJoin,
+    length — the first audit a training-data pipeline prints. Four
+    bounded aggregates (doc-level, hash-solo, dup-mass re-check,
+    token-level) stitched by
+    null-padded union + a 4-row max() merge — NOT a 1-row crossJoin,
     which plans BroadcastNestedLoopJoin (the corpus-wide plan lint
     rejects it; a literal join key doesn't help, Catalyst
     constant-folds `1 = 1` back to a nested loop). Integer counts and
@@ -1051,19 +1052,39 @@ def q_corpus_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     from sybil_spark.functions.text import token_count, tokens
     nul = F.lit(None).cast("long")
-    d = docs.agg(
+    cols = ("n_docs", "n_tokens", "solo_texts", "multi_texts", "vocab")
+
+    def pad(frame, keep):
+        return frame.select(*[
+            F.col(c) if c in keep else nul.alias(c) for c in cols])
+
+    d = pad(docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
-        F.count_distinct(F.col("text")).alias("distinct_texts")) \
-        .withColumn("vocab", nul)
-    v = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-             .agg(F.count_distinct(F.col("tok")).alias("vocab"))
-             .select(nul.alias("n_docs"), nul.alias("n_tokens"),
-                     nul.alias("distinct_texts"), "vocab"))
-    return (d.unionByName(v)
-            .agg(*[F.max(c).alias(c) for c in
-                   ("n_docs", "n_tokens", "distinct_texts", "vocab")])
-            .select("n_docs", "n_tokens", "distinct_texts", "vocab",
+        F.sum(token_count(F.col("text")).cast("long"))
+         .alias("n_tokens")), ("n_docs", "n_tokens"))
+    # distinct-text count keyed on xxhash64(text), never the raw
+    # text (plan-linted): hash groups of size 1 are distinct by
+    # construction; only multi-member groups — duplicates or 64-bit
+    # collisions, a vanishing fraction of a 100 TB corpus — re-check
+    # the actual text with a bounded count_distinct.
+    g = (docs.select(F.xxhash64("text").alias("__h"))
+             .groupBy("__h").agg(F.count(F.lit(1)).alias("__n")))
+    s = pad(g.agg(F.sum(F.when(F.col("__n") == 1, F.lit(1))
+                        .otherwise(F.lit(0))).alias("solo_texts")),
+            ("solo_texts",))
+    m = pad(docs.withColumn("__h", F.xxhash64("text"))
+                .join(g.where(F.col("__n") > 1).select("__h"),
+                      "__h", "left_semi")
+                .agg(F.count_distinct(F.col("text"))
+                     .alias("multi_texts")), ("multi_texts",))
+    v = pad(docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+                .agg(F.count_distinct(F.col("tok")).alias("vocab")),
+            ("vocab",))
+    return (d.unionByName(s).unionByName(m).unionByName(v)
+            .agg(*[F.max(c).alias(c) for c in cols])
+            .select("n_docs", "n_tokens",
+                    (F.col("solo_texts") + F.col("multi_texts"))
+                    .alias("distinct_texts"), "vocab",
                     (F.col("n_tokens").cast("double")
                      / F.col("n_docs").cast("double"))
                     .alias("mean_doc_tokens"),
@@ -1549,11 +1570,25 @@ def q_cluster_splits(spark, sf):
     md5 bucket assign_splits uses."""
     from sybil_spark.operators import sampling
     d = _t(spark, sf, "documents")
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
-    pairs = (a.join(b, (F.col("ta") == F.col("tb"))
-                    & (F.col("id_a") < F.col("id_b")))
-             .select("id_a", "id_b"))
+    # pair generation keys on xxhash64(text), NOT the text itself
+    # (the corpus-wide discipline: document text never enters a wide
+    # shuffle key): the narrow (hash, id) pass finds multi-member
+    # hash groups; only THOSE rows — duplicates or 64-bit collisions,
+    # never the unique mass — carry text into the equi-join, where
+    # exact equality is re-checked as a post-join filter.
+    hd = d.select("doc_id", F.xxhash64("text").alias("__h"))
+    multi = (hd.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).select("__h"))
+    cand = (d.withColumn("__h", F.xxhash64("text"))
+             .join(multi, "__h", "left_semi"))
+    a = cand.select(F.col("__h"), F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("ta"))
+    b = cand.select(F.col("__h"), F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("tb"))
+    pairs = (a.join(b, "__h")
+              .where((F.col("ta") == F.col("tb"))
+                     & (F.col("id_a") < F.col("id_b")))
+              .select("id_a", "id_b"))
     labels = (dedup.components(pairs)
               .withColumnRenamed("id", "doc_id"))
     docs = (d.select("doc_id").join(labels, "doc_id", "left")

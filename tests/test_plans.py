@@ -486,3 +486,31 @@ def test_exact_substr_plan_hash_keyed_narrow(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(span#", p)) == 1, p
     assert not re.search(r"hashpartitioning\(__t#", p), p
     assert "posexplode" in p.lower(), p
+
+
+def test_no_raw_text_shuffle_key_in_corpus(spark):
+    """Global plan-smell gate #3: no corpus query may shuffle on the
+    raw document text — `hashpartitioning(text#...)` (or an alias of
+    it) in an Exchange means the full document is the shuffle KEY,
+    the pattern every dedup operator avoids by keying on
+    xxhash64(text) with a collision re-check (cluster_splits was the
+    one offender, fixed r8). Exemptions: dedup_exact returns the
+    text-keyed group table by CONTRACT (its output includes the text
+    column; exact_groups documents the stance); dedup_keep_first and
+    corpus_stats re-group only the multi-hash candidate rows on
+    text — the collision re-check itself, by design bounded to the
+    duplicate mass."""
+    import re
+    from sybil_spark.corpus import QUERIES
+    sf = "/root/testdata/sf0.001"
+    exempt = {"dedup_exact", "dedup_keep_first", "corpus_stats"}
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
+        plan = I.formatted_plan(fn(spark, sf))
+        keys = re.findall(r"hashpartitioning\(((?:text|ta|tb)#\d+)",
+                          plan)
+        if keys:
+            bad[name] = keys
+    assert not bad, bad
