@@ -2368,6 +2368,78 @@ def q_lsh_recall(spark, sf):
                                    portable=True)
 
 
+def _minhash_tuned_sql(threshold: float, num_hashes: int,
+                       bands: int) -> str:
+    """Oracle for minhash_tuned: the minhash_lsh oracle generalized
+    to ANY (num_hashes, bands) — the band fold chains r = nh/b
+    signature rows instead of the hardcoded 4 — so lsh_tune's
+    chosen scheme is hash-checked end to end (candidates, exact
+    jaccards, threshold filter)."""
+    r = num_hashes // bands
+    fold = "lm[1]"
+    for i in range(2, r + 1):
+        fold = f"({fold} * 1000003 + lm[{i}]) % 2147483647"
+    return f"""
+    with {_PORT_SHINGLES},
+    perms(i, a, b) as (values {_minhash_perm_values(num_hashes)}),
+    sig as (
+      select id, i // {r} as band, i,
+             min((a * h + b) % 2147483647) as m
+      from sh, perms group by id, i),
+    bh as (
+      select id, band, list(m order by i) as lm
+      from sig group by id, band),
+    bh2 as (select id, band, {fold} as bhash from bh),
+    cand as (
+      select distinct a.id as id_a, b.id as id_b
+      from bh2 a join bh2 b
+        on a.band = b.band and a.bhash = b.bhash and a.id < b.id),
+    sizes as (select id, count(*) as n from sh group by id),
+    inter as (
+      select c.id_a, c.id_b, count(*) as i
+      from cand c
+      join sh sa on sa.id = c.id_a
+      join sh sb on sb.id = c.id_b and sb.h = sa.h
+      group by 1, 2)
+    select * from (
+      select inter.id_a, inter.id_b,
+             cast(i as double) / (na.n + nb.n - i) as jaccard
+      from inter
+      join sizes na on na.id = inter.id_a
+      join sizes nb on nb.id = inter.id_b)
+    where jaccard >= {threshold}"""
+
+
+#: lsh_tune's scheme for (target_jaccard=0.5, target_recall=0.9)
+#: — resolved at import (pure math) and shared by the Spark query
+#: and the oracle render
+_LSH_TUNED = None
+
+
+def _lsh_tuned_scheme() -> dict:
+    global _LSH_TUNED
+    if _LSH_TUNED is None:
+        from sybil_spark.operators.dedup import lsh_tune
+        _LSH_TUNED = lsh_tune(0.5, 0.9, max_hashes=256)
+    return _LSH_TUNED
+
+
+@_q("minhash_tuned",
+    _minhash_tuned_sql(0.5, _lsh_tuned_scheme()["num_hashes"],
+                       _lsh_tuned_scheme()["bands"]))
+def q_minhash_tuned(spark, sf):
+    """MinHash near-dup pairs under lsh_tune's AUTO-CHOSEN banding
+    scheme (target jaccard 0.5, recall 0.9, noise-catch <= 0.25 —
+    dedup.lsh_tune closes the loop lsh_recall opened): the
+    tuner-selected (num_hashes, bands) drive the same portable
+    pipeline as minhash_lsh, verified pairs at threshold 0.5,
+    bit-exact against the generalized banding oracle."""
+    return dedup.minhash_dedup_pairs(_t(spark, sf, "documents"),
+                                     "doc_id", "text",
+                                     threshold=0.5, portable=True,
+                                     target_recall=0.9)
+
+
 @_q("simhash_dup", f"""
     with toks as (
       select doc_id as id, unnest(string_split(text, ' ')) as tok
@@ -3180,6 +3252,74 @@ def q_ivf_recall(spark, sf):
     return similarity.ivf_recall_report(
         emb.where(F.col("vec_id") < 8), emb, "embedding", cents,
         k=10, nprobe=4)
+
+
+@_q("ivf_tuned", f"""
+    with c as (select vec_id as cid, CAST(embedding AS DOUBLE[]) cv
+               from embeddings where vec_id < 16),
+    q as (select vec_id as q_id, CAST(embedding AS DOUBLE[]) qv
+          from embeddings where vec_id < 8),
+    e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+          from embeddings),
+    pr as (select q.q_id, c.cid,
+                  row_number() over (partition by q.q_id
+                      order by {_IVF_COS.format(a='c.cv', b='q.qv')}
+                      desc, c.cid asc) as prank
+           from q, c),
+    assign as (select e.vec_id, e.ev,
+                      (select c.cid from c
+                       order by {_IVF_COS.format(a='e.ev', b='c.cv')}
+                       desc, c.cid asc limit 1) as cluster
+               from e),
+    br as (select q.q_id, e.vec_id,
+                  row_number() over (partition by q.q_id
+                      order by {_IVF_COS.format(a='e.ev', b='q.qv')}
+                      desc, e.vec_id asc) as rn
+           from q, e),
+    brute as (select q_id, vec_id from br where rn <= 10),
+    sc as (select p.q_id, a.vec_id, p.prank,
+                  {_IVF_COS.format(a='a.ev', b='q.qv')} as cos
+           from pr p
+           join assign a on a.cluster = p.cid
+           join q on q.q_id = p.q_id),
+    ex as (select q_id, vec_id, cos,
+                  unnest(generate_series(prank, 16)) as nprobe
+           from sc),
+    rnk as (select q_id, nprobe, vec_id,
+                   row_number() over (partition by q_id, nprobe
+                       order by cos desc, vec_id asc) as rn
+            from ex),
+    ivf as (select q_id, nprobe, vec_id from rnk where rn <= 10),
+    h as (select i.nprobe, cast(count(*) as bigint) as n_hit
+          from brute b
+          join ivf i on i.q_id = b.q_id and i.vec_id = b.vec_id
+          group by 1),
+    grid as (select unnest(generate_series(1, 16)) as nprobe),
+    g as (select cast(grid.nprobe as int) as nprobe,
+                 coalesce(h.n_hit, 0) as n_hit
+          from grid left join h on h.nprobe = grid.nprobe)
+    select nprobe, n_hit,
+           cast(n_hit as double) / 80.0e0 as recall,
+           nprobe = coalesce(min(case when n_hit * 1000000
+                                       >= 900000 * 10 * 8
+                                  then nprobe end) over (), -1)
+             as chosen
+    from g order by nprobe""")
+def q_ivf_tuned(spark, sf):
+    """IVF auto-tuner (similarity.ivf_tune): recall@10 measured for
+    EVERY nprobe 1..16 in one corpus scan (rows explode over the
+    probe ranks that admit them), the cheapest nprobe meeting
+    recall >= 0.9 flagged with an integer-exact test — the closed
+    loop over ivf_recall's harness. Explicit centroids (embeddings
+    0..15), queries = embeddings 0..7, sequential-fold cosines:
+    every column, including the chosen flag, is SQL-replicated."""
+    emb = _t(spark, sf, "embeddings")
+    cents = [[float(x) for x in r[0]]
+             for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+                         .select("embedding").collect()]
+    return similarity.ivf_tune(
+        emb.where(F.col("vec_id") < 8), emb, "embedding", cents,
+        k=10, target_recall=0.9)
 
 
 def _pq_sql(m: int = 4, sub: int = 16, kcb: int = 8) -> str:
@@ -5311,8 +5451,8 @@ _DRIVER_FIRST = [
     "exact_substr", "quality_lr", "bpe_pairs", "bpe_merges",
     "lsh_recall", "ivf_recall",
     # (c) new r8 queries (names appended as they land):
-    "bpe_apply", "pq_topk_trained", "lsh_tuned_pairs", "ivf_tuned",
-    "quality_lr_ngram", "minhash_tuned",
+    "bpe_apply", "pq_topk_trained", "ivf_tuned", "minhash_tuned",
+    "quality_lr_ngram", "corpus_stats",
 ]
 
 _DRIVER_FIRST_R7 = [

@@ -658,11 +658,94 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return out.where(F.col(metric) >= threshold) if threshold else out
 
 
+def lsh_tune(target_jaccard: float, target_recall: float,
+             max_hashes: int = 256,
+             s_noise: float | None = None,
+             max_noise_catch: float = 0.25) -> dict:
+    """Choose the cheapest MinHash-LSH banding scheme meeting a
+    recall target — the closed tuning loop over the S-curve
+    P(catch | s) = 1 - (1 - s^r)^b that lsh_recall_report measures
+    empirically. A scheme (b bands of r rows, b*r hashes) is
+    feasible when BOTH ends of the curve hold:
+
+    - P(target_jaccard) >= target_recall  (catch the near-dups);
+    - P(s_noise) <= max_noise_catch       (don't flood verification
+      with sub-threshold pairs — at 100 TB the exact-Jaccard verify
+      of candidate pairs, not the signature pass, is the dominant
+      cost, so an unconstrained tuner degenerating to r=1 "cheap"
+      schemes would be a scale bug dressed as an optimization).
+
+    Among feasible schemes the winner minimizes total hashes, ties
+    preferring the LARGER r (steeper curve, fewer borderline
+    candidates). Pure driver-side math — validate the choice on
+    data with lsh_recall_report(df, ..., num_hashes=t["num_hashes"],
+    bands=t["bands"], threshold=target_jaccard); the measured
+    recall generalizes because the S-curve depends on (b, r), not
+    corpus size.
+
+    Returns {bands, rows_per_band, num_hashes, predicted_recall,
+    noise_similarity, predicted_noise_catch}; s_noise defaults to
+    half the target similarity (the "unrelated pair" operating
+    point). Raises ValueError when no scheme within max_hashes
+    satisfies both constraints — raise the budget, not the noise
+    ceiling."""
+    import math
+
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("lsh_tune: target_jaccard must be in (0,1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("lsh_tune: target_recall must be in (0,1)")
+    sn = target_jaccard / 2.0 if s_noise is None else s_noise
+
+    def catch(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    best = None
+    for r in range(1, max_hashes + 1):
+        pr = target_jaccard ** r
+        b_cap = max_hashes // r
+        if pr <= 0.0 or b_cap < 1:
+            break
+        if pr >= 1.0:
+            b = 1
+        else:
+            # analytic bound, then a float-exact refinement bounded
+            # by the budget (an uncapped b += 1 walk from a huge
+            # analytic b never terminates in float precision)
+            denom = math.log1p(-pr)
+            if denom == 0.0 or \
+                    math.log1p(-target_recall) / denom > b_cap:
+                continue
+            b = max(1, math.ceil(math.log1p(-target_recall) / denom))
+            while b <= b_cap and catch(target_jaccard, b, r) \
+                    < target_recall:
+                b += 1
+        if b > b_cap or catch(target_jaccard, b, r) < target_recall:
+            continue
+        if catch(sn, b, r) > max_noise_catch:
+            continue          # more bands only raises the noise catch
+        key = (b * r, -r)
+        if best is None or key < best[:2]:
+            best = (b * r, -r, b, r)
+    if best is None:
+        raise ValueError(
+            f"lsh_tune: no (bands, rows) within {max_hashes} hashes "
+            f"reaches recall {target_recall} at s={target_jaccard} "
+            f"with noise catch <= {max_noise_catch} at s={sn}")
+    _, _, b, r = best
+    return {"bands": b, "rows_per_band": r, "num_hashes": b * r,
+            "predicted_recall": catch(target_jaccard, b, r),
+            "noise_similarity": sn,
+            "predicted_noise_catch": catch(sn, b, r)}
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         num_hashes: int = 64, bands: int = 16,
                         shingle_n: int = 3,
                         threshold: float = 0.0,
-                        portable: bool = False) -> DataFrame:
+                        portable: bool = False,
+                        target_recall: float | None = None,
+                        max_hashes: int = 256) -> DataFrame:
     """The standard near-dup pipeline in ONE corpus scan: shingle →
     MinHash signatures → LSH banding candidates → exact Jaccard on
     the candidates.
@@ -678,7 +761,19 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
     `portable=True` runs the whole pipeline on the SQL-replicable
     hash family (shingle_hashes docstring) so an external oracle can
-    reproduce the exact output — candidates, jaccards, and all."""
+    reproduce the exact output — candidates, jaccards, and all.
+
+    `target_recall` switches (num_hashes, bands) from the textbook
+    defaults to lsh_tune's cheapest scheme meeting that recall at
+    s=threshold — the measured-not-guessed configuration
+    lsh_recall_report exists to validate (requires threshold > 0:
+    the S-curve needs an operating similarity)."""
+    if target_recall is not None:
+        if not threshold:
+            raise ValueError("minhash_dedup_pairs: target_recall "
+                             "needs a similarity threshold > 0")
+        t = lsh_tune(threshold, target_recall, max_hashes=max_hashes)
+        num_hashes, bands = t["num_hashes"], t["bands"]
     sh = shingle_hashes(df, id_col, text_col, shingle_n,
                         portable=portable) \
         .localCheckpoint(eager=True)

@@ -1377,3 +1377,94 @@ def ivf_recall_report(queries: DataFrame, corpus: DataFrame,
                 .withColumn("recall",
                             F.col("n_hit").cast("double") / F.lit(float(k)))
                 .orderBy("q_id"))
+
+
+def ivf_tune(queries: DataFrame, corpus: DataFrame, vec_col: str,
+             centroids: list[list[float]], k: int = 10,
+             target_recall: float = 0.9,
+             q_id_col: str = "vec_id",
+             id_col: str = "vec_id") -> DataFrame:
+    """Close the loop ivf_recall_report opens: measure recall@k for
+    EVERY nprobe in 1..nlist in one pass and flag the cheapest one
+    that meets the target — the auto-tuner that turns 'read nprobe
+    off a paper' into 'measured on YOUR corpus'.
+
+    One-scan trick: a corpus row enters the IVF ranking for every
+    nprobe >= the rank of its assigned cluster in the query's probe
+    order, so the whole per-nprobe grid is ONE explode of that rank
+    range over the (query x probed-corpus) cosine frame — the
+    corpus is scanned once, not nlist times. All windows partition
+    by (q_id, nprobe); `queries` is a bounded eval probe set at
+    scale (hundreds of rows), so every exploded/windowed frame is
+    eval-sized, never corpus-sized.
+
+    The chosen-flag test is integer-exact on both engines:
+    n_hit_total * 1_000_000 >= round(target*1e6) * k * n_queries —
+    no float threshold can flip between Spark and the SQL oracle.
+
+    Output: (nprobe, n_hit, recall, chosen) for nprobe 1..nlist,
+    ascending; `chosen` marks the smallest nprobe meeting the
+    target (all false if none does)."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    nlist = len(centroids)
+    brute = cross_topk(queries, corpus, vec_col, k=k,
+                       q_id_col=q_id_col, id_col=id_col) \
+        .select("q_id", F.col(id_col).alias("__bid"))
+    qrows = queries.select(q_id_col, vec_col).collect()
+    nq = len(qrows)
+    q_t = dict(queries.dtypes)[q_id_col]
+    vec_t = queries.schema[vec_col].dataType.simpleString()
+    probe_rows = [(r[0], int(c), rank + 1)
+                  for r in qrows
+                  for rank, c in enumerate(
+                      _rank_probes(centroids,
+                                   [float(x) for x in r[1]], nlist))]
+    probes = spark.createDataFrame(
+        probe_rows, schema=f"q_id {q_t}, cluster int, prank int")
+    qdf = spark.createDataFrame([(r[0], r[1]) for r in qrows],
+                                schema=f"q_id {q_t}, __qv {vec_t}")
+    from sybil_spark.functions.vectors import cosine
+    assigned = ivf_assign(corpus.select(id_col, vec_col), vec_col,
+                          centroids)
+    scored = (assigned.join(F.broadcast(probes), "cluster")
+                      .join(F.broadcast(qdf), "q_id")
+                      .select("q_id", F.col(id_col).alias("__iid"),
+                              "prank",
+                              cosine(F.col("__qv"),
+                                     F.col(vec_col)).alias("cos")))
+    ex = scored.withColumn(
+        "nprobe", F.explode(F.sequence(F.col("prank"),
+                                       F.lit(nlist))))
+    w = Window.partitionBy("q_id", "nprobe") \
+              .orderBy(F.desc("cos"), F.asc("__iid"))
+    ivf = (ex.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= k)
+             .select("q_id", "nprobe", "__iid"))
+    hits = (brute.join(ivf, (brute["q_id"] == ivf["q_id"])
+                       & (brute["__bid"] == ivf["__iid"]))
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    base = spark.createDataFrame([(p,) for p in range(1, nlist + 1)],
+                                 "nprobe int")
+    need = round(target_recall * 1_000_000)
+    g = (base.join(hits, "nprobe", "left")
+             .select("nprobe",
+                     F.coalesce(F.col("n_hit"),
+                                F.lit(0).cast("long")).alias("n_hit")))
+    meets = (F.col("n_hit") * F.lit(1_000_000)
+             >= F.lit(need) * F.lit(k) * F.lit(nq))
+    wall = Window.orderBy(F.lit(1)) \
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    return (g.withColumn("recall", F.col("n_hit").cast("double")
+                         / F.lit(float(k * nq)))
+             .withColumn("__best",
+                         F.min(F.when(meets, F.col("nprobe")))
+                          .over(wall))
+             .withColumn("chosen",
+                         F.col("nprobe") == F.coalesce(
+                             F.col("__best"), F.lit(-1)))
+             .drop("__best")
+             .orderBy("nprobe"))

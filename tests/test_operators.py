@@ -2271,3 +2271,118 @@ def test_pq_codebooks_kmeans_empty_cluster_keeps_codeword(spark):
     assert out[0][1] == [9.0, 9.0]      # empty cluster -> unchanged
     assert out[1][0] == [3.0, 4.0]
     assert out[1][1] == [9.0, 9.0]
+
+
+def test_lsh_tune_math_and_minimality(spark):
+    """lsh_tune's chosen (b, r): meets the S-curve recall target,
+    respects the noise-catch ceiling (the candidate-volume
+    constraint that stops the tuner degenerating to r=1), and is
+    minimal in total hashes with ties to the steeper curve —
+    verified against a brute-force sweep of the whole grid."""
+    from sybil_spark.operators.dedup import lsh_tune
+
+    def p(s, b, r):
+        return 1.0 - (1.0 - s ** r) ** b
+
+    for s, rec, mx in [(0.5, 0.9, 256), (0.7, 0.95, 256),
+                       (0.8, 0.99, 128), (0.3, 0.9, 512)]:
+        t = lsh_tune(s, rec, max_hashes=mx)
+        b, r = t["bands"], t["rows_per_band"]
+        sn = s / 2.0
+        assert t["num_hashes"] == b * r <= mx
+        assert p(s, b, r) >= rec
+        assert p(sn, b, r) <= 0.25
+        assert t["predicted_recall"] == p(s, b, r)
+        assert t["predicted_noise_catch"] == p(sn, b, r)
+        # brute-force the grid: no cheaper dual-feasible scheme, and
+        # no equal-cost one with larger r
+        for rr in range(1, mx + 1):
+            for bb in range(1, mx // rr + 1):
+                if p(s, bb, rr) >= rec:
+                    # first bb meeting recall is the only candidate
+                    # at this rr: more bands only raises noise catch
+                    if p(sn, bb, rr) <= 0.25:
+                        assert (bb * rr, -rr) >= (b * r, -r), (bb, rr)
+                    break
+
+    with pytest.raises(ValueError):
+        lsh_tune(0.05, 0.999, max_hashes=4)
+
+
+def test_lsh_tune_meets_measured_recall(spark):
+    """The closed loop: lsh_tune picks the scheme, lsh_recall_report
+    measures it on a corpus of planted near-dups — measured recall
+    must meet the target the tuner promised (the r7 verdict's 'an
+    auto-tuner closes the loop')."""
+    from sybil_spark.operators.dedup import lsh_recall_report, lsh_tune
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for i in range(20):
+        words = (base + f" doc{i} " + base).split()
+        rows.append((2 * i, " ".join(words)))
+        words2 = list(words)
+        words2[3] = f"variant{i}"          # one-word edit: high jaccard
+        rows.append((2 * i + 1, " ".join(words2)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = lsh_tune(0.6, 0.95, max_hashes=128)
+    rep = lsh_recall_report(df, "doc_id", "text", threshold=0.6,
+                            num_hashes=t["num_hashes"],
+                            bands=t["bands"], portable=True) \
+        .collect()[0]
+    assert rep["n_true"] >= 20                    # the planted pairs
+    assert rep["recall"] >= 0.95, rep
+
+
+def test_minhash_dedup_pairs_target_recall_wiring(spark):
+    """target_recall= switches minhash_dedup_pairs to lsh_tune's
+    scheme: output identical to passing the tuned (num_hashes,
+    bands) explicitly."""
+    from sybil_spark.operators.dedup import lsh_tune, minhash_dedup_pairs
+
+    rows = [(i, f"one two three four five six seven eight doc{i % 4}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = lsh_tune(0.5, 0.9)
+    a = sorted(map(tuple, minhash_dedup_pairs(
+        df, "doc_id", "text", threshold=0.5, portable=True,
+        target_recall=0.9).collect()))
+    b = sorted(map(tuple, minhash_dedup_pairs(
+        df, "doc_id", "text", num_hashes=t["num_hashes"],
+        bands=t["bands"], threshold=0.5, portable=True).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(df, "doc_id", "text", target_recall=0.9)
+
+
+def test_ivf_tune_grid(spark):
+    """ivf_tune's per-nprobe grid: recall monotone nondecreasing,
+    nprobe=nlist exact (recall 1.0), chosen = the smallest nprobe
+    meeting the target, and the grid row agrees with
+    ivf_recall_report run at that single nprobe."""
+    from sybil_spark.operators import similarity
+
+    dim = 8
+    def vec(i):
+        return [float((i * 13 + j * 5) % 23 + 1) for j in range(dim)]
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") < 5)
+    cents = [vec(i * 11) for i in range(6)]
+    g = similarity.ivf_tune(queries, corpus, "embedding", cents,
+                            k=8, target_recall=0.9).collect()
+    assert [r["nprobe"] for r in g] == list(range(1, 7))
+    recalls = [r["recall"] for r in g]
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+    meeting = [r["nprobe"] for r in g if r["recall"] >= 0.9]
+    chosen = [r["nprobe"] for r in g if r["chosen"]]
+    assert chosen == ([min(meeting)] if meeting else [])
+    # consistency with the single-nprobe report
+    p = chosen[0] if chosen else 3
+    rep = similarity.ivf_recall_report(queries, corpus, "embedding",
+                                       cents, k=8, nprobe=p).collect()
+    assert sum(r["n_hit"] for r in rep) == \
+        [r["n_hit"] for r in g if r["nprobe"] == p][0]
