@@ -1752,6 +1752,86 @@ def q_quality_lr(spark, sf):
             .select("doc_id", "prob", "pred").orderBy("doc_id"))
 
 
+#: quality_lr_ngram weights: the 4 base features + 8 hashed
+#: char-trigram bucket ratios (fastText-style), literals shared with
+#: the oracle
+_LR_NG_W = _LR_W + (2.0, -2.0, 1.5, -1.5, 1.0, -1.0, 0.5, -0.5)
+
+_NG_SUMS = ", ".join(
+    f"sum(case when b = {i} then 1 else 0 end) as c{i}"
+    for i in range(8))
+_NG_RATIOS = ", ".join(
+    f"coalesce(cast(c{i} as double) / cast(tt as double), 0.0) as ng{i}"
+    for i in range(8))
+_NG_TERMS = " ".join(
+    f"+ {w}e0 * ng{i}" for i, w in enumerate(_LR_NG_W[4:]))
+
+
+@_q("quality_lr_ngram", f"""
+    with tk as (select doc_id, text, string_split(text, ' ') as t
+                from documents),
+    ng as (select doc_id, list_transform(
+                generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) as g
+           from tk),
+    cg as (select doc_id, unnest(list_transform(
+                generate_series(1, greatest(length(text) - 2, 0)),
+                i -> substr(text, i, 3))) as gr
+           from documents),
+    gb as (select doc_id,
+                  cast(('0x' || substr(md5(gr), 1, 15)) as bigint)
+                    % 8 as b
+           from cg),
+    nc as (select doc_id, count(*) as tt, {_NG_SUMS}
+           from gb group by 1),
+    f as (select tk.doc_id,
+                 cast(len(t) as double) as n_tokens,
+                 cast(len(list_filter(t,
+                      x -> x in ('the','a','of','and','in','to','is',
+                                 'it','that','for'))) as double)
+                   / len(t) as stop_ratio,
+                 cast(length(replace(text, ' ', '')) as double)
+                   / len(t) as mean_word_len,
+                 1.0 - cast(len(list_distinct(g)) as double)
+                     / cast(len(g) as double) as rep_ratio,
+                 {_NG_RATIOS}
+          from tk
+          join ng on ng.doc_id = tk.doc_id
+          left join nc on nc.doc_id = tk.doc_id),
+    z as (select doc_id,
+                 {_LR_B}e0 + {_LR_W[0]}e0 * n_tokens
+                     + {_LR_W[1]}e0 * stop_ratio
+                     + {_LR_W[2]}e0 * mean_word_len
+                     + {_LR_W[3]}e0 * rep_ratio
+                     {_NG_TERMS} as z
+          from f),
+    p as (select doc_id,
+                 cast(cast(cast(1.0 / (1.0 + exp(-z)) as decimal(38,6))
+                      as varchar) as double) as prob
+          from z)
+    select doc_id, prob, cast(prob >= 0.5 as int) as pred
+    from p order by doc_id""")
+def q_quality_lr_ngram(spark, sf):
+    """quality_lr extended with the fastText-style feature battery
+    (classify.ngram_bucket_features): 8 hashed char-trigram bucket
+    ratios — the sub-token signal that separates spam alphabets and
+    encoding junk from language — appended to the 4 base ratios,
+    scored by the same literal-weight codegen projection (map-only
+    at 100 TB). Portable md5 hashes keep every feature, the dot
+    product, and the quantized sigmoid SQL-replicated."""
+    from sybil_spark.operators import classify
+    d = _t(spark, sf, "documents")
+    feats = (d.withColumn("__f",
+                          classify.quality_features(F.col("text"),
+                                                    ngram_buckets=8))
+              .select("doc_id", "__f.*"))
+    cols = list(classify.QUALITY_FEATURES) + [f"ng{i}"
+                                              for i in range(8)]
+    return (classify.score_logistic(feats, cols,
+                                    list(_LR_NG_W), _LR_B)
+            .select("doc_id", "prob", "pred").orderBy("doc_id"))
+
+
 @_q("hard_negatives", """
     with q as (select vec_id as q_id, CAST(embedding AS DOUBLE[]) qv
                from embeddings where vec_id < 8),

@@ -36,14 +36,61 @@ QUALITY_FEATURES = ("n_tokens", "stop_ratio", "mean_word_len",
                     "rep_ratio")
 
 
-def quality_features(col: Column) -> Column:
+def ngram_bucket_features(col: Column, n: int = 3, buckets: int = 8,
+                          prefix: str = "ng") -> list[Column]:
+    """fastText-style hashed character-n-gram features as PURE
+    CODEGEN columns: feature i is the fraction of the text's
+    n-grams whose hash lands in bucket i (0.0 for texts shorter
+    than n). This is the sub-token signal the 4-ratio battery
+    can't see — spam alphabets, encoding junk, non-language
+    character salads — folded into fixed-width columns so the
+    scorer STAYS a map-only literal-weight projection at 100 TB.
+
+    Hash = the 60-bit md5 family (dedup's portable hashes,
+    `cast('0x'||substr(md5(g),1,15) as bigint)` in SQL) so an
+    oracle replicates every feature bit-for-bit; bucket = h mod
+    `buckets` (h is positive, pmod == %). Ratios are double
+    divisions of exact integer counts."""
+    from sybil_spark.functions.text import char_ngrams
+
+    grams = char_ngrams(col, n)
+    hs = F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+             .cast("long"),
+            F.lit(buckets)))
+    # ONE fold builds all bucket counts (vs a filter+size pass per
+    # bucket, which hashes the gram array `buckets` times)
+    counts = F.aggregate(
+        hs, F.array_repeat(F.lit(0), buckets),
+        lambda acc, h: F.transform(
+            acc,
+            lambda c, j: F.when(j.cast("long") == h, c + 1)
+                          .otherwise(c)))
+    total = F.size(grams)
+    return [F.when(total > 0,
+                   F.element_at(counts, i + 1).cast("double")
+                   / total.cast("double"))
+             .otherwise(F.lit(0.0)).alias(f"{prefix}{i}")
+            for i in range(buckets)]
+
+
+def quality_features(col: Column, ngram_buckets: int = 0,
+                     ngram_n: int = 3) -> Column:
     """struct of the default feature battery over a text column —
-    one codegen pass, no shuffle, no UDF."""
-    return F.struct(
+    one codegen pass, no shuffle, no UDF. `ngram_buckets` > 0
+    appends that many hashed character-n-gram bucket ratios
+    (ngram_bucket_features) — still one codegen pass."""
+    fields = [
         token_count(col).cast("double").alias("n_tokens"),
         stopword_ratio(col).alias("stop_ratio"),
         avg_word_len(col).alias("mean_word_len"),
-        repetition_ratio(col).alias("rep_ratio"))
+        repetition_ratio(col).alias("rep_ratio")]
+    if ngram_buckets:
+        fields += ngram_bucket_features(col, n=ngram_n,
+                                        buckets=ngram_buckets)
+    return F.struct(*fields)
 
 
 def score_logistic(df: DataFrame, feature_cols: list[str],

@@ -424,3 +424,74 @@ def test_stupid_backoff_empty_corpus(spark):
     out2 = stupid_backoff_logprob(blank, "doc_id", "text")
     assert out2.columns == out.columns
     assert out2.count() == 2
+
+
+def test_ngram_bucket_features_match_python(spark):
+    """Bucket ratios replicate the md5-family python computation
+    exactly; texts shorter than n yield all-zero features."""
+    import hashlib
+    from sybil_spark.operators import classify
+
+    texts = ["hello world", "ab", "", "aaaa bbbb cccc"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id",
+                     *classify.ngram_bucket_features(F.col("text")))
+             .collect()}
+
+    def py_feats(t, n=3, b=8):
+        grams = [t[i:i + n] for i in range(len(t) - n + 1)]
+        if not grams:
+            return [0.0] * b
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % b
+              for g in grams]
+        return [hs.count(i) / len(grams) for i in range(b)]
+
+    for i, t in enumerate(texts):
+        exp = py_feats(t)
+        got = [out[i][f"ng{j}"] for j in range(8)]
+        assert got == pytest.approx(exp, abs=1e-12), (i, t)
+
+
+def test_ngram_features_improve_separation(spark):
+    """The point of the fastText-style battery: two classes with
+    IDENTICAL length/stopword/repetition statistics but different
+    character alphabets — the 4-ratio battery cannot separate them,
+    the hashed-trigram buckets can. Train/freeze/score both ways
+    and compare training-set accuracy."""
+    import random
+    from sybil_spark.operators import classify
+
+    rng = random.Random(17)
+
+    def doc(words):
+        return " ".join(rng.choice(words) for _ in range(12))
+
+    # concentrated character patterns (repetitive junk vs a second
+    # dialect of repetitive junk): few distinct trigrams per class,
+    # so the 8-bucket histograms are far apart — the regime the
+    # hashed battery detects (diffuse alphabets need more buckets,
+    # as fastText's 2M-bin table attests)
+    rows = [(i, doc(["ababab", "bababa", "cdcdcd"]), 0)
+            for i in range(40)] + \
+           [(100 + i, doc(["uvuvuv", "vuvuvu", "xyxyxy"]), 1)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    def accuracy(ngram_buckets):
+        feats = (df.withColumn(
+            "__f", classify.quality_features(F.col("text"),
+                                             ngram_buckets=ngram_buckets))
+            .select("doc_id", "label", "__f.*"))
+        cols = list(classify.QUALITY_FEATURES) + \
+            [f"ng{i}" for i in range(ngram_buckets)]
+        w, b = classify.train_logistic(feats, cols, "label")
+        scored = classify.score_logistic(feats, cols, w, b)
+        return (scored.where(F.col("pred") == F.col("label")).count()
+                / float(len(rows)))
+
+    base = accuracy(0)
+    ng = accuracy(8)
+    assert ng >= 0.95, ng
+    assert ng > base + 0.2, (base, ng)
