@@ -1591,17 +1591,20 @@ def test_line_dedup_matches_duckdb(fuzz_spark, texts, policy_docs):
 
 
 @given(texts=docs_st, window_words=st.sampled_from([2, 3, 5]),
-       mod=st.sampled_from([1, 2, 4]))
+       mod=st.sampled_from([1, 2, 4]),
+       key_plan=st.sampled_from(["count", "grouped"]))
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_window_dup_rows_collision_adversarial(fuzz_spark, texts,
-                                               window_words, mod):
+                                               window_words, mod,
+                                               key_plan):
     """_window_dup_rows (the string-free chain-key plan behind
     exact_substr's hash keying) under a deliberately weak key (chain
-    hash mod 1/2/4 — mod 1 sends EVERY window to one group): the
-    real-text re-check must keep the dup set identical to the
-    text-keyed row_number oracle."""
+    hash mod 1/2/4 — mod 1 sends EVERY window to one group), in BOTH
+    candidate plans (two-pass count + semi join, one-pass grouped
+    collect): the real-text re-check must keep the dup set identical
+    to the text-keyed row_number oracle."""
     from pyspark.sql import Window
 
     from sybil_spark.operators import dedup
@@ -1610,7 +1613,7 @@ def test_window_dup_rows_collision_adversarial(fuzz_spark, texts,
         pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
                       "text": texts}))
     weak = dedup._window_dup_rows(sdf, "doc_id", "text", window_words,
-                                  key_mod=mod)
+                                  key_mod=mod, key_plan=key_plan)
     ex = dedup.doc_windows(sdf, "doc_id", "text", window_words) \
         .withColumnRenamed("doc_id", "__id")
     w = Window.partitionBy("span").orderBy("__id", "pos")

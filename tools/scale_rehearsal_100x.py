@@ -175,7 +175,7 @@ def main() -> None:
     # the unaligned policy's window volume is window_words x the
     # aligned leg's, so its keying crossover is the one most likely
     # to flip first at cluster scale; same measurement as span_dedup
-    def run_exsub(df, hk):
+    def run_exsub(df, hk, plan="grouped"):
         # NOT .count(): the output's cardinality is determined by the
         # doc-id dropDuplicates alone, so Catalyst ELIMINATES the
         # left join to the aggregated dup-position frame (unique join
@@ -184,7 +184,8 @@ def main() -> None:
         # pipeline.
         t0 = time.time()
         (dedup.exact_substr_dedup(df, "doc_id", "text",
-                                  window_words=8, hash_key=hk)
+                                  window_words=8, hash_key=hk,
+                                  key_plan=plan)
               .agg(F.sum("n_kept"),
                    F.sum(F.length("dedup_text"))).collect())
         return round(time.time() - t0, 2)
@@ -192,9 +193,13 @@ def main() -> None:
     frames = {n: _replicate_docs(spark, F, n) for n in (1, 10, 100)}
     run_exsub(frames[1], True)   # warm
     ex = {}
-    for hk, name in ((True, "hash"), (False, "text")):
+    # three arms: hash/grouped (default), hash/count (the r7 plan —
+    # the A/B that justified the default flip), text-keyed
+    for hk, plan, name in ((True, "grouped", "hash"),
+                           (True, "count", "hashcount"),
+                           (False, "grouped", "text")):
         for n in (1, 10, 100):
-            ex[f"t_{name}_{n}x_s"] = run_exsub(frames[n], hk)
+            ex[f"t_{name}_{n}x_s"] = run_exsub(frames[n], hk, plan)
         ex[f"growth_{name}_100x"] = round(
             ex[f"t_{name}_100x_s"] / ex[f"t_{name}_1x_s"], 2)
     for f in frames.values():
