@@ -1640,9 +1640,10 @@ def exact_substr_dedup(df: DataFrame, id_col: str, text_col: str,
     re-check, which keeps removal exact — the 100 TB form). The
     hash path's candidate pass defaults to key_plan='grouped' (ONE
     (wh -> members) groupBy, so the O(n·window_words) chain-key
-    computation runs once): the r8 100x rehearsal measured it 19%
-    faster wall / 11.5x -> 8.9x growth vs the two-pass 'count' +
-    semi-join plan, and it strictly dominates on dup-heavy corpora
+    computation runs once): a 4-rep alternating-order 100x A/B
+    (SCALE_REHEARSAL_r08_exsubAB.json) has it ahead of the two-pass
+    'count' + semi-join plan in every paired slot (~8% mean wall on
+    a +/-20% host), and it strictly dominates on dup-heavy corpora
     (where the count plan's semi join outgrows broadcast and
     shuffles the window stream a second time). 'count' remains for
     dup-light cluster regimes where the narrower (wh, partial-count)
