@@ -5499,6 +5499,133 @@ def q_tpch_q20(spark, sf):
              .orderBy(F.asc("s_name"), F.asc("s_suppkey")))
 
 
+@_q("cluster_balance", """
+    with c as (select vec_id as cid, CAST(embedding AS DOUBLE[]) cv
+               from embeddings where vec_id < 8),
+         e as (select vec_id, CAST(embedding AS DOUBLE[]) ev
+               from embeddings),
+         s as (select e.vec_id, c.cid,
+                      list_dot_product(e.ev, c.cv)
+                      / (sqrt(list_dot_product(e.ev, e.ev))
+                         * sqrt(list_dot_product(c.cv, c.cv))) as cos
+               from e, c),
+         a as (select vec_id, cid, cos, row_number() over
+                   (partition by vec_id order by cos desc, cid asc) rn
+               from s)
+    select cid as cluster, count(*) as n_vecs,
+           min(cos) as min_cos, max(cos) as max_cos
+    from a where rn = 1 group by 1 order by 1""")
+def q_cluster_balance(spark, sf):
+    """IVF/partition skew audit (similarity.cluster_balance_report):
+    per-cluster member count + min/max assignment cosine under the
+    8 seed centroids (vec_id < 8 in ascending order, so Spark's
+    centroid list index == the oracle's cid). One corpus scan,
+    map-side partial agg to nlist rows; min/max of IEEE doubles are
+    order-free and the cosines are the sequential-fold definition,
+    so the report is bit-exact vs the argmax-window oracle."""
+    emb = _t(spark, sf, "embeddings")
+    cents = [[float(x) for x in r[0]] for r in
+             emb.where(F.col("vec_id") < 8).select("embedding")
+                .orderBy("vec_id").collect()]
+    return similarity.cluster_balance_report(emb, "embedding", cents)
+
+
+@_q("norm_outliers", """
+    with aug as (select vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x * ((1.0 + (vec_id % 7) / 10.0)
+                       * (case when vec_id % 50 = 0
+                               then 10.0 else 1.0 end))) v
+         from embeddings),
+    e as (select vec_id,
+                 cast(list_dot_product(v, v) as decimal(38,6)) nq
+          from aug),
+    st as (select count(*) n, sum(nq) s1, sum(nq*nq) s2 from e),
+    d as (select cast(cast(s1 as varchar) as double)
+                   / cast(n as double) as mean,
+                 cast(cast(s2 as varchar) as double)
+                   / cast(n as double) as m2 from st)
+    select e.vec_id,
+           cast(cast(e.nq as varchar) as double) as norm_sq
+    from e, d
+    where abs(cast(cast(e.nq as varchar) as double) - d.mean)
+          > 3.0 * sqrt(greatest(d.m2 - d.mean*d.mean, 0.0))
+    order by e.vec_id""")
+def q_norm_outliers(spark, sf):
+    """Embedding-health screen (similarity.norm_outlier_report): the
+    corpus embeddings are unit-normalized, so — like pii_scrub's
+    synthetic PII — both engines first scale each vector by the same
+    deterministic per-row factor (1 + (id%7)/10, with every 50th row
+    x10 as the planted broken batch); the report must flag exactly
+    the planted rows at z=3. Per-row norm_sq quantizes to
+    decimal(38,6) before the exact moment sums; mean/var doubles
+    derive via the varchar round-trip; variance clamps at 0."""
+    emb = _t(spark, sf, "embeddings")
+    s = ((F.lit(1.0) + (F.col("vec_id") % 7).cast("double") / F.lit(10.0))
+         * F.when(F.col("vec_id") % 50 == 0, F.lit(10.0))
+            .otherwise(F.lit(1.0)))
+    aug = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double") * s).alias("v"))
+    return similarity.norm_outlier_report(aug, "v", id_col="vec_id", z=3.0)
+
+
+@_q("blocklist_filter", """
+    with t as (select doc_id, lang, string_split(text, ' ') toks
+               from documents),
+         h as (select doc_id, lang,
+                      len(list_filter(toks,
+                          x -> x in ('dup', 'unsafe'))) as hits
+               from t)
+    select lang,
+           cast(sum(case when hits = 0 then 1 else 0 end)
+                as bigint) as n_kept,
+           cast(sum(case when hits > 0 then 1 else 0 end)
+                as bigint) as n_dropped
+    from h group by 1 order by 1""")
+def q_blocklist_filter(spark, sf):
+    """C4-rule bad-words audit (quality.blocklist_stats): documents
+    containing any blocklisted token are dropped; the per-language
+    kept/dropped counts are the report a corpus owner reads before
+    committing to a list (drop-rate by language exposes lists that
+    silently erase a language). One scan, pure-codegen token filter,
+    integer grouped agg."""
+    from sybil_spark.operators import quality
+    d = _t(spark, sf, "documents")
+    return quality.blocklist_stats(d, "lang", "text", "doc_id",
+                                   ["dup", "unsafe"])
+
+
+@_q("bloom_decontaminate", """
+    with toks as (select doc_id, string_split(text, ' ') t from documents),
+    s as (select doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t)-2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) sh from toks),
+    b as (select distinct sh from s where doc_id % 20 = 0),
+    hits as (select s.doc_id, count(*) c from s join b on s.sh = b.sh
+             where s.doc_id % 20 <> 0 group by 1)
+    select doc_id from documents
+    where doc_id % 20 <> 0
+      and doc_id not in (select doc_id from hits where c >= 5)
+    order by doc_id""")
+def q_bloom_decontaminate(spark, sf):
+    """decontaminate with the Bloom pre-filter in front of the exact
+    semi-join (dedup.bloom_decontaminate) — same eval-set split and
+    thresholds as the decontaminate query, same oracle, because the
+    Bloom has no false negatives and its false positives die in the
+    exact verify: the scale lever (a broadcastable bitset where the
+    bench hash relation would blow the broadcast budget) must be
+    invisible in the result."""
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return (dedup.bloom_decontaminate(corpus, "doc_id", "text",
+                                      bench, "doc_id", "text",
+                                      shingle_n=3, min_overlap=5)
+            .select("doc_id").orderBy("doc_id"))
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -5533,6 +5660,8 @@ _DRIVER_FIRST = [
     # (c) new r8 queries (names appended as they land):
     "bpe_apply", "pq_topk_trained", "ivf_tuned", "minhash_tuned",
     "quality_lr_ngram", "corpus_stats",
+    "cluster_balance", "norm_outliers", "blocklist_filter",
+    "bloom_decontaminate",
 ]
 
 _DRIVER_FIRST_R7 = [

@@ -1229,3 +1229,81 @@ def stupid_backoff_logprob(df: DataFrame, id_col: str, text_col: str,
                       .alias("sum_score"),
                      (F.col("__s").cast("string").cast("double")
                       / F.col("n_tokens")).alias("mean_score")))
+
+
+# ---------------------------------------------------------------------------
+# Blocklist (bad-words) filtering — the C4 rule
+# ---------------------------------------------------------------------------
+
+def blocklist_hits(df: DataFrame, id_col: str, text_col: str,
+                   blocklist: list[str],
+                   broadcast_list: bool = False) -> DataFrame:
+    """df + `n_hits`: how many tokens of each document appear in the
+    blocklist — the C4 "bad words" signal (C4 drops a page on ANY
+    hit; Gopher-style variants threshold on a count or ratio, which
+    is why the count, not just a flag, is exposed).
+
+    Two plans, same result, chosen by list size:
+
+    - literal (default): n_hits = size(filter(tokens, t -> t IN
+      (<literals>))) — a pure map compiled into whole-stage codegen,
+      zero shuffle, the right plan for the few-hundred-word lists
+      real bad-word filters use.
+    - broadcast_list=True: explode tokens -> broadcast hash semi-join
+      against the list -> count per doc -> broadcast-join the counts
+      back onto the (narrow) id spine. For 10k+ entry lists a
+      literal IN would bloat the generated method past janino's
+      comfort; the join plan keeps codegen small and the list off
+      the plan string. Document text itself never shuffles in
+      either plan.
+    """
+    if not broadcast_list:
+        hit = F.size(F.filter(tokens(F.col(text_col)),
+                              lambda t: t.isin(*blocklist)))
+        return df.withColumn("n_hits", hit.cast("long"))
+    spark = df.sparkSession
+    bl = F.broadcast(spark.createDataFrame(
+        [(w,) for w in blocklist], "tok string").distinct())
+    tok = df.select(F.col(id_col).alias("__bid"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = (tok.join(bl, "tok", "left_semi")
+                 .groupBy("__bid")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+    return (df.join(F.broadcast(counts),
+                    df[id_col] == counts["__bid"], "left")
+              .drop("__bid")
+              .withColumn("n_hits",
+                          F.coalesce(F.col("__c"),
+                                     F.lit(0).cast("long")))
+              .drop("__c"))
+
+
+def blocklist_filter(df: DataFrame, id_col: str, text_col: str,
+                     blocklist: list[str], max_hits: int = 0,
+                     broadcast_list: bool = False) -> DataFrame:
+    """Documents surviving the bad-words rule: n_hits <= max_hits
+    (C4 semantics at the default max_hits=0). Pass-through columns
+    untouched; the filter is a map over the scan in the literal
+    plan."""
+    return (blocklist_hits(df, id_col, text_col, blocklist,
+                           broadcast_list)
+            .where(F.col("n_hits") <= F.lit(int(max_hits)))
+            .drop("n_hits"))
+
+
+def blocklist_stats(df: DataFrame, group_col: str, text_col: str,
+                    id_col: str, blocklist: list[str],
+                    max_hits: int = 0,
+                    broadcast_list: bool = False) -> DataFrame:
+    """(group, n_kept, n_dropped): the audit a corpus owner reads
+    before committing to a blocklist — drop-rate by language/source
+    exposes lists that silently erase a whole language (the
+    documented failure mode of naive bad-word filtering). One scan:
+    the hits column is computed per-row, then a grouped integer
+    aggregation (map-side partial) to |groups| rows."""
+    h = blocklist_hits(df, id_col, text_col, blocklist, broadcast_list)
+    keep = (F.col("n_hits") <= F.lit(int(max_hits))).cast("long")
+    return (h.groupBy(F.col(group_col))
+             .agg(F.sum(keep).alias("n_kept"),
+                  F.sum(F.lit(1) - keep).alias("n_dropped"))
+             .orderBy(group_col))

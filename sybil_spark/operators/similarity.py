@@ -1468,3 +1468,90 @@ def ivf_tune(queries: DataFrame, corpus: DataFrame, vec_col: str,
                              F.col("__best"), F.lit(-1)))
              .drop("__best")
              .orderBy("nprobe"))
+
+
+def cluster_balance_report(df: DataFrame, vec_col: str,
+                           centroids: list[list[float]],
+                           cluster_col: str = "cluster") -> DataFrame:
+    """Per-cluster size and assignment-quality audit of a coarse
+    quantizer: (cluster, n_vecs, min_cos, max_cos) for every cluster
+    that won at least one vector.
+
+    This is the skew report that decides whether an IVF index (or a
+    partitionBy(cluster) ingest layout) is servable: list-length
+    variance IS the tail latency of nprobe-bounded search, and a
+    cluster whose min_cos is near the corpus floor is a garbage
+    attractor that wants a centroid refresh (ivf_index_refresh).
+
+    Scale shape: ONE corpus scan — the argmax over nlist fold-cosines
+    is pure codegen projection (same expression as ivf_assign, plus
+    keeping the winning cosine), and the groupBy partial-aggregates
+    map-side to at most nlist rows per partition; no shuffle ever
+    carries a vector. min/max of IEEE doubles are order-independent,
+    so the report is bit-reproducible by a SQL oracle (counts are
+    integers; the cosines use the sequential-fold definition)."""
+    sims = F.array(*[
+        F.struct(cosine_to_const(F.col(vec_col), c).alias("s"),
+                 F.lit(-i).alias("ni"))
+        for i, c in enumerate(centroids)])
+    m = F.array_max(sims)
+    assigned = df.select((-m["ni"]).cast("int").alias(cluster_col),
+                         m["s"].alias("__cos"))
+    return (assigned.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("__cos").alias("min_cos"),
+                 F.max("__cos").alias("max_cos"))
+            .orderBy(cluster_col))
+
+
+def norm_outlier_report(df: DataFrame, vec_col: str,
+                        id_col: str = "vec_id",
+                        z: float = 3.0) -> DataFrame:
+    """Embedding-health audit: (id, norm_sq) of every vector whose
+    squared L2 norm sits more than `z` population-stddevs from the
+    corpus mean — the cheap screen for broken rows an embedding
+    pipeline ships at scale (zero vectors from a failed encoder
+    call, un-normalized batches mixed into a normalized corpus,
+    fp16 blowups).
+
+    Exactness discipline (the package's decimal-moments pattern,
+    query/builder.py STDDEV): each row's norm_sq — a deterministic
+    sequential fold — quantizes to decimal(38,6) BEFORE aggregating,
+    so sum(nq) and sum(nq*nq) are exact and order-independent; the
+    mean/variance doubles then derive from those exact decimals via
+    an explicit varchar round-trip (parse-based conversion matches
+    across engines where direct decimal->double casts may not), and
+    the z-test compares doubles produced by the identical expression
+    tree in any engine. Variance clamps at zero (greatest) because
+    the m2 - mean^2 form can go epsilon-negative under quantization.
+
+    Scale shape: scan #1 partial-aggregates three numbers map-side
+    and collects ONE row (the package's bounded-collect pattern for
+    global stats — a 1-row crossJoin would plan the
+    BroadcastNestedLoopJoin the corpus-wide lint rejects, and a
+    literal join key constant-folds back to it); the threshold then
+    rides into scan #2's filter as plain literals — a pure map. With
+    the corpus cached the two scans share one materialization;
+    nothing wide ever shuffles."""
+    nq = norm_sq(F.col(vec_col)).cast("decimal(38,6)")
+    e = df.select(F.col(id_col), nq.alias("__nq"))
+    mean_c = (F.col("__s1").cast("string").cast("double")
+              / F.col("__n").cast("double"))
+    m2_c = (F.col("__s2").cast("string").cast("double")
+            / F.col("__n").cast("double"))
+    st = (e.agg(F.count(F.lit(1)).alias("__n"),
+                F.sum("__nq").alias("__s1"),
+                F.sum(F.col("__nq") * F.col("__nq")).alias("__s2"))
+           .select(F.col("__n"), mean_c.alias("__mean"),
+                   F.greatest(m2_c - mean_c * mean_c,
+                              F.lit(0.0)).alias("__var"))
+           .first())
+    if not st["__n"]:
+        return e.select(F.col(id_col),
+                        F.lit(None).cast("double").alias("norm_sq")) \
+                .where(F.lit(False))
+    nqd = F.col("__nq").cast("string").cast("double")
+    return (e.where(F.abs(nqd - F.lit(st["__mean"]))
+                    > F.lit(float(z)) * F.sqrt(F.lit(st["__var"])))
+             .select(F.col(id_col), nqd.alias("norm_sq"))
+             .orderBy(id_col))

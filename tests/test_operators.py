@@ -2386,3 +2386,156 @@ def test_ivf_tune_grid(spark):
                                        cents, k=8, nprobe=p).collect()
     assert sum(r["n_hit"] for r in rep) == \
         [r["n_hit"] for r in g if r["nprobe"] == p][0]
+
+
+# ---------------------------------------------------------------------------
+# cluster balance / norm outlier audits
+# ---------------------------------------------------------------------------
+
+def test_cluster_balance_report(spark, emb):
+    cents = [[float(x) for x in r["embedding"]] for r in
+             emb.where("vec_id < 4").orderBy("vec_id").collect()]
+    rep = similarity.cluster_balance_report(emb, "embedding",
+                                            cents).collect()
+    # every vector lands somewhere; counts are a partition of the corpus
+    assert sum(r["n_vecs"] for r in rep) == emb.count()
+    # matches ivf_assign's argmax row-for-row
+    assigned = similarity.ivf_assign(emb, "embedding", cents)
+    by_cluster = {r["cluster"]: r["cnt"] for r in
+                  assigned.groupBy("cluster")
+                          .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert {r["cluster"]: r["n_vecs"] for r in rep} == by_cluster
+    for r in rep:
+        assert -1.0 - 1e-12 <= r["min_cos"] <= r["max_cos"] <= 1.0 + 1e-12
+    # centroid 0's own vector assigns to cluster 0 with cos ~ 1
+    c0 = [r for r in rep if r["cluster"] == 0][0]
+    assert c0["max_cos"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_norm_outlier_report_flags_planted(spark):
+    # fp16-blowup shape: the planted big rows dominate the variance,
+    # so only THEY sit 3 sigma out (a zero vector does not — its
+    # deviation is dwarfed by the blowups' pull on sigma)
+    rows = [Row(vec_id=i, v=[1.0, 0.0, 0.0]) for i in range(100)]
+    rows += [Row(vec_id=200, v=[50.0, 0.0, 0.0]),
+             Row(vec_id=201, v=[0.0, 60.0, 0.0]),
+             Row(vec_id=202, v=[0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows)
+    out = similarity.norm_outlier_report(df, "v", id_col="vec_id",
+                                         z=3.0).collect()
+    assert [r["vec_id"] for r in out] == [200, 201]
+    assert out[0]["norm_sq"] == pytest.approx(2500.0)
+
+
+def test_norm_outlier_report_flags_zero_vector(spark):
+    # failed-encoder shape: a tight unit-norm corpus + one zero
+    # vector — the zero IS the outlier when nothing inflates sigma
+    rows = [Row(vec_id=i, v=[1.0, 0.0]) for i in range(100)]
+    rows.append(Row(vec_id=200, v=[0.0, 0.0]))
+    out = similarity.norm_outlier_report(
+        spark.createDataFrame(rows), "v", id_col="vec_id",
+        z=3.0).collect()
+    assert [r["vec_id"] for r in out] == [200]
+
+
+def test_norm_outlier_report_uniform_corpus_empty(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, v=[3.0, 4.0]) for i in range(50)])
+    # zero variance → nothing can sit z sigmas out; sqrt(var) clamps at 0
+    assert similarity.norm_outlier_report(df, "v", id_col="vec_id",
+                                          z=3.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# blocklist (bad-words) filtering
+# ---------------------------------------------------------------------------
+
+def test_blocklist_literal_and_broadcast_agree(spark, docs):
+    from sybil_spark.operators import quality
+    bl = ["w3", "w17", "unrelated"]
+    lit = quality.blocklist_hits(docs, "doc_id", "text", bl)
+    br = quality.blocklist_hits(docs, "doc_id", "text", bl,
+                                broadcast_list=True)
+    a = {r["doc_id"]: r["n_hits"] for r in lit.collect()}
+    b = {r["doc_id"]: r["n_hits"] for r in br.collect()}
+    assert a == b
+    # docs 3 and 17 each replaced one base word with w3/w17; doc 102
+    # contains "unrelated" once
+    assert a[3] == 1 and a[17] == 1 and a[102] == 1
+    assert a[0] == 0 and a[100] == 0
+
+
+def test_blocklist_filter_thresholds(spark, docs):
+    from sybil_spark.operators import quality
+    bl = ["w3", "unrelated"]
+    kept0 = quality.blocklist_filter(docs, "doc_id", "text", bl)
+    assert kept0.count() == docs.count() - 2          # drops 3 and 102
+    kept1 = quality.blocklist_filter(docs, "doc_id", "text", bl,
+                                     max_hits=1)
+    assert kept1.count() == docs.count()              # 1 hit tolerated
+    # filtered frame keeps the original columns untouched
+    assert kept0.columns == docs.columns
+
+
+def test_blocklist_literal_plan_is_pure_map(spark, docs):
+    from sybil_spark.operators import quality
+    from sybil_spark.plans import inspect as I
+    s = I.formatted_plan(
+        quality.blocklist_hits(docs, "doc_id", "text", ["w3"]))
+    assert "Exchange" not in s
+    assert "BatchEvalPython" not in s
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+def test_bloom_decontaminate_matches_exact(spark, docs):
+    bench = docs.where("doc_id % 7 = 0")
+    corpus = docs.where("doc_id % 7 <> 0")
+    exact = sorted(r["doc_id"] for r in dedup.decontaminate(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        shingle_n=3, min_overlap=3).collect())
+    bloom = sorted(r["doc_id"] for r in dedup.bloom_decontaminate(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        shingle_n=3, min_overlap=3).collect())
+    assert bloom == exact
+    assert 0 < len(bloom) < corpus.count()  # non-vacuous both ways
+
+
+def test_bloom_decontaminate_exact_under_heavy_fp(spark, docs):
+    # 1 bit/key + 1 probe → massive false-positive rate; the exact
+    # verify must still produce the identical result
+    bench = docs.where("doc_id % 7 = 0")
+    corpus = docs.where("doc_id % 7 <> 0")
+    exact = sorted(r["doc_id"] for r in dedup.decontaminate(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        shingle_n=3, min_overlap=3).collect())
+    bloom = sorted(r["doc_id"] for r in dedup.bloom_decontaminate(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        shingle_n=3, min_overlap=3, bits_per_key=1,
+        n_probes=1).collect())
+    assert bloom == exact
+
+
+def test_bloom_decontaminate_empty_bench_passthrough(spark, docs):
+    bench = docs.where("doc_id < 0")
+    out = dedup.bloom_decontaminate(docs, "doc_id", "text",
+                                    bench, "doc_id", "text")
+    assert out.count() == docs.count()
+
+
+def test_bloom_build_membership_no_false_negatives(spark):
+    import numpy as np
+    keys = [(-1) ** i * (i * 2654435761 + 17) for i in range(1000)]
+    bits, log2m = dedup._bloom_build(keys, len(keys))
+    h = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    m = np.uint64((1 << log2m) - 1)
+    h1, h2 = h & m, ((h >> np.uint64(17)) | np.uint64(1)) & m
+    out = np.ones(len(h), dtype=bool)
+    for j in range(7):
+        pos = (h1 + np.uint64(j) * h2) & m
+        out &= (bits[(pos >> np.uint64(3)).astype(np.int64)]
+                & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+                ).astype(bool)
+    assert out.all()
