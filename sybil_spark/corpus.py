@@ -5626,6 +5626,61 @@ def q_bloom_decontaminate(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+@_q("phrase_search", """
+    with t as (select doc_id, string_split(text, ' ') t
+               from documents),
+    m as (select doc_id,
+                 len(list_filter(generate_series(1, len(t)-1),
+                     i -> t[i] = 'merge' and t[i+1] = 'slow'))
+                   as n_matches
+          from t)
+    select doc_id, n_matches from m
+    where n_matches > 0 order by doc_id""")
+def q_phrase_search(spark, sf):
+    """Exact phrase grep (quality.phrase_search): per-doc count of
+    stride-1 occurrences of the token bigram "merge slow" — one
+    codegen map over the scan (filter a start-index range on
+    element_at equalities), zero shuffle, integer counts so the
+    oracle is trivially bit-exact."""
+    from sybil_spark.operators import quality
+    return quality.phrase_search(_t(spark, sf, "documents"),
+                                 "doc_id", "text", "merge slow")
+
+
+@_q("phrase_index_topk", """
+    with t as (select doc_id, string_split(text, ' ') t
+               from documents),
+    m as (select doc_id,
+                 len(list_filter(generate_series(1, len(t)-1),
+                     i -> t[i] = 'merge' and t[i+1] = 'slow'))
+                   as n_matches
+          from t),
+    r as (select doc_id, n_matches,
+                 row_number() over
+                     (order by n_matches desc, doc_id asc) as rank
+          from m where n_matches > 0)
+    select doc_id, n_matches, rank from r where rank <= 10
+    order by rank""")
+def q_phrase_index_topk(spark, sf):
+    """The same phrase query served from the PERSISTED positional
+    index (quality.phrase_index_topk): build the bucketed postings
+    into a temp dir, answer purely from the phrase-token buckets
+    (partition-pruned — no corpus scan), and hash-match the
+    full-corpus SQL oracle — the positional-index analog of the
+    bm25_index_search row."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sybil_spark.operators import quality
+    iroot = tempfile.mkdtemp(prefix="sybil-phraseidx-")
+    atexit.register(shutil.rmtree, iroot, ignore_errors=True)
+    quality.build_bm25_index(_t(spark, sf, "documents"), "doc_id",
+                             "text", iroot, nbuckets=32)
+    return quality.phrase_index_topk(spark, iroot, "merge slow",
+                                     k=10)
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -5661,7 +5716,11 @@ _DRIVER_FIRST = [
     "bpe_apply", "pq_topk_trained", "ivf_tuned", "minhash_tuned",
     "quality_lr_ngram", "corpus_stats",
     "cluster_balance", "norm_outliers", "blocklist_filter",
-    "bloom_decontaminate",
+    "bloom_decontaminate", "phrase_search", "phrase_index_topk",
+    # (d) BM25 index rows: the postings gained the positions column
+    # this round (build/add/stream/compact all write it) — refresh
+    # their driver evidence on the new layout:
+    "bm25_index_search", "bm25_index_add_search",
 ]
 
 _DRIVER_FIRST_R7 = [

@@ -659,6 +659,28 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
                      .alias("logratio")))
 
 
+def _bm25_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, tok, tf, pos): the grouped token stats every BM25 index
+    writer shares (build / batch add / streaming add — one
+    definition so the three paths can never drift). `pos` is the
+    sorted array of 0-based token positions: it rides on the posting
+    row at ~one int per token occurrence and turns the index
+    POSITIONAL, so exact phrase queries (phrase_index_topk) serve
+    from the same partition-pruned buckets as term queries.
+    collect_list order is shuffle-dependent — sort_array pins it."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.posexplode(tokens(F.col(text_col)))
+                      .alias("p", "tok"))
+    return toks.groupBy("doc", "tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("pos"))
+
+
+#: posting-row schema shared by the base postings, add pieces and
+#: stream batches; compact/serve select exactly this set when merging
+BM25_POSTING_COLS = ["doc", "tok", "tf", "pos", "dl", "df_t", "pb"]
+
+
 def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
                      index_path: str, nbuckets: int = 64) -> None:
     """Persist a BM25 inverted index — the lexical mirror of
@@ -689,15 +711,13 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
 
     from pyspark import StorageLevel
 
-    toks = df.select(F.col(id_col).alias("doc"),
-                     F.explode(tokens(F.col(text_col))).alias("tok"))
     # persist tf across the build's two jobs (the stats collect and
     # the postings write) — without it the tokenize+shuffle, the
     # most expensive stage of the build, runs twice; released before
     # returning (self-contained, unlike bm25_topk's caller-owned
     # handle)
-    tf = (toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    tf = (_bm25_tf(df, id_col, text_col)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
         dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
@@ -772,12 +792,8 @@ def bm25_index_add(df: DataFrame, index_path: str,
     with path_lock(index_path):
         with open(os.path.join(index_path, "bm25_meta.json")) as f:
             meta = json.load(f)
-        toks = df.select(F.col(meta["id_col"]).alias("doc"),
-                         F.explode(tokens(F.col(meta["text_col"])))
-                          .alias("tok"))
-        tf = (toks.groupBy("doc", "tok")
-                  .agg(F.count(F.lit(1)).alias("tf"))
-                  .persist(StorageLevel.MEMORY_AND_DISK))
+        tf = (_bm25_tf(df, meta["id_col"], meta["text_col"])
+              .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
             stats = dl.agg(F.count(F.lit(1)).alias("n"),
@@ -913,7 +929,7 @@ def _bm25_compact_locked(spark, index_path: str,
         meta = json.load(f)
     post_p = os.path.join(index_path, "postings")
     pdirs, pn, ps_, smax = _bm25_pending_state(index_path)
-    cols = ["doc", "tok", "tf", "dl", "pb"]
+    cols = [c for c in BM25_POSTING_COLS if c != "df_t"]
     post = spark.read.parquet(post_p).select(*cols)
     for d in pdirs:
         post = post.unionByName(
@@ -1006,7 +1022,7 @@ def bm25_index_topk(spark, index_path: str,
     post = (spark.read.parquet(os.path.join(index_path, "postings"))
             .where(F.col("pb").isin(buckets)))
     if sdirs:
-        cols = ["doc", "tok", "tf", "dl", "df_t", "pb"]
+        cols = BM25_POSTING_COLS
         post = post.select(*cols)
         for d in sdirs:
             post = post.unionByName(
@@ -1041,6 +1057,93 @@ def bm25_index_topk(spark, index_path: str,
                   .select("q_id", F.col("doc").alias(meta["id_col"]),
                           F.col("__s").cast("string").cast("double")
                            .alias("score"), "rank"))
+
+
+def phrase_index_topk(spark, index_path: str, phrase: str,
+                      k: int = 10) -> DataFrame:
+    """Exact phrase query served from the persisted BM25 index's
+    positional postings — the capability the positions column exists
+    for: top-k documents by occurrence count of the exact token
+    phrase, WITHOUT a corpus scan. Bit-identical to
+    phrase_search(df).orderBy(n desc, id)(k) over the original
+    corpus, by construction: positions are the tokenizer's own
+    indices, and intersection arithmetic is exact integers.
+
+    Plan: the phrase's distinct tokens map to buckets on the driver
+    (same 1-job JVM-hash collect as bm25_index_topk) → the postings
+    read is partition-pruned to those buckets → filtered to the
+    phrase tokens → ONE groupBy(doc) packs a token→positions map per
+    candidate doc (only docs containing at least one phrase token
+    ever leave the scan; the map carries at most n_phrase_tokens
+    entries) → occurrence count is the classic positional-merge,
+    expressed as a codegen fold: positions of word_0 intersected
+    with (positions of word_j shifted by -j) for each later j.
+    Docs missing ANY phrase term are dropped by a null check before
+    the fold. Pending add/stream pieces merge exactly as in
+    bm25_index_topk (pb-partitioned, so pruning applies; phrase
+    counting needs no df correction at all).
+
+    Output: (doc_id_col, n_matches, rank), ordered; overlapping
+    occurrences count (stride-1 semantics, matching
+    phrase_match_count)."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from sybil_spark.functions.text import tokenize_str
+
+    words = tokenize_str(phrase)
+    if not words or not any(words):
+        raise ValueError("phrase_index_topk: empty phrase")
+    uniq = list(dict.fromkeys(words))
+    with open(os.path.join(index_path, "bm25_meta.json")) as f:
+        meta = json.load(f)
+    sdirs, _n, _s, _mx = _bm25_pending_state(index_path)
+    tdf = spark.createDataFrame([(t,) for t in uniq], "tok string")
+    buckets = [r["pb"] for r in
+               tdf.select(F.pmod(F.xxhash64("tok"),
+                                 F.lit(meta["nbuckets"])).alias("pb"))
+                  .distinct().collect()]
+    base_cols = ["doc", "tok", "pos", "pb"]
+    post = (spark.read.parquet(os.path.join(index_path, "postings"))
+            .select(*base_cols)
+            .where(F.col("pb").isin(buckets)))
+    for d in sdirs:
+        post = post.unionByName(
+            spark.read.parquet(d).select(*base_cols)
+                 .where(F.col("pb").isin(buckets)))
+    cand = (post.where(F.col("tok").isin(uniq))
+                .groupBy("doc")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("tok", "pos")))
+                     .alias("__m")))
+    m = F.col("__m")
+    has_all = F.lit(True)
+    for t in uniq:
+        has_all = has_all & m.getItem(t).isNotNull()
+
+    def shift(jv: int):
+        # closure factory: a default-arg lambda would present arity 2
+        # and F.transform would feed it (element, index)
+        return lambda p: p - F.lit(jv)
+
+    acc = m.getItem(words[0])
+    for j, t in enumerate(words[1:], start=1):
+        acc = F.array_intersect(acc, F.transform(m.getItem(t),
+                                                 shift(j)))
+    scored = (cand.where(has_all)
+                  .select("doc", F.size(acc).cast("long")
+                           .alias("n_matches"))
+                  .where(F.col("n_matches") > 0))
+    # distributed top-k first (TakeOrderedAndProject), THEN the rank
+    # window — unpartitioned windows only ever run on the k-row frame
+    top = (scored.orderBy(F.desc("n_matches"), F.asc("doc"))
+                 .limit(int(k)))
+    w = Window.orderBy(F.desc("n_matches"), F.asc("doc"))
+    return (top.withColumn("rank", F.row_number().over(w))
+               .select(F.col("doc").alias(meta["id_col"]),
+                       "n_matches", "rank"))
 
 
 def vocab_growth(df: DataFrame, id_col: str, text_col: str,
@@ -1307,3 +1410,53 @@ def blocklist_stats(df: DataFrame, group_col: str, text_col: str,
              .agg(F.sum(keep).alias("n_kept"),
                   F.sum(F.lit(1) - keep).alias("n_dropped"))
              .orderBy(group_col))
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase matching
+# ---------------------------------------------------------------------------
+
+def phrase_match_count(text_col, phrase: str, pattern: str | None = None):
+    """Column: number of (stride-1, possibly overlapping) occurrences
+    of the exact token phrase in the text — pure codegen array math,
+    zero shuffle: filter the start-index range [1, len-n+1] on a
+    conjunction of element_at equality checks. `when(size >= n)`
+    guards the sub-n-token row (sequence(1, 0) would count DOWN).
+
+    Tokenization is text.tokens / tokenize_str — the same single
+    source every lexical operator shares, so phrase semantics agree
+    with BM25/tf-idf term semantics by construction."""
+    from sybil_spark.functions.text import tokenize_str
+    words = tokenize_str(phrase, pattern)
+    # "".split(" ") is [""], not [] — an all-empty token list is as
+    # meaningless as an empty one
+    if not words or not any(words):
+        raise ValueError("phrase_match_count: empty phrase")
+    n = len(words)
+    toks = tokens(text_col, pattern)
+
+    def is_match(i):
+        cond = F.element_at(toks, i) == F.lit(words[0])
+        for j, w in enumerate(words[1:], start=1):
+            cond = cond & (F.element_at(toks, i + F.lit(j)) == F.lit(w))
+        return cond
+
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(F.size(toks) >= F.lit(n),
+                  F.size(F.filter(starts, is_match)).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+
+
+def phrase_search(df: DataFrame, id_col: str, text_col: str,
+                  phrase: str, pattern: str | None = None) -> DataFrame:
+    """(id, n_matches) for every document containing the exact token
+    phrase at least once — grep for the corpus, as one map over the
+    scan (the column above) + a filter; ordered by id for stable
+    output. At 100 TB this is a single pass with the text column
+    pruned to exactly one read; for REPEATED phrase queries build
+    the positional index and use phrase_index_topk instead."""
+    return (df.select(F.col(id_col),
+                      phrase_match_count(F.col(text_col), phrase,
+                                         pattern).alias("n_matches"))
+              .where(F.col("n_matches") > 0)
+              .orderBy(id_col))

@@ -1237,7 +1237,6 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
     import json
     import os
 
-    from sybil_spark.functions.text import tokens
     from sybil_spark.sources.locks import path_lock
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1258,13 +1257,10 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
                 # holds this replay's exact content — skip rather
                 # than rewrite a committed dir under a serve
                 return
-            toks = batch_df.select(
-                F.col(meta["id_col"]).alias("doc"),
-                F.explode(tokens(F.col(meta["text_col"])))
-                 .alias("tok"))
-            tf = (toks.groupBy("doc", "tok")
-                      .agg(F.count(F.lit(1)).alias("tf"))
-                      .localCheckpoint())   # one snapshot, three uses
+            from sybil_spark.operators.quality import _bm25_tf
+            tf = (_bm25_tf(batch_df, meta["id_col"],
+                           meta["text_col"])
+                  .localCheckpoint())   # one snapshot, three uses
             dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
             stats = dl.agg(F.count(F.lit(1)).alias("n"),
                            F.sum("dl").alias("s")).collect()[0]

@@ -2539,3 +2539,116 @@ def test_bloom_build_membership_no_false_negatives(spark):
                 & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
                 ).astype(bool)
     assert out.all()
+
+
+# ---------------------------------------------------------------------------
+# exact phrase matching (ad-hoc + positional index serving)
+# ---------------------------------------------------------------------------
+
+def test_phrase_match_count_semantics(spark):
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([
+        R(doc_id=0, text="a b c a b c a b"),
+        R(doc_id=1, text="b b b b"),          # overlapping bigram
+        R(doc_id=2, text="a"),                # shorter than phrase
+        R(doc_id=3, text="x y z"),
+        R(doc_id=4, text="a b"),              # exact-length match
+    ])
+    got = {r["doc_id"]: r["n_matches"] for r in df.select(
+        "doc_id", quality.phrase_match_count(F.col("text"), "a b")
+        .alias("n_matches")).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 0, 4: 1}
+    # stride-1 overlap: "b b" occurs 3x in "b b b b"
+    got2 = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", quality.phrase_match_count(F.col("text"), "b b")
+        .alias("n")).collect()}
+    assert got2[1] == 3
+    # trigram
+    got3 = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", quality.phrase_match_count(F.col("text"), "a b c")
+        .alias("n")).collect()}
+    assert got3 == {0: 2, 1: 0, 2: 0, 3: 0, 4: 0}
+    with pytest.raises(ValueError):
+        quality.phrase_match_count(F.col("text"), "")
+
+
+def test_phrase_search_plan_is_pure_map(spark, docs):
+    from sybil_spark.operators import quality
+    from sybil_spark.plans import inspect as I
+    s = I.formatted_plan(
+        quality.phrase_search(docs, "doc_id", "text", "quick brown"))
+    assert "BatchEvalPython" not in s
+    # one scan, no join/aggregate exchange before the sort
+    assert "SortMergeJoin" not in s and "HashAggregate" not in s
+
+
+def test_phrase_index_topk_matches_adhoc(spark, docs, tmp_path):
+    from sybil_spark.operators import quality
+    idx = str(tmp_path / "pidx")
+    quality.build_bm25_index(docs, "doc_id", "text", idx, nbuckets=16)
+    adhoc = quality.phrase_search(docs, "doc_id", "text",
+                                  "the lazy dog").collect()
+    want = sorted(((r["doc_id"], r["n_matches"]) for r in adhoc),
+                  key=lambda t: (-t[1], t[0]))[:10]
+    got = quality.phrase_index_topk(spark, idx, "the lazy dog",
+                                    k=10).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert len(got) > 0
+
+
+def test_phrase_index_topk_duplicate_word_phrase(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([
+        R(doc_id=0, text="go go go stop go go"),
+        R(doc_id=1, text="go stop go stop"),
+        R(doc_id=2, text="stop stop"),
+    ])
+    idx = str(tmp_path / "dupidx")
+    quality.build_bm25_index(df, "doc_id", "text", idx, nbuckets=8)
+    got = {r["doc_id"]: r["n_matches"] for r in
+           quality.phrase_index_topk(spark, idx, "go go", k=10)
+           .collect()}
+    assert got == {0: 3}
+
+
+def test_phrase_index_serves_pending_and_compacted(spark, tmp_path):
+    """Positions flow through the whole index lifecycle: base build,
+    batch add (defer — served from the pending piece), streaming
+    micro-batch, and the compact fold."""
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([
+        R(doc_id=0, text="alpha beta gamma"),
+        R(doc_id=1, text="beta gamma alpha beta gamma"),
+    ])
+    idx = str(tmp_path / "lc")
+    quality.build_bm25_index(df, "doc_id", "text", idx, nbuckets=8)
+    add = spark.createDataFrame([
+        R(doc_id=2, text="beta gamma beta gamma beta gamma")])
+    assert quality.bm25_index_add(add, idx, mode="defer") == 1
+    got = {r["doc_id"]: r["n_matches"] for r in
+           quality.phrase_index_topk(spark, idx, "beta gamma", k=10)
+           .collect()}
+    assert got == {0: 1, 1: 2, 2: 3}
+    quality.bm25_index_compact(spark, idx)
+    got2 = {r["doc_id"]: r["n_matches"] for r in
+            quality.phrase_index_topk(spark, idx, "beta gamma", k=10)
+            .collect()}
+    assert got2 == got
+
+
+def test_phrase_index_topk_prunes_partitions(spark, docs, tmp_path):
+    from sybil_spark.operators import quality
+    from sybil_spark.plans import inspect as I
+    idx = str(tmp_path / "prune")
+    quality.build_bm25_index(docs, "doc_id", "text", idx, nbuckets=16)
+    plan = I.formatted_plan(
+        quality.phrase_index_topk(spark, idx, "quick brown"))
+    seg = plan[plan.index("PartitionFilters"):][:160]
+    assert "pb" in seg, seg
