@@ -5681,6 +5681,47 @@ def q_phrase_index_topk(spark, sf):
                                      k=10)
 
 
+def _bpe_fertility_oracle(rules) -> str:
+    """Grouped variant of _bpe_apply_oracle: the same standin-char
+    replace chain, aggregated to per-language token/piece sums."""
+    sym: dict[str, str] = {}
+
+    def ch(s: str) -> str:
+        return sym.get(s, f"'{s}'")
+
+    expr = "text"
+    for i, (_rank, l, r, _f) in enumerate(sorted(rules)):
+        expr = (f"replace({expr}, {ch(l)} || {ch(r)}, "
+                f"chr({57344 + i}))")
+        sym[l + r] = f"chr({57344 + i})"
+    return f"""
+    with enc as (select lang, {expr} as e,
+                        len(string_split(text, ' ')) as nt
+                 from documents)
+    select lang, count(*) as n_docs,
+           cast(sum(nt) as bigint) as n_tokens,
+           cast(sum(length(replace(e, ' ', ''))) as bigint)
+             as n_pieces,
+           cast(sum(length(replace(e, ' ', ''))) as double)
+             / cast(sum(nt) as double) as fertility
+    from enc group by 1 order by 1"""
+
+
+@_q("bpe_fertility", _bpe_fertility_oracle(_BPE_APPLY_RULES))
+def q_bpe_fertility(spark, sf):
+    """Tokenizer fertility by language (bpe.fertility_report over the
+    fixed 10-rule tokenizer): pieces per whitespace word — THE
+    tokenizer-QA number that catches a vocabulary trained on the
+    wrong language mix before a run burns compute on doubled
+    sequence lengths. Map-only encode + one grouped integer agg;
+    fertility is the double division of two exact bigint sums, so
+    the row hash-matches the standin-char SQL oracle."""
+    from sybil_spark.operators import bpe
+    d = _t(spark, sf, "documents")
+    return bpe.fertility_report(d, "doc_id", "text",
+                                _BPE_APPLY_RULES, "lang")
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -5717,6 +5758,7 @@ _DRIVER_FIRST = [
     "quality_lr_ngram", "corpus_stats",
     "cluster_balance", "norm_outliers", "blocklist_filter",
     "bloom_decontaminate", "phrase_search", "phrase_index_topk",
+    "bpe_fertility",
     # (d) BM25 index rows: the postings gained the positions column
     # this round (build/add/stream/compact all write it) — refresh
     # their driver evidence on the new layout:

@@ -385,3 +385,43 @@ def bpe_apply(df: DataFrame, id_col: str, text_col: str,
     return (df.select(F.col(id_col),
                       encode_series(F.col(text_col)).alias(pieces_col))
               .withColumn("n_pieces", F.size(F.col(pieces_col))))
+
+
+def fertility_report(df: DataFrame, id_col: str, text_col: str,
+                     merges: list[tuple], group_col: str,
+                     pattern: str | None = None,
+                     mode: str = "auto") -> DataFrame:
+    """(group, n_docs, n_tokens, n_pieces, fertility): tokenizer
+    fertility — pieces emitted per whitespace word — grouped by
+    language/source/domain. THE standard tokenizer-QA number: a
+    tokenizer trained on the wrong mix shows fertility blowing up on
+    the under-represented languages (each word shatters toward
+    characters), and this report is how that's caught before a
+    training run burns compute on 2x the sequence length.
+
+    Composition: bpe_apply (map-only, fold or broadcast-UDF path) +
+    token_count, then ONE grouped integer aggregation. bpe_apply's
+    output carries only (id, pieces, n_pieces), so the group/word
+    stats join back on the id — an equi-join of two NARROW frames
+    (ids + a handful of ints; pieces and text are pruned before the
+    shuffle), then the |groups|-row agg. Fertility divides the two
+    exact bigint sums in double — the same expression any SQL
+    engine evaluates bit-identically."""
+    from sybil_spark.functions.text import token_count
+
+    enc = bpe_apply(df, id_col, text_col, merges, pattern=pattern,
+                    mode=mode) \
+        .select(F.col(id_col),
+                F.col("n_pieces").cast("long").alias("__np"))
+    nt = token_count(F.col(text_col), pattern).cast("long")
+    meta = df.select(F.col(id_col), F.col(group_col),
+                     nt.alias("__nt"))
+    return (enc.join(meta, id_col)
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("__nt").alias("n_tokens"),
+                    F.sum("__np").alias("n_pieces"))
+               .withColumn("fertility",
+                           F.col("n_pieces").cast("double")
+                           / F.col("n_tokens").cast("double"))
+               .orderBy(group_col))

@@ -394,3 +394,22 @@ def test_bpe_apply_plan_single_arrow_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in fold_plan
     assert "BatchEvalPython" not in fold_plan
+
+
+def test_fertility_report(spark):
+    from pyspark.sql import Row
+    from sybil_spark.operators import bpe
+    rules = [(0, "a", "b", 0), (1, "ab", "c", 0)]
+    df = spark.createDataFrame([
+        Row(doc_id=0, lang="en", text="abc ab"),    # 2 words -> 1 + 1 pieces
+        Row(doc_id=1, lang="en", text="xyz"),       # 1 word  -> 3 pieces
+        Row(doc_id=2, lang="de", text="abc abc"),   # 2 words -> 2 pieces
+    ])
+    rep = {r["lang"]: r for r in bpe.fertility_report(
+        df, "doc_id", "text", rules, "lang").collect()}
+    assert rep["en"]["n_docs"] == 2
+    assert rep["en"]["n_tokens"] == 3
+    assert rep["en"]["n_pieces"] == 5    # [abc]=1, [ab]=1, [x,y,z]=3
+    assert rep["en"]["fertility"] == 5.0 / 3.0
+    assert rep["de"]["n_tokens"] == 2 and rep["de"]["n_pieces"] == 2
+    assert rep["de"]["fertility"] == 1.0
