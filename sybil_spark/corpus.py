@@ -5681,6 +5681,34 @@ def q_phrase_index_topk(spark, sf):
                                      k=10)
 
 
+@_q("blocklist_phrases", """
+    with t as (select doc_id, lang, string_split(text, ' ') t
+               from documents),
+         h as (select doc_id, lang,
+                      len(list_filter(t, x -> x = 'dup'))
+                      + len(list_filter(generate_series(1, len(t)-1),
+                            i -> t[i] = 'merge' and t[i+1] = 'slow'))
+                        as hits
+               from t)
+    select lang,
+           cast(sum(case when hits = 0 then 1 else 0 end)
+                as bigint) as n_kept,
+           cast(sum(case when hits > 0 then 1 else 0 end)
+                as bigint) as n_dropped
+    from h group by 1 order by 1""")
+def q_blocklist_phrases(spark, sf):
+    """Phrase-aware bad-words audit (quality.phrase_blocklist_stats):
+    the blocklist mixes a single token ('dup') with a multi-word
+    phrase ('merge slow') — the entry shape real lists are full of
+    and a token-only filter silently never matches. Single map +
+    grouped integer agg; the oracle sums the token filter and the
+    stride-1 phrase counter."""
+    from sybil_spark.operators import quality
+    d = _t(spark, sf, "documents")
+    return quality.phrase_blocklist_stats(d, "lang", "text", "doc_id",
+                                          ["dup", "merge slow"])
+
+
 def _bpe_fertility_oracle(rules) -> str:
     """Grouped variant of _bpe_apply_oracle: the same standin-char
     replace chain, aggregated to per-language token/piece sums."""
@@ -5758,7 +5786,7 @@ _DRIVER_FIRST = [
     "quality_lr_ngram", "corpus_stats",
     "cluster_balance", "norm_outliers", "blocklist_filter",
     "bloom_decontaminate", "phrase_search", "phrase_index_topk",
-    "bpe_fertility",
+    "bpe_fertility", "blocklist_phrases",
     # (d) BM25 index rows: the postings gained the positions column
     # this round (build/add/stream/compact all write it) — refresh
     # their driver evidence on the new layout:

@@ -1460,3 +1460,44 @@ def phrase_search(df: DataFrame, id_col: str, text_col: str,
                                          pattern).alias("n_matches"))
               .where(F.col("n_matches") > 0)
               .orderBy(id_col))
+
+
+def phrase_blocklist_hits(df: DataFrame, id_col: str, text_col: str,
+                          blocklist: list[str],
+                          pattern: str | None = None) -> DataFrame:
+    """df + `n_hits`: blocklist matching where entries may be
+    MULTI-WORD phrases (real bad-word lists are full of them; a
+    token-only filter silently never matches those entries).
+    Single-token entries share one token-set filter pass
+    (blocklist_hits' literal plan); each multi-word entry adds one
+    phrase_match_count term — all of it one codegen projection,
+    zero shuffle, so the plan is the same single map whatever the
+    list mix. Counts are stride-1 overlapping, matching
+    phrase_match_count."""
+    singles = [w for w in blocklist
+               if len([t for t in w.split(" ") if t]) == 1]
+    multis = [w for w in blocklist
+              if len([t for t in w.split(" ") if t]) > 1]
+    hit = F.lit(0).cast("long")
+    if singles:
+        hit = hit + F.size(F.filter(
+            tokens(F.col(text_col), pattern),
+            lambda t: t.isin(*singles))).cast("long")
+    for ph in multis:
+        hit = hit + phrase_match_count(F.col(text_col), ph, pattern)
+    return df.withColumn("n_hits", hit)
+
+
+def phrase_blocklist_stats(df: DataFrame, group_col: str,
+                           text_col: str, id_col: str,
+                           blocklist: list[str], max_hits: int = 0,
+                           pattern: str | None = None) -> DataFrame:
+    """(group, n_kept, n_dropped) under the phrase-aware blocklist —
+    blocklist_stats' audit shape over phrase_blocklist_hits."""
+    h = phrase_blocklist_hits(df, id_col, text_col, blocklist,
+                              pattern)
+    keep = (F.col("n_hits") <= F.lit(int(max_hits))).cast("long")
+    return (h.groupBy(F.col(group_col))
+             .agg(F.sum(keep).alias("n_kept"),
+                  F.sum(F.lit(1) - keep).alias("n_dropped"))
+             .orderBy(group_col))

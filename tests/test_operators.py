@@ -2652,3 +2652,33 @@ def test_phrase_index_topk_prunes_partitions(spark, docs, tmp_path):
         quality.phrase_index_topk(spark, idx, "quick brown"))
     seg = plan[plan.index("PartitionFilters"):][:160]
     assert "pb" in seg, seg
+
+
+def test_phrase_blocklist_hits(spark):
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    from sybil_spark.plans import inspect as I
+    df = spark.createDataFrame([
+        R(doc_id=0, text="safe words only here"),
+        R(doc_id=1, text="bad alone"),
+        R(doc_id=2, text="two word phrase inside"),
+        R(doc_id=3, text="bad and word phrase word phrase twice"),
+    ])
+    bl = ["bad", "word phrase"]
+    got = {r["doc_id"]: r["n_hits"] for r in
+           quality.phrase_blocklist_hits(df, "doc_id", "text",
+                                         bl).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3}
+    # still one pure map — no shuffle, no python
+    s = I.formatted_plan(
+        quality.phrase_blocklist_hits(df, "doc_id", "text", bl))
+    assert "Exchange" not in s and "BatchEvalPython" not in s
+    # token-only list degrades to blocklist_hits' semantics
+    a = {r["doc_id"]: r["n_hits"] for r in
+         quality.phrase_blocklist_hits(df, "doc_id", "text",
+                                       ["bad"]).collect()}
+    b = {r["doc_id"]: r["n_hits"] for r in
+         quality.blocklist_hits(df, "doc_id", "text",
+                                ["bad"]).collect()}
+    assert a == b
