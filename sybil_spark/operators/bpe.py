@@ -253,7 +253,8 @@ def merges_df(spark, merges: list[tuple]) -> DataFrame:
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,
                merges: list[tuple],
                pattern: str | None = None,
-               pieces_col: str = "pieces") -> DataFrame:
+               pieces_col: str = "pieces",
+               keep_cols: list[str] | None = None) -> DataFrame:
     """Apply learned merges to every document: each word becomes its
     BPE symbol sequence, rules applied in learned order (rank order
     is the priority order — the classic apply).
@@ -276,7 +277,8 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     for _, l, r, _f in sorted(merges):
         syms = F.transform(syms, _apply_rule(l, r))
     pieces = F.flatten(syms)
-    return df.select(F.col(id_col), pieces.alias(pieces_col)) \
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(F.col(id_col), *extra, pieces.alias(pieces_col)) \
              .withColumn("n_pieces", F.size(F.col(pieces_col)))
 
 
@@ -323,7 +325,8 @@ def bpe_apply(df: DataFrame, id_col: str, text_col: str,
               pattern: str | None = None,
               pieces_col: str = "pieces",
               mode: str = "auto",
-              fold_max_rules: int = 48) -> DataFrame:
+              fold_max_rules: int = 48,
+              keep_cols: list[str] | None = None) -> DataFrame:
     """Production tokenizer apply — encodes every document under the
     learned merges, auto-selecting the execution strategy the way
     span_dedup selects its keying:
@@ -354,7 +357,8 @@ def bpe_apply(df: DataFrame, id_col: str, text_col: str,
     if mode == "fold" or (mode == "auto" and
                           len(merges) <= fold_max_rules):
         return bpe_encode(df, id_col, text_col, merges,
-                          pattern=pattern, pieces_col=pieces_col)
+                          pattern=pattern, pieces_col=pieces_col,
+                          keep_cols=keep_cols)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -382,7 +386,8 @@ def bpe_apply(df: DataFrame, id_col: str, text_col: str,
 
         return texts.map(enc)
 
-    return (df.select(F.col(id_col),
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return (df.select(F.col(id_col), *extra,
                       encode_series(F.col(text_col)).alias(pieces_col))
               .withColumn("n_pieces", F.size(F.col(pieces_col))))
 
@@ -399,24 +404,19 @@ def fertility_report(df: DataFrame, id_col: str, text_col: str,
     characters), and this report is how that's caught before a
     training run burns compute on 2x the sequence length.
 
-    Composition: bpe_apply (map-only, fold or broadcast-UDF path) +
-    token_count, then ONE grouped integer aggregation. bpe_apply's
-    output carries only (id, pieces, n_pieces), so the group/word
-    stats join back on the id — an equi-join of two NARROW frames
-    (ids + a handful of ints; pieces and text are pruned before the
-    shuffle), then the |groups|-row agg. Fertility divides the two
-    exact bigint sums in double — the same expression any SQL
-    engine evaluates bit-identically."""
+    Composition: bpe_apply with keep_cols riding group + text
+    through the encode, so the WHOLE report is one scan — a map
+    (encode + token_count) straight into the |groups|-row integer
+    aggregation, no id-join, nothing wide past the map-side partial
+    agg. Fertility divides the two exact bigint sums in double —
+    the same expression any SQL engine evaluates bit-identically."""
     from sybil_spark.functions.text import token_count
 
     enc = bpe_apply(df, id_col, text_col, merges, pattern=pattern,
-                    mode=mode) \
-        .select(F.col(id_col),
-                F.col("n_pieces").cast("long").alias("__np"))
+                    mode=mode, keep_cols=[group_col, text_col])
     nt = token_count(F.col(text_col), pattern).cast("long")
-    meta = df.select(F.col(id_col), F.col(group_col),
-                     nt.alias("__nt"))
-    return (enc.join(meta, id_col)
+    return (enc.select(F.col(group_col), nt.alias("__nt"),
+                       F.col("n_pieces").cast("long").alias("__np"))
                .groupBy(group_col)
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("__nt").alias("n_tokens"),
