@@ -5730,8 +5730,9 @@ def _bpe_fertility_oracle(rules) -> str:
            cast(sum(nt) as bigint) as n_tokens,
            cast(sum(length(replace(e, ' ', ''))) as bigint)
              as n_pieces,
-           cast(sum(length(replace(e, ' ', ''))) as double)
-             / cast(sum(nt) as double) as fertility
+           cast(cast(sum(length(replace(e, ' ', ''))) as bigint)
+                as double)
+             / cast(cast(sum(nt) as bigint) as double) as fertility
     from enc group by 1 order by 1"""
 
 

@@ -1355,3 +1355,64 @@ def stream_ivfpq_index_add(df: DataFrame, index_path: str,
             .option("checkpointLocation",
                     checkpoint or index_path + "_checkpoint")
             .outputMode("append").start())
+
+
+def stream_quality_filter(df: DataFrame, id_col: str, out_path: str,
+                          rules: dict, audit_path: str | None = None,
+                          checkpoint: str | None = None
+                          ) -> StreamingQuery:
+    """Continuous quality filtering — the curation leg between raw
+    ingest and the dedup/index legs, so the full pipeline (ingest →
+    FILTER → dedup → index) runs as Structured Streaming end to end.
+
+    `rules` maps rule name → boolean Column over the batch's rows
+    (True = this rule keeps the row): compose them from the batch
+    operators — quality.blocklist_hits/phrase_blocklist_hits == 0,
+    gopher_rules' flags, token_count bounds, classify.quality-score
+    thresholds. A row survives iff EVERY rule passes. Because the
+    rules are pure per-row column expressions (no corpus state),
+    each micro-batch is one deterministic map; exactly-once under
+    replay is therefore the plain batch-dir overwrite contract
+    (`_write_out_batch` — a replay recomputes the identical
+    survivors into its own `batch-<id>` dir, never a second
+    delivery). No lock, no index, no watermark needed — the
+    stateless leg is deliberately the simplest of the family.
+
+    `audit_path` (optional) additionally commits ONE summary row per
+    micro-batch — (batch_id, n_in, n_kept, fail_<rule>...) — under
+    the same per-batch-dir layout: the drop-funnel a corpus owner
+    reads to see WHICH rule is erasing mass (the per-language
+    blocklist_stats lesson, continuously). Counting every rule's
+    failures costs one aggregation over flags the filter already
+    computed; fail counts OVERLAP when a row fails several rules
+    (each rule reports its own count). Read either output with
+    read_stream_output."""
+    names = list(rules)
+    flag_cols = [F.coalesce(rules[n].cast("boolean"), F.lit(False))
+                 .alias(f"__r_{i}") for i, n in enumerate(names)]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flagged = batch_df.select("*", *flag_cols)
+        keep = F.lit(True)
+        for i in range(len(names)):
+            keep = keep & F.col(f"__r_{i}")
+        flagged = flagged.localCheckpoint()  # one snapshot, two uses
+        kept = flagged.where(keep).drop(
+            *[f"__r_{i}" for i in range(len(names))])
+        _write_out_batch(kept, out_path, batch_id)
+        if audit_path is not None:
+            aggs = [F.count(F.lit(1)).alias("n_in"),
+                    F.sum(keep.cast("long")).alias("n_kept")]
+            for i, n in enumerate(names):
+                aggs.append(F.sum((~F.col(f"__r_{i}")).cast("long"))
+                            .alias(f"fail_{n}"))
+            audit = flagged.agg(*aggs) \
+                .withColumn("batch_id", F.lit(int(batch_id)))
+            _write_out_batch(audit, audit_path, batch_id)
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation",
+                    checkpoint or out_path + "_checkpoint")
+            .outputMode("append").start())

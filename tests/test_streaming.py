@@ -1382,3 +1382,53 @@ def test_ivfpq_compact_crash_atomic(spark, tmp_path):
     meta3 = _json.load(open(f"{idx}/ivfpq_meta.json"))
     assert meta3["stream_fold_watermark"] == 0
     assert serve() == before
+
+
+def test_stream_quality_filter(spark, tmp_path):
+    """The curation leg: per-batch pure-column rules drop rows
+    exactly-once; the audit dir records the per-rule drop funnel."""
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    from sybil_spark.streaming.ingest_stream import stream_quality_filter
+
+    doc_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = tmp_path / "qf-in"
+    src.mkdir()
+    out = str(tmp_path / "qf-out")
+    audit = str(tmp_path / "qf-audit")
+    _write_batch(src, "b1.ndjson", [
+        {"doc_id": 0, "text": "clean words all the way through here"},
+        {"doc_id": 1, "text": "badword appears right here in text body"},
+        {"doc_id": 2, "text": "too short"},
+        {"doc_id": 3, "text": "badword too short"},
+    ])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    rules = {
+        "blocklist": F.size(F.filter(F.split(F.col("text"), " "),
+                                     lambda t: t == F.lit("badword")))
+        == 0,
+        "min_tokens": F.size(F.split(F.col("text"), " ")) >= 5,
+    }
+    q = stream_quality_filter(stream, "doc_id", out, rules,
+                              audit_path=audit)
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.ndjson", [
+            {"doc_id": 4, "text": "another clean document with many words"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r["doc_id"] for r in RSO(spark, out).collect())
+    assert kept == [0, 4]
+    a = {r["batch_id"]: r for r in RSO(spark, audit).collect()}
+    b1 = a[0]
+    assert (b1["n_in"], b1["n_kept"]) == (4, 1)
+    assert b1["fail_blocklist"] == 2       # docs 1 and 3
+    assert b1["fail_min_tokens"] == 2      # docs 2 and 3 (overlap with 3)
+    assert (a[1]["n_in"], a[1]["n_kept"]) == (1, 1)
+    # survivors keep the input schema — no __r_* flag columns leak
+    assert set(RSO(spark, out).columns) == {"doc_id", "text"}
