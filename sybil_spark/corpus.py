@@ -5709,6 +5709,38 @@ def q_blocklist_phrases(spark, sf):
                                           ["dup", "merge slow"])
 
 
+@_q("collocations", """
+    with t as (select list_filter(string_split(text, ' '),
+                                  x -> x <> '') t from documents),
+    uni as (select unnest(t) as tok from t),
+    u as (select tok, count(*) as c1 from uni group by 1),
+    n as (select cast(cast(sum(c1) as bigint) as bigint) as nt from u),
+    bg as (select t[i] as l, t[i+1] as r
+           from t, unnest(generate_series(1, len(t)-1)) as g(i)),
+    b as (select l, r, count(*) as c2 from bg group by 1, 2),
+    s as (select b.l, b.r, cast(b.c2 as bigint) as c2,
+                 cast(cast(ln(cast(b.c2 * n.nt as double)
+                             / cast(ul.c1 * ur.c1 as double))
+                           as decimal(38,6)) as varchar) as pmi6
+          from b, n
+          join u ul on b.l = ul.tok
+          join u ur on b.r = ur.tok
+          where b.c2 >= 5)
+    select l, r, c2, cast(pmi6 as double) as pmi
+    from s order by pmi desc, c2 desc, l asc, r asc limit 20""")
+def q_collocations(spark, sf):
+    """PMI collocation mining (quality.collocations): top-20 adjacent
+    bigrams by pointwise mutual information with the standard
+    min-count guard — multi-word-expression discovery feeding
+    tokenizer vocab and phrase-blocklist candidates. Bigrams are a
+    per-doc array transform (no window); counts are exact integers;
+    the single ln quantizes through decimal(38,6) so ordering and
+    values hash-match the SQL mirror."""
+    from sybil_spark.operators import quality
+    return quality.collocations(_t(spark, sf, "documents"), "text",
+                                min_count=5, k=20)
+
+
 def _bpe_fertility_oracle(rules) -> str:
     """Grouped variant of _bpe_apply_oracle: the same standin-char
     replace chain, aggregated to per-language token/piece sums."""
@@ -5787,7 +5819,7 @@ _DRIVER_FIRST = [
     "quality_lr_ngram", "corpus_stats",
     "cluster_balance", "norm_outliers", "blocklist_filter",
     "bloom_decontaminate", "phrase_search", "phrase_index_topk",
-    "bpe_fertility", "blocklist_phrases",
+    "bpe_fertility", "blocklist_phrases", "collocations",
     # (d) BM25 index rows: the postings gained the positions column
     # this round (build/add/stream/compact all write it) — refresh
     # their driver evidence on the new layout:

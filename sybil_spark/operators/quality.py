@@ -1501,3 +1501,64 @@ def phrase_blocklist_stats(df: DataFrame, group_col: str,
              .agg(F.sum(keep).alias("n_kept"),
                   F.sum(F.lit(1) - keep).alias("n_dropped"))
              .orderBy(group_col))
+
+
+def collocations(df: DataFrame, text_col: str, min_count: int = 5,
+                 k: int = 20,
+                 pattern: str | None = None) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the classic corpus-analysis signal for multi-word
+    expressions (PMI = ln(P(l,r) / (P(l)·P(r)))), which feeds
+    tokenizer vocabulary decisions and phrase-blocklist candidate
+    mining. `min_count` is the standard low-frequency guard (PMI is
+    notoriously noisy on rare pairs).
+
+    Shape: bigram extraction is a per-document array transform
+    (map-side, no window), so the corpus-sized work is two grouped
+    counts — unigrams and bigrams — each with map-side partials;
+    the PMI join runs on the VOCABULARY-sized frames (Heaps' law),
+    never the corpus. N comes from the package's bounded 1-row
+    collect pattern.
+
+    Exactness: c2·N and c1l·c1r are exact in int64 (documented
+    constraint: products must stay < 2^63 — true through
+    billion-token corpora; past that, compute PMI in log space with
+    per-term quantization). Their doubles are exact below 2^53, the
+    division is one IEEE op, and the single ln() quantizes to
+    decimal(38,6) — the 1-ulp-ln discipline — so ordering and
+    values replicate in any SQL engine. Ties break (pmi desc,
+    count desc, l, r). Empty split-artifact tokens are filtered
+    (bpe.word_counts' convention) — they would otherwise inflate N
+    and pair with real words."""
+    toks = F.filter(tokens(F.col(text_col), pattern),
+                    lambda t: t != "")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("l"),
+                        F.element_at(toks, i + 1).alias("r")))) \
+        .otherwise(F.array().cast(
+            "array<struct<l:string,r:string>>"))
+    uni = (df.select(F.explode(toks).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
+    big = (df.select(F.explode(pairs).alias("p"))
+             .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+             .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c2")))
+    n_total = uni.agg(F.sum("c1")).collect()[0][0]
+    if not n_total:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "l string, r string, c2 bigint, pmi double")
+    ul = uni.select(F.col("tok").alias("l"), F.col("c1").alias("c1l"))
+    ur = uni.select(F.col("tok").alias("r"), F.col("c1").alias("c1r"))
+    pmi = F.log((F.col("c2") * F.lit(int(n_total))).cast("double")
+                / (F.col("c1l") * F.col("c1r")).cast("double")) \
+        .cast(_DEC)
+    return (big.where(F.col("c2") >= F.lit(int(min_count)))
+               .join(ul, "l").join(ur, "r")
+               .select("l", "r", "c2",
+                       pmi.cast("string").cast("double").alias("pmi"))
+               .orderBy(F.desc("pmi"), F.desc("c2"),
+                        F.asc("l"), F.asc("r"))
+               .limit(int(k)))

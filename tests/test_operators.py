@@ -2682,3 +2682,34 @@ def test_phrase_blocklist_hits(spark):
          quality.blocklist_hits(df, "doc_id", "text",
                                 ["bad"]).collect()}
     assert a == b
+
+
+def test_collocations_pmi(spark):
+    import math
+
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    # "x y" always adjacent (strong collocation); "a" and "b" common
+    # but never adjacent to each other except rarely
+    rows = [R(doc_id=i, text="x y a b c " + ("a c b " * 3)) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    got = quality.collocations(df, "text", min_count=5, k=5).collect()
+    assert got, "non-empty"
+    top = got[0]
+    assert (top["l"], top["r"]) == ("x", "y")
+    # hand-check the PMI value: c2(x,y)=5, c1(x)=5, c1(y)=5, N=5*14
+    n = 5 * 14
+    want = math.log((5 * n) / (5 * 5))
+    assert abs(top["pmi"] - want) < 1e-6
+    assert top["c2"] == 5
+    # monotone: results ordered by pmi desc
+    pmis = [r["pmi"] for r in got]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_collocations_empty_corpus(spark):
+    from pyspark.sql import Row as R
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([R(doc_id=1, text="")]).where("doc_id < 0")
+    assert quality.collocations(df, "text").count() == 0
