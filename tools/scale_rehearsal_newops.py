@@ -123,16 +123,36 @@ def main() -> None:
         "rows_1x": n1, "rows_10x": n10}
 
     # positional index: build grows with the corpus; SERVING a fixed
-    # phrase must stay ~flat (bucket pruning bounds the read)
+    # phrase must stay ~flat (bucket pruning bounds the read).
+    # NEWOPS_100X=1 adds a 100x arm (10 suffixed replicas of big) —
+    # the regime where a serve that secretly scans the corpus would
+    # show as 100x serve time instead of flat.
+    scales = [("1x", small, "merge_r0 slow_r0"),
+              ("10x", big, "merge_r0 slow_r0")]
+    if os.environ.get("NEWOPS_100X"):
+        reps100 = []
+        for i in range(10):
+            reps100.append(big.select(
+                (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+                F.concat(F.regexp_replace("text", " ", f"_q{i} "),
+                         F.lit(f"_q{i}")).alias("text")))
+        huge = reps100[0]
+        for r in reps100[1:]:
+            huge = huge.unionByName(r)
+        huge = huge.localCheckpoint(eager=True)
+        scales.append(("100x", huge, "merge_r0_q0 slow_r0_q0"))
     res = {}
-    for tag, df, ph in (("1x", small, "merge_r0 slow_r0"),
-                        ("10x", big, "merge_r0 slow_r0")):
+    for tag, df, ph in scales:
         iroot = tempfile.mkdtemp(prefix=f"sybil-phrehearse-{tag}-")
         try:
+            # after the 1x arm the JVM/python paths are warm — don't
+            # pay a second 10x/100x index build just for warmup
+            warm = tag == "1x"
             tb, _ = timed(lambda: quality.build_bm25_index(
-                df, "doc_id", "text", iroot, nbuckets=64) or 0)
+                df, "doc_id", "text", iroot, nbuckets=64) or 0,
+                warmup=warm)
             ts, n = timed(lambda: quality.phrase_index_topk(
-                spark, iroot, ph, k=10).count())
+                spark, iroot, ph, k=10).count(), warmup=warm)
             res[f"t_build_{tag}_s"] = tb
             res[f"t_serve_{tag}_s"] = ts
             res[f"rows_{tag}"] = n
@@ -142,6 +162,11 @@ def main() -> None:
                                 / res["t_build_1x_s"], 2)
     res["growth_serve"] = round(res["t_serve_10x_s"]
                                 / res["t_serve_1x_s"], 2)
+    if "t_serve_100x_s" in res:
+        res["growth_build_100x"] = round(res["t_build_100x_s"]
+                                         / res["t_build_1x_s"], 2)
+        res["growth_serve_100x"] = round(res["t_serve_100x_s"]
+                                         / res["t_serve_1x_s"], 2)
     out["pipelines"]["phrase_index"] = res
 
     cents = [[float(x) for x in r[0]] for r in
