@@ -5741,6 +5741,42 @@ def q_collocations(spark, sf):
                                 min_count=5, k=20)
 
 
+@_q("proximity_topk", """
+    with t as (select doc_id, string_split(text, ' ') t
+               from documents),
+    pa as (select doc_id, unnest(generate_series(1, len(t))) as p, t
+           from t),
+    qa as (select doc_id, p from pa where t[p] = 'merge'),
+    qb as (select doc_id, p from pa where t[p] = 'vector'),
+    d as (select qa.doc_id,
+                 min(abs(qa.p - qb.p)) as min_dist
+          from qa join qb using (doc_id) group by 1),
+    r as (select doc_id, cast(min_dist as bigint) as min_dist,
+                 row_number() over
+                     (order by min_dist asc, doc_id asc) as rank
+          from d)
+    select doc_id, min_dist, rank from r where rank <= 10
+    order by rank""")
+def q_proximity_topk(spark, sf):
+    """Two-term NEAR ranking served from the persisted positional
+    index (quality.proximity_topk): docs containing both 'merge' and
+    'vector', ranked by minimal occurrence distance, answered purely
+    from the two terms' partition-pruned buckets — the proximity
+    analog of the phrase_index_topk row; integer distances so the
+    full-corpus SQL mirror hash-matches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sybil_spark.operators import quality
+    iroot = tempfile.mkdtemp(prefix="sybil-proxidx-")
+    atexit.register(shutil.rmtree, iroot, ignore_errors=True)
+    quality.build_bm25_index(_t(spark, sf, "documents"), "doc_id",
+                             "text", iroot, nbuckets=32)
+    return quality.proximity_topk(spark, iroot, "merge", "vector",
+                                  k=10)
+
+
 def _bpe_fertility_oracle(rules) -> str:
     """Grouped variant of _bpe_apply_oracle: the same standin-char
     replace chain, aggregated to per-language token/piece sums."""
@@ -5820,6 +5856,7 @@ _DRIVER_FIRST = [
     "cluster_balance", "norm_outliers", "blocklist_filter",
     "bloom_decontaminate", "phrase_search", "phrase_index_topk",
     "bpe_fertility", "blocklist_phrases", "collocations",
+    "proximity_topk",
     # (d) BM25 index rows: the postings gained the positions column
     # this round (build/add/stream/compact all write it) — refresh
     # their driver evidence on the new layout:

@@ -1562,3 +1562,75 @@ def collocations(df: DataFrame, text_col: str, min_count: int = 5,
                .orderBy(F.desc("pmi"), F.desc("c2"),
                         F.asc("l"), F.asc("r"))
                .limit(int(k)))
+
+
+def proximity_topk(spark, index_path: str, term_a: str, term_b: str,
+                   k: int = 10) -> DataFrame:
+    """Two-term proximity ranking from the positional index: top-k
+    documents containing BOTH terms, ranked by the minimal token
+    distance between any occurrence pair (asc — closer is more
+    relevant), ties (doc asc). The NEAR-operator of classic IR,
+    served like phrase_index_topk: both terms' buckets partition-
+    prune the postings read, one groupBy(doc) packs the two position
+    arrays, and min |p - q| is a codegen array fold over the
+    per-doc occurrence lists (O(tf_a · tf_b) per doc — bounded by
+    document length, embarrassingly parallel, no shuffle after the
+    pack). Pending add/stream pieces merge as in phrase_index_topk.
+
+    The n-term generalization (minimal window covering all terms) is
+    a k-way sorted merge — per-doc bounded, a mapInPandas candidate
+    if ever needed; two-term NEAR covers the common query form with
+    pure codegen, so it ships first."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    if not term_a or not term_b:
+        raise ValueError("proximity_topk: empty term")
+    with open(os.path.join(index_path, "bm25_meta.json")) as f:
+        meta = json.load(f)
+    sdirs, _n, _s, _mx = _bm25_pending_state(index_path)
+    uniq = list(dict.fromkeys([term_a, term_b]))
+    tdf = spark.createDataFrame([(t,) for t in uniq], "tok string")
+    buckets = [r["pb"] for r in
+               tdf.select(F.pmod(F.xxhash64("tok"),
+                                 F.lit(meta["nbuckets"])).alias("pb"))
+                  .distinct().collect()]
+    base_cols = ["doc", "tok", "pos", "pb"]
+    post = (spark.read.parquet(os.path.join(index_path, "postings"))
+            .select(*base_cols)
+            .where(F.col("pb").isin(buckets)))
+    for d in sdirs:
+        post = post.unionByName(
+            spark.read.parquet(d).select(*base_cols)
+                 .where(F.col("pb").isin(buckets)))
+    cand = (post.where(F.col("tok").isin(uniq))
+                .groupBy("doc")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("tok", "pos")))
+                     .alias("__m")))
+    m = F.col("__m")
+    pa, pb_ = m.getItem(term_a), m.getItem(term_b)
+    dists = F.flatten(F.transform(
+        pa, lambda p: F.transform(pb_, lambda q: F.abs(p - q))))
+    scored = (cand.where(pa.isNotNull() & pb_.isNotNull())
+                  .select("doc",
+                          F.array_min(dists).cast("long")
+                           .alias("min_dist")))
+    if term_a == term_b:
+        # |p - p| = 0 is the term against itself; a same-term query
+        # means "two occurrences near each other"
+        scored = (cand.where(pa.isNotNull())
+                  .where(F.size(pa) >= 2)
+                  .select("doc", F.array_min(F.flatten(F.transform(
+                      pa, lambda p: F.filter(
+                          F.transform(pa, lambda q: F.abs(p - q)),
+                          lambda d: d > 0))))
+                      .cast("long").alias("min_dist")))
+    top = (scored.orderBy(F.asc("min_dist"), F.asc("doc"))
+                 .limit(int(k)))
+    w = Window.orderBy(F.asc("min_dist"), F.asc("doc"))
+    return (top.withColumn("rank", F.row_number().over(w))
+               .select(F.col("doc").alias(meta["id_col"]),
+                       "min_dist", "rank"))

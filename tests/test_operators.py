@@ -2713,3 +2713,52 @@ def test_collocations_empty_corpus(spark):
     from sybil_spark.operators import quality
     df = spark.createDataFrame([R(doc_id=1, text="")]).where("doc_id < 0")
     assert quality.collocations(df, "text").count() == 0
+
+
+def test_proximity_topk(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([
+        R(doc_id=0, text="alpha x x x beta"),      # dist 4
+        R(doc_id=1, text="alpha beta far apart"),  # dist 1
+        R(doc_id=2, text="beta then words then alpha"),  # dist 4
+        R(doc_id=3, text="alpha only here"),
+        R(doc_id=4, text="beta only here"),
+    ])
+    idx = str(tmp_path / "prox")
+    quality.build_bm25_index(df, "doc_id", "text", idx, nbuckets=8)
+    got = quality.proximity_topk(spark, idx, "alpha", "beta",
+                                 k=10).collect()
+    assert [(r["doc_id"], r["min_dist"]) for r in got] \
+        == [(1, 1), (0, 4), (2, 4)]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # same-term NEAR: closest pair of two distinct occurrences
+    df2 = spark.createDataFrame([
+        R(doc_id=0, text="go x go"),     # dist 2
+        R(doc_id=1, text="go go"),       # dist 1
+        R(doc_id=2, text="go alone"),    # single occurrence: excluded
+    ])
+    idx2 = str(tmp_path / "prox2")
+    quality.build_bm25_index(df2, "doc_id", "text", idx2, nbuckets=8)
+    got2 = {r["doc_id"]: r["min_dist"] for r in
+            quality.proximity_topk(spark, idx2, "go", "go",
+                                   k=10).collect()}
+    assert got2 == {0: 2, 1: 1}
+
+
+def test_proximity_topk_serves_pending_pieces(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    base = spark.createDataFrame([
+        R(doc_id=0, text="alpha q q beta")])       # dist 3
+    idx = str(tmp_path / "proxp")
+    quality.build_bm25_index(base, "doc_id", "text", idx, nbuckets=8)
+    add = spark.createDataFrame([
+        R(doc_id=1, text="alpha beta adjacent now")])   # dist 1
+    assert quality.bm25_index_add(add, idx, mode="defer") == 1
+    got = [(r["doc_id"], r["min_dist"]) for r in
+           quality.proximity_topk(spark, idx, "alpha", "beta",
+                                  k=10).collect()]
+    assert got == [(1, 1), (0, 3)]
