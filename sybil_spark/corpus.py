@@ -5846,21 +5846,27 @@ _DRIVER_FIRST = [
     "stratified_sample", "sum_min_max", "time_filter_aligned",
     "time_hist", "topk_per_group", "tpch_q1", "tpch_q3",
     "weighted_hist",
-    # (b) implementation/infrastructure changed this round:
-    "cluster_splits", "backoff_logprob", "ivfpq_topk", "pq_topk",
-    "exact_substr", "quality_lr", "bpe_pairs", "bpe_merges",
-    "lsh_recall", "ivf_recall",
-    # (c) new r8 queries (names appended as they land):
+    # (b) new r8 queries — zero driver rows yet (zero-row beats
+    # stale-but-green for the ~50-row window; names in landing
+    # order):
     "bpe_apply", "pq_topk_trained", "ivf_tuned", "minhash_tuned",
-    "quality_lr_ngram", "corpus_stats",
-    "cluster_balance", "norm_outliers", "blocklist_filter",
+    "quality_lr_ngram",
+    "cluster_balance", "norm_outliers",
     "bloom_decontaminate", "phrase_search", "phrase_index_topk",
     "bpe_fertility", "blocklist_phrases", "collocations",
     "proximity_topk",
-    # (d) BM25 index rows: the postings gained the positions column
-    # this round (build/add/stream/compact all write it) — refresh
-    # their driver evidence on the new layout:
+    # (c) implementation/infrastructure changed this round
+    # (cluster_splits hash-keyed pair join; backoff empty guard;
+    # ivfpq staged-swap compact; exact_substr grouped plan; the
+    # BM25 index rows' postings gained the positions column —
+    # build/add/stream/compact all write it). All have green prior
+    # rows + this round's judge-gate verification; the window tail
+    # may cut the last few:
     "bm25_index_search", "bm25_index_add_search",
+    "cluster_splits", "backoff_logprob", "ivfpq_topk", "pq_topk",
+    "exact_substr", "quality_lr", "corpus_stats",
+    "blocklist_filter", "bpe_pairs", "bpe_merges",
+    "lsh_recall", "ivf_recall",
 ]
 
 _DRIVER_FIRST_R7 = [
