@@ -5829,6 +5829,36 @@ def q_bpe_fertility(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
+    # Round-9 rotation (driver records only the first ~50 rows).
+    # Board state after r8: all queries green; freshness decay only —
+    # 46 queries' latest row is r5, now the oldest cohort (the r8
+    # verdict's Missing #1 names them; listed oldest-cohort-first
+    # below). Then the queries whose implementation changed this
+    # round (f32 candidate matmuls in pairwise_topk /
+    # embedding_dup_pairs / cross_topk — cross_topk is already in the
+    # stale block), then new r9 queries (window tail may cut them;
+    # r10 rotates them up).
+    # (a) r5-latest block:
+    "bigram_logprob", "budget_select", "cached_query", "chunk_docs",
+    "containment_dup", "corpus_divergence", "corr_exact", "cross_topk",
+    "distinct_approx", "doc_logprob", "domain_cap", "funnel",
+    "group_sample", "having_avg", "hist_summary", "interp_logprob",
+    "lossy_topk", "media_frames", "minhash_lsh", "moving_avg",
+    "ngram_jaccard", "orders_reconciliation", "pack_batches",
+    "pivot_daily_avg", "quantize_topk", "rank_distribution",
+    "rollup_distinct", "semantic_dedup", "set_ops_users", "simhash_dup",
+    "split_leakage", "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16",
+    "tpch_q2", "tpch_q20", "tpch_q4", "tpch_q9", "unpivot_daily_avg",
+    "user_journeys", "weighted_count", "weighted_hist_summary",
+    "weighted_loghist", "weighted_percentile", "weighted_stddev_sum",
+    # (b) implementation changed this round (f32 candidate matmul):
+    "ann_pairs_topk", "embedding_dup",
+    # (c) new r9 queries — zero driver rows yet:
+    "unigram_apply", "unigram_fertility", "boolean_topk",
+    "collocations_log",
+]
+
+_DRIVER_FIRST_R8 = [
     # Round-8 rotation (driver records only the first ~50 rows).
     # Board state after r7: all 165 queries have a green driver row;
     # freshness is the only decay. Priority per the r7 verdict: the

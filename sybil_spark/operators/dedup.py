@@ -1028,9 +1028,9 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     block-matrix numpy matmuls (same strategy as
     similarity.pairwise_topk): rows hash into ⌈group_rows/block_rows⌉
     blocks per group, each (i ≤ j) block-pair is one applyInPandas
-    group computing an Arrow-batched float64 matmul and emitting only
-    pairs with cos ≥ t − 1e-9 (the margin absorbs BLAS
-    summation-order error, ~1e-15 relative). Survivors — a tiny set —
+    group computing an Arrow-batched float32 matmul and emitting only
+    pairs with cos ≥ t − 1e-4 (the margin absorbs f32 rounding,
+    ~1e-5 absolute on unit vectors). Survivors — a tiny set —
     are re-scored with the sequential-fold JVM cosine and filtered at
     exactly t, so the output values are bit-deterministic and
     oracle-matched while the O(n²·d) work stays in BLAS. 12.5M-pair
@@ -1054,7 +1054,12 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                                     block_rows, n_rows, n_groups,
                                     auto_block_threshold)
 
-    margin = 1e-9
+    # f32 candidate margin: the block matmul only NOMINATES pairs (the
+    # JVM fold re-scores exactly and filters at exactly `threshold`),
+    # so the margin just has to cover f32 cosine noise on unit vectors
+    # (~d*eps/2 ≈ 1e-5 at d=256). Wider margin = a few extra
+    # candidates re-scored, never a wrong result.
+    margin = 1e-4
 
     def local_pairs(key, pdf):
         import numpy as np
@@ -1063,18 +1068,16 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         vb = pdf[pdf.blk == pb]
         if len(va) == 0 or len(vb) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        Xa = np.array([np.asarray(v, dtype=np.float64) for v in va.vec])
-        Xb = np.array([np.asarray(v, dtype=np.float64) for v in vb.vec])
+        Xa = np.array([np.asarray(v, dtype=np.float32) for v in va.vec])
+        Xb = np.array([np.asarray(v, dtype=np.float32) for v in vb.vec])
         Xa /= np.linalg.norm(Xa, axis=1, keepdims=True)
         Xb /= np.linalg.norm(Xb, axis=1, keepdims=True)
         sims = Xa @ Xb.T
         ia = va.id.to_numpy()
         ib = vb.id.to_numpy()
+        hit = sims >= np.float32(threshold - margin)
         if pa == pb:
-            mask = ia[:, None] < ib[None, :]
-        else:
-            mask = np.ones_like(sims, dtype=bool)
-        hit = mask & (sims >= threshold - margin)
+            hit &= ia[:, None] < ib[None, :]
         sa, sb = np.nonzero(hit)
         return pd.DataFrame({"id_a": np.minimum(ia[sa], ib[sb]),
                              "id_b": np.maximum(ia[sa], ib[sb])})

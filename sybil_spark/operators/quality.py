@@ -680,6 +680,33 @@ def _bm25_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 #: stream batches; compact/serve select exactly this set when merging
 BM25_POSTING_COLS = ["doc", "tok", "tf", "pos", "dl", "df_t", "pb"]
 
+#: on-disk index format. 1 = original (doc, tok, tf, dl, df_t, pb)
+#: postings; 2 = positional (added the `pos` array column). Bumped
+#: whenever the posting schema changes incompatibly.
+BM25_FORMAT = 2
+
+
+def _bm25_meta(index_path: str) -> dict:
+    """Load and validate bm25_meta.json. Every reader (add, compact,
+    serve, phrase/proximity, hybrid RRF, streaming add) goes through
+    here so a pre-positional index fails with an actionable
+    'rebuild required' error instead of an AnalysisException about a
+    missing `pos` column halfway into a locked fold."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "bm25_meta.json")) as f:
+        meta = json.load(f)
+    fmt = int(meta.get("format", 1))
+    if fmt != BM25_FORMAT:
+        raise ValueError(
+            f"BM25 index at {index_path} is format {fmt}; this "
+            f"engine reads format {BM25_FORMAT} (positional "
+            f"postings). Rebuild it with build_bm25_index — appends "
+            f"and serves refuse old indexes rather than corrupt "
+            f"them.")
+    return meta
+
 
 def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
                      index_path: str, nbuckets: int = 64) -> None:
@@ -733,7 +760,8 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
                .parquet(os.path.join(index_path, "postings")))
             with open(os.path.join(index_path, "bm25_meta.json"),
                       "w") as f:
-                json.dump({"id_col": id_col, "text_col": text_col,
+                json.dump({"format": BM25_FORMAT,
+                           "id_col": id_col, "text_col": text_col,
                            "nbuckets": nbuckets,
                            "n_docs": int(stats["n"]),
                            "sum_dl": int(stats["s"])}, f)
@@ -790,8 +818,7 @@ def bm25_index_add(df: DataFrame, index_path: str,
         raise ValueError(f"bm25_index_add: unknown mode {mode!r}")
     spark = df.sparkSession
     with path_lock(index_path):
-        with open(os.path.join(index_path, "bm25_meta.json")) as f:
-            meta = json.load(f)
+        meta = _bm25_meta(index_path)
         tf = (_bm25_tf(df, meta["id_col"], meta["text_col"])
               .persist(StorageLevel.MEMORY_AND_DISK))
         try:
@@ -924,9 +951,7 @@ def _bm25_compact_locked(spark, index_path: str,
 
     from sybil_spark.sources.rollup import _staged_swap
 
-    meta_p = os.path.join(index_path, "bm25_meta.json")
-    with open(meta_p) as f:
-        meta = json.load(f)
+    meta = _bm25_meta(index_path)
     post_p = os.path.join(index_path, "postings")
     pdirs, pn, ps_, smax = _bm25_pending_state(index_path)
     cols = [c for c in BM25_POSTING_COLS if c != "df_t"]
@@ -952,6 +977,7 @@ def _bm25_compact_locked(spark, index_path: str,
             int(meta.get("stream_fold_watermark", -1)), smax)
     meta.pop("df_on_read", None)
     meta.pop("stale_pb", None)
+    meta["format"] = BM25_FORMAT
 
     def write(tmp: str) -> None:
         out.write.partitionBy("pb").parquet(
@@ -992,8 +1018,7 @@ def bm25_index_topk(spark, index_path: str,
 
     from pyspark.sql import Window
 
-    with open(os.path.join(index_path, "bm25_meta.json")) as f:
-        meta = json.load(f)
+    meta = _bm25_meta(index_path)
     sdirs, sn, ss, _smax = _bm25_pending_state(index_path)
     n_docs = int(meta["n_docs"]) + sn
     avgdl = float(int(meta["sum_dl"]) + ss) / float(n_docs)
@@ -1059,6 +1084,46 @@ def bm25_index_topk(spark, index_path: str,
                            .alias("score"), "rank"))
 
 
+def _positional_map(spark, index_path: str, meta: dict,
+                    toks: list[str]) -> DataFrame:
+    """Partition-pruned positional read shared by phrase_index_topk
+    and proximity_topk: (doc, __m[tok -> sorted positions]) for a
+    driver-side token set, base postings + committed pending pieces.
+
+    Duplicate (doc, tok) postings — an off-contract re-added doc id
+    — fold into ONE map entry (position arrays concatenated and
+    re-sorted) BEFORE the map pack: map_from_entries over duplicate
+    keys throws SparkRuntimeException under the default
+    DUPLICATE_MAP_KEY policy, which made a degraded index serve term
+    queries (where the duplicate merely double-counts) but crash
+    phrase/proximity ones. One pre-aggregation makes all three query
+    shapes degrade the same way."""
+    import os
+
+    sdirs, _n, _s, _mx = _bm25_pending_state(index_path)
+    tdf = spark.createDataFrame([(t,) for t in toks], "tok string")
+    buckets = [r["pb"] for r in
+               tdf.select(F.pmod(F.xxhash64("tok"),
+                                 F.lit(meta["nbuckets"])).alias("pb"))
+                  .distinct().collect()]
+    base_cols = ["doc", "tok", "pos", "pb"]
+    post = (spark.read.parquet(os.path.join(index_path, "postings"))
+            .select(*base_cols)
+            .where(F.col("pb").isin(buckets)))
+    for d in sdirs:
+        post = post.unionByName(
+            spark.read.parquet(d).select(*base_cols)
+                 .where(F.col("pb").isin(buckets)))
+    per_tok = (post.where(F.col("tok").isin(toks))
+                   .groupBy("doc", "tok")
+                   .agg(F.sort_array(F.flatten(F.collect_list("pos")))
+                         .alias("pos")))
+    return (per_tok.groupBy("doc")
+                   .agg(F.map_from_entries(
+                        F.collect_list(F.struct("tok", "pos")))
+                        .alias("__m")))
+
+
 def phrase_index_topk(spark, index_path: str, phrase: str,
                       k: int = 10) -> DataFrame:
     """Exact phrase query served from the persisted BM25 index's
@@ -1097,27 +1162,8 @@ def phrase_index_topk(spark, index_path: str, phrase: str,
     if not words or not any(words):
         raise ValueError("phrase_index_topk: empty phrase")
     uniq = list(dict.fromkeys(words))
-    with open(os.path.join(index_path, "bm25_meta.json")) as f:
-        meta = json.load(f)
-    sdirs, _n, _s, _mx = _bm25_pending_state(index_path)
-    tdf = spark.createDataFrame([(t,) for t in uniq], "tok string")
-    buckets = [r["pb"] for r in
-               tdf.select(F.pmod(F.xxhash64("tok"),
-                                 F.lit(meta["nbuckets"])).alias("pb"))
-                  .distinct().collect()]
-    base_cols = ["doc", "tok", "pos", "pb"]
-    post = (spark.read.parquet(os.path.join(index_path, "postings"))
-            .select(*base_cols)
-            .where(F.col("pb").isin(buckets)))
-    for d in sdirs:
-        post = post.unionByName(
-            spark.read.parquet(d).select(*base_cols)
-                 .where(F.col("pb").isin(buckets)))
-    cand = (post.where(F.col("tok").isin(uniq))
-                .groupBy("doc")
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("tok", "pos")))
-                     .alias("__m")))
+    meta = _bm25_meta(index_path)
+    cand = _positional_map(spark, index_path, meta, uniq)
     m = F.col("__m")
     has_all = F.lit(True)
     for t in uniq:
@@ -1586,30 +1632,24 @@ def proximity_topk(spark, index_path: str, term_a: str, term_b: str,
 
     from pyspark.sql import Window
 
-    if not term_a or not term_b:
-        raise ValueError("proximity_topk: empty term")
-    with open(os.path.join(index_path, "bm25_meta.json")) as f:
-        meta = json.load(f)
-    sdirs, _n, _s, _mx = _bm25_pending_state(index_path)
+    from sybil_spark.functions.text import tokenize_str
+
+    # normalize through the index's own tokenizer (same contract as
+    # phrase_index_topk): a term that is not exactly one token of
+    # that tokenizer can never match a posting — raise instead of
+    # silently returning an empty result
+    norm = []
+    for t in (term_a, term_b):
+        w = [x for x in tokenize_str(t or "") if x]
+        if len(w) != 1:
+            raise ValueError(
+                f"proximity_topk: term {t!r} does not normalize to "
+                f"exactly one index token (got {w!r})")
+        norm.append(w[0])
+    term_a, term_b = norm
+    meta = _bm25_meta(index_path)
     uniq = list(dict.fromkeys([term_a, term_b]))
-    tdf = spark.createDataFrame([(t,) for t in uniq], "tok string")
-    buckets = [r["pb"] for r in
-               tdf.select(F.pmod(F.xxhash64("tok"),
-                                 F.lit(meta["nbuckets"])).alias("pb"))
-                  .distinct().collect()]
-    base_cols = ["doc", "tok", "pos", "pb"]
-    post = (spark.read.parquet(os.path.join(index_path, "postings"))
-            .select(*base_cols)
-            .where(F.col("pb").isin(buckets)))
-    for d in sdirs:
-        post = post.unionByName(
-            spark.read.parquet(d).select(*base_cols)
-                 .where(F.col("pb").isin(buckets)))
-    cand = (post.where(F.col("tok").isin(uniq))
-                .groupBy("doc")
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("tok", "pos")))
-                     .alias("__m")))
+    cand = _positional_map(spark, index_path, meta, uniq)
     m = F.col("__m")
     pa, pb_ = m.getItem(term_a), m.getItem(term_b)
     dists = F.flatten(F.transform(

@@ -468,7 +468,7 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
     1. rows are hashed into B = ⌈n/block_rows⌉ blocks; each row is
        replicated to the B block-pairs it participates in (explode),
        so every (i ≤ j) block-pair becomes one applyInPandas group;
-    2. inside a group, cosines are one numpy float64 matmul
+    2. inside a group, cosines are one numpy float32 matmul
        (Arrow-batched, ~10⁸ flops per group — the work is dense
        linear algebra, exactly what a Python batch is for); each
        group emits only its local top (k+margin) candidate pairs;
@@ -503,21 +503,29 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
         vb = pdf[pdf.blk == pb]
         if len(va) == 0 or len(vb) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        Xa = np.array([np.asarray(v, dtype=np.float64) for v in va.vec])
-        Xb = np.array([np.asarray(v, dtype=np.float64) for v in vb.vec])
+        # float32 on purpose: these scores only PICK candidates (the
+        # JVM fold re-scores exactly); f32 halves the block's memory
+        # traffic and SGEMM is 2-4x DGEMM everywhere. The added score
+        # noise (~1e-6 absolute on unit vectors) is absorbed by
+        # `margin` extra candidates, same contract as BLAS summation
+        # order under f64.
+        Xa = np.array([np.asarray(v, dtype=np.float32) for v in va.vec])
+        Xb = np.array([np.asarray(v, dtype=np.float32) for v in vb.vec])
         Xa /= np.linalg.norm(Xa, axis=1, keepdims=True)
         Xb /= np.linalg.norm(Xb, axis=1, keepdims=True)
         sims = Xa @ Xb.T
         ia = va.id.to_numpy()
         ib = vb.id.to_numpy()
         if pa == pb:
-            # diagonal block: upper triangle only (each pair once)
-            mask = ia[:, None] < ib[None, :]
+            # diagonal block: upper triangle only (each pair once) —
+            # masked in place, no boolean temp / where() copy
+            excl = ia[:, None] >= ib[None, :]
+            sims[excl] = -np.inf
+            n_valid = sims.size - int(excl.sum())
         else:
-            mask = np.ones_like(sims, dtype=bool)
-        sims = np.where(mask, sims, -np.inf)
+            n_valid = sims.size
         flat = sims.ravel()
-        top = min(take, int(mask.sum()))
+        top = min(take, n_valid)
         if top == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
         idx = np.argpartition(flat, -top)[-top:]
@@ -566,7 +574,8 @@ def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
     keep the lowest ids — the oracle's row_number order — no matter
     how many tie; the margin only has to absorb BLAS float noise
     between NEARLY-equal cosines straddling the take boundary
-    (~1e-15 relative), same contract as pairwise_topk."""
+    (~1e-6 absolute under the f32 candidate matmul), same contract
+    as pairwise_topk."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -580,7 +589,9 @@ def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
         return queries.sparkSession.createDataFrame(
             [], schema=f"q_id {q_t}, {id_col} {c_t}, cos double")
     qids = np.array([r[0] for r in qrows])
-    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # f32 like pairwise_topk: candidate-pick only (JVM fold re-scores
+    # exactly); margin absorbs the f32 score noise.
+    Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     Qn = Q / qn
@@ -600,7 +611,7 @@ def cross_topk(queries: DataFrame, corpus: DataFrame, vec_col: str,
             # the oracle's row_number keeps.
             pdf = pdf.sort_values(id_col, kind="mergesort",
                                   ignore_index=True)
-            X = np.array([np.asarray(v, dtype=np.float64)
+            X = np.array([np.asarray(v, dtype=np.float32)
                           for v in pdf[vec_col]])
             n = np.linalg.norm(X, axis=1, keepdims=True)
             n[n == 0] = 1.0
@@ -876,8 +887,8 @@ def hybrid_index_topk(spark, bm25_index_path: str, ivf_index_path: str,
     k_sem = k if k_sem is None else k_sem
     with open(os.path.join(ivf_index_path, "ivf_meta.json")) as f:
         imeta = json.load(f)
-    with open(os.path.join(bm25_index_path, "bm25_meta.json")) as f:
-        bmeta = json.load(f)
+    from sybil_spark.operators.quality import _bm25_meta
+    bmeta = _bm25_meta(bm25_index_path)
     id_col = imeta["id_col"]
     # the two indexes may carry different id column names for the
     # same id domain — normalize the lexical leg to the IVF name

@@ -19,6 +19,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Environment for every Python worker (and, in local mode, the JVM
+#: that forks them). Two classes of knob:
+#: - glibc malloc: numpy's block-matmul batches allocate multi-MB
+#:   buffers per Arrow batch; with the default dynamic mmap threshold
+#:   each one is a fresh mmap whose pages must be faulted in again —
+#:   on virtualized hosts (EPT/balloon-driver fault paths) that can
+#:   dominate the matmul itself by 10-100x. Raising the mmap/trim
+#:   thresholds keeps big buffers on the reusable brk heap, so pages
+#:   fault once per worker, not once per batch.
+#: - BLAS threads: 1 thread per worker — the session already runs one
+#:   Python worker per core; letting each OpenBLAS spin its own pool
+#:   oversubscribes cores and serializes on internal locks.
+WORKER_ENV: dict[str, str] = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+}
+
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -48,6 +68,11 @@ def get_spark(app_name: str = "sybil_spark", master: str | None = None,
     cluster master is configured; on a real cluster, leave it unset and
     submit normally — nothing here assumes local mode.
     """
+    # Before the JVM launches: local-mode Python workers inherit this
+    # process's env through the JVM; on a cluster the executorEnv
+    # confs below carry the same values.
+    for k, v in WORKER_ENV.items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -55,6 +80,8 @@ def get_spark(app_name: str = "sybil_spark", master: str | None = None,
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    for k, v in WORKER_ENV.items():
+        confs.setdefault(f"spark.executorEnv.{k}", v)
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():

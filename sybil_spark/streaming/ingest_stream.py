@@ -1244,9 +1244,8 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
             return
         spark = batch_df.sparkSession
         with path_lock(index_path, timeout_s=300.0):
-            with open(os.path.join(index_path,
-                                   "bm25_meta.json")) as f:
-                meta = json.load(f)
+            from sybil_spark.operators.quality import _bm25_meta
+            meta = _bm25_meta(index_path)
             if batch_id <= int(meta.get("stream_fold_watermark", -1)):
                 return   # committed AND folded before an unclean stop
             bdir = os.path.join(index_path, "postings_stream",
