@@ -5819,6 +5819,218 @@ def q_bpe_fertility(spark, sf):
                                 _BPE_APPLY_RULES, "lang")
 
 
+#: fixed piece vocabulary for the unigram_apply / unigram_fertility
+#: rows — a literal tokenizer shared verbatim between the Spark plan
+#: and the SQL oracle. Every logprob is a multiple of 0.25 (exact
+#: binary fraction), so Viterbi prefix sums are dyadic rationals and
+#: bit-identical in any IEEE-double engine — the property that makes
+#: a cross-engine DP hash-comparable. The (bi, ig) pair pins the
+#: longer-last-piece tie rule (both segmentations of "big" score
+#: -12.0 at 2 pieces); (sl, ow, slow) pins the fewer-pieces rule
+#: ("slow" ties -8.0 at 1 vs 2 pieces).
+_UNIGRAM_VOCAB = sorted(
+    [(c, -8.0) for c in "abcdefghijklmnopqrstuvwxyz"] + [
+        ("the", -2.0), ("th", -3.5), ("he", -3.5),
+        ("er", -3.0), ("or", -3.25), ("an", -3.0), ("in", -3.0),
+        ("scan", -2.5), ("sc", -4.0),
+        ("row", -2.25), ("ow", -4.0),
+        ("data", -2.25), ("da", -4.0), ("ta", -3.5),
+        ("sort", -2.5), ("so", -4.25), ("rt", -4.25),
+        ("table", -2.25), ("ble", -3.75),
+        ("part", -2.5), ("art", -3.5), ("pa", -4.0),
+        ("merge", -2.5), ("me", -4.25), ("rge", -4.5),
+        ("line", -2.5), ("li", -4.0), ("ne", -3.75),
+        ("key", -2.75), ("ke", -4.5), ("ey", -4.5),
+        ("window", -2.75), ("win", -3.5), ("dow", -3.75),
+        ("do", -3.75),
+        ("bi", -4.0), ("ig", -4.0),
+        ("sl", -4.0), ("slow", -8.0),
+        ("qu", -3.0), ("ue", -3.5),
+        ("ha", -4.0), ("sh", -4.0), ("as", -4.0),
+        ("st", -4.0), ("re", -3.75), ("am", -4.0),
+        ("gr", -4.25), ("oup", -4.25),
+        ("fi", -4.25), ("lt", -4.5),
+        ("co", -4.0), ("lu", -4.5), ("mn", -4.75),
+        ("va", -4.25), ("al", -4.0),
+        ("cu", -4.5), ("om", -4.25),
+        ("jo", -4.25), ("fa", -4.25), ("sm", -4.5),
+        ("du", -4.25), ("up", -4.0),
+        ("ba", -4.25), ("tch", -4.25),
+        ("ve", -4.25), ("ct", -4.5),
+        ("ag", -4.25), ("gg", -4.75),
+        ("sp", -4.25), ("ark", -3.75),
+        ("col", -4.0), ("umn", -4.25),
+    ])
+
+
+def _unigram_dp_ctes(vocab) -> str:
+    """The recursive-CTE Viterbi shared by the unigram oracle rows:
+    CTEs V (the literal vocab), wr (doc words with position), dw
+    (distinct words), seg (the DP — one iteration per character
+    position, each word-row carrying its dp arrays), segf (per-word
+    piece count + chr(31)-prefixed piece string, whole-word fallback
+    for unsegmentable words). The DP winner at each end position is
+    picked by (prefix score + logprob) desc, pieces asc, piece
+    length desc — exactly operators/unigram._viterbi's rule, so
+    with the dyadic fixture vocab the two engines' segmentations
+    are bit-identical."""
+    vals = ", ".join(f"('{p}', {lp})" for p, lp in vocab)
+    return f"""
+    V(p, lp) as (values {vals}),
+    wr as (select doc_id, t.i as i, l[t.i] as w
+           from (select doc_id, string_split(text, ' ') as l
+                 from documents) d,
+                unnest(generate_series(1, len(d.l))) as t(i)
+           where l[t.i] <> ''),
+    dw as (select distinct w from wr),
+    seg(w, i, n, ok, s, np, ps) as (
+      select w, 0, length(w), [true], [0.0::double], [0], ['']
+      from dw
+      union all
+      select seg.w, seg.i + 1, seg.n,
+             list_append(seg.ok, win.cs is not null),
+             list_append(seg.s, coalesce(win.cs, 0.0)),
+             list_append(seg.np, coalesce(win.cnp, 0)),
+             list_append(seg.ps, coalesce(win.cps, ''))
+      from seg left join lateral (
+          select seg.s[seg.i + 2 - length(v.p)] + v.lp as cs,
+                 seg.np[seg.i + 2 - length(v.p)] + 1 as cnp,
+                 seg.ps[seg.i + 2 - length(v.p)] || chr(31) || v.p
+                   as cps
+          from V v
+          where length(v.p) <= seg.i + 1
+            and v.p = substr(seg.w, seg.i + 2 - length(v.p),
+                             length(v.p))
+            and seg.ok[seg.i + 2 - length(v.p)]
+          order by cs desc, cnp asc, length(v.p) desc
+          limit 1) win on true
+      where seg.i < seg.n),
+    segf as (select w,
+                    case when ok[n+1] then np[n+1] else 1 end as wnp,
+                    case when ok[n+1] then ps[n+1]
+                         else chr(31) || w end as wps
+             from seg where i = n)"""
+
+
+@_q("unigram_seed", """
+    with w as (select unnest(string_split(text, ' ')) as word
+               from documents),
+    wc as (select word, count(*) as cnt from w
+           where word <> '' group by 1),
+    subs as (select substr(word, s.i, u.n) as piece, cnt
+             from wc,
+                  unnest(generate_series(1, len(word))) as s(i),
+                  unnest(generate_series(
+                      1, least(8, len(word) - s.i + 1))) as u(n))
+    select piece, cast(sum(cnt) as bigint) as freq
+    from subs group by 1
+    order by freq desc, piece asc limit 30""")
+def q_unigram_seed(spark, sf):
+    """Unigram-trainer iteration zero (operators/unigram.
+    piece_candidates): word-frequency-weighted substring counts up
+    to length 8 — the seed-vocabulary statistic of the SentencePiece
+    trainer, and its one oracle-checkable distributed core step
+    (the EM loop itself is iterative: python-reference-fuzzed in
+    tests, like bpe_merges). Substring explode runs on the
+    DISTINCT-word frame, never the corpus."""
+    from sybil_spark.operators import unigram
+    return (unigram.piece_candidates(_t(spark, sf, "documents"),
+                                     "text")
+            .orderBy(F.desc("freq"), F.asc("piece")).limit(30))
+
+
+@_q("unigram_apply", f"""
+    with recursive {_unigram_dp_ctes(_UNIGRAM_VOCAB)},
+    agg as (select wr.doc_id,
+                   cast(sum(sf.wnp) as int) as n_pieces,
+                   ltrim(string_agg(sf.wps, '' order by wr.i),
+                         chr(31)) as pieces_str
+            from wr join segf sf on wr.w = sf.w
+            group by wr.doc_id)
+    select d.doc_id, coalesce(a.pieces_str, '') as pieces_str,
+           coalesce(a.n_pieces, 0) as n_pieces
+    from documents d left join agg a using (doc_id)
+    order by doc_id""")
+def q_unigram_apply(spark, sf):
+    """Unigram-LM tokenizer apply (operators/unigram.unigram_apply):
+    Viterbi segmentation of every document under the fixed dyadic
+    vocab, ONE Arrow-batched UDF over the scan. Full value check —
+    the piece sequence itself (chr(31)-joined) plus the count —
+    against a recursive-CTE Viterbi in DuckDB implementing the
+    identical DP and tie rules (score desc, pieces asc, longer
+    piece), with all prefix sums exact binary fractions."""
+    from sybil_spark.operators import unigram
+    d = _t(spark, sf, "documents")
+    enc = unigram.unigram_apply(d, "doc_id", "text", _UNIGRAM_VOCAB)
+    return (enc.select(
+        "doc_id",
+        F.array_join("pieces", "\x1f").alias("pieces_str"),
+        F.col("n_pieces"))
+        .orderBy("doc_id"))
+
+
+@_q("unigram_fertility", f"""
+    with recursive {_unigram_dp_ctes(_UNIGRAM_VOCAB)},
+    agg as (select wr.doc_id, sum(sf.wnp) as np
+            from wr join segf sf on wr.w = sf.w
+            group by wr.doc_id),
+    docs as (select doc_id, lang,
+                    len(string_split(text, ' ')) as nt
+             from documents)
+    select lang, count(*) as n_docs,
+           cast(sum(nt) as bigint) as n_tokens,
+           cast(coalesce(sum(a.np), 0) as bigint) as n_pieces,
+           cast(cast(coalesce(sum(a.np), 0) as bigint) as double)
+             / cast(cast(sum(nt) as bigint) as double) as fertility
+    from docs left join agg a using (doc_id)
+    group by 1 order by 1""")
+def q_unigram_fertility(spark, sf):
+    """Tokenizer fertility by language under the UNIGRAM tokenizer
+    (bpe.fertility_report with unigram_vocab= — the report is
+    tokenizer-agnostic): same scan shape as bpe_fertility, encode
+    swapped for the Viterbi UDF. Hash-matches the recursive-CTE
+    oracle because per-word piece counts are bit-identical."""
+    from sybil_spark.operators import bpe
+    d = _t(spark, sf, "documents")
+    return bpe.fertility_report(d, "doc_id", "text", None, "lang",
+                                unigram_vocab=_UNIGRAM_VOCAB)
+
+
+@_q("collocations_log", """
+    with t as (select list_filter(string_split(text, ' '),
+                                  x -> x <> '') t from documents),
+    uni as (select unnest(t) as tok from t),
+    u as (select tok, count(*) as c1 from uni group by 1),
+    n as (select cast(cast(sum(c1) as bigint) as bigint) as nt from u),
+    bg as (select t[i] as l, t[i+1] as r
+           from t, unnest(generate_series(1, len(t)-1)) as g(i)),
+    b as (select l, r, count(*) as c2 from bg group by 1, 2),
+    s as (select b.l, b.r, cast(b.c2 as bigint) as c2,
+                 cast(cast(ln(cast(b.c2 as double))
+                           + ln(cast(n.nt as double))
+                           - ln(cast(ul.c1 as double))
+                           - ln(cast(ur.c1 as double))
+                           as decimal(38,6)) as varchar) as pmi6
+          from b, n
+          join u ul on b.l = ul.tok
+          join u ur on b.r = ur.tok
+          where b.c2 >= 5)
+    select l, r, c2, cast(pmi6 as double) as pmi
+    from s order by pmi desc, c2 desc, l asc, r asc limit 20""")
+def q_collocations_log(spark, sf):
+    """collocations' log-space arithmetic path (quality.collocations
+    log_space=True) — the overflow-free formulation for corpora past
+    ~3 billion tokens where c1l*c1r can exceed int64: pmi =
+    ln(c2) + ln(N) − ln(c1l) − ln(c1r), summed in double, quantized
+    once to decimal(38,6). Forced on here (auto picks it above
+    COLLOC_EXACT_MAX_N) so the row proves the path hash-matches a
+    SQL mirror at any corpus size; test_operators pins exact-path
+    agreement below the boundary."""
+    from sybil_spark.operators import quality
+    return quality.collocations(_t(spark, sf, "documents"), "text",
+                                min_count=5, k=20, log_space=True)
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -5854,8 +6066,8 @@ _DRIVER_FIRST = [
     # (b) implementation changed this round (f32 candidate matmul):
     "ann_pairs_topk", "embedding_dup",
     # (c) new r9 queries — zero driver rows yet:
-    "unigram_apply", "unigram_fertility", "boolean_topk",
-    "collocations_log",
+    "unigram_apply", "unigram_fertility", "unigram_seed",
+    "boolean_topk", "collocations_log",
 ]
 
 _DRIVER_FIRST_R8 = [

@@ -393,9 +393,11 @@ def bpe_apply(df: DataFrame, id_col: str, text_col: str,
 
 
 def fertility_report(df: DataFrame, id_col: str, text_col: str,
-                     merges: list[tuple], group_col: str,
+                     merges: list[tuple] | None, group_col: str,
                      pattern: str | None = None,
-                     mode: str = "auto") -> DataFrame:
+                     mode: str = "auto",
+                     unigram_vocab: list[tuple] | None = None
+                     ) -> DataFrame:
     """(group, n_docs, n_tokens, n_pieces, fertility): tokenizer
     fertility — pieces emitted per whitespace word — grouped by
     language/source/domain. THE standard tokenizer-QA number: a
@@ -404,7 +406,13 @@ def fertility_report(df: DataFrame, id_col: str, text_col: str,
     characters), and this report is how that's caught before a
     training run burns compute on 2x the sequence length.
 
-    Composition: bpe_apply with keep_cols riding group + text
+    Takes either tokenizer family: pass `merges` for BPE, or
+    `unigram_vocab` ([(piece, logprob)]) for the unigram-LM
+    tokenizer (operators/unigram.unigram_apply) — both encoders
+    share the (pieces, n_pieces) output contract, so the report is
+    tokenizer-agnostic (exactly one of the two must be given).
+
+    Composition: the chosen apply with keep_cols riding group + text
     through the encode, so the WHOLE report is one scan — a map
     (encode + token_count) straight into the |groups|-row integer
     aggregation, no id-join, nothing wide past the map-side partial
@@ -412,8 +420,17 @@ def fertility_report(df: DataFrame, id_col: str, text_col: str,
     the same expression any SQL engine evaluates bit-identically."""
     from sybil_spark.functions.text import token_count
 
-    enc = bpe_apply(df, id_col, text_col, merges, pattern=pattern,
-                    mode=mode, keep_cols=[group_col, text_col])
+    if (merges is None) == (unigram_vocab is None):
+        raise ValueError("fertility_report: pass exactly one of "
+                         "merges / unigram_vocab")
+    if unigram_vocab is not None:
+        from sybil_spark.operators.unigram import unigram_apply
+        enc = unigram_apply(df, id_col, text_col, unigram_vocab,
+                            pattern=pattern,
+                            keep_cols=[group_col, text_col])
+    else:
+        enc = bpe_apply(df, id_col, text_col, merges, pattern=pattern,
+                        mode=mode, keep_cols=[group_col, text_col])
     nt = token_count(F.col(text_col), pattern).cast("long")
     return (enc.select(F.col(group_col), nt.alias("__nt"),
                        F.col("n_pieces").cast("long").alias("__np"))

@@ -1418,7 +1418,13 @@ def blocklist_hits(df: DataFrame, id_col: str, text_col: str,
     counts = (tok.join(bl, "tok", "left_semi")
                  .groupBy("__bid")
                  .agg(F.count(F.lit(1)).alias("__c")))
-    return (df.join(F.broadcast(counts),
+    # no broadcast hint on `counts`: one row per document with >= 1
+    # hit is unbounded in corpus size (a hit-heavy corpus would blow
+    # the broadcast budget). The hint stays on the LIST side only;
+    # AQE picks broadcast for counts at runtime when it happens to
+    # be small, shuffle-hash otherwise — both correct, neither
+    # driver-fatal.
+    return (df.join(counts,
                     df[id_col] == counts["__bid"], "left")
               .drop("__bid")
               .withColumn("n_hits",
@@ -1549,9 +1555,16 @@ def phrase_blocklist_stats(df: DataFrame, group_col: str,
              .orderBy(group_col))
 
 
+#: collocations: largest corpus token count N for which the exact
+#: integer-product PMI is provably overflow-free — every count is
+#: <= N, so c1l*c1r <= N^2 and c2*N <= N^2 must stay < 2^63;
+#: N < floor(sqrt(2^63)) guarantees both.
+COLLOC_EXACT_MAX_N = 3_037_000_499
+
+
 def collocations(df: DataFrame, text_col: str, min_count: int = 5,
-                 k: int = 20,
-                 pattern: str | None = None) -> DataFrame:
+                 k: int = 20, pattern: str | None = None,
+                 log_space: bool | None = None) -> DataFrame:
     """Top-k adjacent-bigram collocations by pointwise mutual
     information — the classic corpus-analysis signal for multi-word
     expressions (PMI = ln(P(l,r) / (P(l)·P(r)))), which feeds
@@ -1566,16 +1579,24 @@ def collocations(df: DataFrame, text_col: str, min_count: int = 5,
     never the corpus. N comes from the package's bounded 1-row
     collect pattern.
 
-    Exactness: c2·N and c1l·c1r are exact in int64 (documented
-    constraint: products must stay < 2^63 — true through
-    billion-token corpora; past that, compute PMI in log space with
-    per-term quantization). Their doubles are exact below 2^53, the
-    division is one IEEE op, and the single ln() quantizes to
-    decimal(38,6) — the 1-ulp-ln discipline — so ordering and
-    values replicate in any SQL engine. Ties break (pmi desc,
-    count desc, l, r). Empty split-artifact tokens are filtered
-    (bpe.word_counts' convention) — they would otherwise inflate N
-    and pair with real words."""
+    Exactness — two result-compatible arithmetic paths, chosen by
+    `log_space` (None = auto on the measured N):
+    - exact-product (N <= COLLOC_EXACT_MAX_N ~ 3.04e9 tokens):
+      c2·N and c1l·c1r are exact in int64 (every count <= N, so
+      both products <= N² < 2^63), their doubles are exact below
+      2^53, the division is one IEEE op, and the single ln()
+      quantizes to decimal(38,6) — the 1-ulp-ln discipline — so
+      ordering and values replicate in any SQL engine.
+    - log-space (past ~3 billion tokens, where N² overflows int64):
+      pmi = ln(c2) + ln(N) − ln(c1l) − ln(c1r), summed in double
+      and quantized ONCE to decimal(38,6). Each ln is within 1 ulp,
+      the 4-term sum within ~4 ulps (~1e-15 relative) — far inside
+      the 1e-6 quantization step, so the two paths agree after
+      quantization wherever both are defined, and the log path
+      never overflows at any corpus size.
+    Ties break (pmi desc, count desc, l, r). Empty split-artifact
+    tokens are filtered (bpe.word_counts' convention) — they would
+    otherwise inflate N and pair with real words."""
     toks = F.filter(tokens(F.col(text_col), pattern),
                     lambda t: t != "")
     pairs = F.when(
@@ -1586,8 +1607,19 @@ def collocations(df: DataFrame, text_col: str, min_count: int = 5,
                         F.element_at(toks, i + 1).alias("r")))) \
         .otherwise(F.array().cast(
             "array<struct<l:string,r:string>>"))
-    uni = (df.select(F.explode(toks).alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
+    from pyspark import StorageLevel
+
+    from sybil_spark.operators._util import register_cached
+
+    # persist the unigram counts: they feed the n_total collect AND
+    # both sides of the PMI join — without the cache the corpus
+    # tokenize+explode+groupBy (the expensive stage) runs again for
+    # the join. Vocabulary-sized (Heaps' law), released by the
+    # ambient cache_scope / unpersist_unscoped like bm25's tf frame.
+    uni = register_cached(
+        df.select(F.explode(toks).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     big = (df.select(F.explode(pairs).alias("p"))
              .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
              .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c2")))
@@ -1596,11 +1628,19 @@ def collocations(df: DataFrame, text_col: str, min_count: int = 5,
         spark = df.sparkSession
         return spark.createDataFrame(
             [], "l string, r string, c2 bigint, pmi double")
+    if log_space is None:
+        log_space = int(n_total) > COLLOC_EXACT_MAX_N
     ul = uni.select(F.col("tok").alias("l"), F.col("c1").alias("c1l"))
     ur = uni.select(F.col("tok").alias("r"), F.col("c1").alias("c1r"))
-    pmi = F.log((F.col("c2") * F.lit(int(n_total))).cast("double")
-                / (F.col("c1l") * F.col("c1r")).cast("double")) \
-        .cast(_DEC)
+    if log_space:
+        pmi = (F.log(F.col("c2").cast("double"))
+               + F.log(F.lit(float(n_total)))
+               - F.log(F.col("c1l").cast("double"))
+               - F.log(F.col("c1r").cast("double"))).cast(_DEC)
+    else:
+        pmi = F.log((F.col("c2") * F.lit(int(n_total))).cast("double")
+                    / (F.col("c1l") * F.col("c1r")).cast("double")) \
+            .cast(_DEC)
     return (big.where(F.col("c2") >= F.lit(int(min_count)))
                .join(ul, "l").join(ur, "r")
                .select("l", "r", "c2",

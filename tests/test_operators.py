@@ -2762,3 +2762,97 @@ def test_proximity_topk_serves_pending_pieces(spark, tmp_path):
            quality.proximity_topk(spark, idx, "alpha", "beta",
                                   k=10).collect()]
     assert got == [(1, 1), (0, 3)]
+
+
+def test_bm25_index_format_gate(spark, docs, tmp_path):
+    """A pre-positional (format-1) index must be refused with an
+    actionable rebuild-required error by EVERY reader — add, compact,
+    serve, phrase/proximity — not an AnalysisException about a
+    missing `pos` column halfway into a locked fold."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from sybil_spark.operators import quality
+    idx = str(tmp_path / "bm25fmt")
+    quality.build_bm25_index(docs, "doc_id", "text", idx, nbuckets=4)
+    meta_p = os.path.join(idx, "bm25_meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    assert meta["format"] == quality.BM25_FORMAT
+    del meta["format"]                      # simulate an old index
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+    for fn in (lambda: quality.bm25_index_topk(spark, idx, [(1, "quick")]),
+               lambda: quality.bm25_index_add(docs.limit(1), idx),
+               lambda: quality.bm25_index_compact(spark, idx),
+               lambda: quality.phrase_index_topk(spark, idx, "quick"),
+               lambda: quality.proximity_topk(spark, idx, "quick",
+                                              "brown")):
+        with _pytest.raises(ValueError, match="[Rr]ebuild"):
+            fn()
+
+
+def test_positional_serve_tolerates_duplicate_doc_readd(spark, docs,
+                                                        tmp_path):
+    """Off-contract doc-id re-add: term queries double-count (the
+    documented degradation) — phrase/proximity must degrade the same
+    way instead of throwing DUPLICATE_MAP_KEY from the per-doc map
+    pack."""
+    from sybil_spark.operators import quality
+    idx = str(tmp_path / "bm25dup")
+    quality.build_bm25_index(docs, "doc_id", "text", idx, nbuckets=4)
+    readd = docs.limit(1)                   # same doc id again
+    assert quality.bm25_index_add(readd, idx, mode="defer") == 1
+    # both positional query shapes still serve (no exception)
+    assert quality.phrase_index_topk(spark, idx, "quick").count() >= 0
+    assert quality.proximity_topk(
+        spark, idx, "quick", "brown").count() >= 0
+
+
+def test_collocations_log_space_agrees_below_boundary(spark):
+    """The two PMI arithmetic paths must agree after decimal(38,6)
+    quantization wherever the exact path is defined — same rows,
+    same values, same order."""
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    rows = [R(doc_id=i, text="x y a b c " + ("a c b " * 3))
+            for i in range(5)]
+    df = spark.createDataFrame(rows)
+    exact = [tuple(r) for r in
+             quality.collocations(df, "text", min_count=2, k=20,
+                                  log_space=False).collect()]
+    logp = [tuple(r) for r in
+            quality.collocations(df, "text", min_count=2, k=20,
+                                 log_space=True).collect()]
+    assert exact == logp and exact
+
+
+def test_collocations_log_space_exact_at_int64_boundary(spark):
+    """Synthetic counts near 2^63/N: the exact path's c1l*c1r
+    product would overflow int64, the log-space path must still
+    produce the correct PMI (checked against a high-precision
+    python reference at the decimal(38,6) quantization)."""
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    # counts straight onto the expression: c2=3e9, N=4e9,
+    # c1l=c1r=3.5e9 -> c1l*c1r = 1.2e19 > 2^63 (9.22e18)
+    c2, n, c1l, c1r = 3_000_000_000, 4_000_000_000, \
+        3_500_000_000, 3_500_000_000
+    assert c1l * c1r > 2**63
+    df = spark.createDataFrame(
+        [(c2, c1l, c1r)], "c2 long, c1l long, c1r long")
+    expr = (F.log(F.col("c2").cast("double"))
+            + F.log(F.lit(float(n)))
+            - F.log(F.col("c1l").cast("double"))
+            - F.log(F.col("c1r").cast("double"))) \
+        .cast("decimal(38,6)")
+    got = df.select(expr.alias("pmi")).collect()[0]["pmi"]
+    want = Decimal(math.log(c2) + math.log(n)
+                   - math.log(c1l) - math.log(c1r)) \
+        .quantize(Decimal("0.000001"))
+    assert abs(Decimal(got) - want) <= Decimal("0.000001")
