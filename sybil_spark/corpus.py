@@ -5777,6 +5777,47 @@ def q_proximity_topk(spark, sf):
                                   k=10)
 
 
+@_q("boolean_topk", """
+    with t as (select doc_id, string_split(text, ' ') t
+               from documents),
+    pa as (select doc_id, unnest(generate_series(1, len(t))) as p, t
+           from t),
+    qa as (select doc_id, p from pa where t[p] = 'hash'),
+    qb as (select doc_id, p from pa where t[p] = 'join'),
+    qc as (select doc_id, p from pa where t[p] = 'table'),
+    d as (select qa.doc_id,
+                 min(greatest(qa.p, qb.p, qc.p)
+                     - least(qa.p, qb.p, qc.p)) as min_cover
+          from qa join qb using (doc_id) join qc using (doc_id)
+          group by 1),
+    r as (select doc_id, cast(min_cover as bigint) as min_cover,
+                 row_number() over
+                     (order by min_cover asc, doc_id asc) as rank
+          from d)
+    select doc_id, min_cover, rank from r where rank <= 10
+    order by rank""")
+def q_boolean_topk(spark, sf):
+    """Ranked boolean AND from the positional index
+    (quality.boolean_topk): docs containing ALL of 'hash', 'join',
+    'table', ranked by the minimal window covering one occurrence
+    of each — the n-term generalization of proximity_topk, served
+    from the terms' partition-pruned buckets with the min-cover as
+    a pure codegen anchor-scan. The SQL mirror computes the same
+    min over the occurrence product (exact — both sides integer),
+    so the row hash-matches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sybil_spark.operators import quality
+    iroot = tempfile.mkdtemp(prefix="sybil-boolidx-")
+    atexit.register(shutil.rmtree, iroot, ignore_errors=True)
+    quality.build_bm25_index(_t(spark, sf, "documents"), "doc_id",
+                             "text", iroot, nbuckets=32)
+    return quality.boolean_topk(spark, iroot,
+                                ["hash", "join", "table"], k=10)
+
+
 def _bpe_fertility_oracle(rules) -> str:
     """Grouped variant of _bpe_apply_oracle: the same standin-char
     replace chain, aggregated to per-language token/piece sums."""

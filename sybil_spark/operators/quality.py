@@ -769,8 +769,30 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str,
         tf.unpersist()
 
 
+def _bm25_pending_pressure(index_path: str) -> tuple:
+    """(n_pieces, n_bytes) of COMMITTED pending append pieces — the
+    small-files pressure gauge for auto-compaction. Directory
+    metadata only (the should_digest contract: nothing is read off
+    disk until the fold itself runs)."""
+    import os
+
+    dirs, _n, _s, _mx = _bm25_pending_state(index_path)
+    nb = 0
+    for d in dirs:
+        for root, _subdirs, files in os.walk(d):
+            for f in files:
+                try:
+                    nb += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return len(dirs), nb
+
+
 def bm25_index_add(df: DataFrame, index_path: str,
-                   mode: str = "rescore") -> int:
+                   mode: str = "rescore",
+                   auto_compact: bool = True,
+                   piece_threshold: int | None = None,
+                   size_threshold_kb: int | None = None) -> int:
     """Incrementally add documents to a persisted BM25 index — the
     lexical mirror of similarity.ivf_index_add, closing the gap
     where continuous ingestion (the engine's own streaming story)
@@ -795,8 +817,16 @@ def bm25_index_add(df: DataFrame, index_path: str,
 
     `mode="defer"` stops there — the cheapest write, for
     high-frequency appends; serving pays one extra aggregation over
-    the pruned buckets until a compact. `mode="rescore"` (default)
-    additionally runs the compactor under the SAME lock hold,
+    the pruned buckets until a compact. Deferred pieces do NOT
+    accumulate unboundedly: with `auto_compact` (default) the add
+    triggers the compactor under the same lock hold once committed
+    pending pieces pass the thresholds (piece count > 256 or bytes
+    > 2 MB — ingest.maybe_digest's reference values,
+    src/lib/table_ingest.go:63-71 / row_store.go:77-123, applied to
+    the index lifecycle), so a long defer-add sequence stays under
+    the piece budget with serving bit-equal throughout (the fold is
+    exact). `mode="rescore"` (default) unconditionally runs the
+    compactor under the SAME lock hold,
     folding all pending pieces into the base postings with exact
     denormalized df (bm25_index_compact — a whole-index-dir staged
     swap, the one crash-atomic unit for in-place repair), restoring
@@ -851,6 +881,16 @@ def bm25_index_add(df: DataFrame, index_path: str,
             tf.unpersist()
         if mode == "rescore":
             _bm25_compact_locked(spark, index_path)
+        elif auto_compact:
+            from sybil_spark.sources.ingest import (
+                FILE_DIGEST_THRESHOLD, SIZE_DIGEST_THRESHOLD_KB)
+            pt = piece_threshold if piece_threshold is not None \
+                else FILE_DIGEST_THRESHOLD
+            st = size_threshold_kb if size_threshold_kb is not None \
+                else SIZE_DIGEST_THRESHOLD_KB
+            n_p, n_b = _bm25_pending_pressure(index_path)
+            if n_p > pt or n_b > st * 1024:
+                _bm25_compact_locked(spark, index_path)
         return n_new
 
 
@@ -1714,3 +1754,85 @@ def proximity_topk(spark, index_path: str, term_a: str, term_b: str,
     return (top.withColumn("rank", F.row_number().over(w))
                .select(F.col("doc").alias(meta["id_col"]),
                        "min_dist", "rank"))
+
+
+def boolean_topk(spark, index_path: str, terms: list[str],
+                 k: int = 10) -> DataFrame:
+    """Ranked boolean AND over the positional index — the third
+    query shape a positional index exists for, generalizing
+    proximity_topk from 2 terms to n: top-k documents containing
+    ALL of `terms`, ranked by the minimal window (max position −
+    min position) covering one occurrence of every term (asc —
+    tighter co-occurrence is more relevant), ties (doc asc).
+    n = 2 reduces exactly to proximity_topk's min |p − q|; a single
+    distinct term scores 0 (containment).
+
+    Serving shape is phrase_index_topk's: the terms' buckets
+    partition-prune the postings read (base + committed pending
+    pieces), ONE groupBy(doc) packs the per-term position arrays,
+    and the min-cover is pure codegen: for every candidate window
+    start p (any occurrence of any term),
+        cover(p) = max_t( min{q ∈ pos_t : q ≥ p} ) − p
+    and the answer is the min over p — the classic anchor-scan
+    identity (the optimal window's left edge is some term's
+    occurrence, so scanning anchors is exact). Work per doc is
+    O(n · tf · tf_t) array scans — bounded by document length,
+    embarrassingly parallel, no shuffle after the pack — and avoids
+    the O(Π tf_t) product the naive n-way nesting would pay.
+
+    Terms are normalized through the index tokenizer (tokenize_str);
+    duplicates collapse (boolean AND is a set predicate — for
+    same-term proximity use proximity_topk)."""
+    from pyspark.sql import Window
+
+    from sybil_spark.functions.text import tokenize_str
+
+    norm = []
+    for t in terms:
+        w_ = [x for x in tokenize_str(t or "") if x]
+        if len(w_) != 1:
+            raise ValueError(
+                f"boolean_topk: term {t!r} does not normalize to "
+                f"exactly one index token (got {w_!r})")
+        norm.append(w_[0])
+    uniq = list(dict.fromkeys(norm))
+    if not uniq:
+        raise ValueError("boolean_topk: no terms")
+    meta = _bm25_meta(index_path)
+    cand = _positional_map(spark, index_path, meta, uniq)
+    m = F.col("__m")
+    has_all = F.lit(True)
+    for t in uniq:
+        has_all = has_all & m.getItem(t).isNotNull()
+    if len(uniq) == 1:
+        scored = (cand.where(has_all)
+                      .select("doc",
+                              F.lit(0).cast("long").alias("min_cover")))
+    else:
+        merged = F.array_sort(F.flatten(F.array(
+            *[m.getItem(t) for t in uniq])))
+
+        def _ge(p):
+            # closure factory, not a default-arg lambda: PySpark
+            # infers HOF arity from the parameter count, and a
+            # 2-param lambda would be fed (element, index)
+            return lambda q: q >= p
+
+        def cover(p):
+            nxts = [F.array_min(F.filter(m.getItem(t), _ge(p)))
+                    for t in uniq]
+            all_hit = nxts[0].isNotNull()
+            for nx in nxts[1:]:
+                all_hit = all_hit & nx.isNotNull()
+            return F.when(all_hit, F.greatest(*nxts) - p)
+
+        scored = (cand.where(has_all)
+                      .select("doc",
+                              F.array_min(F.transform(merged, cover))
+                               .cast("long").alias("min_cover")))
+    top = (scored.orderBy(F.asc("min_cover"), F.asc("doc"))
+                 .limit(int(k)))
+    w = Window.orderBy(F.asc("min_cover"), F.asc("doc"))
+    return (top.withColumn("rank", F.row_number().over(w))
+               .select(F.col("doc").alias(meta["id_col"]),
+                       "min_cover", "rank"))

@@ -1130,8 +1130,23 @@ def build_ivfpq_index(df: DataFrame, vec_col: str, index_path: str,
                   "w") as f:
             json.dump({"vec_col": vec_col, "id_col": id_col,
                        "nlist": len(cents), "centroids": cents,
-                       "codebooks": cbs}, f)
+                       "codebooks": cbs,
+                       "base_files": _codes_file_count(index_path)},
+                      f)
     return {"centroids": cents, "codebooks": cbs}
+
+
+def _codes_file_count(index_path: str) -> int:
+    """Data files currently under codes/ — minus this count's
+    `base_files` snapshot in the meta, the add-piece small-files
+    pressure gauge (directory metadata only)."""
+    import os
+
+    root = os.path.join(index_path, "codes")
+    n = 0
+    for _r, _dirs, files in os.walk(root):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
 
 
 def ivfpq_index_topk(spark, index_path: str, query: list[float],
@@ -1210,47 +1225,65 @@ def ivfpq_index_compact(spark, index_path: str) -> int:
     accepted window as bm25 serving. Returns the number of batches
     folded (0 = nothing to do). Torn (marker-less) batch dirs are
     dropped with the old dir, not folded."""
+    from sybil_spark.sources.locks import path_lock
+
+    with path_lock(index_path):
+        return _ivfpq_compact_locked(spark, index_path)
+
+
+def _ivfpq_compact_locked(spark, index_path: str,
+                          force: bool = False) -> int:
+    """ivfpq_index_compact's body, for callers already holding the
+    index path lock (ivfpq_index_add's auto-compaction runs the
+    fold inside its own lock hold). `force` rewrites the codes dir
+    even with no pending stream batches — the defrag path for
+    small-files pressure from plain appends."""
     import json
     import os
     import shutil
 
-    from sybil_spark.sources.locks import path_lock
     from sybil_spark.sources.rollup import _staged_swap
 
-    with path_lock(index_path):
-        batches = _ivfpq_stream_batches(index_path)
-        root = os.path.join(index_path, "codes_stream")
-        if not batches:
-            if os.path.isdir(root):
-                shutil.rmtree(root)   # only torn dirs remain
-            return 0
-        with open(os.path.join(index_path, "ivfpq_meta.json")) as f:
-            meta = json.load(f)
-        cols = [meta["id_col"], "pq_code", "cluster"]
-        base = os.path.join(index_path, "codes")
-        merged = spark.read.parquet(base).select(*cols)
-        hi = -1
-        for bdir in batches:
-            merged = merged.unionByName(
-                spark.read.parquet(bdir).select(*cols))
-            hi = max(hi, int(os.path.basename(bdir).split("-", 1)[1]))
-        # snapshot before the swap renames the dirs the plan reads
-        merged = merged.localCheckpoint(eager=True)
-        meta["stream_fold_watermark"] = max(
-            hi, int(meta.get("stream_fold_watermark", -1)))
+    batches = _ivfpq_stream_batches(index_path)
+    root = os.path.join(index_path, "codes_stream")
+    if not batches and not force:
+        if os.path.isdir(root):
+            shutil.rmtree(root)   # only torn dirs remain
+        return 0
+    with open(os.path.join(index_path, "ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    cols = [meta["id_col"], "pq_code", "cluster"]
+    base = os.path.join(index_path, "codes")
+    merged = spark.read.parquet(base).select(*cols)
+    hi = -1
+    for bdir in batches:
+        merged = merged.unionByName(
+            spark.read.parquet(bdir).select(*cols))
+        hi = max(hi, int(os.path.basename(bdir).split("-", 1)[1]))
+    # snapshot before the swap renames the dirs the plan reads
+    merged = merged.localCheckpoint(eager=True)
+    meta["stream_fold_watermark"] = max(
+        hi, int(meta.get("stream_fold_watermark", -1)))
 
-        def write(tmp: str) -> None:
-            (merged.write.partitionBy("cluster")
-                   .parquet(os.path.join(tmp, "codes")))
-            with open(os.path.join(tmp, "ivfpq_meta.json"),
-                      "w") as f:
-                json.dump(meta, f)
+    def write(tmp: str) -> None:
+        (merged.write.partitionBy("cluster")
+               .parquet(os.path.join(tmp, "codes")))
+        n = 0
+        for _r, _d, files in os.walk(os.path.join(tmp, "codes")):
+            n += sum(1 for f in files
+                     if not f.startswith(("_", ".")))
+        meta["base_files"] = n
+        with open(os.path.join(tmp, "ivfpq_meta.json"),
+                  "w") as f:
+            json.dump(meta, f)
 
-        _staged_swap(index_path, write)
-        return len(batches)
+    _staged_swap(index_path, write)
+    return len(batches)
 
 
-def ivfpq_index_add(df: DataFrame, index_path: str) -> int:
+def ivfpq_index_add(df: DataFrame, index_path: str,
+                    auto_compact: bool = True,
+                    piece_threshold: int | None = None) -> int:
     """Incrementally add vectors to a persisted IVF-PQ index: assign
     against the FROZEN coarse centroids, encode with the FROZEN
     codebooks (both quantizers freeze at build — FAISS's add()
@@ -1261,7 +1294,17 @@ def ivfpq_index_add(df: DataFrame, index_path: str) -> int:
     drifts as the appended distribution leaves the trained
     centroids/codebooks behind — re-train via build_ivfpq_index (or
     adapt ivf_index_refresh) when it does. Path-locked against
-    concurrent adds/rebuilds."""
+    concurrent adds/rebuilds.
+
+    Small-files pressure is self-limiting, like bm25_index_add's:
+    every append lands new part-files beside the base codes, and
+    with `auto_compact` (default) the add triggers the compactor —
+    inside the same lock hold, force-rewriting the codes dir — once
+    (files since the last compact's `base_files` snapshot +
+    committed stream batches) passes `piece_threshold` (default:
+    ingest's 256-file reference threshold). Serving is bit-equal
+    before and after the fold (PQ codes carry no corpus-global
+    state)."""
     import json
     import os
 
@@ -1279,7 +1322,19 @@ def ivfpq_index_add(df: DataFrame, index_path: str) -> int:
                   .observe(obs, F.count(F.lit(1)).alias("n")))
         (out.write.partitionBy("cluster").mode("append")
             .parquet(os.path.join(index_path, "codes")))
-        return obs.get["n"]
+        n_added = obs.get["n"]
+        if auto_compact:
+            from sybil_spark.sources.ingest import \
+                FILE_DIGEST_THRESHOLD
+            pt = piece_threshold if piece_threshold is not None \
+                else FILE_DIGEST_THRESHOLD
+            pressure = (_codes_file_count(index_path)
+                        - int(meta.get("base_files", 0))
+                        + len(_ivfpq_stream_batches(index_path)))
+            if pressure > pt:
+                _ivfpq_compact_locked(df.sparkSession, index_path,
+                                      force=True)
+        return n_added
 
 
 def hard_negatives(queries: DataFrame, corpus: DataFrame, gold: DataFrame,

