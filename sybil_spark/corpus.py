@@ -6072,6 +6072,180 @@ def q_collocations_log(spark, sf):
                                 min_count=5, k=20, log_space=True)
 
 
+#: fixed piece vocabulary for the wordpiece_apply / wordpiece_fertility
+#: rows — a literal tokenizer shared verbatim between the Spark plan
+#: and the SQL oracle. Greedy maximum-munch has no float anywhere, so
+#: (unlike the unigram fixture) no arithmetic discipline is needed —
+#: the segmentation is a pure string function of (word, vocab). The
+#: multi-char entries exercise longest-match-first ("the" beats "th"),
+#: the '##' continuation rule, and the whole-word [UNK] fallback
+#: (words with chars outside a-z/0-9 fail and UNK identically in both
+#: engines).
+_WORDPIECE_VOCAB = sorted(
+    list("abcdefghijklmnopqrstuvwxyz0123456789")
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + ["the", "th", "he", "##he", "scan", "sc", "##can", "##an",
+       "row", "##ow", "data", "da", "##ata", "##ta", "table",
+       "##able", "##ble", "sort", "so", "##ort", "part", "pa",
+       "##art", "merge", "me", "##erge", "line", "li", "##ine",
+       "##ne", "key", "ke", "##ey", "window", "win", "##indow",
+       "##dow", "qu", "##ue", "st", "##ream", "gr", "##oup",
+       "fi", "##lter", "co", "##lumn", "va", "##lue", "jo",
+       "##in", "ba", "##tch", "ve", "##ctor", "ag", "##gregate",
+       "sp", "##ark"])
+
+
+def _wordpiece_dp_ctes(vocab) -> str:
+    """The recursive-CTE greedy maximum-munch shared by the wordpiece
+    oracle rows: CTEs V (the literal vocab), wr/dw (doc words /
+    distinct words, as _unigram_dp_ctes), seg (one recursion step per
+    consumed PIECE: the lateral picks the longest vocab entry —
+    '##'-prefixed when not word-initial — matching at the current
+    position; no match fails the WHOLE word), segf (per-word piece
+    count + chr(31)-prefixed piece string, [UNK] for failed words) —
+    exactly operators/wordpiece._match_word's semantics."""
+    vals = ", ".join(f"('{p}')" for p in vocab)
+    return f"""
+    V(p) as (values {vals}),
+    wr as (select doc_id, t.i as i, l[t.i] as w
+           from (select doc_id, string_split(text, ' ') as l
+                 from documents) d,
+                unnest(generate_series(1, len(d.l))) as t(i)
+           where l[t.i] <> ''),
+    dw as (select distinct w from wr),
+    seg(w, pos, np, ps, ok) as (
+      select w, 1, 0, '', true from dw
+      union all
+      select seg.w,
+             case when win.ml is null then length(seg.w) + 1
+                  else seg.pos + win.ml end,
+             case when win.ml is null then 1 else seg.np + 1 end,
+             case when win.ml is null then chr(31) || '[UNK]'
+                  else seg.ps || chr(31) || win.vp end,
+             win.ml is not null
+      from seg left join lateral (
+          select v.p as vp,
+                 length(v.p)
+                   - (case when seg.pos > 1 then 2 else 0 end) as ml
+          from V v
+          where length(v.p)
+                  - (case when seg.pos > 1 then 2 else 0 end) >= 1
+            and v.p = (case when seg.pos > 1 then '##' else '' end)
+                      || substr(seg.w, seg.pos,
+                                length(v.p)
+                                - (case when seg.pos > 1
+                                   then 2 else 0 end))
+          order by ml desc limit 1) win on true
+      where seg.pos <= length(seg.w) and seg.ok),
+    segf as (select w,
+                    case when ok then np else 1 end as wnp,
+                    case when ok then ps
+                         else chr(31) || '[UNK]' end as wps
+             from seg where pos = length(w) + 1)"""
+
+
+@_q("wordpiece_pairs", """
+    with w as (select unnest(string_split(text, ' ')) as word
+               from documents),
+    wc as (select word, count(*) as cnt from w
+           where word <> '' group by 1),
+    sy as (select list_transform(
+                      generate_series(1, length(word)),
+                      i -> case when i = 1 then substr(word, 1, 1)
+                           else '##' || substr(word, i, 1) end) as s,
+                  cnt from wc),
+    pc as (select s[g.i] as l, s[g.i + 1] as r,
+                  cast(sum(cnt) as bigint) as freq
+           from sy, unnest(generate_series(1, len(s) - 1)) as g(i)
+           group by 1, 2),
+    sc as (select sym, cast(sum(cnt) as bigint) as c
+           from (select unnest(s) as sym, cnt from sy)
+           group by 1),
+    sr as (select pc.l, pc.r, pc.freq,
+                  cast(cast(ln(cast(pc.freq as double))
+                            - ln(cast(cl.c as double))
+                            - ln(cast(cr.c as double))
+                            as decimal(38,6)) as varchar) as s6
+           from pc
+           join sc cl on pc.l = cl.sym
+           join sc cr on pc.r = cr.sym)
+    select l, r, freq, cast(s6 as double) as score
+    from sr order by score desc, freq desc, l, r limit 20""")
+def q_wordpiece_pairs(spark, sf):
+    """WordPiece-trainer iteration zero (operators/wordpiece.
+    wordpiece_pair_scores): adjacent symbol pairs over the
+    '##'-marked character decomposition, ranked by the likelihood
+    gain ln(freq) − ln(cl) − ln(cr) (decimal-quantized — the
+    package's cross-engine ln discipline; monotone in the raw
+    freq/(cl·cr) score). The full merge loop is iterative
+    (python-reference-fuzzed in test_wordpiece); this row pins the
+    distributed score machinery exactly — bpe_pairs' analog for the
+    third tokenizer family."""
+    from sybil_spark.operators import wordpiece
+    return wordpiece.wordpiece_pair_scores(
+        _t(spark, sf, "documents"), "text", top_n=20)
+
+
+@_q("wordpiece_apply", f"""
+    with recursive {_wordpiece_dp_ctes(_WORDPIECE_VOCAB)},
+    agg as (select wr.doc_id,
+                   cast(sum(sf.wnp) as int) as n_pieces,
+                   ltrim(string_agg(sf.wps, '' order by wr.i),
+                         chr(31)) as pieces_str
+            from wr join segf sf on wr.w = sf.w
+            group by wr.doc_id)
+    select d.doc_id, coalesce(a.pieces_str, '') as pieces_str,
+           coalesce(a.n_pieces, 0) as n_pieces
+    from documents d left join agg a using (doc_id)
+    order by doc_id""")
+def q_wordpiece_apply(spark, sf):
+    """WordPiece tokenizer apply (operators/wordpiece.
+    wordpiece_apply): greedy longest-match-first segmentation of
+    every document under the fixed vocab — '##' continuations,
+    whole-word [UNK] on any unmatched position — ONE Arrow-batched
+    UDF over the scan. Full value check (the chr(31)-joined piece
+    sequence plus the count) against a recursive-CTE maximum-munch
+    in DuckDB; greedy matching is float-free, so the sequences are
+    bit-identical by construction."""
+    from sybil_spark.operators import wordpiece
+    d = _t(spark, sf, "documents")
+    enc = wordpiece.wordpiece_apply(d, "doc_id", "text",
+                                    _WORDPIECE_VOCAB)
+    return (enc.select(
+        "doc_id",
+        F.array_join("pieces", "\x1f").alias("pieces_str"),
+        F.col("n_pieces"))
+        .orderBy("doc_id"))
+
+
+@_q("wordpiece_fertility", f"""
+    with recursive {_wordpiece_dp_ctes(_WORDPIECE_VOCAB)},
+    agg as (select wr.doc_id, sum(sf.wnp) as np
+            from wr join segf sf on wr.w = sf.w
+            group by wr.doc_id),
+    docs as (select doc_id, lang,
+                    len(string_split(text, ' ')) as nt
+             from documents)
+    select lang, count(*) as n_docs,
+           cast(sum(nt) as bigint) as n_tokens,
+           cast(coalesce(sum(a.np), 0) as bigint) as n_pieces,
+           cast(cast(coalesce(sum(a.np), 0) as bigint) as double)
+             / cast(cast(sum(nt) as bigint) as double) as fertility
+    from docs left join agg a using (doc_id)
+    group by 1 order by 1""")
+def q_wordpiece_fertility(spark, sf):
+    """Tokenizer fertility by language under the WORDPIECE tokenizer
+    (bpe.fertility_report with wordpiece_vocab= — the report takes
+    all three tokenizer families): same scan shape as bpe_fertility
+    / unigram_fertility, encode swapped for the greedy matcher.
+    Hash-matches the recursive-CTE oracle because per-word piece
+    counts are bit-identical (float-free greedy)."""
+    from sybil_spark.operators import bpe
+    d = _t(spark, sf, "documents")
+    return bpe.fertility_report(d, "doc_id", "text", None, "lang",
+                                wordpiece_vocab=_WORDPIECE_VOCAB)
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -6109,6 +6283,7 @@ _DRIVER_FIRST = [
     # (c) new r9 queries — zero driver rows yet:
     "unigram_apply", "unigram_fertility", "unigram_seed",
     "boolean_topk", "collocations_log",
+    "wordpiece_apply", "wordpiece_pairs", "wordpiece_fertility",
 ]
 
 _DRIVER_FIRST_R8 = [

@@ -65,14 +65,17 @@ def _adjacent_pairs(syms: Column) -> Column:
             .otherwise(F.array().cast("array<struct<l:string,r:string>>"))
 
 
-def _merge_fold(syms: Column, left: str, right: str) -> Column:
+def _merge_fold(syms: Column, left: str, right: str,
+                merged: str | None = None) -> Column:
     """Rewrite a symbol array applying ONE merge rule (left,right) ->
-    left||right, greedy left-to-right over non-overlapping
-    occurrences — a single codegen fold, no UDF. "aaa" under (a,a)
-    becomes [aa, a]: after a merge the new symbol does not re-pair
-    with the rule inside the same pass, matching the reference
-    implementation's scan."""
-    merged = left + right
+    `merged` (default left||right — BPE; WordPiece passes
+    left||right-without-'##' instead), greedy left-to-right over
+    non-overlapping occurrences — a single codegen fold, no UDF.
+    "aaa" under (a,a) becomes [aa, a]: after a merge the new symbol
+    does not re-pair with the rule inside the same pass, matching
+    the reference implementation's scan."""
+    if merged is None:
+        merged = left + right
     init = F.array().cast("array<string>")
 
     def step(acc, x):
@@ -396,7 +399,8 @@ def fertility_report(df: DataFrame, id_col: str, text_col: str,
                      merges: list[tuple] | None, group_col: str,
                      pattern: str | None = None,
                      mode: str = "auto",
-                     unigram_vocab: list[tuple] | None = None
+                     unigram_vocab: list[tuple] | None = None,
+                     wordpiece_vocab: list[str] | None = None
                      ) -> DataFrame:
     """(group, n_docs, n_tokens, n_pieces, fertility): tokenizer
     fertility — pieces emitted per whitespace word — grouped by
@@ -406,11 +410,13 @@ def fertility_report(df: DataFrame, id_col: str, text_col: str,
     characters), and this report is how that's caught before a
     training run burns compute on 2x the sequence length.
 
-    Takes either tokenizer family: pass `merges` for BPE, or
+    Takes any tokenizer family: pass `merges` for BPE,
     `unigram_vocab` ([(piece, logprob)]) for the unigram-LM
-    tokenizer (operators/unigram.unigram_apply) — both encoders
-    share the (pieces, n_pieces) output contract, so the report is
-    tokenizer-agnostic (exactly one of the two must be given).
+    tokenizer (operators/unigram.unigram_apply), or
+    `wordpiece_vocab` ([piece, ...]) for WordPiece
+    (operators/wordpiece.wordpiece_apply) — all encoders share the
+    (pieces, n_pieces) output contract, so the report is
+    tokenizer-agnostic (exactly one of the three must be given).
 
     Composition: the chosen apply with keep_cols riding group + text
     through the encode, so the WHOLE report is one scan — a map
@@ -420,14 +426,21 @@ def fertility_report(df: DataFrame, id_col: str, text_col: str,
     the same expression any SQL engine evaluates bit-identically."""
     from sybil_spark.functions.text import token_count
 
-    if (merges is None) == (unigram_vocab is None):
+    n_given = sum(x is not None
+                  for x in (merges, unigram_vocab, wordpiece_vocab))
+    if n_given != 1:
         raise ValueError("fertility_report: pass exactly one of "
-                         "merges / unigram_vocab")
+                         "merges / unigram_vocab / wordpiece_vocab")
     if unigram_vocab is not None:
         from sybil_spark.operators.unigram import unigram_apply
         enc = unigram_apply(df, id_col, text_col, unigram_vocab,
                             pattern=pattern,
                             keep_cols=[group_col, text_col])
+    elif wordpiece_vocab is not None:
+        from sybil_spark.operators.wordpiece import wordpiece_apply
+        enc = wordpiece_apply(df, id_col, text_col, wordpiece_vocab,
+                              pattern=pattern,
+                              keep_cols=[group_col, text_col])
     else:
         enc = bpe_apply(df, id_col, text_col, merges, pattern=pattern,
                         mode=mode, keep_cols=[group_col, text_col])
