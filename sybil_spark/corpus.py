@@ -6246,6 +6246,30 @@ def q_wordpiece_fertility(spark, sf):
                                 wordpiece_vocab=_WORDPIECE_VOCAB)
 
 
+@_q("top_ngrams", """
+    with t as (select string_split(text, ' ') as t from documents),
+    g as (select array_to_string(t[g.i + 1 : g.i + 3], ' ') as gram
+          from t, unnest(generate_series(
+              0, greatest(len(t) - 3, 0))) as g(i))
+    select gram, cast(count(*) as bigint) as cnt
+    from g group by 1
+    order by cnt desc, gram asc limit 20""")
+def q_top_ngrams(spark, sf):
+    """Corpus-wide top word trigrams (operators/sketch.top_ngrams) —
+    the wimbd-style inspection query, answered EXACTLY through the
+    two-pass Misra–Gries sketch: a map-only per-partition summary
+    pass proves which grams could be frequent, a candidate semi-join
+    counts only those exactly, and the driver's k-th-count > E check
+    certifies the result (falling back to the plain groupBy when the
+    proof can't close — exact either way, which is why this row can
+    hash-match a full-count SQL mirror). The long tail of singleton
+    n-grams — the shuffle that kills a naive groupBy at 100 TB —
+    never leaves the map side."""
+    from sybil_spark.operators import sketch
+    return sketch.top_ngrams(_t(spark, sf, "documents"), "text",
+                             n=3, k=20, m=4096)
+
+
 # ===========================================================================
 # 6. Driver ordering
 # ===========================================================================
@@ -6284,6 +6308,7 @@ _DRIVER_FIRST = [
     "unigram_apply", "unigram_fertility", "unigram_seed",
     "boolean_topk", "collocations_log",
     "wordpiece_apply", "wordpiece_pairs", "wordpiece_fertility",
+    "top_ngrams",
 ]
 
 _DRIVER_FIRST_R8 = [
