@@ -236,11 +236,16 @@ def build_ivf_index(df: DataFrame, vec_col: str, index_path: str,
             .parquet(os.path.join(index_path, "vectors")))
         with open(os.path.join(index_path, "ivf_meta.json"), "w") as f:
             json.dump({"vec_col": vec_col, "id_col": id_col,
-                       "nlist": len(cents), "centroids": cents}, f)
+                       "nlist": len(cents), "centroids": cents,
+                       "base_files": _codes_file_count(index_path,
+                                                       "vectors")},
+                      f)
     return cents
 
 
-def ivf_index_add(df: DataFrame, index_path: str) -> int:
+def ivf_index_add(df: DataFrame, index_path: str,
+                  auto_compact: bool = True,
+                  piece_threshold: int | None = None) -> int:
     """Incrementally add vectors to a persisted IVF index: assign
     the new rows to the EXISTING centroids (the quantizer is frozen
     at build time — the standard IVF contract; FAISS's add() does
@@ -256,7 +261,16 @@ def ivf_index_add(df: DataFrame, index_path: str) -> int:
     recall of unprobed-list exclusion degrades, never the exactness
     of what IS scanned), run `ivf_index_refresh` to re-train the
     quantizer on the current contents. Serializes on the index path
-    lock so concurrent adds / a rebuild can't interleave writes."""
+    lock so concurrent adds / a rebuild can't interleave writes.
+
+    Small-files pressure is self-limiting (ivfpq_index_add's
+    contract): with `auto_compact` (default) the add triggers a
+    defrag rewrite of the vectors dir — inside the same lock hold,
+    behind a staged swap — once files since the last snapshot's
+    `base_files` pass `piece_threshold` (default: ingest's 256-file
+    reference threshold, src/lib/table_ingest.go:63-71). The defrag
+    keeps the frozen centroids (unlike ivf_index_refresh) so
+    serving is bit-equal before and after."""
     import json
     import os
 
@@ -271,7 +285,41 @@ def ivf_index_add(df: DataFrame, index_path: str) -> int:
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         (out.write.partitionBy("cluster").mode("append")
             .parquet(os.path.join(index_path, "vectors")))
-        return obs.get["n"]
+        n_added = obs.get["n"]
+        if auto_compact:
+            from sybil_spark.sources.ingest import \
+                FILE_DIGEST_THRESHOLD
+            pt = piece_threshold if piece_threshold is not None \
+                else FILE_DIGEST_THRESHOLD
+            pressure = (_codes_file_count(index_path, "vectors")
+                        - int(meta.get("base_files", 0)))
+            if pressure > pt:
+                _ivf_defrag_locked(df.sparkSession, index_path, meta)
+        return n_added
+
+
+def _ivf_defrag_locked(spark, index_path: str, meta: dict) -> None:
+    """Rewrite the IVF vectors dir as one file set per cluster —
+    the small-files defrag for long append sequences, for callers
+    already holding the index path lock. Centroids (and therefore
+    assignments and served results) are untouched; the whole-dir
+    staged swap is the one crash-atomic commit point."""
+    import json
+    import os
+
+    from sybil_spark.sources.rollup import _staged_swap
+
+    vec = spark.read.parquet(os.path.join(index_path, "vectors")) \
+               .localCheckpoint(eager=True)
+
+    def write(tmp: str) -> None:
+        (vec.write.partitionBy("cluster")
+            .parquet(os.path.join(tmp, "vectors")))
+        meta["base_files"] = _codes_file_count(tmp, "vectors")
+        with open(os.path.join(tmp, "ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    _staged_swap(index_path, write)
 
 
 def ivf_index_refresh(spark, index_path: str, nlist: int | None = None,
@@ -1136,13 +1184,13 @@ def build_ivfpq_index(df: DataFrame, vec_col: str, index_path: str,
     return {"centroids": cents, "codebooks": cbs}
 
 
-def _codes_file_count(index_path: str) -> int:
-    """Data files currently under codes/ — minus this count's
-    `base_files` snapshot in the meta, the add-piece small-files
-    pressure gauge (directory metadata only)."""
+def _codes_file_count(index_path: str, sub: str = "codes") -> int:
+    """Data files currently under <index>/<sub>/ — minus this
+    count's `base_files` snapshot in the meta, the add-piece
+    small-files pressure gauge (directory metadata only)."""
     import os
 
-    root = os.path.join(index_path, "codes")
+    root = os.path.join(index_path, sub)
     n = 0
     for _r, _dirs, files in os.walk(root):
         n += sum(1 for f in files if not f.startswith(("_", ".")))

@@ -2997,3 +2997,54 @@ def test_ivfpq_index_add_auto_compacts(spark, tmp_path):
     assert {r[0] for r in before} <= {r[0] for r in after} | \
         {r[0] for r in before}  # sanity: query still serves
     assert len(after) == 5
+
+
+def test_ivf_index_add_auto_compacts(spark, tmp_path):
+    """Plain-IVF appends accumulate part-files beside the base
+    vectors; crossing the files-since-base threshold must trigger
+    the staged-swap defrag under the same lock, with the frozen
+    centroids (and the served top-k) unchanged."""
+    import json
+    import os
+    import random
+
+    from sybil_spark.operators import similarity as S
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfauto")
+    cents = S.build_ivf_index(df, "embedding", idx, nlist=4)
+    with open(os.path.join(idx, "ivf_meta.json")) as f:
+        base_files = json.load(f)["base_files"]
+    assert base_files == S._codes_file_count(idx, "vectors")
+    q = rows[0][1]
+    before = [tuple(r) for r in
+              S.ivf_index_topk(spark, idx, q, k=5, nprobe=4).collect()]
+    for i in range(6):
+        add = spark.createDataFrame(
+            [(10_000 + 10 * i + j,
+              [rng.uniform(-1, 1) for _ in range(8)])
+             for j in range(3)],
+            "vec_id long, embedding array<double>")
+        S.ivf_index_add(add, idx, piece_threshold=4)
+        with open(os.path.join(idx, "ivf_meta.json")) as f:
+            meta = json.load(f)
+        pressure = S._codes_file_count(idx, "vectors") \
+            - int(meta.get("base_files", 0))
+        assert pressure <= 4 + 12, (i, pressure)
+        assert meta["centroids"] == cents        # defrag never retrains
+    with open(os.path.join(idx, "ivf_meta.json")) as f:
+        assert json.load(f)["base_files"] != base_files  # a fold ran
+    # served results bit-equal a same-centroid rebuild over all rows
+    ref = str(tmp_path / "ivfref")
+    everything = spark.read.parquet(os.path.join(idx, "vectors")) \
+        .select("vec_id", "embedding")
+    S.build_ivf_index(everything, "embedding", ref, nlist=4,
+                      centroids=cents)
+    a = [tuple(r) for r in
+         S.ivf_index_topk(spark, idx, q, k=5, nprobe=4).collect()]
+    b = [tuple(r) for r in
+         S.ivf_index_topk(spark, ref, q, k=5, nprobe=4).collect()]
+    assert a == b
+    assert before[0] == a[0]       # the query's own vector still top-1
