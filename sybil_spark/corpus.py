@@ -6140,7 +6140,8 @@ def _wordpiece_dp_ctes(vocab) -> str:
     segf as (select w,
                     case when ok then np else 1 end as wnp,
                     case when ok then ps
-                         else chr(31) || '[UNK]' end as wps
+                         else chr(31) || '[UNK]' end as wps,
+                    case when ok then 0 else 1 end as wunk
              from seg where pos = length(w) + 1)"""
 
 
@@ -6246,6 +6247,33 @@ def q_wordpiece_fertility(spark, sf):
                                 wordpiece_vocab=_WORDPIECE_VOCAB)
 
 
+@_q("wordpiece_unk_rate", f"""
+    with recursive {_wordpiece_dp_ctes(_WORDPIECE_VOCAB)},
+    agg as (select wr.doc_id, sum(sf.wunk) as nu,
+                   count(*) as nw
+            from wr join segf sf on wr.w = sf.w
+            group by 1)
+    select d.lang, count(*) as n_docs,
+           cast(coalesce(sum(a.nw), 0) as bigint) as n_words,
+           cast(coalesce(sum(a.nu), 0) as bigint) as n_unk,
+           cast(cast(coalesce(sum(a.nu), 0) as bigint) as double)
+             / cast(cast(coalesce(sum(a.nw), 0) as bigint) as double)
+             as unk_rate
+    from documents d left join agg a using (doc_id)
+    group by 1 order by 1""")
+def q_wordpiece_unk_rate(spark, sf):
+    """Vocabulary coverage by language (operators/wordpiece.
+    unk_rate_report): the fraction of words the fixed WordPiece
+    vocab cannot segment — fertility_report's sibling QA number
+    (WordPiece UNKs whole words, so every [UNK] piece is exactly
+    one lost word). One scan, |groups|-row agg; hash-matches the
+    recursive-CTE oracle's per-word unk flags."""
+    from sybil_spark.operators import wordpiece
+    return wordpiece.unk_rate_report(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        _WORDPIECE_VOCAB, "lang")
+
+
 @_q("top_ngrams", """
     with t as (select string_split(text, ' ') as t from documents),
     g as (select array_to_string(t[g.i + 1 : g.i + 3], ' ') as gram
@@ -6308,7 +6336,7 @@ _DRIVER_FIRST = [
     "unigram_apply", "unigram_fertility", "unigram_seed",
     "boolean_topk", "collocations_log",
     "wordpiece_apply", "wordpiece_pairs", "wordpiece_fertility",
-    "top_ngrams",
+    "top_ngrams", "wordpiece_unk_rate",
 ]
 
 _DRIVER_FIRST_R8 = [

@@ -262,3 +262,40 @@ def wordpiece_apply(df: DataFrame, id_col: str, text_col: str,
     return (df.select(F.col(id_col), *extra,
                       encode_series(F.col(text_col)).alias(pieces_col))
               .withColumn("n_pieces", F.size(F.col(pieces_col))))
+
+
+def unk_rate_report(df: DataFrame, id_col: str, text_col: str,
+                    vocab: list, group_col: str,
+                    unk: str = "[UNK]",
+                    pattern: str | None = None) -> DataFrame:
+    """(group, n_docs, n_words, n_unk, unk_rate): vocabulary
+    COVERAGE by language/source — fertility_report's sibling and
+    the other standard tokenizer-QA number. WordPiece UNKs whole
+    words, so every `unk` piece is exactly one word the vocabulary
+    cannot segment; a language whose unk_rate rides high is about
+    to lose that fraction of its text to a single token.
+
+    One scan (the fertility_report shape): wordpiece_apply with
+    keep_cols riding the group through the encode, n_unk / n_words
+    as pure array expressions, then the |groups|-row integer
+    aggregation. unk_rate divides two exact bigint sums in double —
+    cross-engine bit-exact."""
+    enc = wordpiece_apply(df, id_col, text_col, vocab, unk=unk,
+                          pattern=pattern,
+                          keep_cols=[group_col, text_col])
+    from sybil_spark.functions.text import tokens
+
+    n_words = F.size(F.filter(tokens(F.col(text_col), pattern),
+                              lambda w: w != "")).cast("long")
+    n_unk = F.size(F.filter(F.col("pieces"),
+                            lambda p: p == F.lit(unk))).cast("long")
+    return (enc.select(F.col(group_col), n_words.alias("__nw"),
+                       n_unk.alias("__nu"))
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("__nw").alias("n_words"),
+                    F.sum("__nu").alias("n_unk"))
+               .withColumn("unk_rate",
+                           F.col("n_unk").cast("double")
+                           / F.col("n_words").cast("double"))
+               .orderBy(group_col))

@@ -228,3 +228,67 @@ def test_fertility_report_accepts_wordpiece(spark, sf_dir):
         bpe.fertility_report(df, "doc_id", "text", None, "lang",
                              unigram_vocab=[("a", -1.0)],
                              wordpiece_vocab=vocab)
+
+
+def test_unk_rate_report(spark):
+    from sybil_spark.operators.wordpiece import unk_rate_report
+    df = spark.createDataFrame(
+        [(0, "en", "abc ab a"),          # all segmentable
+         (1, "en", "abc zq"),            # 1 unk of 2
+         (2, "de", "zz zz zz")],         # all unk (z not in VOC)
+        "doc_id long, lang string, text string")
+    got = {r["lang"]: (r["n_docs"], r["n_words"], r["n_unk"],
+                       r["unk_rate"])
+           for r in unk_rate_report(df, "doc_id", "text",
+                                    sorted(VOC), "lang").collect()}
+    assert got == {"en": (2, 5, 1, 0.2), "de": (1, 3, 3, 1.0)}
+
+
+def test_tokenizer_store_roundtrip_and_dispatch(spark, tmp_path):
+    """save/load round-trips all three families; apply_tokenizer
+    dispatch is bit-equal to the direct applies; format guard
+    refuses artifacts from the future with a rebuild message."""
+    import json
+
+    import pytest as _pytest
+
+    from sybil_spark.operators.tokenizer_store import (
+        apply_tokenizer, load_tokenizer, save_tokenizer)
+
+    df = _docs(spark, ["abc abcc", "the big"])
+    arts = {
+        "bpe": [(0, "t", "h", 5), (1, "th", "e", 4)],
+        "unigram": [("a", -8.0), ("b", -8.0), ("c", -8.0),
+                    ("t", -8.0), ("h", -8.0), ("e", -8.0),
+                    ("i", -8.0), ("g", -8.0), ("the", -2.0)],
+        "wordpiece": sorted(VOC),
+    }
+    for kind, data in arts.items():
+        p = str(tmp_path / f"tok-{kind}.json")
+        save_tokenizer(p, kind, data, meta={"corpus": "unit"})
+        art = load_tokenizer(p)
+        assert art["kind"] == kind and art["data"] == data
+        assert art["meta"] == {"corpus": "unit"}
+        got = [tuple(r) for r in
+               apply_tokenizer(df, "doc_id", "text", p)
+               .orderBy("doc_id").collect()]
+        if kind == "bpe":
+            from sybil_spark.operators.bpe import bpe_apply
+            ref = bpe_apply(df, "doc_id", "text", data)
+        elif kind == "unigram":
+            from sybil_spark.operators.unigram import unigram_apply
+            ref = unigram_apply(df, "doc_id", "text", data)
+        else:
+            ref = wordpiece_apply(df, "doc_id", "text", data)
+        assert got == [tuple(r) for r in ref.orderBy("doc_id").collect()]
+    # future format -> clear rebuild-required error
+    p = str(tmp_path / "tok-future.json")
+    with open(p, "w") as f:
+        json.dump({"format": 99, "kind": "bpe", "data": []}, f)
+    with _pytest.raises(ValueError, match="retrain or upgrade"):
+        load_tokenizer(p)
+    with _pytest.raises(ValueError, match="unknown kind"):
+        save_tokenizer(str(tmp_path / "x.json"), "sentencepiece", [])
+    # no half-written artifact is ever visible
+    assert not [x for x in tmp_path.iterdir()
+                if ".tmp-" in x.name]
