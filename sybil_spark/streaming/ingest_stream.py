@@ -164,6 +164,27 @@ class StreamDedupIndex:
         from sybil_spark.sources.locks import path_lock
         return path_lock(self.path, **kw)
 
+    def maybe_compact(self, spark: SparkSession,
+                      piece_threshold: int | None = None) -> bool:
+        """Auto-compaction for callers ALREADY HOLDING the index
+        lock (every leg's write_batch): fold committed batch dirs +
+        loose pieces once any sub-dataset's piece count passes the
+        threshold (default: ingest's 256-file reference threshold —
+        the bm25/ivfpq add contract, applied to the dedup-index
+        lifecycle). Counting is directory metadata only; the fold is
+        semantically transparent (set semantics + watermark
+        fencing), so a long-running stream stays under the
+        file-listing budget with no caller involvement."""
+        from sybil_spark.sources.ingest import FILE_DIGEST_THRESHOLD
+        pt = piece_threshold if piece_threshold is not None \
+            else FILE_DIGEST_THRESHOLD
+        worst = max(len(_dataset_pieces(self.data_path(s)))
+                    for s in (self.subdirs or [None]))
+        if worst <= pt:
+            return False
+        _compact_dedup_index_locked(spark, self.path)
+        return True
+
 
 def _batch_subdir_id(name: str) -> int | None:
     if name.startswith("batch-"):
@@ -253,12 +274,21 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> int:
     at any point leaves only benign duplicates (readers here have
     set semantics) that the next compaction clears, never a replay
     that can see its own contribution."""
+    from sybil_spark.sources.locks import path_lock
+
+    with path_lock(index_path):
+        return _compact_dedup_index_locked(spark, index_path)
+
+
+def _compact_dedup_index_locked(spark: SparkSession,
+                                index_path: str) -> int:
+    """compact_dedup_index's body, for callers already holding the
+    index path lock (StreamDedupIndex.maybe_compact runs the fold
+    inside a leg's own write_batch lock hold)."""
     import json
     import os
     import shutil
     import uuid
-
-    from sybil_spark.sources.locks import path_lock
 
     meta_p = _meta_file(index_path)
     if not os.path.exists(meta_p):
@@ -269,56 +299,55 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> int:
         meta = json.load(f)
     subs = meta.get("subdirs") or [None]
     total = 0
-    with path_lock(index_path):
-        roots = [os.path.join(index_path, s) if s else index_path
-                 for s in subs]
-        # fold cap: only batch ids COMMITTED (_SUCCESS present — a
-        # half-written dir from a crash must be left for replay, not
-        # folded past and watermarked away) in EVERY dataset
-        maxes = []
-        for r in roots:
-            ids = []
-            for n in (os.listdir(r) if os.path.isdir(r) else []):
-                b = _batch_subdir_id(n)
-                if b is not None and _committed(os.path.join(r, n)):
-                    ids.append(b)
-            maxes.append(max(ids) if ids else None)
-        real = [m for m in maxes if m is not None]
-        # fold batches only when every dataset has committed them;
-        # otherwise (a crash split a batch across datasets) leave
-        # ALL batch dirs for replay and fold just the loose pieces
-        cap = min(real) if (real and len(real) == len(roots)) else -1
-        prev_wm = _read_fold_watermark(index_path)
-        # 1) write the fold dirs
-        staged = []   # (root, folded_sources, fold_dir)
-        for r in roots:
-            pieces = _dataset_pieces(r, max_batch=cap)
-            if len(pieces) <= 1:
-                total += (_read_pieces(spark, pieces).count()
-                          if pieces else 0)
-                continue
-            folded = _read_pieces(spark, pieces).distinct() \
-                .localCheckpoint(eager=True)
-            fold_dir = os.path.join(r, f"fold-{uuid.uuid4().hex[:8]}")
-            folded.coalesce(
-                max(1, folded.rdd.getNumPartitions() // 8)) \
-                .write.mode("overwrite").parquet(fold_dir)
-            staged.append((r, pieces, fold_dir))
-            total += folded.count()
-        # 2) advance the watermark (replays of folded ids now skip)
-        new_wm = max(prev_wm, cap)
-        with open(_fold_watermark_path(index_path), "w") as f:
-            json.dump({"max_folded_batch_id": new_wm}, f)
-        # 3) remove the folded sources
-        for _r, pieces, _fd in staged:
-            for p in pieces:
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
-                else:
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass
+    roots = [os.path.join(index_path, s) if s else index_path
+             for s in subs]
+    # fold cap: only batch ids COMMITTED (_SUCCESS present — a
+    # half-written dir from a crash must be left for replay, not
+    # folded past and watermarked away) in EVERY dataset
+    maxes = []
+    for r in roots:
+        ids = []
+        for n in (os.listdir(r) if os.path.isdir(r) else []):
+            b = _batch_subdir_id(n)
+            if b is not None and _committed(os.path.join(r, n)):
+                ids.append(b)
+        maxes.append(max(ids) if ids else None)
+    real = [m for m in maxes if m is not None]
+    # fold batches only when every dataset has committed them;
+    # otherwise (a crash split a batch across datasets) leave
+    # ALL batch dirs for replay and fold just the loose pieces
+    cap = min(real) if (real and len(real) == len(roots)) else -1
+    prev_wm = _read_fold_watermark(index_path)
+    # 1) write the fold dirs
+    staged = []   # (root, folded_sources, fold_dir)
+    for r in roots:
+        pieces = _dataset_pieces(r, max_batch=cap)
+        if len(pieces) <= 1:
+            total += (_read_pieces(spark, pieces).count()
+                      if pieces else 0)
+            continue
+        folded = _read_pieces(spark, pieces).distinct() \
+            .localCheckpoint(eager=True)
+        fold_dir = os.path.join(r, f"fold-{uuid.uuid4().hex[:8]}")
+        folded.coalesce(
+            max(1, folded.rdd.getNumPartitions() // 8)) \
+            .write.mode("overwrite").parquet(fold_dir)
+        staged.append((r, pieces, fold_dir))
+        total += folded.count()
+    # 2) advance the watermark (replays of folded ids now skip)
+    new_wm = max(prev_wm, cap)
+    with open(_fold_watermark_path(index_path), "w") as f:
+        json.dump({"max_folded_batch_id": new_wm}, f)
+    # 3) remove the folded sources
+    for _r, pieces, _fd in staged:
+        for p in pieces:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
     return total
 
 
@@ -498,7 +527,8 @@ def stream_rollup_partials(df: DataFrame, rollup_path: str,
 def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
                                id_col: str, out_path: str,
                                index_path: str,
-                               checkpoint: str | None = None
+                               checkpoint: str | None = None,
+                               auto_compact: bool = True
                                ) -> StreamingQuery:
     """Continuous corpus-level exact dedup: each micro-batch first
     dedups within itself (operators.dedup.exact_keep_first), then
@@ -546,6 +576,8 @@ def stream_dedup_against_index(df: DataFrame, key_cols: list[str],
             _write_out_batch(fresh, out_path, batch_id)
             sdi.append_batch(hash_index(fresh, key_cols), batch_id)
             sdi.commit_meta()
+            if auto_compact:
+                sdi.maybe_compact(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -577,7 +609,8 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
                                     num_hashes: int = 64,
                                     bands: int = 16,
                                     shingle_n: int = 3,
-                                    checkpoint: str | None = None
+                                    checkpoint: str | None = None,
+                                    auto_compact: bool = True
                                     ) -> StreamingQuery:
     """Continuous corpus-level NEAR-dup filtering: the streaming
     analog of the batch minhash_dedup_pairs pipeline. Each
@@ -666,6 +699,8 @@ def stream_near_dedup_against_index(df: DataFrame, id_col: str,
             _write_out_batch(survivors, out_path, batch_id)
             sdi.append_batch(keep_bnd, batch_id)
             sdi.commit_meta()
+            if auto_compact:
+                sdi.maybe_compact(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -679,7 +714,8 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
                                          threshold: float = 0.95,
                                          num_planes: int = 8,
                                          tables: int = 4,
-                                         checkpoint: str | None = None
+                                         checkpoint: str | None = None,
+                                         auto_compact: bool = True
                                          ) -> StreamingQuery:
     """Continuous embedding-cosine near-dup filtering — the third leg
     of the streaming dedup triad (exact keys:
@@ -786,6 +822,8 @@ def stream_embedding_dedup_against_index(df: DataFrame, id_col: str,
             sdi.append_batch(keep, batch_id, "vectors")
             sdi.append_batch(keep_bkt, batch_id, "buckets")
             sdi.commit_meta()
+            if auto_compact:
+                sdi.maybe_compact(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -814,7 +852,8 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
                                     text_col: str, out_path: str,
                                     index_path: str,
                                     span_words: int = 20,
-                                    checkpoint: str | None = None
+                                    checkpoint: str | None = None,
+                                    auto_compact: bool = True
                                     ) -> StreamingQuery:
     """Continuous span-level exact-substring dedup — the streaming
     analog of the batch `dedup.span_dedup`, and the fourth leg of the
@@ -889,6 +928,8 @@ def stream_span_dedup_against_index(df: DataFrame, id_col: str,
             sdi.append_batch(sp.where(kept).select("__h").distinct(),
                              batch_id)
             sdi.commit_meta()
+            if auto_compact:
+                sdi.maybe_compact(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -917,7 +958,8 @@ def stream_exact_substr_against_index(df: DataFrame, id_col: str,
                                       text_col: str, out_path: str,
                                       index_path: str,
                                       window_words: int = 10,
-                                      checkpoint: str | None = None
+                                      checkpoint: str | None = None,
+                                      auto_compact: bool = True
                                       ) -> StreamingQuery:
     """Continuous UNALIGNED exact-substring dedup — the streaming
     analog of the batch `dedup.exact_substr_dedup` (full ExactSubstr
@@ -988,6 +1030,8 @@ def stream_exact_substr_against_index(df: DataFrame, id_col: str,
             sdi.append_batch(sp.where(F.col("__new"))
                                .select("__h").distinct(), batch_id)
             sdi.commit_meta()
+            if auto_compact:
+                sdi.maybe_compact(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -1208,7 +1252,8 @@ def stream_media_ingest(spark: SparkSession, source_dir: str,
 
 
 def stream_bm25_index_add(df: DataFrame, index_path: str,
-                          checkpoint: str | None = None
+                          checkpoint: str | None = None,
+                          auto_compact: bool = True
                           ) -> StreamingQuery:
     """Continuously maintained BM25 inverted index: each micro-batch
     of (id, text) documents tokenizes into pb-partitioned postings
@@ -1279,6 +1324,14 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
                 json.dump({"n": int(stats["n"]),
                            "s": int(stats["s"])}, f)
             os.replace(tmp, os.path.join(bdir, "_delta.json"))
+            if auto_compact:
+                from sybil_spark.operators.quality import (
+                    _bm25_compact_locked, _bm25_pending_state)
+                from sybil_spark.sources.ingest import \
+                    FILE_DIGEST_THRESHOLD
+                if len(_bm25_pending_state(index_path)[0]) \
+                        > FILE_DIGEST_THRESHOLD:
+                    _bm25_compact_locked(spark, index_path)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",
@@ -1287,7 +1340,8 @@ def stream_bm25_index_add(df: DataFrame, index_path: str,
 
 
 def stream_ivfpq_index_add(df: DataFrame, index_path: str,
-                           checkpoint: str | None = None
+                           checkpoint: str | None = None,
+                           auto_compact: bool = True
                            ) -> StreamingQuery:
     """Continuously maintained IVF-PQ vector index — the embedding
     mirror of stream_bm25_index_add: each micro-batch of
@@ -1349,6 +1403,15 @@ def stream_ivfpq_index_add(df: DataFrame, index_path: str,
             with open(tmp, "w") as f:
                 json.dump({"n": n}, f)
             os.replace(tmp, os.path.join(bdir, "_count.json"))
+            if auto_compact:
+                from sybil_spark.operators.similarity import (
+                    _ivfpq_compact_locked, _ivfpq_stream_batches)
+                from sybil_spark.sources.ingest import \
+                    FILE_DIGEST_THRESHOLD
+                if len(_ivfpq_stream_batches(index_path)) \
+                        > FILE_DIGEST_THRESHOLD:
+                    _ivfpq_compact_locked(batch_df.sparkSession,
+                                          index_path)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation",

@@ -1614,3 +1614,147 @@ def test_streaming_pipeline_e2e(spark, tmp_path):
     finally:
         for q in queries:
             q.stop()
+
+
+def test_stream_dedup_index_auto_compacts(spark, tmp_path, monkeypatch):
+    """A long-running leg must keep its index under the piece budget
+    without caller involvement: with the ingest threshold shrunk,
+    batches trigger the in-lock fold (watermark advances, piece
+    count bounded) and cross-batch dedup keeps working through it."""
+    import sybil_spark.sources.ingest as ing
+    from sybil_spark.streaming.ingest_stream import (
+        _dataset_pieces, _read_fold_watermark,
+        stream_dedup_against_index)
+
+    monkeypatch.setattr(ing, "FILE_DIGEST_THRESHOLD", 2)
+    src = tmp_path / "ac-in"
+    src.mkdir()
+    out = str(tmp_path / "ac-out")
+    idx = str(tmp_path / "ac-idx")
+    doc_schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_dedup_against_index(stream, ["text"], "doc_id",
+                                   out, idx)
+    try:
+        for b in range(6):
+            _write_batch(src, f"b{b}.ndjson",
+                         [{"doc_id": 100 * b, "text": f"doc {b}"},
+                          {"doc_id": 100 * b + 1, "text": "dup text"}])
+            q.processAllAvailable()
+            assert len(_dataset_pieces(idx)) <= 3, b
+        assert _read_fold_watermark(idx) >= 0       # folds happened
+        # the duplicate survived exactly once, through every fold
+        got = sorted(r["doc_id"] for r in RSO(spark, out).collect())
+        assert got == [0, 1, 100, 200, 300, 400, 500]
+    finally:
+        q.stop()
+
+
+def test_stream_bm25_index_add_auto_compacts(spark, tmp_path,
+                                             monkeypatch):
+    """With the ingest threshold shrunk, a continuous BM25 stream
+    folds its own batch dirs inside write_batch's lock hold; serving
+    stays bit-equal to a full rebuild at every step."""
+    import sybil_spark.sources.ingest as ing
+    from sybil_spark.operators import quality
+    from sybil_spark.streaming.ingest_stream import stream_bm25_index_add
+
+    monkeypatch.setattr(ing, "FILE_DIGEST_THRESHOLD", 1)
+    base_rows = [(0, "the quick brown fox"), (1, "a slow green sun")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    idx = str(tmp_path / "sbm25auto")
+    quality.build_bm25_index(base, "doc_id", "text", idx, nbuckets=4)
+    src = tmp_path / "bma-in"
+    src.mkdir()
+    doc_schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = stream_bm25_index_add(stream, idx)
+    qlist = [(1, "quick brown")]
+    extra = []
+    try:
+        for b in range(4):
+            extra.append((100 + b, f"quick extra number{b} brown"))
+            _write_batch(src, f"b{b}.ndjson",
+                         [{"doc_id": extra[-1][0],
+                           "text": extra[-1][1]}])
+            q.processAllAvailable()
+            assert len(quality._bm25_pending_state(idx)[0]) <= 2, b
+            full = str(tmp_path / f"bmref{b}")
+            quality.build_bm25_index(
+                base.unionByName(spark.createDataFrame(
+                    extra, "doc_id long, text string")),
+                "doc_id", "text", full, nbuckets=4)
+            a = [tuple(r) for r in
+                 quality.bm25_index_topk(spark, idx, qlist, k=5)
+                        .orderBy("q_id", "rank").collect()]
+            e = [tuple(r) for r in
+                 quality.bm25_index_topk(spark, full, qlist, k=5)
+                        .orderBy("q_id", "rank").collect()]
+            assert a == e, b
+        meta = json.load(open(f"{idx}/bm25_meta.json"))
+        assert meta["stream_fold_watermark"] >= 0    # folds ran
+    finally:
+        q.stop()
+
+
+def test_stream_ivfpq_index_add_auto_compacts(spark, tmp_path,
+                                              monkeypatch):
+    """Same contract for the vector leg: batch dirs fold themselves
+    under the stream's own lock, serving unchanged."""
+    import os
+
+    import sybil_spark.sources.ingest as ing
+    from pyspark.sql.types import ArrayType, DoubleType
+    from sybil_spark.operators import similarity
+    from sybil_spark.streaming.ingest_stream import stream_ivfpq_index_add
+
+    monkeypatch.setattr(ing, "FILE_DIGEST_THRESHOLD", 1)
+    dim = 8
+
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(dim)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(24)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding",
+                                ArrayType(DoubleType()))]))
+    idx = str(tmp_path / "sivfpqauto")
+    similarity.build_ivfpq_index(base, "embedding", idx,
+                                 nlist=4, m=4, kcb=4)
+    src = tmp_path / "pqa-in"
+    src.mkdir()
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_ivfpq_index_add(stream, idx)
+    added = []
+    try:
+        for b in range(4):
+            added.append((100 + b, vec(100 + b)))
+            _write_batch(src, f"b{b}.ndjson",
+                         [{"vec_id": added[-1][0],
+                           "embedding": added[-1][1]}])
+            q.processAllAvailable()
+            assert len(similarity._ivfpq_stream_batches(idx)) <= 2, b
+        # at least one fold ran and serving equals a batch-add ref
+        meta = json.load(open(f"{idx}/ivfpq_meta.json"))
+        assert meta["stream_fold_watermark"] >= 0
+        ref = str(tmp_path / "pqaref")
+        similarity.build_ivfpq_index(base, "embedding", ref,
+                                     nlist=4, m=4, kcb=4)
+        similarity.ivfpq_index_add(
+            spark.createDataFrame(added, schema), ref)
+        qv = vec(5)
+        a = [tuple(r) for r in
+             similarity.ivfpq_index_topk(spark, idx, qv, k=6,
+                                         nprobe=4).collect()]
+        e = [tuple(r) for r in
+             similarity.ivfpq_index_topk(spark, ref, qv, k=6,
+                                         nprobe=4).collect()]
+        assert a == e
+    finally:
+        q.stop()
