@@ -6274,6 +6274,75 @@ def q_wordpiece_unk_rate(spark, sf):
         _WORDPIECE_VOCAB, "lang")
 
 
+def _pagerank_iter_ctes(n_iters: int) -> str:
+    """Unrolled PageRank iterations for the oracle (the PQ-kmeans
+    unrolled-loop precedent): p{i} from p{i-1} via decimal(38,12)-
+    quantized per-edge contributions (order-free exact sums) and
+    varchar-rendered decimal->double conversions — bit-identical to
+    operators/graph.pagerank's arithmetic. All float ops forced to
+    DOUBLE (DuckDB's bare `1.0` literals are DECIMAL and would
+    divide under decimal rounding)."""
+    out = []
+    for i in range(1, n_iters + 1):
+        out.append(f"""
+    c{i} as (select e.t as n,
+                  cast(cast(cast(p{i - 1}.p as varchar) as double)
+                       / deg.c as decimal(38,12)) as w
+           from e join p{i - 1} on e.s = p{i - 1}.n
+                  join deg on e.s = deg.s),
+    a{i} as (select n, sum(w) as m from c{i} group by 1),
+    p{i} as (select nodes.n,
+                  cast((cast(1.0 as double) - cast(0.85 as double))
+                         / nn.n_nodes
+                       + cast(0.85 as double)
+                         * coalesce(cast(cast(a{i}.m as varchar)
+                                         as double), 0.0)
+                       as decimal(38,12)) as p
+           from nodes cross join nn
+           left join a{i} on nodes.n = a{i}.n)""")
+    return ",".join(out)
+
+
+@_q("pagerank_events", f"""
+    with e0 as (select distinct
+                    'u:' || cast(user_id as varchar) as s,
+                    't:' || event_type as t
+                from events),
+    e as (select s, t from e0
+          union all
+          select t as s, s as t from e0),
+    nodes as (select s as n from e union select t as n from e),
+    nn as (select cast(count(*) as bigint) as n_nodes from nodes),
+    deg as (select s, count(*) as c from e group by 1),
+    p0 as (select n, cast(cast(1.0 as double) / nn.n_nodes
+                          as decimal(38,12)) as p
+           from nodes cross join nn),{_pagerank_iter_ctes(3)}
+    select n as node, cast(cast(p as varchar) as double) as score
+    from p3 order by score desc, node asc limit 20""")
+def q_pagerank_events(spark, sf):
+    """Link-graph centrality (operators/graph.pagerank): 3 damped
+    PageRank iterations over the bipartite user<->event_type
+    interaction graph (both directions — a random walk between
+    actors and activities; the corpus-curation use is ranking
+    domains/sources by authority, CommonCrawl-style). Per-edge
+    contributions quantize to decimal(38,12) before the order-free
+    exact decimal sum, decimal->double conversions render via
+    varchar — so the scores hash-match an unrolled-CTE mirror
+    BIT-FOR-BIT, iterations included. Top-20 nodes (score desc,
+    node asc)."""
+    from sybil_spark.operators import graph
+    ev = _t(spark, sf, "events")
+    e0 = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+         .alias("s"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t")
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    return (graph.pagerank(edges, "s", "t", iters=3, damping=0.85)
+            .limit(20))
+
+
 @_q("top_ngrams", """
     with t as (select string_split(text, ' ') as t from documents),
     g as (select array_to_string(t[g.i + 1 : g.i + 3], ' ') as gram
@@ -6336,7 +6405,7 @@ _DRIVER_FIRST = [
     "unigram_apply", "unigram_fertility", "unigram_seed",
     "boolean_topk", "collocations_log",
     "wordpiece_apply", "wordpiece_pairs", "wordpiece_fertility",
-    "top_ngrams", "wordpiece_unk_rate",
+    "top_ngrams", "wordpiece_unk_rate", "pagerank_events",
 ]
 
 _DRIVER_FIRST_R8 = [
