@@ -6343,6 +6343,46 @@ def q_pagerank_events(spark, sf):
             .limit(20))
 
 
+@_q("ngram_novelty", """
+    with g as (select doc_id,
+                      unnest(list_distinct(list_transform(
+                          generate_series(0, greatest(len(t) - 3, 0)),
+                          i -> array_to_string(t[i+1:i+3], ' '))))
+                        as gram
+               from (select doc_id, string_split(text, ' ') as t
+                     from documents)),
+    hh as (select doc_id,
+                  cast(('0x' || substr(md5(gram), 1, 15)) as bigint)
+                    as h
+           from g),
+    fr as (select h, count(distinct doc_id) as docs
+           from hh group by 1),
+    st as (select hh.doc_id, count(*) as n_grams,
+                  sum(case when fr.docs >= 2 then 1 else 0 end)
+                    as n_shared
+           from hh join fr using (h) group by 1)
+    select d.doc_id,
+           cast(coalesce(st.n_grams, 0) as bigint) as n_grams,
+           cast(coalesce(st.n_shared, 0) as bigint) as n_shared,
+           case when coalesce(st.n_grams, 0) > 0
+                then cast(st.n_grams - st.n_shared as double)
+                     / cast(st.n_grams as double)
+                else 0.0 end as novelty
+    from documents d left join st using (doc_id)
+    order by doc_id""")
+def q_ngram_novelty(spark, sf):
+    """Per-document n-gram novelty (quality.ngram_novelty): the
+    fraction of a doc's distinct word trigrams occurring in no
+    other document — the memorization/boilerplate-risk audit, the
+    per-document complement of the dedup family. Only (doc, 60-bit
+    md5 hash) ever shuffles (the raw-text shuffle-key lint); the
+    oracle applies the identical hash, so counts and the
+    two-exact-int division replicate bit-for-bit."""
+    from sybil_spark.operators import quality
+    return quality.ngram_novelty(_t(spark, sf, "documents"),
+                                 "doc_id", "text").orderBy("doc_id")
+
+
 @_q("top_ngrams", """
     with t as (select string_split(text, ' ') as t from documents),
     g as (select array_to_string(t[g.i + 1 : g.i + 3], ' ') as gram
@@ -6406,6 +6446,7 @@ _DRIVER_FIRST = [
     "boolean_topk", "collocations_log",
     "wordpiece_apply", "wordpiece_pairs", "wordpiece_fertility",
     "top_ngrams", "wordpiece_unk_rate", "pagerank_events",
+    "ngram_novelty",
 ]
 
 _DRIVER_FIRST_R8 = [

@@ -1836,3 +1836,51 @@ def boolean_topk(spark, index_path: str, terms: list[str],
     return (top.withColumn("rank", F.row_number().over(w))
                .select(F.col("doc").alias(meta["id_col"]),
                        "min_cover", "rank"))
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, shared_df: int = 2) -> DataFrame:
+    """(id, n_grams, n_shared, novelty): per-document n-gram NOVELTY
+    — the fraction of a document's distinct word n-grams that occur
+    in NO other document (novelty = 1 − shared/total, shared = doc
+    frequency >= `shared_df`). The memorization/boilerplate-risk
+    audit: template-heavy and mirrored content rides novelty -> 0,
+    genuinely unique text -> 1 — the per-document complement of the
+    corpus-level dedup family (a doc can be exact-dup-free and still
+    be 95% boilerplate n-grams).
+
+    Scale shape: distinct n-grams per doc are a pure array transform
+    (text.shingles — slice-truncation convention for short docs);
+    the ONLY thing shuffled is (doc, 60-bit md5 hash) — n-gram TEXT
+    never enters an exchange (the corpus-wide raw-text shuffle-key
+    lint), and the doc-frequency aggregation gets full map-side
+    partials. A 60-bit collision can only mark a unique gram shared
+    (never the reverse); the SQL oracle applies the IDENTICAL hash,
+    so results replicate exactly regardless. novelty divides two
+    exact ints in double — cross-engine bit-exact."""
+    from sybil_spark.functions.text import shingles
+
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10) \
+         .cast("long")
+    per = (df.select(F.col(id_col),
+                     F.explode(shingles(F.col(text_col), n))
+                      .alias("gram"))
+             .select(F.col(id_col), h.alias("h")))
+    dfreq = per.groupBy("h").agg(
+        F.countDistinct(id_col).alias("docs"))
+    stats = (per.join(dfreq, "h")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     F.sum((F.col("docs") >= F.lit(int(shared_df)))
+                           .cast("long")).alias("n_shared")))
+    return (df.select(F.col(id_col)).join(stats, id_col, "left")
+              .select(id_col,
+                      F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                      F.coalesce("n_shared", F.lit(0)).alias("n_shared"))
+              .withColumn(
+                  "novelty",
+                  F.when(F.col("n_grams") > 0,
+                         (F.col("n_grams") - F.col("n_shared"))
+                         .cast("double")
+                         / F.col("n_grams").cast("double"))
+                   .otherwise(F.lit(0.0))))

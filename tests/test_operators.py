@@ -3048,3 +3048,26 @@ def test_ivf_index_add_auto_compacts(spark, tmp_path):
          S.ivf_index_topk(spark, ref, q, k=5, nprobe=4).collect()]
     assert a == b
     assert before[0] == a[0]       # the query's own vector still top-1
+
+
+def test_ngram_novelty_semantics(spark):
+    from sybil_spark.operators.quality import ngram_novelty
+    df = spark.createDataFrame([
+        (0, "a b c d e"),            # shares 'a b c'/'b c d' w/ doc 1
+        (1, "a b c d x"),
+        (2, "p q r s t"),            # fully unique
+        (3, ""),                     # single empty-string gram
+        (4, "a b c d e"),            # exact copy of 0 -> all shared
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_shared"], r["novelty"])
+           for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    # doc 0: grams {abc,bcd,cde}; abc+bcd shared with 1; ALL shared
+    # with 4 (exact copy) -> novelty 0.0; doc 2 fully novel
+    assert got[0] == (3, 3, 0.0)
+    assert got[4] == (3, 3, 0.0)
+    assert got[1][0] == 3 and got[1][1] == 2
+    assert got[1][2] == pytest.approx(1 / 3)
+    assert got[2] == (3, 0, 1.0)
+    # "" yields one whole-text gram (slice-truncation convention),
+    # unique here
+    assert got[3] == (1, 0, 1.0)
