@@ -88,9 +88,21 @@ def main() -> None:
     # its first execution pays worker+Arrow+codegen setup the
     # mapInPandas warmup above does not cover, which otherwise lands
     # on whichever block-matmul query runs first (~5 s observed).
-    (spark.range(64).withColumn("g", F.pmod("id", F.lit(8)))
+    # The warmup body runs one small SGEMM: the first numpy matmul
+    # in a fresh worker additionally pays numpy import + BLAS
+    # init + malloc arena growth (~3-4 s spread over the pool) —
+    # measured on focused single-query runs where no earlier query
+    # had warmed the workers.
+
+    def _warm_blas(pdf):
+        import numpy as np
+        X = np.arange(96 * 32, dtype=np.float32).reshape(96, 32)
+        (X @ X.T).sum()
+        return pdf
+
+    (spark.range(256).withColumn("g", F.pmod("id", F.lit(64)))
           .groupBy("g")
-          .applyInPandas(lambda pdf: pdf, "id long, g bigint").count())
+          .applyInPandas(_warm_blas, "id long, g bigint").count())
     # Pre-register every corpus table once (file listing + footer
     # schema read + the events.ts layout probe). Whichever query
     # happens to touch a table first would otherwise absorb that
