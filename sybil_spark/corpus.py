@@ -6274,14 +6274,24 @@ def q_wordpiece_unk_rate(spark, sf):
         _WORDPIECE_VOCAB, "lang")
 
 
-def _pagerank_iter_ctes(n_iters: int) -> str:
+def _pagerank_iter_ctes(n_iters: int, seeded: bool = False) -> str:
     """Unrolled PageRank iterations for the oracle (the PQ-kmeans
     unrolled-loop precedent): p{i} from p{i-1} via decimal(38,12)-
     quantized per-edge contributions (order-free exact sums) and
     varchar-rendered decimal->double conversions — bit-identical to
     operators/graph.pagerank's arithmetic. All float ops forced to
     DOUBLE (DuckDB's bare `1.0` literals are DECIMAL and would
-    divide under decimal rounding)."""
+    divide under decimal rounding). `seeded` swaps the uniform
+    restart (1-d)/N for the personalized (1-d)·r(n), with r from a
+    caller-provided `rr(n, r)` CTE."""
+    if seeded:
+        base = ("(cast(1.0 as double) - cast(0.85 as double))"
+                " * rr.r")
+        extra_join = " join rr on nodes.n = rr.n"
+    else:
+        base = ("(cast(1.0 as double) - cast(0.85 as double))"
+                " / nn.n_nodes")
+        extra_join = ""
     out = []
     for i in range(1, n_iters + 1):
         out.append(f"""
@@ -6292,13 +6302,12 @@ def _pagerank_iter_ctes(n_iters: int) -> str:
                   join deg on e.s = deg.s),
     a{i} as (select n, sum(w) as m from c{i} group by 1),
     p{i} as (select nodes.n,
-                  cast((cast(1.0 as double) - cast(0.85 as double))
-                         / nn.n_nodes
+                  cast({base}
                        + cast(0.85 as double)
                          * coalesce(cast(cast(a{i}.m as varchar)
                                          as double), 0.0)
                        as decimal(38,12)) as p
-           from nodes cross join nn
+           from nodes cross join nn{extra_join}
            left join a{i} on nodes.n = a{i}.n)""")
     return ",".join(out)
 
@@ -6340,6 +6349,52 @@ def q_pagerank_events(spark, sf):
     edges = e0.unionByName(
         e0.select(F.col("t").alias("s"), F.col("s").alias("t")))
     return (graph.pagerank(edges, "s", "t", iters=3, damping=0.85)
+            .limit(20))
+
+
+@_q("ppr_events", f"""
+    with e0 as (select distinct
+                    'u:' || cast(user_id as varchar) as s,
+                    't:' || event_type as t
+                from events),
+    e as (select s, t from e0
+          union all
+          select t as s, s as t from e0),
+    nodes as (select s as n from e union select t as n from e),
+    nn as (select cast(count(*) as bigint) as n_nodes from nodes),
+    deg as (select s, count(*) as c from e group by 1),
+    rr as (select n,
+                  case when n in ('t:click', 't:purchase')
+                       then cast(1.0 as double) / 2
+                       else cast(0.0 as double) end as r
+           from nodes),
+    p0 as (select n, cast(r as decimal(38,12)) as p
+           from rr),{_pagerank_iter_ctes(3, seeded=True)}
+    select n as node, cast(cast(p as varchar) as double) as score
+    from p3 where cast(cast(p as varchar) as double) > 0.0
+    order by score desc, node asc limit 20""")
+def q_ppr_events(spark, sf):
+    """PERSONALIZED PageRank (graph.pagerank(seeds=...)): random
+    walk with restart concentrated on the 'click'/'purchase'
+    activity nodes — proximity-to-the-seeds ranking, the
+    crawl-prioritization / related-domain-discovery form (seed from
+    known-good domains, rank everything else by walk proximity).
+    Same bit-exact decimal(38,12) contribution arithmetic as
+    pagerank_events; the row keeps nodes the walk actually reached
+    (score > 0 — at 3 iterations that is the seeds' 3-hop
+    neighborhood) and hash-matches the seeded unrolled-CTE mirror."""
+    from sybil_spark.operators import graph
+    ev = _t(spark, sf, "events")
+    e0 = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+         .alias("s"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t")
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    return (graph.pagerank(edges, "s", "t", iters=3, damping=0.85,
+                           seeds=["t:click", "t:purchase"])
+            .where(F.col("score") > 0.0)
             .limit(20))
 
 
@@ -6446,7 +6501,7 @@ _DRIVER_FIRST = [
     "boolean_topk", "collocations_log",
     "wordpiece_apply", "wordpiece_pairs", "wordpiece_fertility",
     "top_ngrams", "wordpiece_unk_rate", "pagerank_events",
-    "ngram_novelty",
+    "ngram_novelty", "ppr_events",
 ]
 
 _DRIVER_FIRST_R8 = [

@@ -44,15 +44,26 @@ def _d2d(col):
 
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
-             iters: int = 3, damping: float = 0.85) -> DataFrame:
+             iters: int = 3, damping: float = 0.85,
+             seeds: list | None = None) -> DataFrame:
     """(node, score): damped PageRank over a directed edge frame
     after `iters` synchronous iterations from the uniform start
     1/N. Returns every node (sources and sinks), score as double
     (the quantized decimal rendered via varchar). Deterministic and
     SQL-replicable per the module contract.
 
-    Driver-side state is ONE bounded collect (the node count N);
-    everything else is joins/aggregations on the cluster."""
+    `seeds` switches to PERSONALIZED PageRank (random walk with
+    restart): the restart mass (1-d) concentrates uniformly on the
+    seed nodes instead of spreading over all N, and the walk starts
+    from the seed distribution — proximity-to-the-seeds ranking,
+    the crawl-prioritization / related-domain-discovery form
+    (seeded from known-good domains). Seeds must name existing
+    nodes (raises otherwise: a silently-absent seed would quietly
+    re-weight the restart).
+
+    Driver-side state is ONE bounded collect (the node count N,
+    plus a |seeds|-bounded membership check); everything else is
+    joins/aggregations on the cluster."""
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
     d = float(damping)
@@ -64,9 +75,24 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     try:
         n_nodes = nodes.count()            # the one bounded collect
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-        base = F.lit((1.0 - d) / float(n_nodes)).cast("double")
-        score = nodes.select(
-            "n", F.lit(1.0 / float(n_nodes)).cast(_D12).alias("p"))
+        if seeds is not None:
+            sd = sorted({str(x) for x in seeds})
+            if not sd:
+                raise ValueError("pagerank: empty seeds")
+            present = nodes.where(F.col("n").isin(sd)).count()
+            if present != len(sd):
+                raise ValueError(
+                    f"pagerank: {len(sd) - present} seed(s) not in "
+                    f"the graph")
+            r = F.when(F.col("n").isin(sd),
+                       F.lit(1.0 / float(len(sd)))) \
+                 .otherwise(F.lit(0.0))
+            base = (F.lit(1.0 - d) * r).cast("double")
+            score = nodes.select("n", r.cast(_D12).alias("p"))
+        else:
+            base = F.lit((1.0 - d) / float(n_nodes)).cast("double")
+            score = nodes.select(
+                "n", F.lit(1.0 / float(n_nodes)).cast(_D12).alias("p"))
         prev = None
         for _ in range(int(iters)):
             contrib = (e.join(score.withColumnRenamed("n", "s"), "s")
@@ -94,7 +120,8 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
 
 
 def pagerank_ref(edge_list: list, iters: int = 3,
-                 damping: float = 0.85) -> dict:
+                 damping: float = 0.85,
+                 seeds: list | None = None) -> dict:
     """Pure-python reference with IDENTICAL arithmetic (decimal
     quantization included) — the fuzz twin of pagerank(), kept in
     the module so tests and docs share one definition of the
@@ -117,13 +144,19 @@ def pagerank_ref(edge_list: list, iters: int = 3,
     for a, _ in edges:
         deg[a] = deg.get(a, 0) + 1
     d = float(damping)
-    base = (1.0 - d) / n
-    p = {v: d12(1.0 / n) for v in nodes}
+    if seeds is not None:
+        sd = sorted({str(x) for x in seeds})
+        r = {v: (1.0 / len(sd) if v in sd else 0.0) for v in nodes}
+        base = {v: (1.0 - d) * r[v] for v in nodes}
+        p = {v: d12(r[v]) for v in nodes}
+    else:
+        base = {v: (1.0 - d) / n for v in nodes}
+        p = {v: d12(1.0 / n) for v in nodes}
     for _ in range(iters):
         m: dict = {}
         for a, b in edges:
             w = d12(float(str(p[a])) / deg[a])
             m[b] = m.get(b, Decimal(0)) + w
-        p = {v: d12(base + d * float(str(m.get(v, Decimal(0)))))
+        p = {v: d12(base[v] + d * float(str(m.get(v, Decimal(0)))))
              for v in nodes}
     return {v: float(str(s)) for v, s in p.items()}

@@ -58,3 +58,20 @@ def test_pagerank_fuzz_bit_exact(spark, pairs, iters):
 def test_pagerank_validates_iters(spark):
     with pytest.raises(ValueError, match="iters"):
         pagerank(_edges(spark, [("a", "b")]), "s", "t", iters=0)
+
+
+def test_personalized_pagerank(spark):
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("d", "d")]
+    got = {r["node"]: r["score"] for r in
+           pagerank(_edges(spark, pairs), "s", "t", iters=3,
+                    seeds=["a"]).collect()}
+    assert got == pagerank_ref(pairs, iters=3, seeds=["a"])
+    # the disconnected self-loop node gets NO mass under restart-at-a
+    assert got["d"] == 0.0
+    assert got["a"] > got["c"]          # proximity to the seed
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in the graph"):
+        pagerank(_edges(spark, pairs), "s", "t", seeds=["zz"])
+    with _pytest.raises(ValueError, match="empty seeds"):
+        pagerank(_edges(spark, pairs), "s", "t", seeds=[])
