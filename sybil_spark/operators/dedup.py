@@ -357,20 +357,29 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     window stitch, codegen hashes — is identical."""
     from pyspark.sql import Window
 
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
-    # explicit partition count: the rows are narrow (~24 B) so AQE
-    # would coalesce the window shuffle to 1-2 partitions and
-    # serialize the CPU-heavy window + downstream aggregations; a
-    # user-specified numPartitions is exempt from AQE coalescing,
-    # and the window, the distinct, and callers' groupBy(id) all
-    # reuse this partitioning (one shuffle end-to-end)
+    # ONE shuffle, of the COMPACT doc rows (id, text), hash-keyed by
+    # id BEFORE the explode: r10 restructure of the old two-shuffle
+    # shape (round-robin spread of text, then exploded token STRINGS
+    # re-shuffled by id — the exchange carried [id, pos, tok] with
+    # the token hash computed only on the far side). Partitioning by
+    # id spreads the explode work exactly like spread() did, text
+    # bytes ≈ token bytes but without the ~24 B/token row overhead,
+    # and the generate preserves the partitioning so the window, the
+    # distinct, and callers' groupBy(id) all reuse it — zero further
+    # exchanges. Explicit numPartitions (not AQE-sized): the post-
+    # explode rows are narrow, AQE would coalesce the tiny-input case
+    # to 1-2 partitions and serialize the CPU-heavy window; a
+    # user-specified count is exempt. Never shrink what the scan
+    # already spread (the 100 TB path keeps its splits).
     npart = df.sparkSession.sparkContext.defaultParallelism
+    docs = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__text"))
+    docs = docs.repartition(max(npart, docs.rdd.getNumPartitions()), "id")
+    toks = docs.select(
+        "id", F.posexplode(tokens(F.col("__text"))).alias("pos", "tok"))
     tok_hash = _port_tok_hash(F.col("tok")) if portable \
         else F.xxhash64("tok")
-    th = (toks.repartition(npart, "id")
-          .select("id", "pos", tok_hash.alias("h0")))
+    th = toks.select("id", "pos", tok_hash.alias("h0"))
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("h0", j).over(w).alias(f"h{j}")
              for j in range(1, shingle_n)]
@@ -547,7 +556,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     `shingles` injects an (already materialized) DISTINCT (id, h)
     frame so composed pipelines share one corpus scan; when omitted,
-    one is built and checkpointed here with full_only=True — true
+    one is built and persisted here with full_only=True — true
     n-gram set semantics: a document shorter than `shingle_n` tokens
     has NO shingles and never pairs (surfaced by the random-corpus
     fuzz: two identical 1-token docs scored 1.0 through MinHash's
@@ -557,18 +566,22 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     pair — matching ITS oracle's replicated sentinel arithmetic."""
     if exact:
         max_posting = None
-    # localCheckpoint (eager): the shingle frame feeds the size
+    # persist (MEMORY_AND_DISK): the shingle frame feeds the size
     # aggregate AND both sides of the pair join — without
     # materialization Spark re-runs the whole token/window pipeline
     # per consumer (plans are trees, common subplans don't dedupe).
-    # Narrow (16 B/shingle), MEMORY_AND_DISK; unlike persist(), the
-    # blocks are released by the ContextCleaner when the returned
-    # plan's RDDs are garbage-collected, so repeated calls in a
-    # long-lived session don't accumulate storage-memory entries.
+    # persist, NOT localCheckpoint (r10): an InMemoryRelation keeps
+    # the frame's hashpartitioning(id) visible to Catalyst, so the
+    # size aggregate and downstream groupBy(id) consumers skip their
+    # exchange; a localCheckpoint truncates to a LogicalRDD with
+    # unknown partitioning and every consumer re-shuffled (measured:
+    # one extra Exchange per consumer at every scale). Lifetime is
+    # register_cached's scope contract (_util.cache_scope / bench's
+    # unpersist_unscoped) instead of the ContextCleaner.
     sh = shingles if shingles is not None else \
-        shingle_hashes(df, id_col, text_col, shingle_n,
-                       full_only=True) \
-        .localCheckpoint(eager=True)
+        register_cached(
+            shingle_hashes(df, id_col, text_col, shingle_n,
+                           full_only=True).persist())
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is None and max_posting is not None:
@@ -756,7 +769,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     twice (signatures build their own shingle frame, verification
     builds another) — at 100 TB that is two full corpus passes where
     one suffices. Here a single DISTINCT (id, h) frame is
-    materialized once (localCheckpoint) and feeds both: min over the
+    materialized once (persisted) and feeds both: min over the
     distinct set equals min over the positional multiset, so the
     signatures are unchanged, and the verification join is exactly
     jaccard_pairs' own frame.
@@ -776,9 +789,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                              "needs a similarity threshold > 0")
         t = lsh_tune(threshold, target_recall, max_hashes=max_hashes)
         num_hashes, bands = t["num_hashes"], t["bands"]
-    sh = shingle_hashes(df, id_col, text_col, shingle_n,
-                        portable=portable) \
-        .localCheckpoint(eager=True)
+    # persist, not localCheckpoint — keeps hashpartitioning(id)
+    # visible so the signature groupBy(id) and the verification's
+    # size aggregate run exchange-free (see jaccard_pairs)
+    sh = register_cached(
+        shingle_hashes(df, id_col, text_col, shingle_n,
+                       portable=portable).persist())
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
                                    bands, shingle_n, shingles=sh,
                                    portable=portable)
@@ -805,7 +821,7 @@ def lsh_recall_report(df: DataFrame, id_col: str, text_col: str,
     divisions of exact integer counts — cross-engine bit-stable.
 
     One corpus scan: a single DISTINCT (id, h) shingle frame
-    (localCheckpoint) feeds the ground-truth join AND the signature
+    (persisted) feeds the ground-truth join AND the signature
     pipeline (the minhash_dedup_pairs trick). The ground-truth side
     is the EXHAUSTIVE posting join (max_posting=None) — quadratic in
     the hottest posting and deliberately so (an audit that silently
@@ -813,9 +829,9 @@ def lsh_recall_report(df: DataFrame, id_col: str, text_col: str,
     hash_sample'd slice, not the full corpus, and the report
     generalizes because recall is a property of the (b, r) S-curve,
     not of corpus size."""
-    sh = shingle_hashes(df, id_col, text_col, shingle_n,
-                        portable=portable) \
-        .localCheckpoint(eager=True)
+    sh = register_cached(
+        shingle_hashes(df, id_col, text_col, shingle_n,
+                       portable=portable).persist())
     true_pairs = jaccard_pairs(df, id_col, text_col, shingle_n,
                                threshold=threshold, shingles=sh,
                                max_posting=None)
@@ -963,14 +979,14 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     # join branches are separate subtrees to Spark (no exchange reuse
     # fires), so without this the token explode + 64-sum vote
     # aggregation — the whole cost of SimHash — would run twice per
-    # query. The checkpoint is |docs| narrow (id, sig) rows; the
+    # query. The persisted frame is |docs| narrow (id, sig) rows; the
     # banding re-derived on each side is a handful of codegen'd bit
-    # ops over that. Trade-off (same as minhash_dedup_pairs): the
-    # call is EAGER — it runs the signature job immediately and pins
-    # non-replicated blocks, so lost executors mean rerunning the
-    # call rather than lineage recompute.
-    sig = (simhash_df(df, id_col, text_col, bits, portable)
-           .localCheckpoint(eager=True))
+    # ops over that. persist, not localCheckpoint (r10): fills lazily
+    # inside the first consuming job (one job fewer) and keeps plan
+    # partitioning info; lifetime via register_cached's scope
+    # contract, recompute-on-block-loss via lineage.
+    sig = register_cached(
+        simhash_df(df, id_col, text_col, bits, portable).persist())
     banded = sig.select("id", "sig", F.posexplode(F.array(*[
                     F.shiftright(F.col("sig"), b * width)
                      .bitwiseAND(F.lit(mask))

@@ -388,16 +388,44 @@ class Query:
         proj = (df.select(*gexprs, F.col(a.col).alias("__v"),
                           w.cast(self._DEC).alias("__w"))
                   .where(F.col("__v").isNotNull()))
+        # __tw (per-group total weight) deliberately does NOT come
+        # from a second `sum over (partition by ...)` window: a
+        # whole-partition frame is its own WindowExec that buffers
+        # and re-walks EVERY row (the r10 before-plan showed two
+        # stacked Window nodes). The total is a |groups|-row
+        # aggregate instead — broadcast-joined for the grouped path,
+        # folded into the already-paid plan-time count for the
+        # ungrouped path — and decimal sums are order-independent,
+        # so the value is bit-identical to the window it replaces.
         if not names:
-            n = proj.count()
-            if n > WP_UNGROUPED_MAX_ROWS:
+            stats = proj.agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("__w").alias("tw")).collect()[0]
+            if stats["n"] > WP_UNGROUPED_MAX_ROWS:
                 return self._wp_ungrouped_distributed(proj, a)
-        part = Window.partitionBy(*[F.col(n) for n in names])
-        cdf = part.orderBy("__v", "__w").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)
-        proj = proj.select(*names, "__v",
-                           F.sum("__w").over(cdf).alias("__cw"),
-                           F.sum("__w").over(part).alias("__tw"))
+            tw_lit = F.lit(str(stats["tw"] or 0)).cast(self._DEC)
+            cdf = Window.partitionBy().orderBy("__v", "__w").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)
+            proj = proj.select("__v",
+                               F.sum("__w").over(cdf).alias("__cw"),
+                               tw_lit.alias("__tw"))
+        else:
+            part = Window.partitionBy(*[F.col(n) for n in names])
+            cdf = part.orderBy("__v", "__w").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)
+            # null-safe join: NULL group values are real groups to
+            # the window/groupBy, so the totals must re-attach with
+            # <=> semantics, not a null-dropping equi-join
+            totals = proj.groupBy(*names).agg(F.sum("__w").alias("__tw"))
+            totals = totals.select(
+                *[F.col(n).alias(f"__t_{n}") for n in names], "__tw")
+            cond = None
+            for n in names:
+                c = F.col(n).eqNullSafe(F.col(f"__t_{n}"))
+                cond = c if cond is None else (cond & c)
+            proj = (proj.select(*names, "__v",
+                                F.sum("__w").over(cdf).alias("__cw"))
+                    .join(F.broadcast(totals), cond)
+                    .drop(*[f"__t_{n}" for n in names]))
         pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
         aggs = []
         for p in pcts:

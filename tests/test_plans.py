@@ -291,8 +291,12 @@ def test_new_aggregate_shapes(spark, sf_dir):
     aggregated set); weighted percentile pays window + group; the
     weighted moment aggregates stay single-shuffle."""
     from sybil_spark.corpus import QUERIES
+    # weighted_percentile: 3 = the window's group exchange + the
+    # |groups|-row totals aggregate exchange (r10: the totals moved
+    # out of a second whole-partition Window pass — one fewer walk
+    # over every row, at the cost of a tiny extra exchange)
     budgets = {"hist_summary": 3, "weighted_hist_summary": 3,
-               "weighted_stddev_sum": 1, "weighted_percentile": 2,
+               "weighted_stddev_sum": 1, "weighted_percentile": 3,
                "time_hist": 2, "pii_scrub": 1}
     for name, budget in budgets.items():
         q = QUERIES[name](spark, sf_dir)
