@@ -6081,6 +6081,13 @@ def q_collocations_log(spark, sf):
 #: the '##' continuation rule, and the whole-word [UNK] fallback
 #: (words with chars outside a-z/0-9 fail and UNK identically in both
 #: engines).
+#: FIXTURE CONSTRAINT (r9 ADVICE): wordpiece_apply UNKs words longer
+#: than operators.wordpiece.MAX_WORD_CHARS=100 (HF semantics) but the
+#: recursive-CTE oracle applies no such cap — any future fixture or
+#: data generator feeding these rows must keep words under 100 chars
+#: or the wordpiece_apply/fertility/unk_rate hashes will diverge.
+#: (The current documents corpus is whitespace-tokenized prose; its
+#: longest word is far below the cap.)
 _WORDPIECE_VOCAB = sorted(
     list("abcdefghijklmnopqrstuvwxyz0123456789")
     + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
@@ -6472,6 +6479,37 @@ def q_top_ngrams(spark, sf):
 # (b) queries whose implementation or oracle changed this round. The rest
 # keep registration order. Rotate this list each round.
 _DRIVER_FIRST = [
+    # Round-10 rotation (driver records only the first ~50 rows).
+    # (a) The 11 queries that have NEVER had an official driver row
+    # (they landed in r9 after the 50-row window filled; all green in
+    # the r9 judge's full gate and in this round's full local gate) —
+    # the r9 verdict's Next-round #1, highest leverage on the board:
+    "boolean_topk", "unigram_seed", "collocations_log",
+    "wordpiece_pairs", "wordpiece_apply", "wordpiece_fertility",
+    "wordpiece_unk_rate", "pagerank_events", "ppr_events",
+    "ngram_novelty", "top_ngrams",
+    # (b) implementation changed THIS round (r10 optimization:
+    # shingle one-shuffle restructure + persist-not-checkpoint in the
+    # near-dup family; weighted-percentile single-window totals;
+    # native item type through the heavy-hitters sketch) — re-verify
+    # first per this file's standing policy:
+    "minhash_lsh", "ngram_jaccard", "simhash_dup", "decontaminate",
+    "containment_dup", "lsh_recall", "winnow_dup", "norm_dedup",
+    "semantic_dedup", "weighted_percentile", "percentiles",
+    "embedding_dup",
+    # (c) remaining slots: freshness rotation — the cohort whose
+    # latest row is r6 (oldest on the board after the r9 sweep):
+    "token_freq", "cube_counts", "lag_delta", "retention",
+    "tpch_q13", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
+    "ppl_buckets", "bm25_search", "weighted_sample",
+    "corpus_stats", "corpus_diff", "exact_substr",
+    "hybrid_search", "gopher_rules", "dsir_weights",
+    "repetition_stats", "bm25_index_search", "source_mix",
+    "repetition", "quality_cascade", "dedup_exact",
+    "dedup_keep_first", "dedup_best", "dedup_clusters", "span_dedup",
+]
+
+_DRIVER_FIRST_R9 = [
     # Round-9 rotation (driver records only the first ~50 rows).
     # Board state after r8: all queries green; freshness decay only —
     # 46 queries' latest row is r5, now the oldest cohort (the r8

@@ -556,7 +556,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     `shingles` injects an (already materialized) DISTINCT (id, h)
     frame so composed pipelines share one corpus scan; when omitted,
-    one is built and persisted here with full_only=True — true
+    one is built and checkpointed here with full_only=True — true
     n-gram set semantics: a document shorter than `shingle_n` tokens
     has NO shingles and never pairs (surfaced by the random-corpus
     fuzz: two identical 1-token docs scored 1.0 through MinHash's
@@ -566,22 +566,24 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     pair — matching ITS oracle's replicated sentinel arithmetic."""
     if exact:
         max_posting = None
-    # persist (MEMORY_AND_DISK): the shingle frame feeds the size
+    # localCheckpoint (eager): the shingle frame feeds the size
     # aggregate AND both sides of the pair join — without
     # materialization Spark re-runs the whole token/window pipeline
     # per consumer (plans are trees, common subplans don't dedupe).
-    # persist, NOT localCheckpoint (r10): an InMemoryRelation keeps
-    # the frame's hashpartitioning(id) visible to Catalyst, so the
-    # size aggregate and downstream groupBy(id) consumers skip their
-    # exchange; a localCheckpoint truncates to a LogicalRDD with
-    # unknown partitioning and every consumer re-shuffled (measured:
-    # one extra Exchange per consumer at every scale). Lifetime is
-    # register_cached's scope contract (_util.cache_scope / bench's
-    # unpersist_unscoped) instead of the ContextCleaner.
+    # localCheckpoint, NOT persist() — r10 measured the trade both
+    # ways at 1x and 10x: a DataFrame persist keeps the frame's
+    # hashpartitioning(id) visible (saving one narrow exchange per
+    # groupBy(id) consumer) but stores COLUMNAR batches whose decode
+    # costs ~5x a raw checkpoint-block read per consumer scan
+    # (sizes agg at 10x: 2.6 s cached vs 0.5 s checkpointed task
+    # time; 4 consumer scans made the whole query 4.5 s -> 6.2 s).
+    # Raw deserialized checkpoint blocks win despite the re-added
+    # exchange; blocks release via ContextCleaner when the plan's
+    # RDDs are collected.
     sh = shingles if shingles is not None else \
-        register_cached(
-            shingle_hashes(df, id_col, text_col, shingle_n,
-                           full_only=True).persist())
+        shingle_hashes(df, id_col, text_col, shingle_n,
+                       full_only=True) \
+        .localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is None and max_posting is not None:
@@ -769,7 +771,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     twice (signatures build their own shingle frame, verification
     builds another) — at 100 TB that is two full corpus passes where
     one suffices. Here a single DISTINCT (id, h) frame is
-    materialized once (persisted) and feeds both: min over the
+    materialized once (localCheckpoint) and feeds both: min over the
     distinct set equals min over the positional multiset, so the
     signatures are unchanged, and the verification join is exactly
     jaccard_pairs' own frame.
@@ -789,12 +791,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                              "needs a similarity threshold > 0")
         t = lsh_tune(threshold, target_recall, max_hashes=max_hashes)
         num_hashes, bands = t["num_hashes"], t["bands"]
-    # persist, not localCheckpoint — keeps hashpartitioning(id)
-    # visible so the signature groupBy(id) and the verification's
-    # size aggregate run exchange-free (see jaccard_pairs)
-    sh = register_cached(
-        shingle_hashes(df, id_col, text_col, shingle_n,
-                       portable=portable).persist())
+    # localCheckpoint, not persist — raw block reads beat columnar
+    # cache decode across this frame's many consumer scans (measured
+    # r10; see jaccard_pairs)
+    sh = shingle_hashes(df, id_col, text_col, shingle_n,
+                        portable=portable) \
+        .localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
                                    bands, shingle_n, shingles=sh,
                                    portable=portable)
@@ -821,7 +823,7 @@ def lsh_recall_report(df: DataFrame, id_col: str, text_col: str,
     divisions of exact integer counts — cross-engine bit-stable.
 
     One corpus scan: a single DISTINCT (id, h) shingle frame
-    (persisted) feeds the ground-truth join AND the signature
+    (localCheckpoint) feeds the ground-truth join AND the signature
     pipeline (the minhash_dedup_pairs trick). The ground-truth side
     is the EXHAUSTIVE posting join (max_posting=None) — quadratic in
     the hottest posting and deliberately so (an audit that silently
@@ -829,9 +831,9 @@ def lsh_recall_report(df: DataFrame, id_col: str, text_col: str,
     hash_sample'd slice, not the full corpus, and the report
     generalizes because recall is a property of the (b, r) S-curve,
     not of corpus size."""
-    sh = register_cached(
-        shingle_hashes(df, id_col, text_col, shingle_n,
-                       portable=portable).persist())
+    sh = shingle_hashes(df, id_col, text_col, shingle_n,
+                        portable=portable) \
+        .localCheckpoint(eager=True)
     true_pairs = jaccard_pairs(df, id_col, text_col, shingle_n,
                                threshold=threshold, shingles=sh,
                                max_posting=None)
@@ -981,12 +983,14 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     # aggregation — the whole cost of SimHash — would run twice per
     # query. The persisted frame is |docs| narrow (id, sig) rows; the
     # banding re-derived on each side is a handful of codegen'd bit
-    # ops over that. persist, not localCheckpoint (r10): fills lazily
-    # inside the first consuming job (one job fewer) and keeps plan
-    # partitioning info; lifetime via register_cached's scope
-    # contract, recompute-on-block-loss via lineage.
-    sig = register_cached(
-        simhash_df(df, id_col, text_col, bits, portable).persist())
+    # ops over that. localCheckpoint, not persist (r10): raw block
+    # reads beat columnar cache decode across repeated consumer
+    # scans (measured on the shingle frame; see jaccard_pairs). The
+    # call is EAGER — it runs the signature job immediately and pins
+    # non-replicated blocks, so lost executors mean rerunning the
+    # call rather than lineage recompute.
+    sig = (simhash_df(df, id_col, text_col, bits, portable)
+           .localCheckpoint(eager=True))
     banded = sig.select("id", "sig", F.posexplode(F.array(*[
                     F.shiftright(F.col("sig"), b * width)
                      .bitwiseAND(F.lit(mask))
@@ -1072,10 +1076,16 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     # f32 candidate margin: the block matmul only NOMINATES pairs (the
     # JVM fold re-scores exactly and filters at exactly `threshold`),
-    # so the margin just has to cover f32 cosine noise on unit vectors
-    # (~d*eps/2 ≈ 1e-5 at d=256). Wider margin = a few extra
+    # so the margin just has to cover f32 cosine noise on unit vectors.
+    # Worst-case accumulation error grows ~d·eps (eps_f32 ≈ 1.2e-7),
+    # so a FIXED 1e-4 would under-cover above d≈850 and near-threshold
+    # pairs could be dropped before the exact re-score ever saw them
+    # (r9 ADVICE). Scale it with the dimension of the first vector in
+    # each batch: max(1e-4, 2·d·eps). Wider margin = a few extra
     # candidates re-scored, never a wrong result.
-    margin = 1e-4
+    def _f32_margin(d: int) -> float:
+        import numpy as np
+        return max(1e-4, 2.0 * d * float(np.finfo(np.float32).eps))
 
     def local_pairs(key, pdf):
         import numpy as np
@@ -1084,6 +1094,7 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         vb = pdf[pdf.blk == pb]
         if len(va) == 0 or len(vb) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
+        margin = _f32_margin(len(va.vec.iloc[0]))
         Xa = np.array([np.asarray(v, dtype=np.float32) for v in va.vec])
         Xb = np.array([np.asarray(v, dtype=np.float32) for v in vb.vec])
         Xa /= np.linalg.norm(Xa, axis=1, keepdims=True)

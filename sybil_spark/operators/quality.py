@@ -601,9 +601,11 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
     Scale: the two bucket-count maps aggregate to AT MOST `buckets`
     rows each — broadcast by construction at ANY corpus size (this
     is DSIR's whole trick: the model is a fixed-width histogram, not
-    a vocabulary). Scoring is one array-expression bigram extraction,
-    one hash projection, two broadcast joins, one doc groupBy; the
-    two totals are 1-row driver aggregates."""
+    a vocabulary); they are collected once (one job per
+    distribution, totals computed driver-side from the same rows)
+    and re-enter the plan as broadcast local relations. Scoring is
+    one array-expression bigram extraction, one hash projection, two
+    broadcast joins, one doc groupBy."""
     from sybil_spark.operators.dedup import _port_tok_hash
 
     if buckets < 1:
@@ -624,20 +626,30 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, id_col: str,
         # spread: the explode + per-bigram md5 amplifies ~50x inside
         # the stage, so a compact parquet input must re-split before
         # it (no-op when the input already has >= cores partitions).
-        # localCheckpoint (≤ buckets rows): each map's corpus scan
-        # runs ONCE — without it the totals collect and the scoring
-        # job would re-run the raw-corpus aggregation three times
+        # The map is ≤ `buckets` rows BY CONSTRUCTION (DSIR's whole
+        # trick), and it was always driver-bounded — F.broadcast
+        # pulls it through the driver anyway — so collect it outright
+        # (r10): one job per map instead of localCheckpoint
+        # materialization + a separate totals-aggregate job, and the
+        # totals fall out of the collected rows for free. The corpus
+        # scan still runs exactly once per distribution.
         return (_bigrams(spread(df), text_col, "__absent__")
                 .select(bucket.alias("__b"))
                 .groupBy("__b").agg(F.count(F.lit(1)).alias("cnt"))
-                .localCheckpoint(eager=True))
+                .collect())
 
-    tc, rc = counts(target), counts(raw)
-    t_total = tc.agg(F.sum("cnt")).collect()[0][0]
-    r_total = rc.agg(F.sum("cnt")).collect()[0][0]
+    spark = raw.sparkSession
+    t_rows, r_rows = counts(target), counts(raw)
+    t_total = sum(r["cnt"] for r in t_rows)
+    r_total = sum(r["cnt"] for r in r_rows)
     if not t_total or not r_total:
         raise ValueError("dsir_logratio: empty target or raw corpus "
                          "(no bigram features)")
+    schema = "__b bigint, cnt bigint"
+    tc = spark.createDataFrame([(int(r["__b"]), int(r["cnt"]))
+                                for r in t_rows], schema)
+    rc = spark.createDataFrame([(int(r["__b"]), int(r["cnt"]))
+                                for r in r_rows], schema)
     t_den = float(t_total + smooth_k * buckets)
     r_den = float(r_total + smooth_k * buckets)
     feats = (_bigrams(spread(raw), text_col, id_col)

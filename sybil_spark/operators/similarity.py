@@ -554,9 +554,12 @@ def pairwise_topk(df: DataFrame, vec_col: str, id_col: str = "vec_id",
         # float32 on purpose: these scores only PICK candidates (the
         # JVM fold re-scores exactly); f32 halves the block's memory
         # traffic and SGEMM is 2-4x DGEMM everywhere. The added score
-        # noise (~1e-6 absolute on unit vectors) is absorbed by
-        # `margin` extra candidates, same contract as BLAS summation
-        # order under f64.
+        # noise is absorbed by `margin` extra candidates, same
+        # contract as BLAS summation order under f64. Noise grows
+        # ~d*eps_f32 (≈1e-5 at d=256, ≈5e-4 at d=4096): at very
+        # large d raise `margin` if more than `margin` pairs can sit
+        # within that band of the k-th score — a larger margin only
+        # adds re-scored candidates, never a wrong result.
         Xa = np.array([np.asarray(v, dtype=np.float32) for v in va.vec])
         Xb = np.array([np.asarray(v, dtype=np.float32) for v in vb.vec])
         Xa /= np.linalg.norm(Xa, axis=1, keepdims=True)

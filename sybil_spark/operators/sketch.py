@@ -73,7 +73,11 @@ def _mg_summaries(items: DataFrame, m: int) -> DataFrame:
              "est": list(S.values()) + [0],
              "dsum": [0] * len(S) + [D]})
 
-    return items.mapInPandas(gen, "item string, est long, dsum long")
+    # item keeps its NATIVE type through the sketch (r9 ADVICE: a
+    # hardcoded string schema made non-string items TypeError in
+    # mode='auto' or diverge in schema from the exact path)
+    item_t = items.schema["item"].dataType.simpleString()
+    return items.mapInPandas(gen, f"item {item_t}, est long, dsum long")
 
 
 def heavy_hitters(df: DataFrame, item: Column | str, k: int = 20,
@@ -127,9 +131,10 @@ def heavy_hitters(df: DataFrame, item: Column | str, k: int = 20,
             proved = True   # fewer than k distinct items exist at all
         if proved:
             spark = df.sparkSession
+            item_t = items.schema["item"].dataType.simpleString()
             return spark.createDataFrame(
                 [(r["item"], int(r["cnt"])) for r in top],
-                "item string, cnt long")
+                f"item {item_t}, cnt long")
         if mode == "sketch":
             raise RuntimeError(
                 f"heavy_hitters: sketch proof failed (k-th exact "

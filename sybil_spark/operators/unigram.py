@@ -211,14 +211,22 @@ def unigram_train(df: DataFrame, text_col: str, vocab_size: int,
         for it in range(max(1, int(n_iters))):
             bc = spark.sparkContext.broadcast(vocab)
             seg = _segment_udf(bc, max_piece_len, None)
+            # semi-join against the vocab keys BEFORE the collect:
+            # the unsegmentable-word fallback emits whole words that
+            # are NOT vocab entries (coverage gaps, not pieces), and
+            # on heavy non-covered-script corpora that set is
+            # |distinct OOV words|-sized — filtering only after the
+            # collect made driver state unbounded (r9 ADVICE). Now
+            # <= |vocab| rows ever reach the driver.
+            keys = spark.createDataFrame(
+                [(p,) for p in vocab], "piece string")
             counts = (wc.select(seg(F.col("word")).alias("ps"), "cnt")
                         .select(F.explode("ps").alias("piece"), "cnt")
                         .groupBy("piece")
-                        .agg(F.sum("cnt").alias("c")).collect())
+                        .agg(F.sum("cnt").alias("c"))
+                        .join(F.broadcast(keys), "piece", "left_semi")
+                        .collect())
             bc.unpersist()
-            # the unsegmentable-word fallback can emit whole words
-            # that are NOT vocab entries — coverage gaps, not
-            # pieces; drop them from the stats
             used = {r["piece"]: int(r["c"]) for r in counts
                     if r["piece"] in vocab}
             # prune, gradually: drop-first order = (count asc, piece
