@@ -1581,14 +1581,17 @@ def q_cluster_splits(spark, sf):
                .where(F.col("__n") > 1).select("__h"))
     cand = (d.withColumn("__h", F.xxhash64("text"))
              .join(multi, "__h", "left_semi"))
-    a = cand.select(F.col("__h"), F.col("doc_id").alias("id_a"),
-                    F.col("text").alias("ta"))
-    b = cand.select(F.col("__h"), F.col("doc_id").alias("id_b"),
-                    F.col("text").alias("tb"))
-    pairs = (a.join(b, "__h")
-              .where((F.col("ta") == F.col("tb"))
-                     & (F.col("id_a") < F.col("id_b")))
-              .select("id_a", "id_b"))
+    # STAR pairs (r10, was a per-hash-group clique join): min doc_id
+    # of each exact (hash, text) subgroup ↔ every other member —
+    # k-1 pairs per duplicate group instead of k(k-1)/2, identical
+    # transitive closure, and the window's exact-text subgrouping IS
+    # the collision re-check (no further exchange: hashpartitioning
+    # (__h) already clusters (__h, text))
+    from pyspark.sql import Window
+    w_t = Window.partitionBy("__h", "text")
+    pairs = (cand.select(F.min("doc_id").over(w_t).alias("id_a"),
+                         F.col("doc_id").alias("id_b"))
+                 .where(F.col("id_a") < F.col("id_b")))
     labels = (dedup.components(pairs)
               .withColumnRenamed("id", "doc_id"))
     docs = (d.select("doc_id").join(labels, "doc_id", "left")
@@ -2293,13 +2296,38 @@ def q_dedup_clusters(spark, sf):
     """Pairs → connected components → keeper per cluster
     (dedup.components, iterative min-label propagation): feed exact
     same-text pairs so the transitive closure is oracle-checkable —
-    survivors must be exactly the min doc_id of every text group."""
+    survivors must be exactly the min doc_id of every text group.
+
+    r10 restructure (output identical, oracle-proven): the pairs used
+    to come from a text-equality SELF-JOIN — a clique of k(k-1)/2
+    pairs per duplicate group (quadratic in the hottest text: one doc
+    duplicated 1M times would emit 5·10¹¹ pairs), and at scale the
+    SMJ shuffles full text as the join KEY (the sf0.001 lint never
+    saw it because the tiny side broadcasts). Now STAR pairs
+    (min-doc_id of the group ↔ every other member): k-1 pairs, same
+    transitive closure, CC converges in ≤2 label rounds, and the
+    shuffle keys on xxhash64(text) with the exact_keep_first-style
+    collision re-check (re-sorting only multi-hash rows on the real
+    text within hash partitions — text is data, never the key)."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf, "documents")
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
-    pairs = (a.join(b, (F.col("ta") == F.col("tb"))
-                    & (F.col("id_a") < F.col("id_b")))
-             .select("id_a", "id_b"))
+    # narrow (id, hash) first pass finds multi-member hash groups;
+    # only THOSE rows — duplicates or 64-bit collisions, never the
+    # unique mass — carry text into the window exchange (the
+    # cluster_splits discipline)
+    hd = d.select("doc_id", F.xxhash64("text").alias("__h"))
+    multi = (hd.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).select("__h"))
+    cand = (d.withColumn("__h", F.xxhash64("text"))
+             .join(multi, "__h", "left_semi"))
+    # collision re-check: exact text subgroups inside each hash
+    # partition (no further exchange — hashpartitioning(__h)
+    # already clusters (__h, text))
+    w_t = Window.partitionBy("__h", "text")
+    pairs = (cand.select(F.min("doc_id").over(w_t).alias("id_a"),
+                         F.col("doc_id").alias("id_b"))
+                 .where(F.col("id_a") < F.col("id_b")))
     return (dedup.keep_cluster_representatives(d, "doc_id", pairs)
             .select("doc_id").orderBy("doc_id"))
 
@@ -4388,13 +4416,18 @@ def q_dedup_best(spark, sf):
     real near-dup graphs are) and keep the HIGHEST-n_chars member per
     cluster, ties to min doc_id (keep_cluster_representatives
     score_col) — verified against a plain rank-window oracle."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf, "documents")
     fp = F.substring(F.md5(F.col("text")), 1, 2)
-    a = d.select(F.col("doc_id").alias("id_a"), fp.alias("fa"))
-    b = d.select(F.col("doc_id").alias("id_b"), fp.alias("fb"))
-    pairs = (a.join(b, (F.col("fa") == F.col("fb"))
-                    & (F.col("id_a") < F.col("id_b")))
-             .select("id_a", "id_b"))
+    # STAR pairs per fingerprint bucket (r10, was a clique self-join:
+    # with 256 buckets that is O(n²/256) pairs — quadratic in corpus
+    # size): min doc_id of the bucket ↔ every other member gives the
+    # identical connected components with k-1 pairs per bucket.
+    w_fp = Window.partitionBy("__fp")
+    pairs = (d.select(F.col("doc_id").alias("id_b"), fp.alias("__fp"))
+              .select(F.min("id_b").over(w_fp).alias("id_a"), "id_b")
+              .where(F.col("id_a") < F.col("id_b")))
     kept = dedup.keep_cluster_representatives(d, "doc_id", pairs,
                                               score_col="n_chars")
     return kept.select("doc_id").orderBy("doc_id")
