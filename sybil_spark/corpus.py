@@ -497,7 +497,15 @@ def q_weighted_hist(spark, sf):
     where l_shipdate <= timestamp '1998-09-02 00:00:00'
     group by 1, 2""")
 def q_tpch_q1(spark, sf):
-    li = _t(spark, sf, "lineitem").where(
+    """spread (r10): the eight decimal(38,6) partial sums are the
+    stage cost, and a single-row-group parquet file pins the whole
+    scan+partial-agg to one task; the guarded repartition
+    parallelizes the partial aggregation (measured 1.57→1.03 s at
+    sf0.1) and is a no-op whenever the scan already carries >= cores
+    splits (every real deployment). Filters/pruning still push to
+    the scan below the exchange."""
+    from sybil_spark.operators._util import spread
+    li = spread(_t(spark, sf, "lineitem")).where(
         F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
     dsum = lambda c: F.sum(c.cast(_DEC)).cast("double")  # noqa: E731
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
