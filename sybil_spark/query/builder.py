@@ -409,23 +409,31 @@ class Query:
                                F.sum("__w").over(cdf).alias("__cw"),
                                tw_lit.alias("__tw"))
         else:
-            part = Window.partitionBy(*[F.col(n) for n in names])
+            # The group key is ONE struct column, not the bare group
+            # columns, for two reasons (r11, replaces a forced
+            # F.broadcast(totals) that was an unbounded driver-side
+            # hazard for high-cardinality group-bys):
+            # - struct equality is null-safe per field (verified:
+            #   struct(NULL) = struct(NULL) is TRUE), so the totals
+            #   re-attach as a PLAIN equi-join — NULL group values
+            #   stay real groups without <=> conditions, whose
+            #   coalesce-wrapped keys would defeat co-partitioning;
+            # - the join's required distribution (__wp_g) is exactly
+            #   the window's own exchange, and the window sort
+            #   (__wp_g, __v, __w) is a prefix-match for the merge
+            #   sort — so the un-hinted SortMergeJoin adds ZERO
+            #   exchanges and ZERO probe-side sorts at any scale,
+            #   and AQE is free to broadcast the |groups|-row side
+            #   at runtime when it measures small.
+            proj = proj.withColumn(
+                "__wp_g", F.struct(*[F.col(n) for n in names]))
+            part = Window.partitionBy("__wp_g")
             cdf = part.orderBy("__v", "__w").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow)
-            # null-safe join: NULL group values are real groups to
-            # the window/groupBy, so the totals must re-attach with
-            # <=> semantics, not a null-dropping equi-join
-            totals = proj.groupBy(*names).agg(F.sum("__w").alias("__tw"))
-            totals = totals.select(
-                *[F.col(n).alias(f"__t_{n}") for n in names], "__tw")
-            cond = None
-            for n in names:
-                c = F.col(n).eqNullSafe(F.col(f"__t_{n}"))
-                cond = c if cond is None else (cond & c)
-            proj = (proj.select(*names, "__v",
+            totals = proj.groupBy("__wp_g").agg(F.sum("__w").alias("__tw"))
+            proj = (proj.select("__wp_g", "__v",
                                 F.sum("__w").over(cdf).alias("__cw"))
-                    .join(F.broadcast(totals), cond)
-                    .drop(*[f"__t_{n}" for n in names]))
+                    .join(totals, "__wp_g"))
         pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
         aggs = []
         for p in pcts:
@@ -434,7 +442,12 @@ class Query:
                          F.col("__v"))
             aggs.append(F.min(hit).cast("double")
                         .alias(a.alias or f"p{int(p * 100)}_{a.col}"))
-        return proj.groupBy(*names).agg(*aggs) if names else proj.agg(*aggs)
+        if not names:
+            return proj.agg(*aggs)
+        out = proj.groupBy("__wp_g").agg(*aggs)
+        return out.select(
+            *[F.col("__wp_g").getField(n).alias(n) for n in names],
+            *[c for c in out.columns if c != "__wp_g"])
 
     def _wp_ungrouped_distributed(self, proj: DataFrame,
                                   a: "_Agg") -> DataFrame:
