@@ -1593,8 +1593,18 @@ def q_cluster_splits(spark, sf):
     # of each exact (hash, text) subgroup ↔ every other member —
     # k-1 pairs per duplicate group instead of k(k-1)/2, identical
     # transitive closure, and the window's exact-text subgrouping IS
-    # the collision re-check (no further exchange: hashpartitioning
-    # (__h) already clusters (__h, text))
+    # the collision re-check. Exchange honesty (r11, plan-verified in
+    # plans/r11/dedup_clusters_after_pre1_cc_edges.txt): when `multi`
+    # broadcasts, the window inserts Exchange hashpartitioning(__h,
+    # text) — text IS then a hash-key component. That is bounded, not
+    # a scale hazard: only duplicate-mass rows reach this exchange
+    # (the semi-join dropped the unique mass), text crosses the wire
+    # as payload either way, and hashing its bytes once per dup row
+    # is noise; when `multi` arrives by shuffle instead, the join's
+    # hashpartitioning(__h) already satisfies the window's clustering
+    # and no second exchange appears. The hottest single text still
+    # lands in ONE window task — O(k) rows there, vs the old clique's
+    # O(k^2) pairs.
     from pyspark.sql import Window
     w_t = Window.partitionBy("__h", "text")
     pairs = (cand.select(F.min("doc_id").over(w_t).alias("id_a"),
@@ -2313,10 +2323,11 @@ def q_dedup_clusters(spark, sf):
     SMJ shuffles full text as the join KEY (the sf0.001 lint never
     saw it because the tiny side broadcasts). Now STAR pairs
     (min-doc_id of the group ↔ every other member): k-1 pairs, same
-    transitive closure, CC converges in ≤2 label rounds, and the
-    shuffle keys on xxhash64(text) with the exact_keep_first-style
-    collision re-check (re-sorting only multi-hash rows on the real
-    text within hash partitions — text is data, never the key)."""
+    transitive closure, CC converges in ≤2 label rounds, and only
+    duplicate-mass rows (never the unique mass) carry text into the
+    window exchange, whose keys are xxhash64(text) — plus text
+    itself on the broadcast-semi-join path only; see the inline
+    comment below for the r11 plan-verified detail."""
     from pyspark.sql import Window
 
     d = _t(spark, sf, "documents")
@@ -2330,8 +2341,11 @@ def q_dedup_clusters(spark, sf):
     cand = (d.withColumn("__h", F.xxhash64("text"))
              .join(multi, "__h", "left_semi"))
     # collision re-check: exact text subgroups inside each hash
-    # partition (no further exchange — hashpartitioning(__h)
-    # already clusters (__h, text))
+    # partition. Exchange honesty (r11): on the broadcast-semi-join
+    # path the window inserts Exchange hashpartitioning(__h, text) —
+    # see the q_cluster_splits comment; bounded to duplicate mass,
+    # text as key bytes only there, no second exchange on the
+    # shuffle-join path.
     w_t = Window.partitionBy("__h", "text")
     pairs = (cand.select(F.min("doc_id").over(w_t).alias("id_a"),
                          F.col("doc_id").alias("id_b"))
@@ -4424,18 +4438,29 @@ def q_dedup_best(spark, sf):
     real near-dup graphs are) and keep the HIGHEST-n_chars member per
     cluster, ties to min doc_id (keep_cluster_representatives
     score_col) — verified against a plain rank-window oracle."""
-    from pyspark.sql import Window
-
     d = _t(spark, sf, "documents")
     fp = F.substring(F.md5(F.col("text")), 1, 2)
     # STAR pairs per fingerprint bucket (r10, was a clique self-join:
     # with 256 buckets that is O(n²/256) pairs — quadratic in corpus
     # size): min doc_id of the bucket ↔ every other member gives the
     # identical connected components with k-1 pairs per bucket.
-    w_fp = Window.partitionBy("__fp")
-    pairs = (d.select(F.col("doc_id").alias("id_b"), fp.alias("__fp"))
-              .select(F.min("id_b").over(w_fp).alias("id_a"), "id_b")
-              .where(F.col("id_a") < F.col("id_b")))
+    # r11: the star min comes from a 256-row groupBy + broadcast join,
+    # not Window.partitionBy("__fp") — the whole-bucket window frame
+    # buffered n/256 rows per task in WindowExec and capped the stage
+    # at 256 tasks. The broadcast hint is statically bounded (≤256
+    # rows by construction — two hex nibbles). The narrow (id, bucket)
+    # frame is checkpointed eagerly so the md5-over-text scan runs
+    # ONCE even though the frame feeds both the agg and the join
+    # probe (two consumers of an unmaterialized frame would scan and
+    # re-hash the full text twice — the dominant cost at scale).
+    from sybil_spark.operators._util import eager_checkpoint
+    nf = eager_checkpoint(
+        d.select(F.col("doc_id").alias("id_b"), fp.alias("__fp")),
+        "fp_buckets")
+    mins = nf.groupBy("__fp").agg(F.min("id_b").alias("id_a"))
+    pairs = (nf.join(F.broadcast(mins), "__fp")
+               .where(F.col("id_a") < F.col("id_b"))
+               .select("id_a", "id_b"))
     kept = dedup.keep_cluster_representatives(d, "doc_id", pairs,
                                               score_col="n_chars")
     return kept.select("doc_id").orderBy("doc_id")

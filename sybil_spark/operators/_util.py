@@ -93,6 +93,26 @@ def unpersist_unscoped(blocking: bool = False) -> int:
     return n
 
 
+#: Optional plan-evidence hook for eager checkpoints (r11): after a
+#: frame is materialized with localCheckpoint, `.explain()` on any
+#: consumer starts at `Scan ExistingRDD` — the pre-checkpoint plan
+#: (where the shingle/star-pair restructures live) is invisible to
+#: the plan record. tools/capture_plans.py sets this to a callable
+#: `hook(label, df)` that writes the frame's formatted plan BEFORE
+#: materialization. None (the default) is zero-overhead and is the
+#: only state in normal runs — never set it on a timed path.
+checkpoint_plan_hook = None
+
+
+def eager_checkpoint(df: DataFrame, label: str) -> DataFrame:
+    """`df.localCheckpoint(eager=True)` with the pre-checkpoint plan
+    exposed to `checkpoint_plan_hook` when plan capture is active."""
+    hook = checkpoint_plan_hook
+    if hook is not None:
+        hook(label, df)
+    return df.localCheckpoint(eager=True)
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Re-split a narrow input before a row-amplifying stage.
 

@@ -25,9 +25,11 @@ import pandas as pd  # noqa: F401 — resolves the pandas_udf type hints
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T_
 
 from sybil_spark.functions.text import tokens
-from sybil_spark.operators._util import register_cached, spread
+from sybil_spark.operators._util import (eager_checkpoint,
+                                         register_cached, spread)
 
 
 # ---------------------------------------------------------------------------
@@ -581,9 +583,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # exchange; blocks release via ContextCleaner when the plan's
     # RDDs are collected.
     sh = shingles if shingles is not None else \
-        shingle_hashes(df, id_col, text_col, shingle_n,
-                       full_only=True) \
-        .localCheckpoint(eager=True)
+        eager_checkpoint(shingle_hashes(df, id_col, text_col, shingle_n,
+                                        full_only=True), "shingles")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is None and max_posting is not None:
@@ -794,9 +795,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     # localCheckpoint, not persist — raw block reads beat columnar
     # cache decode across this frame's many consumer scans (measured
     # r10; see jaccard_pairs)
-    sh = shingle_hashes(df, id_col, text_col, shingle_n,
-                        portable=portable) \
-        .localCheckpoint(eager=True)
+    sh = eager_checkpoint(
+        shingle_hashes(df, id_col, text_col, shingle_n,
+                       portable=portable), "shingles")
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
                                    bands, shingle_n, shingles=sh,
                                    portable=portable)
@@ -831,9 +832,9 @@ def lsh_recall_report(df: DataFrame, id_col: str, text_col: str,
     hash_sample'd slice, not the full corpus, and the report
     generalizes because recall is a property of the (b, r) S-curve,
     not of corpus size."""
-    sh = shingle_hashes(df, id_col, text_col, shingle_n,
-                        portable=portable) \
-        .localCheckpoint(eager=True)
+    sh = eager_checkpoint(
+        shingle_hashes(df, id_col, text_col, shingle_n,
+                       portable=portable), "shingles")
     true_pairs = jaccard_pairs(df, id_col, text_col, shingle_n,
                                threshold=threshold, shingles=sh,
                                max_posting=None)
@@ -989,8 +990,8 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     # call is EAGER — it runs the signature job immediately and pins
     # non-replicated blocks, so lost executors mean rerunning the
     # call rather than lineage recompute.
-    sig = (simhash_df(df, id_col, text_col, bits, portable)
-           .localCheckpoint(eager=True))
+    sig = eager_checkpoint(
+        simhash_df(df, id_col, text_col, bits, portable), "simhash_sig")
     banded = sig.select("id", "sig", F.posexplode(F.array(*[
                     F.shiftright(F.col("sig"), b * width)
                      .bitwiseAND(F.lit(mask))
@@ -1201,11 +1202,12 @@ def components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     this is the GraphX/GraphFrames CC algorithm without the GraphX
     dependency. Label frames are cached per round and the loop's
     convergence check is a cheap count, not a collect of labels."""
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
+    edges = eager_checkpoint(
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst")))
-             .distinct().localCheckpoint())
+             .distinct(), "cc_edges")
     # localCheckpoint (not cache): iterative plans grow exponentially
     # in lineage — round N's plan embeds round N-1's twice (join +
     # convergence check). Checkpointing truncates the lineage each
@@ -1227,18 +1229,40 @@ def components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                   nodes.select(F.col("id").alias("src"),
                                F.col("id").alias("dst")))
               .localCheckpoint())
+    # The Σrep convergence shortcut is only sound for INTEGRAL ids:
+    # cast to decimal(38,0) is exact there (reps never increase, so
+    # unchanged sum ⟺ fixpoint), but a string/UUID rep casts to NULL
+    # (sum NULL every round — None == None would "converge" after one
+    # propagation round with wrong 1-hop labels) and a double rep can
+    # falsely converge through cast rounding. Non-integral ids fall
+    # back to the exact any-type check: since min-label reps are
+    # monotone non-increasing for ANY orderable type, "no change" ⟺
+    # no (id, rep) row differs from the previous round — an isEmpty
+    # probe on the inequality join (r11, from round-10 advice).
+    integral = isinstance(labels.schema["rep"].dataType,
+                          (T_.ByteType, T_.ShortType, T_.IntegerType,
+                           T_.LongType))
     prev_sum = None
     for _ in range(max_iter):
-        labels = (edges2.join(labels.withColumnRenamed("id", "dst")
-                                    .withColumnRenamed("rep", "nrep"),
-                              "dst")
-                  .groupBy("src").agg(F.min("nrep").alias("rep"))
-                  .withColumnRenamed("src", "id").localCheckpoint())
-        cur = labels.agg(
-            F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
-        if cur == prev_sum:
+        new_labels = (edges2.join(labels.withColumnRenamed("id", "dst")
+                                        .withColumnRenamed("rep", "nrep"),
+                                  "dst")
+                      .groupBy("src").agg(F.min("nrep").alias("rep"))
+                      .withColumnRenamed("src", "id").localCheckpoint())
+        if integral:
+            cur = new_labels.agg(
+                F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
+            done = cur == prev_sum
+            prev_sum = cur
+        else:
+            done = (new_labels.alias("n")
+                    .join(labels.alias("o"),
+                          F.col("n.id") == F.col("o.id"))
+                    .where(~F.col("n.rep").eqNullSafe(F.col("o.rep")))
+                    .isEmpty())
+        labels = new_labels
+        if done:
             break
-        prev_sum = cur
     return labels
 
 

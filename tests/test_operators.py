@@ -387,6 +387,19 @@ def test_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_components_string_ids(spark):
+    """Non-integral ids use the join-based convergence check: the
+    Σrep(decimal) shortcut casts strings to NULL, and a NULL-sum
+    comparison would declare convergence after ONE propagation round
+    — this chain needs three, so 1-hop labels would be wrong."""
+    pairs = spark.createDataFrame(
+        [Row(id_a="a", id_b="b"), Row(id_a="b", id_b="c"),
+         Row(id_a="c", id_b="d"), Row(id_a="x", id_b="y")])
+    got = {r["id"]: r["rep"] for r in dedup.components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
 def test_keep_cluster_representatives(spark):
     df = spark.createDataFrame([Row(doc_id=i, text=f"d{i}")
                                 for i in range(6)])

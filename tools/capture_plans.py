@@ -32,11 +32,32 @@ def main() -> None:
     from sybil_spark.corpus import QUERIES
     from sybil_spark.plans import inspect as I
     from sybil_spark.session import get_spark
+    from sybil_spark.operators import _util
     from sybil_spark.operators._util import unpersist_unscoped
 
     spark = get_spark("capture-plans",
                       extra_conf={"spark.ui.enabled": "false"})
+    # Pre-checkpoint plan capture (r11, VERDICT #4): eager
+    # localCheckpoints truncate consumers' plans at `Scan
+    # ExistingRDD`, hiding the restructured shingle / star-pair
+    # subplans from the <query>_<suffix>.txt record. The hook writes
+    # each materialized frame's plan to
+    # <query>_<suffix>_pre<N>_<label>.txt as the query builds.
+    state = {"query": None, "n": 0}
+
+    def hook(label, df):
+        state["n"] += 1
+        fn = f"{state['query']}_{suffix}_pre{state['n']}_{label}.txt"
+        try:
+            plan = I.formatted_plan(df)
+        except Exception as e:  # noqa: BLE001
+            plan = f"ERROR explaining pre-checkpoint {label}: {e}"
+        with open(os.path.join(outdir, fn), "w") as f:
+            f.write(plan)
+
+    _util.checkpoint_plan_hook = hook
     for name in names:
+        state["query"], state["n"] = name, 0
         try:
             df = QUERIES[name](spark, SF_DIR)
             plan = I.formatted_plan(df)
@@ -46,6 +67,7 @@ def main() -> None:
             f.write(plan)
         unpersist_unscoped()
         print(f"captured {name}", file=sys.stderr)
+    _util.checkpoint_plan_hook = None
     spark.stop()
 
 
