@@ -113,6 +113,31 @@ def eager_checkpoint(df: DataFrame, label: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+import re as _re
+
+_WIDE_NODE = _re.compile(
+    r"^[\s:+\-*(]*(Join|Aggregate|Window|Sort|Repartition|"
+    r"RepartitionByExpression|Rebalance|Deduplicate|Distinct|"
+    r"GlobalLimit|Intersect|Except|CoGroup|FlatMapGroups)\b",
+    _re.MULTILINE)
+
+
+def narrow_num_partitions(df: DataFrame) -> int | None:
+    """Input partition count, or None when reading it is not free.
+
+    `df.rdd.getNumPartitions()` finalizes the adaptive plan, which
+    EXECUTES any shuffle query stages of the input eagerly — and the
+    real action then recomputes them (silent double execution for
+    composed inputs). For a narrow plan (scan + project/filter/
+    generate) the conversion plans but runs nothing, so the count is
+    read directly; any plan with a width-changing node returns None
+    and callers fall back to a conf-derived floor."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if _WIDE_NODE.search(plan):
+        return None
+    return df.rdd.getNumPartitions()
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Re-split a narrow input before a row-amplifying stage.
 
@@ -123,10 +148,14 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     amplification is intra-stage. At real scale inputs already carry
     more splits than cores and this is a no-op (the partition count
     check keeps the repartition off the 100 TB path — never shrink,
-    never shuffle what is already spread)."""
+    never shuffle what is already spread). Inputs that already
+    contain a shuffle are left untouched: their parallelism was set
+    by that exchange, and probing them via .rdd would execute the
+    upstream stages twice (see narrow_num_partitions)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    n = narrow_num_partitions(df)
+    if n is not None and n < target:
         return df.repartition(target)
     return df
 

@@ -29,6 +29,7 @@ from pyspark.sql import types as T_
 
 from sybil_spark.functions.text import tokens
 from sybil_spark.operators._util import (eager_checkpoint,
+                                         narrow_num_partitions,
                                          register_cached, spread)
 
 
@@ -373,10 +374,20 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     # to 1-2 partitions and serialize the CPU-heavy window; a
     # user-specified count is exempt. Never shrink what the scan
     # already spread (the 100 TB path keeps its splits).
-    npart = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
     docs = df.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("__text"))
-    docs = docs.repartition(max(npart, docs.rdd.getNumPartitions()), "id")
+    # Partition-count floor without double-executing composed inputs:
+    # .rdd probing is only free on narrow plans (see
+    # narrow_num_partitions); a shuffle-bearing input falls back to
+    # the conf floor, which at real scale is >= the cluster's
+    # configured shuffle width (never shrinks what an upstream
+    # exchange already spread).
+    n_in = narrow_num_partitions(docs)
+    if n_in is None:
+        n_in = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.repartition(max(npart, n_in), "id")
     toks = docs.select(
         "id", F.posexplode(tokens(F.col("__text"))).alias("pos", "tok"))
     tok_hash = _port_tok_hash(F.col("tok")) if portable \
@@ -925,20 +936,30 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
 
     Per token t: h = xxhash64(t); bit b votes +1/-1 by (h>>b)&1; the
     signature sets bit b iff the vote sum is positive. Shape: explode
-    tokens → one hash per row → posexplode an array of `bits` ±1
-    votes (cheap shift/and projections) → groupBy(id, b) sum →
-    groupBy(id) packs `if(v>0, 1<<b, 0)` sums into the signature.
+    tokens → one hash per row → posexplode an array of ceil(bits/2)
+    PACKED LANES (lane j carries bit 2j's 0/1 in its low half and bit
+    2j+1's in bits 32..63 of one long) → groupBy(id, lane) sum →
+    groupBy(id) unpacks both counters per lane and packs
+    `if(2*s > n, 1<<b, 0)` into the signature. The two-bits-per-row
+    packing (r11) halves the generator output and the vote-agg rows
+    of the old one-bit-per-row shape — measured 1.37x at 10x data and
+    at parity at sf0.1 with ~2x less plan/codegen time (first-run
+    3.1 s → 1.4 s). 32-bit lanes cannot carry into each other below
+    2^32 tokens per document; a 2 GB Spark string caps token counts
+    orders of magnitude lower.
 
-    Why two narrow aggregations instead of one 64-column-wide one: a
-    single groupBy(id) with 64 sum buffers plus a 64-term bitwiseOR
-    packing chain generates a janino method large enough that codegen
-    compilation alone cost ~4 s per fresh JVM (measured r5); the
-    exploded shape compiles in milliseconds and runs FASTER warm too
-    (1.6 s vs 2.7 s at sf0.1) because the generator and both
-    hash-aggs stay in one whole-stage-codegen span. Both aggs
-    partial-aggregate map-side, so the only shuffle carries
-    (id, b, partial-sum) at ≤ bits rows per doc per partition —
-    still independent of document size.
+    Why narrow aggregations instead of one `bits`-column-wide one: a
+    single groupBy(id) with 64 sum buffers plus a 64-term packing
+    chain generates a janino method large enough that codegen
+    compilation alone cost ~4 s per fresh JVM (measured r5, STILL
+    true on Spark 4.1.2: first-run 7.6 s, and warm runs ~2x slower
+    than the exploded shape at sf0.1 — tools/exp_simhash.py). The
+    packed one-agg variant (30 lane sums, no explode) also measured
+    slower warm (1.96 s vs 1.15/1.20 s); the generator + hash-agg
+    span is what codegen executes well. Both aggs partial-aggregate
+    map-side, so the only shuffle carries (id, lane, partial-sum) at
+    ≤ ceil(bits/2) rows per doc per partition — independent of
+    document size.
 
     `portable=True` hashes tokens with the 60-bit md5 family
     (`cast('0x'||substr(md5(t),1,15) as bigint)` in SQL) so an
@@ -952,20 +973,27 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     tok = (spread(df).select(F.col(id_col).alias("id"),
                              F.explode(tokens(F.col(text_col))).alias("t"))
              .select("id", tok_hash.alias("h")))
-    # Array elements are bare shift/and (0/1) — NOT the ±1 vote
-    # (bit*2-1): the extra checked multiply/subtract inside the
-    # generator input measured 3x slower end-to-end (5.5 s vs 1.9 s
-    # at sf0.1), so the ±1 recentering is done on the aggregated
-    # side instead: vote sum v = 2*s - n > 0 ⟺ 2*s > n.
-    bit_arr = F.array(*[
-        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long")
-        for b in range(bits)])
-    votes = (tok.select("id", F.posexplode(bit_arr).alias("b", "bit"))
-                .groupBy("id", "b")
-                .agg(F.sum("bit").alias("s"), F.count(F.lit(1)).alias("n")))
-    return votes.groupBy("id").agg(
-        F.sum(F.expr("if(2*s > n, shiftleft(1L, cast(b as int)), 0L)"))
-         .alias("sig"))
+    # Lane elements are bare shift/and packings of the 0/1 bits — NOT
+    # the ±1 vote (bit*2-1): the extra checked multiply/subtract
+    # inside the generator input measured 3x slower end-to-end
+    # (5.5 s vs 1.9 s at sf0.1), so the ±1 recentering is done on the
+    # aggregated side instead: vote sum v = 2*s - n > 0 ⟺ 2*s > n.
+    def _lane(j: int) -> Column:
+        lo = F.shiftright(F.col("h"), 2 * j).bitwiseAND(F.lit(1))
+        if 2 * j + 1 >= bits:       # odd `bits`: last lane low half only
+            return lo.cast("long")
+        hi = F.shiftright(F.col("h"), 2 * j + 1).bitwiseAND(F.lit(1))
+        return F.shiftleft(hi, 32).bitwiseOR(lo).cast("long")
+
+    lane_arr = F.array(*[_lane(j) for j in range((bits + 1) // 2)])
+    votes = (tok.select("id", F.posexplode(lane_arr).alias("j", "lane"))
+                .groupBy("id", "j")
+                .agg(F.sum("lane").alias("s"), F.count(F.lit(1)).alias("n")))
+    pair = F.expr(
+        "if(2*(s & 4294967295) > n, shiftleft(1L, cast(2*j as int)), 0L)"
+        " + if(2*shiftrightunsigned(s, 32) > n,"
+        "      shiftleft(1L, cast(2*j+1 as int)), 0L)")
+    return votes.groupBy("id").agg(F.sum(pair).alias("sig"))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,

@@ -1156,6 +1156,30 @@ def test_cache_scope_owns_autopersisted_tf(spark):
     assert len(sc._jsc.getPersistentRDDs()) == before
 
 
+def test_narrow_num_partitions_gates_rdd_probe(spark, docs):
+    """The partition-count probe reads narrow (scan/project/filter/
+    generate) plans directly but returns None for any plan with a
+    width-changing node — converting those to RDD finalizes AQE and
+    executes the upstream shuffle stages eagerly, double-running them
+    when the real action fires. shingle_hashes/spread must therefore
+    never probe a composed input, only fall back to the conf floor."""
+    from sybil_spark.operators._util import narrow_num_partitions
+    assert isinstance(narrow_num_partitions(docs), int)
+    assert isinstance(
+        narrow_num_partitions(docs.where("doc_id > 1").select("text")), int)
+    assert narrow_num_partitions(docs.groupBy("doc_id").count()) is None
+    assert narrow_num_partitions(docs.repartition(4)) is None
+    assert narrow_num_partitions(
+        docs.join(docs.select("doc_id"), "doc_id")) is None
+    # composed inputs still produce identical shingles via the fallback
+    composed = docs.groupBy("doc_id").agg(F.first("text").alias("text"))
+    a = sorted((r["id"], r["h"]) for r in
+               dedup.shingle_hashes(docs, "doc_id", "text").collect())
+    b = sorted((r["id"], r["h"]) for r in
+               dedup.shingle_hashes(composed, "doc_id", "text").collect())
+    assert a == b
+
+
 def test_cap_per_group(spark):
     """Per-group cap keeps the n best (order desc, ties id asc) and
     passes small groups through whole."""
