@@ -55,6 +55,17 @@ NUM_BUCKETS = 1000
 #: per-partition prefix offsets, windowed partials) — same exact
 #: answer, parallel sort, no single-executor envelope.
 WP_UNGROUPED_MAX_ROWS = 2_000_000
+#: GROUPED exact weighted percentiles: optimizer input-size estimate
+#: (bytes, plan-stats read — no job) above which _wp_frame switches
+#: from the per-group window (task parallelism = |groups|, serial for
+#: few huge groups) to the distributed prefix-sum CDF
+#: (_wp_grouped_distributed). Below it the single hash-partitioned
+#: window is the cheapest plan. Threshold = the measured crossover
+#: (SCALE_REHEARSAL_r11_wpAB.json, interleaved minima): the window
+#: wins 1x sf0.1 (1.67 vs 3.58 s, ~6.7 MB estimate), the distributed
+#: path wins 10x (7.88 vs 4.48 s, ~67 MB) and 30x (44.9 vs 20.1 s) —
+#: the per-group sort grows superlinearly, the CDF stays parallel.
+WP_GROUPED_DISTRIBUTED_MIN_BYTES = 64 << 20
 #: sybil default result limit (reference: src/lib/config.go:166-167)
 DEFAULT_LIMIT = 100
 
@@ -377,7 +388,10 @@ class Query:
         bit-matches a SQL window oracle. UNGROUPED at modest row
         counts the window is a single partition (cheapest); above
         WP_UNGROUPED_MAX_ROWS it switches to _wp_ungrouped_distributed
-        — same exact answer, parallel sort. The mergeable
+        — same exact answer, parallel sort. GROUPED above
+        WP_GROUPED_DISTRIBUTED_MIN_BYTES of estimated input it
+        likewise switches to _wp_grouped_distributed (the per-group
+        window caps task parallelism at |groups|). The mergeable
         constant-size path either way remains the histogram CDF
         (hist_summary / rollup)."""
         from pyspark.sql import Window
@@ -427,13 +441,33 @@ class Query:
             #   at runtime when it measures small.
             proj = proj.withColumn(
                 "__wp_g", F.struct(*[F.col(n) for n in names]))
-            part = Window.partitionBy("__wp_g")
-            cdf = part.orderBy("__v", "__w").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow)
-            totals = proj.groupBy("__wp_g").agg(F.sum("__w").alias("__tw"))
-            proj = (proj.select("__wp_g", "__v",
-                                F.sum("__w").over(cdf).alias("__cw"))
-                    .join(totals, "__wp_g"))
+            # Few huge groups serialize the per-group window (task
+            # parallelism = |groups|: the r11 10x scaling leg measured
+            # weighted_percentile FLAT from 8 to 32 cores because its
+            # 3-group window runs 3 tasks). Above a size gate the
+            # grouped path switches to the same distributed prefix-sum
+            # CDF the ungrouped path uses — the gate is the
+            # optimizer's input-size estimate (a plan-stats read, no
+            # job, the tfidf persist_tf discipline), so the decision
+            # costs nothing and scales with the data, not a core
+            # count. Unknown stats (checkpointed/injected inputs)
+            # assume big.
+            try:
+                est = int(str(proj._jdf.queryExecution()
+                              .optimizedPlan().stats().sizeInBytes()))
+            except Exception:
+                est = WP_GROUPED_DISTRIBUTED_MIN_BYTES + 1
+            if est > WP_GROUPED_DISTRIBUTED_MIN_BYTES:
+                proj = self._wp_grouped_distributed(proj)
+            else:
+                part = Window.partitionBy("__wp_g")
+                cdf = part.orderBy("__v", "__w").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow)
+                totals = proj.groupBy("__wp_g") \
+                             .agg(F.sum("__w").alias("__tw"))
+                proj = (proj.select("__wp_g", "__v",
+                                    F.sum("__w").over(cdf).alias("__cw"))
+                        .join(totals, "__wp_g"))
         pcts = a.params.get("percentiles", [0.25, 0.5, 0.75])
         aggs = []
         for p in pcts:
@@ -448,6 +482,66 @@ class Query:
         return out.select(
             *[F.col("__wp_g").getField(n).alias(n) for n in names],
             *[c for c in out.columns if c != "__wp_g"])
+
+    def _wp_grouped_distributed(self, proj: DataFrame) -> DataFrame:
+        """Exact GROUPED weighted percentiles without per-group
+        single-task windows — the grouped form of the distributed
+        prefix-sum CDF (see _wp_ungrouped_distributed):
+
+        1. range-partition (__wp_g, __v, __w): each group's rows span
+           a CONTIGUOUS run of partitions in (value, weight) order;
+           pin the assignment with a localCheckpoint and record each
+           row's partition id;
+        2. one small aggregation gives per-(partition, group) weight
+           sums — ≤ |groups| + numPartitions − 1 rows total because
+           group runs are contiguous — and a window over that small
+           frame turns them into per-group exclusive prefix offsets
+           AND per-group totals in one pass;
+        3. re-attach by (partition id, group): an equi-join against
+           the small frame (AQE broadcasts it when it measures small;
+           a shuffled join co-partitions with the window that
+           follows, so the big frame pays exactly one more narrow
+           exchange either way), then each task windows only its own
+           (partition, group) slice — parallelism follows the data,
+           not |groups| — and adds its offset.
+
+        Ties straddling a range boundary can interleave differently
+        than the single-window (__v, __w) order, but the answer — the
+        smallest VALUE whose cumulative weight reaches p·total — is
+        invariant to ordering among ties, so this bit-matches the
+        per-group-window path (pinned by
+        test_weighted_percentile_grouped_distributed_matches_window).
+
+        Returns the same (__wp_g, __v, __cw, __tw) frame the window
+        path produces; the caller's crossing aggregation is shared."""
+        from pyspark.sql import Window
+
+        spark = proj.sparkSession
+        npart = spark.sparkContext.defaultParallelism
+        part = (proj.repartitionByRange(npart, "__wp_g", "__v", "__w")
+                    .withColumn("__pid", F.spark_partition_id())
+                    .localCheckpoint())
+        sums = part.groupBy("__pid", "__wp_g") \
+                   .agg(F.sum("__w").alias("__pw"))
+        wg = Window.partitionBy("__wp_g").orderBy("__pid")
+        offs = sums.select(
+            "__pid", "__wp_g",
+            F.coalesce(
+                F.sum("__pw").over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast(self._DEC)).alias("__off"),
+            F.sum("__pw").over(
+                wg.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("__tw"))
+        cdf = Window.partitionBy("__pid", "__wp_g") \
+                    .orderBy("__v", "__w") \
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)
+        return (part.join(offs, ["__pid", "__wp_g"])
+                    .select("__wp_g", "__v",
+                            (F.sum("__w").over(cdf)
+                             + F.col("__off")).alias("__cw"),
+                            "__tw"))
 
     def _wp_ungrouped_distributed(self, proj: DataFrame,
                                   a: "_Agg") -> DataFrame:

@@ -436,6 +436,36 @@ def test_weighted_percentile_distributed_matches_window(spark, monkeypatch):
     assert dist.asDict() == single.asDict()
 
 
+def test_weighted_percentile_grouped_distributed_matches_window(
+        spark, monkeypatch):
+    """Above WP_GROUPED_DISTRIBUTED_MIN_BYTES of estimated input the
+    GROUPED exact weighted percentile switches from the per-group
+    window (task parallelism = |groups| — serial for few huge groups)
+    to the grouped distributed prefix-sum CDF. Forcing the switch at
+    a tiny threshold must yield bit-identical results to the window
+    path: same groups (including a NULL group key), same percentile
+    values, heavy ties straddling range boundaries."""
+    import random
+
+    from sybil_spark.query import builder as B
+
+    rnd = random.Random(13)
+    rows = [Row(g=rnd.choice(["x", "y", None]),
+                v=float(rnd.choice([1, 2, 2, 3, 5, 8])),
+                w=rnd.randint(1, 9)) for _ in range(5000)]
+    d = spark.createDataFrame(rows).repartition(16)
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    q = lambda: sorted(
+        [tuple(r) for r in
+         (Query.table(d).group_by("g").weight_col("w")
+          .agg("v", "percentile", percentiles=[0.1, 0.5, 0.9])
+          .limit(None).execute(spark).collect())], key=key)
+    single = q()
+    monkeypatch.setattr(B, "WP_GROUPED_DISTRIBUTED_MIN_BYTES", 1)
+    dist = q()
+    assert dist == single
+
+
 def test_having_filters_groups(spark, df):
     """HAVING applies to aggregated rows before sort/limit; multiple
     calls AND; result columns (aliases) are addressable."""
