@@ -4699,8 +4699,19 @@ def q_weighted_hist_summary(spark, sf):
     """Weighted composite hist: weight-scaled count/avg/stddev from
     frequency-weight decimal moments and the weighted percentile CDF
     (the reference's weight-scaled histogram, hist_basic.go:111-118,
-    153-183) — the mergeable scale path for weighted percentiles."""
-    li = _t(spark, sf, "lineitem")
+    153-183) — the mergeable scale path for weighted percentiles.
+
+    spread (r11, the tpch_q1 pattern): the decimal moment partials
+    over every lineitem row are the stage cost and the single-row-
+    group testdata pins them to one task; the guarded repartition
+    parallelizes the partial aggregation (interleaved A/B min
+    1.70→1.18 s at sf0.1, 6 reps — tools/exp_spread.py) and is a
+    no-op when the scan already carries >= cores splits. The other
+    §7-class queries measured AGAINST spread (0.45–0.65x: the
+    events-scan queries pay more for the extra exchange than the
+    parallelism returns) and keep their single-shuffle plans."""
+    from sybil_spark.operators._util import spread
+    li = spread(_t(spark, sf, "lineitem"))
     out = (Query.table(li).weight_col("l_quantity")
            .group_by("l_returnflag")
            .hist_summary(spark, "l_extendedprice", bucket=5000.0,
